@@ -1,0 +1,74 @@
+"""Max-(ts, seq)-per-key dedup -- the engine's core reduction.
+
+Semantics ancestor: fetchez's prefer-processed-version-per-survey grouping
+(/root/reference/src/fetchez/modules/multibeam.py:217-253) reimagined as
+last-writer-wins CDC dedup keyed on (conv_id, turn_idx).
+
+Scale notes (why max_by, and why salting):
+
+* The default path is ``groupBy(key).agg(max_by(struct(*), struct(ts, seq)))``.
+  Unlike a ``Window.partitionBy(key).orderBy(...)`` + ``row_number`` plan,
+  a hash aggregate gets a *partial aggregation* (map-side combine) stage:
+  at 10^10 events with ~5% exact replays and Zipf-hot conv_ids, duplicate
+  mass collapses locally before the shuffle, so the shuffle carries at most
+  one row per (key x input-partition).  A window plan would shuffle every
+  raw row and sort it -- strictly worse at scale.
+
+* ``salt`` adds an explicit two-phase reduction for pathological keys (one
+  key dominating entire input partitions): phase 1 reduces on
+  (key, pmod(xxhash64(seq), salt)) spreading a hot key over ``salt``
+  reducers, phase 2 reduces the <= salt survivors per key.  With map-side
+  combine phase 1 is mostly local; the second shuffle moves <= salt rows
+  per key.  This is the north_rule's "salt hot conv_id partitions"; AQE
+  skew handling stays on as backstop (see session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _winner(df: DataFrame, key: list[str], order: list[str], salt_col: Column | None) -> DataFrame:
+    """One hash-aggregate reduction: max_by(struct(all cols), struct(order))."""
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    rank = F.struct(*[F.col(c) for c in order])
+    grouping = [F.col(k) for k in key]
+    if salt_col is not None:
+        grouping.append(salt_col.alias("_salt"))
+    won = df.groupBy(*grouping).agg(F.max_by(payload, rank).alias("_w"))
+    return won.select("_w.*")
+
+
+def dedup_latest(
+    df: DataFrame,
+    key: list[str] | None = None,
+    order: list[str] | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Keep, per key, the single row with the greatest (order...) tuple.
+
+    Ties on the full order tuple (exact-duplicate replays share ts AND seq)
+    are harmless: the rows are identical, any wins.
+
+    ``salt > 1`` enables the explicit two-phase salted reduction for
+    hot-key skew; ``salt <= 1`` is the plain single-shuffle hash aggregate.
+    """
+    key = key or ["conv_id", "turn_idx"]
+    order = order or ["ts", "seq"]
+    if salt and salt > 1:
+        salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt))
+        stage1 = _winner(df, key, order, salt_col)
+        return _winner(stage1, key, order, None)
+    return _winner(df, key, order, None)
+
+
+def detect_hot_keys(df: DataFrame, key: list[str] | None = None, threshold: int = 100_000) -> DataFrame:
+    """Keys whose event count exceeds ``threshold`` in this batch.
+
+    Used for lineage/skew reporting and to decide whether the salted
+    two-phase dedup is worth its extra (tiny) shuffle.  Single
+    partial-aggregated count -- cheap relative to the batch itself.
+    """
+    key = key or ["conv_id"]
+    return df.groupBy(*key).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > threshold)

@@ -1,0 +1,46 @@
+"""SparkSession builder with the engine's scale-oriented defaults.
+
+Knob lineage: fetchez exposes ``-H/--threads`` / ``execution.threads``
+(/root/reference/src/fetchez/cli.py:388-394, recipe.py:197-198); here the
+equivalent user-visible parallelism knob is core count + shuffle
+partitions, with AQE on so the runtime re-plans partition counts and
+skewed joins per stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fetchez-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing + skew-join splitting (backstop
+        # to our explicit hot-key salting, SURVEY.md section 4).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every pandas UDF / toPandas boundary (north_rule: no
+        # per-row Python anywhere).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # normalize naive parquet timestamps to TimestampType (UTC) instead
+        # of NTZ so schema evolution unions stay type-stable
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    if shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
