@@ -1,38 +1,618 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One ``queries()`` entry per implemented operator from SURVEY.md section 2,
+each with a DuckDB ``oracle_sql()`` twin (same column names, value-stable
+outputs: integers/strings, doubles rounded identically on both sides).
+Non-SQL-expressible ops (MinHash/SimHash xxhash-based, LSH with generated
+hyperplanes, the streaming CDC replay itself) have no oracle entry and get
+the driver's rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC final-state reduction (max-(ts,seq)-per-key dedup +
+    delete semantics) over the events table at sf0.001."""
+    return _q_cdc_final_state(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# CDC core operators (SURVEY.md 2.C + multibeam version-pick 2.A)
+# ---------------------------------------------------------------------------
+
+def _q_cdc_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins dedup: per (user_id, event_type) the row with max
+    (ts, event_id).  Ancestor: prefer-latest-version-per-survey
+    (/root/reference/src/fetchez/modules/multibeam.py:217-253)."""
+    ev = _t(spark, sf_dir, "events")
+    win = ev.groupBy("user_id", "event_type").agg(
+        F.max_by(F.struct("event_id", "value"), F.struct("ts", "event_id")).alias("w")
+    )
+    return win.select(
+        "user_id",
+        "event_type",
+        F.col("w.event_id").alias("event_id"),
+        F.col("w.value").alias("value"),
+    )
+
+
+def _q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events as a changelog keyed on user_id; event_type='error' acts as a
+    delete: users whose latest event is an error drop out (tombstone)."""
+    ev = _t(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max_by(F.struct("event_type", "event_id", "value"), F.struct("ts", "event_id")).alias("w")
+    )
+    return (
+        latest.filter(F.col("w.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("w.event_type").alias("event_type"),
+            F.col("w.event_id").alias("event_id"),
+            F.col("w.value").alias("value"),
+        )
+    )
+
+
+def _q_cdc_tombstone_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max_by(F.col("event_type"), F.struct("ts", "event_id")).alias("last_type")
+    )
+    return (
+        latest.withColumn(
+            "status", F.when(F.col("last_type") == "error", F.lit("deleted")).otherwise(F.lit("live"))
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_dry_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dryrun hook: plan-only, empty result (pipeline/dryrun.py:20-27)."""
+    return _t(spark, sf_dir, "events").select("event_id", "event_type").limit(0)
+
+
+def _q_cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual engine end-to-end (non-SQL op, rows-only check): generate
+    a deterministic change log, replay it through the snapshot sink, return
+    the final table."""
+    from fetchez_spark.changegen import ChangeLogSpec, write_change_log
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+    from fetchez_spark.streaming.engine import replay_batches
+
+    spec = ChangeLogSpec(num_events=3000, num_convs=80, max_turns=6, seed=42)
+    work = tempfile.mkdtemp(prefix="fetchez-entry-")
+    chunks = write_change_log(spec, os.path.join(work, "log"), num_chunks=3)
+    sink = LocalSnapshotSink(os.path.join(work, "table"), num_buckets=8)
+    replay_batches(spark, chunks, sink)
+    return sink.read(spark).orderBy("conv_id", "turn_idx")
+
+
+# ---------------------------------------------------------------------------
+# relational operator surface (SURVEY.md 2.D)
+# ---------------------------------------------------------------------------
+
+def _q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_filter_pushdown_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown + column pruning: the scan must read 4 columns and
+    carry PushedFilters (SURVEY.md section 4 row 1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01"))
+        & (F.col("l_discount") >= 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+def _q_broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension lookup join (set_weight rules table / nominatim analog):
+    small dims explicitly broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def _q_semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (bing quadkey manifest intersection, bing.py:85-137)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatMap/explode (unzip hook, file_ops/unzip.py:57-215): doc -> tokens."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def _q_union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union-all of per-module result lists (core.py:822-832)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase")
+    b = ev.filter(F.col("event_type") == "signup")
+    return a.unionAll(b).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_limit_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-pagination scan (tnm.py:116-211 offset loop): page 3 of 100."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.orderBy("event_id").select("event_id", "user_id", "event_type").offset(200).limit(100)
+
+
+def _q_grouped_audit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """audit hook run-summary (metadata/audit.py:50-81)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("last_day"),
+    )
+
+
+def _q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window aggregation (tides/buoys time-series scans)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def _q_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (dav.py:178-186 AABB tile intersect): per signup
+    event, how many events the same user produced within the next hour."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    j = ev.join(
+        s,
+        (ev["user_id"] == s["s_user"])
+        & (ev["ts"] > s["s_ts"])
+        & (ev["ts"] <= s["s_ts"] + F.expr("INTERVAL 1 HOUR")),
+    )
+    return j.groupBy("signup_id").agg(F.count(F.lit(1)).alias("n_followups"))
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per key (focus/dedup-by-path analog, focus.py:42-56)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "rn", "event_id", "value")
+    )
+
+
+def _q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest strictly-earlier view by
+    the same user (equi-join on user + max_by reduction; no sort-merge of
+    the whole table)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    j = p.join(v, (p["p_user"] == v["v_user"]) & (v["v_ts"] < p["p_ts"]))
+    return j.groupBy("purchase_id").agg(
+        F.max_by(F.col("v_id"), F.struct("v_ts", "v_id")).alias("asof_view_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+
+def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fetchez_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text").alias("n_tokens"), F.col("n_chars"))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fetchez_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(quality_score("text"), 1).alias("quality"))
+
+
+def _q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fetchez_spark.functions.text import lang_guess
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_guess("text").alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (hash-groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def _q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: byte length + checksum of payloads."""
+    d = _t(spark, sf_dir, "documents")
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(bin_col).alias("byte_len"),
+        F.md5(bin_col).alias("checksum"),
+    )
+
+
+def _q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fetchez_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, k=5, threshold=0.8)
+
+
+def _q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fetchez_spark.functions.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, num_hashes=32, bands=8).filter(
+        F.col("n_shared_bands") >= 2
+    )
+
+
+def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fetchez_spark.functions.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash("text", bits=32).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fetchez_spark.functions.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id", F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim")
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
+def _q_embedding_norm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fetchez_spark.functions.similarity import l2_norm_sq
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.floor(l2_norm_sq(F.col("embedding"))).cast("bigint").alias("norm_bucket"))
+        .groupBy("norm_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fetchez_spark.functions.similarity import ann_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [r[0] for r in
+          [(float(x),) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]]
+    return ann_lsh_topk(e, qv, k=10, dim=64, n_planes=8)
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fetchez_spark.functions.similarity import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, dim=64, n_planes=12, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC core
+        "cdc_dedup_latest": _q_cdc_dedup_latest,
+        "cdc_final_state": _q_cdc_final_state,
+        "cdc_tombstone_counts": _q_cdc_tombstone_counts,
+        "cdc_replay_snapshot": _q_cdc_replay_snapshot,  # rows-only
+        "dry_run": _q_dry_run,
+        # relational surface
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "filter_pushdown_project": _q_filter_pushdown_project,
+        "broadcast_lookup_join": _q_broadcast_lookup_join,
+        "semi_join_parts": _q_semi_join_parts,
+        "explode_tokens": _q_explode_tokens,
+        "union_all_sources": _q_union_all_sources,
+        "limit_pagination": _q_limit_pagination,
+        "grouped_audit_metrics": _q_grouped_audit_metrics,
+        "hourly_rollup": _q_hourly_rollup,
+        "range_interval_join": _q_range_interval_join,
+        "topk_per_group": _q_topk_per_group,
+        "as_of_join": _q_as_of_join,
+        # text analysis
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "lang_id_counts": _q_lang_id_counts,
+        "doc_fingerprint_dups": _q_doc_fingerprint_dups,
+        "multimodal_binary_meta": _q_multimodal_binary_meta,
+        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "minhash_lsh_dups": _q_minhash_lsh_dups,  # rows-only (xxhash64)
+        "simhash_docs": _q_simhash_docs,  # rows-only (xxhash64)
+        # similarity search
+        "cosine_topk": _q_cosine_topk,
+        "embedding_norm_buckets": _q_embedding_norm_buckets,
+        "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (generated hyperplanes)
+        "embedding_neardup": _q_embedding_neardup,  # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_dedup_latest": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "cdc_final_state": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_tombstone_counts": """
+            SELECT CASE WHEN event_type = 'error' THEN 'deleted' ELSE 'live' END AS status,
+                   count(*) AS n
+            FROM (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+            GROUP BY 1
+        """,
+        "dry_run": "SELECT event_id, event_type FROM events WHERE 1 = 0",
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_pushdown_project": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-02-01'
+              AND l_discount >= 0.05
+        """,
+        "broadcast_lookup_join": """
+            SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "semi_join_parts": """
+            SELECT l_returnflag, count(*) AS n FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+            GROUP BY l_returnflag
+        """,
+        "explode_tokens": """
+            SELECT token, count(*) AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            WHERE token <> '' GROUP BY token
+            ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "union_all_sources": """
+            SELECT event_type, count(*) AS n FROM (
+              SELECT * FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT * FROM events WHERE event_type = 'signup')
+            GROUP BY event_type
+        """,
+        "limit_pagination": """
+            SELECT event_id, user_id, event_type FROM events
+            ORDER BY event_id LIMIT 100 OFFSET 200
+        """,
+        "grouped_audit_metrics": """
+            SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+                   round(avg(value), 4) AS avg_value,
+                   strftime(min(ts), '%Y-%m-%d') AS first_day,
+                   strftime(max(ts), '%Y-%m-%d') AS last_day
+            FROM events GROUP BY event_type
+        """,
+        "hourly_rollup": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "range_interval_join": """
+            SELECT s.event_id AS signup_id, count(*) AS n_followups
+            FROM events e
+            JOIN events s ON s.event_type = 'signup'
+                         AND e.user_id = s.user_id
+                         AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+            GROUP BY s.event_id
+        """,
+        "topk_per_group": """
+            SELECT event_type, rn, event_id, value FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id ASC) AS rn
+              FROM events) WHERE rn <= 3
+        """,
+        "as_of_join": """
+            SELECT purchase_id, asof_view_id FROM (
+              SELECT p.event_id AS purchase_id, v.event_id AS asof_view_id,
+                     row_number() OVER (PARTITION BY p.event_id
+                                        ORDER BY v.ts DESC, v.event_id DESC) AS rn
+              FROM events p
+              JOIN events v ON v.event_type = 'view'
+                           AND p.event_type = 'purchase'
+                           AND v.user_id = p.user_id AND v.ts < p.ts)
+            WHERE rn = 1
+        """,
+        "text_token_stats": """
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+                   n_chars
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id, round(
+              CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                          / greatest(length(text), 1) < 0.1 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN len(list_filter(string_split(text, ' '),
+                                          t -> list_contains({_STOP_SQL}, lower(t))))
+                          / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1)
+                          > 0.01 THEN 0.3 ELSE 0.0 END
+            , 1) AS quality FROM documents
+        """,
+        "lang_id_counts": f"""
+            SELECT lang,
+                   CASE WHEN len(list_filter(string_split(text, ' '),
+                                 t -> list_contains({_STOP_SQL}, lower(t)))) > 0
+                        THEN 'en' ELSE 'other' END AS guessed,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2
+        """,
+        "doc_fingerprint_dups": """
+            SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "multimodal_binary_meta": """
+            SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum
+            FROM documents
+        """,
+        "ngram_jaccard_dups": """
+            WITH sh AS (
+              SELECT doc_id AS _id,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(text) - 3, 2)),
+                       i -> substr(text, i::INT, 5))) AS _sh
+              FROM documents),
+            sizes AS (SELECT _id, len(_sh) AS _n FROM sh),
+            inv AS (SELECT _id, unnest(_sh) AS _g FROM sh),
+            inter AS (
+              SELECT a._id AS id_a, b._id AS id_b, count(*) AS _inter
+              FROM inv a JOIN inv b ON a._g = b._g AND a._id < b._id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(_inter / (sa._n + sb._n - _inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa._id = id_a
+            JOIN sizes sb ON sb._id = id_b
+            WHERE _inter / (sa._n + sb._n - _inter) >= 0.8
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings, q
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_norm_buckets": """
+            SELECT CAST(floor(list_aggregate(
+                     list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) AS BIGINT)
+                     AS norm_bucket,
+                   count(*) AS n
+            FROM embeddings GROUP BY 1
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from fetchez_spark.session import get_spark
+
+    s = get_spark(app_name="entry-smoke", master="local[4]", shuffle_partitions=8)
+    df = entry(s)
+    print("entry rows:", df.count())
+    for name, fn in queries().items():
+        n = fn(s, "/root/testdata/sf0.001").count()
+        print(f"{name}: {n} rows")

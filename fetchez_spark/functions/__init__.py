@@ -1,0 +1,1 @@
+from fetchez_spark.functions import dedup, multimodal, similarity, text  # noqa: F401

@@ -1,0 +1,126 @@
+"""Unit tests for the text / dedup / similarity / multimodal libraries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_text_functions(spark):
+    from fetchez_spark.functions.text import (
+        fingerprint, lang_guess, quality_score, token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"), (2, "xx")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        token_count("text").alias("n"),
+        lang_guess("text").alias("lang"),
+        F.round(quality_score("text"), 1).alias("q"),
+        fingerprint("text").alias("fp"),
+    ).collect()}
+    assert rows[1]["n"] == 10
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["lang"] == "other"
+    assert rows[1]["q"] > rows[2]["q"]
+    import hashlib
+    assert rows[1]["fp"] == hashlib.md5(b"the quick brown fox jumps over the lazy dog today").hexdigest()
+
+
+def test_exact_duplicates(spark):
+    from fetchez_spark.functions.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "unique")], ["doc_id", "text"]
+    )
+    got = exact_duplicates(df).collect()
+    assert len(got) == 1
+    assert got[0]["n_dups"] == 2 and got[0]["keep_id"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from fetchez_spark.functions.dedup import minhash_lsh_candidates
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "extra tail"),           # near-dup of 1
+            (3, "completely different words entirely unrelated content here " * 5),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared_bands"] for r in minhash_lsh_candidates(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert (1, 3) not in pairs
+
+
+def test_ngram_jaccard_threshold(spark):
+    from fetchez_spark.functions.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"), (2, "abcdefghijklmnopq"), (3, "zzzzyyyyxxxxwwww")],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_simhash_similar_docs_close(spark):
+    from fetchez_spark.functions.dedup import simhash
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 3),
+            (2, "the quick brown fox jumps over the lazy cat " * 3),
+            (3, "entirely unrelated gibberish zxqwv kjhgf mnbvc " * 3),
+        ],
+        ["doc_id", "text"],
+    )
+    h = {r["doc_id"]: r["sh"] for r in df.select("doc_id", simhash("text").alias("sh")).collect()}
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFF).count("1")
+    assert ham(h[1], h[2]) < ham(h[1], h[3])
+
+
+def test_cosine_topk_and_lsh(spark):
+    from fetchez_spark.functions.similarity import ann_lsh_topk, cosine_topk
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    top = cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    ann = ann_lsh_topk(df, [1.0, 0.0, 0.0, 0.0], k=2, dim=4, n_planes=4).collect()
+    assert 0 in [r["vec_id"] for r in ann]  # query's own bucket contains it
+
+
+def test_multimodal_decode_plumbing(spark):
+    from fetchez_spark.functions.multimodal import MEDIA_SCHEMA, decode_metadata, frame_sample
+
+    rows = [
+        (1, "image", bytearray(b"\x89PNGfakebytes"), "image/png"),
+        (2, "video", bytearray(b"\x00\x00ftypfakevideobytes" * 3), "video/mp4"),
+        (3, "audio", None, "audio/wav"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_metadata(df).collect()}
+    assert out[1]["byte_len"] == 13 and out[1]["n_frames"] == 1
+    assert out[2]["n_frames"] >= 1 and out[2]["width"] is not None
+    assert out[3]["checksum"] is None
+    frames = frame_sample(df, every_n=5).groupBy("media_id").count().collect()
+    assert {r["media_id"] for r in frames} == {1, 2, 3}
+
+
+def test_multimodal_unknown_kind_raises(spark):
+    from fetchez_spark.functions.multimodal import MEDIA_SCHEMA, decode_metadata
+
+    df = spark.createDataFrame([(1, "hologram", bytearray(b"x"), "x/y")], MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="no decoder"):
+        decode_metadata(df).collect()
