@@ -154,6 +154,47 @@ def write_change_log(spec: ChangeLogSpec, out_dir: str, num_chunks: int = 16) ->
     return paths
 
 
+def _gen_chunk(args: tuple) -> str:
+    spec_fields, out_dir, i, n, per = args
+    sub = ChangeLogSpec(**{**spec_fields, "num_events": n, "seed": spec_fields["seed"] + i, "evolve_at": 1.0})
+    df = generate_change_log(sub)
+    df["seq"] = df["seq"] + i * per
+    # keep microsecond precision: ns timestamps are illegal for Spark's
+    # parquet reader (TIMESTAMP(NANOS))
+    df["ts"] = (df["ts"] + pd.Timedelta(seconds=i * 2)).astype("datetime64[us, UTC]")
+    path = os.path.join(out_dir, f"chunk-{i:05d}.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    return path
+
+
+def write_change_log_chunked(
+    spec: ChangeLogSpec, out_dir: str, num_chunks: int = 64, workers: int = 8
+) -> list[str]:
+    """Large-log variant: generate chunk-by-chunk (bounded memory),
+    parallel across processes.
+
+    Each chunk is an independent deterministic sub-log (seed = spec.seed +
+    chunk index) with globally unique, monotone seq ranges.  Duplicates and
+    late events occur within a chunk only -- adequate for throughput
+    benchmarking (correctness tests use the single-frame generator whose
+    oracle covers cross-chunk effects)."""
+    from concurrent.futures import ProcessPoolExecutor
+    from dataclasses import asdict
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = spec.num_events // num_chunks
+    fields = asdict(spec)
+    fields.pop("extra", None)
+    jobs = []
+    for i in range(num_chunks):
+        n = per if i < num_chunks - 1 else spec.num_events - per * (num_chunks - 1)
+        jobs.append((fields, out_dir, i, n, per))
+    if workers <= 1:
+        return [_gen_chunk(j) for j in jobs]
+    with ProcessPoolExecutor(workers) as ex:
+        return list(ex.map(_gen_chunk, jobs))
+
+
 def oracle_final_state(log: pd.DataFrame) -> pd.DataFrame:
     """Reference reduction (pandas): expected final target table.
 

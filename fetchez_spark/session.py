@@ -36,6 +36,10 @@ def get_spark(
         # normalize naive parquet timestamps to TimestampType (UTC) instead
         # of NTZ so schema evolution unions stay type-stable
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # TypedImperativeAggregates (max_by etc.) fall back to sort-based
+        # aggregation after 128 distinct keys per partition by default,
+        # which kills multi-core scaling on high-cardinality groupBys
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

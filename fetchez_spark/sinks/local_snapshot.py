@@ -7,8 +7,8 @@ Layout (one directory per table)::
       manifests/snap-0000000001.json
       data/snap-0000000001/_bucket=<b>/part-*.parquet
 
-Manifest (the "snapshot"): schema, parent pointer, per-bucket data-file
-lists, committed batch tokens, row stats.  A commit is:
+Manifest (the "snapshot"): schema, parent pointer, per-bucket base-file and
+delta-file lists, committed batch tokens, row stats.  A commit is:
 
 1. write new data files under a snapshot-unique directory (never mutates
    existing files -- crash mid-write leaves unreferenced orphans only);
@@ -20,18 +20,25 @@ lists, committed batch tokens, row stats.  A commit is:
 core.py:673-692).  If the process dies between (2) and (3) the snapshot is
 orphaned and the batch is NOT committed; streaming replay re-merges it.
 
-Scale design -- bucket-level copy-on-write:
+Scale design:
 
-* Target rows are hash-bucketed on ``conv_id`` (``pmod(hash(conv_id), B)``,
-  deterministic Murmur3).  A micro-batch only rewrites the buckets it
-  touches; untouched buckets carry their file references forward in the
-  new manifest unchanged.  At 100 TB with B in the thousands, a batch
-  touching k buckets costs O(k/B * table) IO, not O(table).
-* Reads prune at the manifest level: only the file list for requested
-  buckets is handed to the parquet scan (Iceberg-style manifest pruning).
-* Schema evolution is metadata-only: old files are never rewritten; reads
-  pass the current (union) schema and parquet null-backfills missing
-  columns.
+* Rows are hash-bucketed on ``conv_id`` (``pmod(hash(conv_id), B)``,
+  deterministic Murmur3).  Reads prune at the manifest level: only the
+  file lists for requested buckets reach the parquet scan (Iceberg-style
+  manifest pruning).
+* **merge-on-read (default)**: a micro-batch appends its deduped rows as
+  per-bucket *delta* files -- ingest cost is O(batch), never O(table).
+  Readers union base+deltas and apply the max-(ts,_seq)-per-key reduction;
+  buckets whose delta count crosses ``compact_every`` are compacted
+  (base+deltas -> new base) in a follow-up snapshot.  This is the Iceberg
+  MoR shape and the only shape whose ingest rate survives 10^10 events.
+* **copy-on-write (``mode='cow'``)**: each batch rewrites touched buckets
+  (read base+deltas, merge, write new base).  Reads stay reduction-free;
+  ingest pays O(touched table) per batch.  Right when batches are rare and
+  reads dominate.
+* Schema evolution is metadata-only in both modes: old files are never
+  rewritten; reads pass the current (union) schema and parquet
+  null-backfills missing columns.
 """
 
 from __future__ import annotations
@@ -43,7 +50,7 @@ import time
 import uuid
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -59,6 +66,8 @@ from fetchez_spark.schema import (
 from fetchez_spark.sinks.base import SnapshotSink
 
 _BUCKET = "_bucket"
+# manifest "deltas" key for unclustered (flat) delta files
+_FLAT = "*"
 
 
 def _internal_fields() -> list[T.StructField]:
@@ -77,11 +86,17 @@ class LocalSnapshotSink(SnapshotSink):
         base_schema: T.StructType | None = None,
         dedup_salt: int = 0,
         collect_metrics: bool = True,
+        mode: str = "mor",
+        compact_every: int = 16,
     ) -> None:
+        if mode not in ("mor", "cow"):
+            raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
         self.table_dir = table_dir
         self.key = key or KEY_COLUMNS
         self.dedup_salt = dedup_salt
         self.collect_metrics = collect_metrics
+        self.mode = mode
+        self.compact_every = compact_every
         os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
         if self._version() is None:
@@ -94,6 +109,7 @@ class LocalSnapshotSink(SnapshotSink):
                 "schema": schema.jsonValue(),
                 "num_buckets": num_buckets,
                 "files": {},
+                "deltas": {},
                 "committed_batches": {},
                 "stats": {"rows": 0},
                 "offsets": None,
@@ -147,7 +163,7 @@ class LocalSnapshotSink(SnapshotSink):
     def is_committed(self, batch_token: str) -> bool:
         return str(batch_token) in self.manifest()["committed_batches"]
 
-    # -------------------------------------------------------------- reading
+    # -------------------------------------------------------------- helpers
     def _bucket_expr(self, num_buckets: int):
         return F.pmod(F.hash(F.col(self.key[0])), F.lit(num_buckets))
 
@@ -158,6 +174,50 @@ class LocalSnapshotSink(SnapshotSink):
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*files)
 
+    def _next_sid(self, cur: dict) -> str:
+        return f"snap-{int(cur['snapshot_id'].split('-')[1]) + 1:010d}"
+
+    def _write_bucketed(
+        self, df: DataFrame, sid: str, n_partitions: int, schema: T.StructType
+    ) -> dict[str, list[str]]:
+        """Write rows partitioned by bucket under a snapshot-unique dir;
+        return {bucket: [files]}."""
+        snap_dir = os.path.join(self.table_dir, "data", sid)
+        out_cols = [f.name for f in schema.fields] + [_BUCKET]
+        (
+            df.select(*out_cols)
+            .repartition(max(n_partitions, 1), F.col(_BUCKET))
+            .write.partitionBy(_BUCKET)
+            .mode("overwrite")
+            .parquet(snap_dir)
+        )
+        out: dict[str, list[str]] = {}
+        for entry in os.scandir(snap_dir):
+            if entry.is_dir() and entry.name.startswith(f"{_BUCKET}="):
+                b = entry.name.split("=", 1)[1]
+                out[b] = [
+                    os.path.join(entry.path, fn)
+                    for fn in sorted(os.listdir(entry.path))
+                    if fn.endswith(".parquet")
+                ]
+        return out
+
+    def _write_flat(self, df: DataFrame, sid: str, schema: T.StructType) -> list[str]:
+        """Write rows as flat files under a snapshot-unique dir (no
+        clustering; AQE decides the file count); return the file list."""
+        snap_dir = os.path.join(self.table_dir, "data", sid)
+        df.select(*[f.name for f in schema.fields]).write.mode("overwrite").parquet(snap_dir)
+        return [
+            os.path.join(snap_dir, fn)
+            for fn in sorted(os.listdir(snap_dir))
+            if fn.endswith(".parquet")
+        ]
+
+    def _commit(self, manifest: dict) -> None:
+        self._write_manifest(manifest)
+        self._set_version(manifest["snapshot_id"])  # <- the atomic commit point
+
+    # -------------------------------------------------------------- reading
     def read(
         self,
         spark: SparkSession,
@@ -167,10 +227,27 @@ class LocalSnapshotSink(SnapshotSink):
     ) -> DataFrame:
         m = self.manifest(snapshot_id)
         schema = T.StructType.fromJson(m["schema"])
-        file_map = m["files"]
-        keys = [str(b) for b in buckets] if buckets is not None else list(file_map)
-        files = [f for b in keys for f in file_map.get(b, [])]
-        df = self._read_files(spark, files, schema).filter(~F.col(INTERNAL_DELETED))
+        base_map, delta_map = m["files"], m.get("deltas", {})
+        keys = (
+            [str(b) for b in buckets]
+            if buckets is not None
+            else sorted(set(base_map) | set(delta_map) - {_FLAT})
+        )
+        base = [f for b in keys for f in base_map.get(b, [])]
+        deltas = [f for b in keys for f in delta_map.get(b, []) if b != _FLAT]
+        # flat deltas are unclustered: always in scope (bucket-pruned reads
+        # post-filter them through the reduction)
+        deltas += list(delta_map.get(_FLAT, []))
+        df = self._read_files(spark, base + deltas, schema)
+        if delta_map.get(_FLAT) and buckets is not None:
+            # flat delta files are unclustered; a bucket-pruned read must
+            # post-filter them to the requested buckets
+            df = df.filter(self._bucket_expr(m["num_buckets"]).isin([int(b) for b in keys]))
+        if deltas:
+            # merge-on-read: the same max-(ts,_seq) reduction the writer
+            # would have applied at compaction time
+            df = dedup_latest(df, key=self.key, order=["ts", INTERNAL_SEQ])
+        df = df.filter(~F.col(INTERNAL_DELETED))
         if not include_internal:
             df = df.drop(INTERNAL_SEQ, INTERNAL_DELETED)
         return df
@@ -195,9 +272,29 @@ class LocalSnapshotSink(SnapshotSink):
         nb = cur["num_buckets"]
         cur_schema = T.StructType.fromJson(cur["schema"])
 
+        # 0. metrics/lineage ride the ONE merge job as observed metrics --
+        # zero extra passes over the data (north_rule: per-partition
+        # lineage + rows/sec without a second scan).
+        # NOTE: only a handful of cheap exprs here -- CollectMetrics
+        # aggregates are evaluated interpreted per-row; a wide histogram
+        # (e.g. per-src-partition count_if fan-out) measurably anti-scales.
+        # Per-partition lineage therefore uses its own partial-aggregated
+        # groupBy in LineageLog instead.
+        obs_in = obs_out = None
+        if self.collect_metrics:
+            obs_in = Observation(f"in-{uuid.uuid4().hex[:8]}")
+            batch = batch.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+
         # 1. within-batch dedup (salted two-phase if configured) + reshape.
         deduped = dedup_latest(batch, key=self.key, order=["ts", "seq"], salt=self.dedup_salt)
-        rows = batch_to_target_rows(deduped).withColumn(_BUCKET, self._bucket_expr(nb))
+        rows = batch_to_target_rows(deduped)
+        if self.collect_metrics:
+            obs_out = Observation(f"out-{uuid.uuid4().hex[:8]}")
+            rows = rows.observe(
+                obs_out,
+                F.count(F.lit(1)).alias("rows_deduped"),
+                F.sum(F.col(INTERNAL_DELETED).cast("long")).alias("rows_deleted"),
+            )
 
         # 2. additive schema evolution (metadata-only).
         batch_payload_schema = T.StructType(
@@ -205,57 +302,62 @@ class LocalSnapshotSink(SnapshotSink):
         )
         new_schema = merge_schemas(cur_schema, batch_payload_schema)
 
-        metrics: dict[str, Any] = {"batch_token": token, "skipped": False}
-        if self.collect_metrics:
-            agg = rows.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col(INTERNAL_DELETED).cast("long")).alias("d"),
-            ).collect()[0]
-            metrics["rows_deduped"] = agg["n"]
-            metrics["rows_deleted"] = agg["d"] or 0
-            metrics["rows_upserted"] = agg["n"] - metrics["rows_deleted"]
+        metrics: dict[str, Any] = {"batch_token": token, "skipped": False, "mode": self.mode}
 
-        # 3. manifest-level pruning: only buckets present in this batch.
-        touched = [r[0] for r in rows.select(_BUCKET).distinct().collect()]
-        existing_files = [
-            f for b in touched for f in cur["files"].get(str(b), [])
-        ]
-        read_schema = T.StructType(list(new_schema.fields))  # null-backfill old files
-        existing = (
-            self._read_files(spark, existing_files, read_schema).withColumn(
-                _BUCKET, self._bucket_expr(nb)
-            )
-            if existing_files
-            else None
-        )
-
-        # 4. bucket-local merge = union + max-(ts,_seq) per key.
-        merged = merge_into(existing, rows, key=self.key)
-
-        # 5. write new files for touched buckets only (snapshot-unique dir).
-        sid = f"snap-{int(cur['snapshot_id'].split('-')[1]) + 1:010d}"
-        snap_dir = os.path.join(self.table_dir, "data", sid)
-        out_cols = [f.name for f in new_schema.fields] + [_BUCKET]
-        (
-            merged.select(*out_cols)
-            .repartition(max(len(touched), 1), F.col(_BUCKET))
-            .write.partitionBy(_BUCKET)
-            .mode("overwrite")
-            .parquet(snap_dir)
-        )
-
-        # 6. new manifest: carry untouched buckets forward by reference.
+        sid = self._next_sid(cur)
         new_files = dict(cur["files"])
-        for b in touched:
-            new_files[str(b)] = []
-        for entry in os.scandir(snap_dir):
-            if entry.is_dir() and entry.name.startswith(f"{_BUCKET}="):
-                b = entry.name.split("=", 1)[1]
-                new_files[b] = [
-                    os.path.join(entry.path, fn)
-                    for fn in sorted(os.listdir(entry.path))
-                    if fn.endswith(".parquet")
-                ]
+        new_deltas = {b: list(fs) for b, fs in cur.get("deltas", {}).items()}
+        stats: dict[str, Any]
+
+        if self.mode == "mor":
+            # 3a. append the deduped batch as FLAT delta files (no bucket
+            # clustering on the ingest path -- Iceberg-style: deltas land
+            # unclustered, compaction restores clustering).  Ingest cost is
+            # one dedup shuffle + one narrow write, O(batch) always.
+            written = self._write_flat(rows, sid, new_schema)
+            new_deltas.setdefault(_FLAT, []).extend(written)
+            stats = {
+                "delta_files": len(new_deltas.get(_FLAT, [])),
+                "delta_commits": int(cur.get("stats", {}).get("delta_commits", 0)) + 1,
+            }
+        else:
+            # 3b. copy-on-write: rewrite the buckets the batch touches.
+            # Touched set comes from a cheap distinct over <= num_buckets
+            # values on the raw batch (no dedup recompute).
+            touched = [
+                r[0]
+                for r in batch.select(
+                    self._bucket_expr(nb).alias(_BUCKET)
+                ).distinct().collect()
+            ]
+            rows_b = rows.withColumn(_BUCKET, self._bucket_expr(nb))
+            existing_files = [
+                f for b in touched for f in cur["files"].get(str(b), [])
+            ] + list(cur.get("deltas", {}).get(_FLAT, []))
+            read_schema = T.StructType(list(new_schema.fields))  # null-backfill
+            existing = None
+            if existing_files:
+                existing = self._read_files(spark, existing_files, read_schema).withColumn(
+                    _BUCKET, self._bucket_expr(nb)
+                )
+                if cur.get("deltas", {}).get(_FLAT):
+                    # flat deltas may hold rows of untouched buckets; those
+                    # rows are NOT part of this rewrite
+                    existing = existing.filter(F.col(_BUCKET).isin(touched))
+            merged = merge_into(existing, rows_b, key=self.key)
+            written_map = self._write_bucketed(merged, sid, len(touched), new_schema)
+            for b in touched:
+                new_files[str(b)] = []
+            new_files.update(written_map)
+            if cur.get("deltas", {}).get(_FLAT):
+                # flat deltas survive only if they still carry rows of
+                # untouched buckets; conservatively keep them unless the
+                # rewrite covered every bucket
+                if set(map(str, touched)) >= set(new_files):
+                    new_deltas[_FLAT] = []
+            stats = {"touched_buckets": len(touched)}
+            metrics["touched_buckets"] = len(touched)
+
         committed = dict(cur["committed_batches"])
         committed[token] = sid
         manifest = {
@@ -264,16 +366,85 @@ class LocalSnapshotSink(SnapshotSink):
             "schema": new_schema.jsonValue(),
             "num_buckets": nb,
             "files": new_files,
+            "deltas": new_deltas,
             "committed_batches": committed,
-            "stats": {"touched_buckets": len(touched)},
+            "stats": stats,
             "offsets": offsets,
         }
-        self._write_manifest(manifest)
-        self._set_version(sid)  # <- the atomic commit point
+        self._commit(manifest)
         metrics["snapshot_id"] = sid
-        metrics["touched_buckets"] = len(touched)
+
+        # harvest observed metrics (populated by the write job above)
+        if self.collect_metrics and obs_in is not None:
+            metrics["rows_in"] = obs_in.get.get("rows_in", 0)
+            got_out = obs_out.get
+            metrics["rows_deduped"] = got_out.get("rows_deduped", 0)
+            metrics["rows_deleted"] = got_out.get("rows_deleted") or 0
+            metrics["rows_upserted"] = metrics["rows_deduped"] - metrics["rows_deleted"]
+
+        # auto-compaction counts delta COMMITS since the last compaction
+        # (file counts vary with AQE); a full compact folds deltas into
+        # bucketed base files and resets the counter
+        if self.mode == "mor" and stats.get("delta_commits", 0) >= self.compact_every:
+            metrics["compacted"] = self.compact(spark)["snapshot_id"]
+
         metrics["seconds"] = time.monotonic() - t0
         return metrics
+
+    def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> dict[str, Any]:
+        """Fold delta files into base files for the given (or all) buckets.
+
+        A pure maintenance commit: final table state is unchanged (the
+        reduction applied here is exactly the one readers were applying).
+        """
+        cur = self.manifest()
+        schema = T.StructType.fromJson(cur["schema"])
+        delta_map = cur.get("deltas", {})
+        has_flat = bool(delta_map.get(_FLAT))
+        if has_flat:
+            # flat deltas are unclustered -> fold everything (full compact)
+            todo = sorted(set(cur["files"]) | (set(delta_map) - {_FLAT}))
+            delta_files = [f for b, fs in delta_map.items() for f in fs]
+        else:
+            todo = (
+                [str(b) for b in buckets]
+                if buckets is not None
+                else [b for b, fs in delta_map.items() if fs]
+            )
+            todo = [b for b in todo if delta_map.get(b)]
+            delta_files = [f for b in todo for f in delta_map.get(b, [])]
+        if not delta_files:
+            return {"snapshot_id": cur["snapshot_id"], "compacted_buckets": 0}
+        files = [f for b in todo for f in cur["files"].get(b, [])] + delta_files
+        merged = dedup_latest(
+            self._read_files(spark, files, schema).withColumn(
+                _BUCKET, self._bucket_expr(cur["num_buckets"])
+            ),
+            key=self.key,
+            order=["ts", INTERNAL_SEQ],
+        )
+        sid = self._next_sid(cur)
+        written = self._write_bucketed(
+            merged, sid, max(len(todo), cur["num_buckets"] if has_flat else 1), schema
+        )
+        new_files = dict(cur["files"])
+        new_deltas = {b: list(fs) for b, fs in delta_map.items()}
+        for b in todo:
+            new_files[b] = []
+            new_deltas[b] = []
+        if has_flat:
+            new_deltas[_FLAT] = []
+        new_files.update(written)
+        manifest = {
+            **cur,
+            "snapshot_id": sid,
+            "parent": cur["snapshot_id"],
+            "files": new_files,
+            "deltas": new_deltas,
+            "stats": {"compacted_buckets": len(written), "delta_commits": 0},
+        }
+        self._commit(manifest)
+        return {"snapshot_id": sid, "compacted_buckets": len(written)}
 
     # ------------------------------------------------------------- maintain
     def rollback(self, snapshot_id: str) -> None:
@@ -295,7 +466,10 @@ class LocalSnapshotSink(SnapshotSink):
             keep.append(self.current_snapshot_id)
         referenced: set[str] = set()
         for sid in keep:
-            for files in self.manifest(sid)["files"].values():
+            m = self.manifest(sid)
+            for files in m["files"].values():
+                referenced.update(files)
+            for files in m.get("deltas", {}).values():
                 referenced.update(files)
         removed = 0
         data_root = os.path.join(self.table_dir, "data")

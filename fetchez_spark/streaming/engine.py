@@ -53,7 +53,9 @@ def make_batch_fn(
         batch = _apply_transforms(batch, transforms)
         metrics = sink.merge(batch, batch_token=str(batch_id))
         if lineage is not None:
-            record = lineage.record(batch_id, batch, metrics)
+            # counts arrive as observed metrics from the merge job itself;
+            # the batch is passed only as a fallback scan source
+            record = lineage.record(batch_id, metrics, batch=batch)
             metrics = {**metrics, **record}
         if on_batch:
             on_batch(batch_id, metrics)
@@ -112,7 +114,6 @@ def replay_batches(
     Per-batch schema may differ additively (mid-log schema evolution).
     """
     out = []
-    batch_fn_lineage = lineage
     for i, chunk in enumerate(chunk_paths):
         files = [chunk] if isinstance(chunk, str) else list(chunk)
         reader = spark.read
@@ -125,7 +126,7 @@ def replay_batches(
             continue
         batch = _apply_transforms(batch, transforms)
         metrics = sink.merge(batch, batch_token=token)
-        if batch_fn_lineage is not None:
-            metrics = {**metrics, **batch_fn_lineage.record(i, batch, metrics)}
+        if lineage is not None:
+            metrics = {**metrics, **lineage.record(i, metrics, batch=batch)}
         out.append(metrics)
     return out

@@ -41,12 +41,28 @@ class LineageLog:
         self.dir = lineage_dir
         os.makedirs(lineage_dir, exist_ok=True)
 
-    def record(self, batch_id: int, batch: DataFrame, commit_metrics: dict[str, Any]) -> dict:
-        per_part = {
-            int(r["src_partition"]): int(r["n"])
-            for r in batch.groupBy("src_partition").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        rows_in = sum(per_part.values())
+    def record(
+        self,
+        batch_id: int,
+        commit_metrics: dict[str, Any],
+        batch: DataFrame | None = None,
+    ) -> dict:
+        """Append one lineage record.
+
+        Per-partition counts come from the sink's observed metrics (zero
+        extra passes); ``batch`` is only scanned as a fallback when the
+        sink ran with ``collect_metrics=False``.
+        """
+        per_part = commit_metrics.get("rows_in_per_src_partition")
+        if per_part is None and batch is not None and "src_partition" in batch.columns:
+            per_part = {
+                int(r["src_partition"]): int(r["n"])
+                for r in batch.groupBy("src_partition")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        per_part = {int(k): int(v) for k, v in (per_part or {}).items()}
+        rows_in = commit_metrics.get("rows_in", sum(per_part.values()))
         secs = float(commit_metrics.get("seconds", 0.0)) or None
         record = {
             "batch_id": int(batch_id),

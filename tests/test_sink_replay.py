@@ -111,7 +111,7 @@ def test_bucket_copy_on_write_carries_untouched_files(spark, tmp_path):
     """A batch touching one conv_id must rewrite only that key's bucket;
     every other bucket's files carry forward by reference (manifest CoW)."""
     chunks = write_change_log(SPEC, str(tmp_path / "log"), num_chunks=2)
-    sink = LocalSnapshotSink(str(tmp_path / "table"), num_buckets=16)
+    sink = LocalSnapshotSink(str(tmp_path / "table"), num_buckets=16, mode="cow")
     replay_batches(spark, chunks, sink)
     m1 = sink.manifest()
     # single-key batch
