@@ -1,0 +1,168 @@
+"""Source / sink registries with search, info, and plugin discovery.
+
+Reimagines the reference's module registry (class-level dict of
+name -> {mod, cls, category, desc, tags, aliases}, lazy importlib class
+loading, plugin dirs, pip entry points, full-text search --
+/root/reference/src/fetchez/registry.py:42-1215).  Transforms have their
+own registry in :mod:`fetchez_spark.transforms`.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class SourceInfo:
+    name: str
+    cls: str  # "module:Class", resolved lazily
+    category: str
+    desc: str
+    tags: list[str] = field(default_factory=list)
+    aliases: list[str] = field(default_factory=list)
+
+
+_SOURCES: dict[str, SourceInfo] = {}
+_SINKS: dict[str, SourceInfo] = {}
+
+
+def register_source(info: SourceInfo) -> None:
+    """Dynamic registration (registry.py:1189-1215 analog)."""
+    _SOURCES[info.name] = info
+
+
+def register_sink(info: SourceInfo) -> None:
+    _SINKS[info.name] = info
+
+
+def _resolve(ref: str):
+    """Lazy class loading (registry.py:1056-1080): 'pkg.mod:Class'."""
+    mod_name, _, cls_name = ref.partition(":")
+    mod = importlib.import_module(mod_name)
+    try:
+        return getattr(mod, cls_name)
+    except AttributeError as e:
+        raise ImportError(f"registry entry points at missing class {ref!r}") from e
+
+
+def get_source_class(name: str):
+    info = _SOURCES.get(name) or next(
+        (s for s in _SOURCES.values() if name in s.aliases), None
+    )
+    if info is None:
+        raise KeyError(f"unknown source {name!r}; known: {sorted(_SOURCES)}")
+    return _resolve(info.cls)
+
+
+def get_sink_class(name: str):
+    if name not in _SINKS:
+        raise KeyError(f"unknown sink {name!r}; known: {sorted(_SINKS)}")
+    return _resolve(_SINKS[name].cls)
+
+
+def list_sources() -> list[SourceInfo]:
+    return sorted(_SOURCES.values(), key=lambda s: s.name)
+
+
+def list_sinks() -> list[SourceInfo]:
+    return sorted(_SINKS.values(), key=lambda s: s.name)
+
+
+def search(term: str) -> list[SourceInfo]:
+    """Full-text search over name/desc/tags (registry.py:1161-1187)."""
+    t = term.lower()
+    return [
+        s
+        for s in list_sources() + list_sinks()
+        if t in s.name.lower()
+        or t in s.desc.lower()
+        or t in s.category.lower()
+        or any(t in x.lower() for x in s.tags)
+    ]
+
+
+def info(name: str) -> SourceInfo | None:
+    return _SOURCES.get(name) or _SINKS.get(name)
+
+
+def load_plugins(plugin_dir: str | None = None) -> list[str]:
+    """User plugin discovery (registry.py:1082-1143): import every *.py in
+    the plugin dir; modules self-register via register_source/register_sink
+    or a ``setup_fetchez_spark(registry)`` function (entry-point analog,
+    registry.py:1145-1159)."""
+    plugin_dir = plugin_dir or os.path.expanduser("~/.fetchez_spark/plugins")
+    loaded: list[str] = []
+    if not os.path.isdir(plugin_dir):
+        return loaded
+    sys.path.insert(0, plugin_dir)
+    try:
+        for fn in sorted(os.listdir(plugin_dir)):
+            if not fn.endswith(".py") or fn.startswith("_"):
+                continue
+            mod_name = fn[:-3]
+            try:
+                mod = importlib.import_module(mod_name)
+                if hasattr(mod, "setup_fetchez_spark"):
+                    mod.setup_fetchez_spark(sys.modules[__name__])
+                loaded.append(mod_name)
+            except Exception:
+                # a broken plugin must not take the engine down
+                # (registry.py:1117-1121 swallows plugin import errors)
+                continue
+    finally:
+        sys.path.remove(plugin_dir)
+    return loaded
+
+
+# ---------------------------------------------------------------- built-ins
+register_source(
+    SourceInfo(
+        "parquet_log",
+        "fetchez_spark.sources.parquet_log:ParquetLogSource",
+        "log",
+        "offset-partitioned parquet change log (batch + streaming tail)",
+        tags=["cdc", "parquet", "stream"],
+        aliases=["file", "log"],
+    )
+)
+register_source(
+    SourceInfo(
+        "synthetic",
+        "fetchez_spark.sources.parquet_log:SyntheticSource",
+        "log",
+        "deterministic generated change log (seeded; tests/bench)",
+        tags=["cdc", "synthetic", "generator"],
+    )
+)
+register_sink(
+    SourceInfo(
+        "local_snapshot",
+        "fetchez_spark.sinks.local_snapshot:LocalSnapshotSink",
+        "table",
+        "parquet+manifest table with Iceberg snapshot semantics (MoR/CoW)",
+        tags=["iceberg", "snapshot", "merge"],
+        aliases=["table", "iceberg_local"],
+    )
+)
+register_sink(
+    SourceInfo(
+        "iceberg",
+        "fetchez_spark.sinks.iceberg:IcebergSink",
+        "table",
+        "real Apache Iceberg table via MERGE INTO (requires "
+        "iceberg-spark-runtime on the classpath; not bundled here)",
+        tags=["iceberg", "merge"],
+    )
+)
+
+
+def make_source(name: str, **kwargs) -> Any:
+    return get_source_class(name)(**kwargs)
+
+
+def make_sink(name: str, **kwargs) -> Any:
+    return get_sink_class(name)(**kwargs)

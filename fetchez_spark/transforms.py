@@ -1,0 +1,222 @@
+"""Batch transform library -- the hook system reimagined.
+
+fetchez hooks are staged operators over entry batches (``FetchHook`` with
+``stage in {pre, file, post}`` and ``run(entries) -> entries``,
+/root/reference/src/fetchez/hooks/__init__.py:15-62).  Here a transform is
+a named, parameterized ``DataFrame -> DataFrame`` function composed inside
+``foreachBatch``; stages map to: pre = batch-level gate before dedup,
+file = row-level projection/enrichment, post = commit-side reporting.
+
+Every transform is a JVM-side expression composition (no Python UDFs), so
+chains stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class TransformSpec:
+    name: str
+    stage: str  # pre | file | post
+    category: str
+    desc: str
+    factory: Callable[..., Transform]
+    tags: list[str] = field(default_factory=list)
+
+
+_REGISTRY: dict[str, TransformSpec] = {}
+
+
+def register_transform(
+    name: str, stage: str, category: str, desc: str, tags: list[str] | None = None
+):
+    """Decorator: register a transform factory (analog of the hook
+    auto-scan, /root/reference/src/fetchez/hooks/registry.py:27-58)."""
+
+    def deco(factory):
+        _REGISTRY[name] = TransformSpec(name, stage, category, desc, factory, tags or [])
+        return factory
+
+    return deco
+
+
+def get_transform(name: str, **kwargs) -> Transform:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown transform {name!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name].factory(**kwargs)
+
+
+def list_transforms(stage: str | None = None) -> list[TransformSpec]:
+    specs = sorted(_REGISTRY.values(), key=lambda s: s.name)
+    return [s for s in specs if stage is None or s.stage == stage]
+
+
+def search_transforms(term: str) -> list[TransformSpec]:
+    """Full-text search over name/desc/tags (registry.py:1161-1187 analog)."""
+    t = term.lower()
+    return [
+        s
+        for s in list_transforms()
+        if t in s.name.lower() or t in s.desc.lower() or any(t in x.lower() for x in s.tags)
+    ]
+
+
+def build_chain(chain: list) -> list[Transform]:
+    """['name' | {'transform': name, 'args': {...}}] -> transforms, with
+    value-equal duplicate elimination (utils.py:447-462 analog)."""
+    seen: set[tuple] = set()
+    out: list[Transform] = []
+    for item in chain or []:
+        if isinstance(item, str):
+            name, args = item, {}
+        else:
+            name, args = item["transform"], item.get("args", {})
+        key = (name, tuple(sorted(args.items())))
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(get_transform(name, **args))
+    return out
+
+
+# --------------------------------------------------------------------------
+# built-ins (each cites the hook it re-expresses)
+# --------------------------------------------------------------------------
+
+@register_transform("dry_run", "pre", "pipeline", "empty the batch; plan-only run (dryrun.py:20-27)")
+def _dry_run() -> Transform:
+    return lambda df: df.limit(0)
+
+
+@register_transform(
+    "filter_regex", "pre", "pipeline",
+    "keep/drop rows by regex on a column (fn_filter.py:52-92)", ["filter"],
+)
+def _filter_regex(column: str = "text", pattern: str = ".*", keep: bool = True) -> Transform:
+    def t(df: DataFrame) -> DataFrame:
+        m = F.coalesce(F.col(column), F.lit("")).rlike(pattern)
+        return df.filter(m if keep else ~m)
+
+    return t
+
+
+@register_transform(
+    "filter_values", "pre", "pipeline",
+    "keep rows whose column is in a value list (multibeam.py:176-194 include lists)",
+)
+def _filter_values(column: str, values: list, keep: bool = True) -> Transform:
+    def t(df: DataFrame) -> DataFrame:
+        m = F.col(column).isin(list(values))
+        return df.filter(m if keep else ~m)
+
+    return t
+
+
+@register_transform(
+    "rename_value", "file", "file_ops",
+    "regex substitution on a string column (rename.py:23-58)",
+)
+def _rename_value(column: str, pattern: str, replacement: str) -> Transform:
+    return lambda df: df.withColumn(column, F.regexp_replace(F.col(column), pattern, replacement))
+
+
+@register_transform(
+    "project", "file", "file_ops",
+    "keep a subset of columns, preserving the CDC envelope (flatten.py:21-57 re-rooting analog)",
+)
+def _project(columns: list) -> Transform:
+    def t(df: DataFrame) -> DataFrame:
+        keep = [c for c in df.columns if c in set(columns) | {"op", "ts", "seq", "src_partition"}]
+        return df.select(*keep)
+
+    return t
+
+
+@register_transform(
+    "set_value", "file", "metadata",
+    "set/override a column on matching rows (datatype.py:20-48)",
+)
+def _set_value(column: str, value, where: str | None = None) -> Transform:
+    def t(df: DataFrame) -> DataFrame:
+        if where:
+            return df.withColumn(
+                column, F.when(F.expr(where), F.lit(value)).otherwise(F.col(column) if column in df.columns else F.lit(None))
+            )
+        return df.withColumn(column, F.lit(value))
+
+    return t
+
+
+@register_transform(
+    "apply_rules", "file", "metadata",
+    "rule table keyed on a column -> assign a value w/ default (set_weight.py:55-87)",
+    ["weight", "case"],
+)
+def _apply_rules(column: str, rules: dict, output: str = "weight", default=None) -> Transform:
+    def t(df: DataFrame) -> DataFrame:
+        expr = F.lit(default)
+        for k, v in reversed(list(rules.items())):
+            expr = F.when(F.col(column) == F.lit(k), F.lit(v)).otherwise(expr)
+        return df.withColumn(output, expr)
+
+    return t
+
+
+@register_transform(
+    "enrich", "file", "metadata",
+    "add ingest timestamp + engine version columns (enrich.py:24-53)",
+)
+def _enrich() -> Transform:
+    from fetchez_spark import __version__
+
+    return lambda df: df.withColumn("ingested_at", F.current_timestamp()).withColumn(
+        "engine_version", F.lit(__version__)
+    )
+
+
+@register_transform(
+    "checksum", "file", "metadata",
+    "per-row payload hash for final-state verification (checksum.py:60-74)",
+)
+def _checksum(columns: list | None = None, output: str = "row_hash") -> Transform:
+    def t(df: DataFrame) -> DataFrame:
+        cols = columns or [c for c in df.columns if c not in ("seq", "src_partition")]
+        return df.withColumn(
+            output, F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+        )
+
+    return t
+
+
+@register_transform(
+    "explode_column", "file", "file_ops",
+    "one row -> N child rows from an array column, provenance retained (unzip.py:57-215)",
+)
+def _explode_column(column: str, output: str = "item", keep_source: bool = True) -> Transform:
+    def t(df: DataFrame) -> DataFrame:
+        out = df.withColumn(output, F.explode(F.col(column)))
+        return out if keep_source else out.drop(column)
+
+    return t
+
+
+@register_transform(
+    "inventory", "post", "metadata",
+    "manifest of the planned batch -> JSON dir (inventory.py:25-61)",
+)
+def _inventory(out_dir: str, columns: list | None = None) -> Transform:
+    def t(df: DataFrame) -> DataFrame:
+        cols = columns or ["op", "conv_id", "turn_idx", "ts", "seq"]
+        present = [c for c in cols if c in df.columns]
+        df.select(*present).write.mode("append").json(out_dir)
+        return df
+
+    return t
