@@ -270,6 +270,59 @@ def _q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rules_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """set_weight hook analog (set_weight.py:55-87): rule table keyed on
+    brand -> weight with default, via the registered transform."""
+    from fetchez_spark.transforms import get_transform
+
+    p = _t(spark, sf_dir, "part")
+    t = get_transform(
+        "apply_rules", column="p_brand", rules={"Brand#1": 3, "Brand#2": 2}, default=1
+    )
+    return t(p).groupBy("p_brand", "weight").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_rename_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rename + flatten hook analog (rename.py:23-58, flatten.py:21-57)."""
+    from fetchez_spark.transforms import get_transform
+
+    d = _t(spark, sf_dir, "documents")
+    t = get_transform("rename_value", column="source", pattern="^src", replacement="source_")
+    return t(d).select("doc_id", "source")
+
+
+def _q_filter_values_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """include-list filter (multibeam.py:176-194 ship/year lists)."""
+    from fetchez_spark.transforms import get_transform
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = get_transform("filter_values", column="l_linenumber", values=[1, 2])
+    return t(li).groupBy("l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_checksum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """checksum hook analog (checksum.py:60-74): deterministic row hash."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", F.col("doc_id"), F.col("lang"), F.col("source"))).alias("row_hash"),
+    )
+
+
+def _q_pagination_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """full offset-pagination sweep (tnm.py:116-211): every page visited,
+    page id = floor(rank/100); validates the pagination covers the table."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return (
+        ev.withColumn("page", F.floor((F.row_number().over(w) - 1) / 100))
+        .groupBy("page")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -410,6 +463,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_interval_join": _q_range_interval_join,
         "topk_per_group": _q_topk_per_group,
         "as_of_join": _q_as_of_join,
+        # transform/hook analogs
+        "rules_weight": _q_rules_weight,
+        "rename_project": _q_rename_project,
+        "filter_values_list": _q_filter_values_list,
+        "checksum_rows": _q_checksum_rows,
+        "pagination_full_scan": _q_pagination_full_scan,
         # text analysis
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -536,6 +595,33 @@ def oracle_sql() -> dict[str, str]:
                            AND p.event_type = 'purchase'
                            AND v.user_id = p.user_id AND v.ts < p.ts)
             WHERE rn = 1
+        """,
+        "rules_weight": """
+            SELECT p_brand,
+                   CASE WHEN p_brand = 'Brand#1' THEN 3
+                        WHEN p_brand = 'Brand#2' THEN 2
+                        ELSE 1 END AS weight,
+                   count(*) AS n
+            FROM part GROUP BY 1, 2
+        """,
+        "rename_project": """
+            SELECT doc_id, regexp_replace(source, '^src', 'source_') AS source
+            FROM documents
+        """,
+        "filter_values_list": """
+            SELECT l_linestatus, count(*) AS n FROM lineitem
+            WHERE l_linenumber IN (1, 2) GROUP BY 1
+        """,
+        "checksum_rows": """
+            SELECT doc_id, md5(concat_ws('|', doc_id, lang, source)) AS row_hash
+            FROM documents
+        """,
+        "pagination_full_scan": """
+            SELECT CAST(floor((rn - 1) / 100) AS BIGINT) AS page,
+                   count(*) AS n, min(event_id) AS first_id
+            FROM (SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn
+                  FROM events)
+            GROUP BY 1
         """,
         "text_token_stats": """
             SELECT doc_id,

@@ -88,6 +88,7 @@ class LocalSnapshotSink(SnapshotSink):
         collect_metrics: bool = True,
         mode: str = "mor",
         compact_every: int = 16,
+        late_tolerance_seconds: float | None = None,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -97,6 +98,7 @@ class LocalSnapshotSink(SnapshotSink):
         self.collect_metrics = collect_metrics
         self.mode = mode
         self.compact_every = compact_every
+        self.late_tolerance_seconds = late_tolerance_seconds
         os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
         if self._version() is None:
@@ -280,21 +282,38 @@ class LocalSnapshotSink(SnapshotSink):
         # (e.g. per-src-partition count_if fan-out) measurably anti-scales.
         # Per-partition lineage therefore uses its own partial-aggregated
         # groupBy in LineageLog instead.
-        obs_in = obs_out = None
-        if self.collect_metrics:
-            obs_in = Observation(f"in-{uuid.uuid4().hex[:8]}")
-            batch = batch.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+        # 0b. watermark: with a configured late tolerance, events older
+        # than (committed high-watermark - tolerance) are rejected before
+        # the merge.  This bounds how far back any batch can reach -- the
+        # streaming-watermark guarantee expressed at the sink.  Rejections
+        # are counted in the batch metrics (rows_too_late).
+        hwm = cur.get("high_watermark")
+        if self.late_tolerance_seconds is not None and hwm is not None:
+            cutoff = F.lit(hwm).cast("timestamp") - F.expr(
+                f"INTERVAL {int(self.late_tolerance_seconds)} SECONDS"
+            )
+            batch = batch.withColumn("_too_late", F.col("ts") < cutoff)
+        else:
+            batch = batch.withColumn("_too_late", F.lit(False))
+
+        obs_in = Observation(f"in-{uuid.uuid4().hex[:8]}")
+        batch = batch.observe(
+            obs_in,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.col("_too_late").cast("long")).alias("rows_too_late"),
+            F.max(F.col("ts")).alias("max_ts"),
+        )
+        batch = batch.filter(~F.col("_too_late")).drop("_too_late")
 
         # 1. within-batch dedup (salted two-phase if configured) + reshape.
         deduped = dedup_latest(batch, key=self.key, order=["ts", "seq"], salt=self.dedup_salt)
         rows = batch_to_target_rows(deduped)
-        if self.collect_metrics:
-            obs_out = Observation(f"out-{uuid.uuid4().hex[:8]}")
-            rows = rows.observe(
-                obs_out,
-                F.count(F.lit(1)).alias("rows_deduped"),
-                F.sum(F.col(INTERNAL_DELETED).cast("long")).alias("rows_deleted"),
-            )
+        obs_out = Observation(f"out-{uuid.uuid4().hex[:8]}")
+        rows = rows.observe(
+            obs_out,
+            F.count(F.lit(1)).alias("rows_deduped"),
+            F.sum(F.col(INTERNAL_DELETED).cast("long")).alias("rows_deleted"),
+        )
 
         # 2. additive schema evolution (metadata-only).
         batch_payload_schema = T.StructType(
@@ -358,6 +377,23 @@ class LocalSnapshotSink(SnapshotSink):
             stats = {"touched_buckets": len(touched)}
             metrics["touched_buckets"] = len(touched)
 
+        # harvest observed metrics (populated by the write job above) BEFORE
+        # the manifest commit so the high-watermark advances atomically with
+        # the data it describes
+        got_in, got_out = obs_in.get, obs_out.get
+        max_ts = got_in.get("max_ts")
+        new_hwm = hwm
+        if max_ts is not None:
+            iso = max_ts.isoformat(sep=" ")
+            new_hwm = max(hwm, iso) if hwm else iso
+        if self.collect_metrics:
+            metrics["rows_in"] = got_in.get("rows_in", 0)
+            metrics["rows_too_late"] = got_in.get("rows_too_late") or 0
+            metrics["rows_deduped"] = got_out.get("rows_deduped", 0)
+            metrics["rows_deleted"] = got_out.get("rows_deleted") or 0
+            metrics["rows_upserted"] = metrics["rows_deduped"] - metrics["rows_deleted"]
+            metrics["high_watermark"] = new_hwm
+
         committed = dict(cur["committed_batches"])
         committed[token] = sid
         manifest = {
@@ -369,18 +405,11 @@ class LocalSnapshotSink(SnapshotSink):
             "deltas": new_deltas,
             "committed_batches": committed,
             "stats": stats,
+            "high_watermark": new_hwm,
             "offsets": offsets,
         }
         self._commit(manifest)
         metrics["snapshot_id"] = sid
-
-        # harvest observed metrics (populated by the write job above)
-        if self.collect_metrics and obs_in is not None:
-            metrics["rows_in"] = obs_in.get.get("rows_in", 0)
-            got_out = obs_out.get
-            metrics["rows_deduped"] = got_out.get("rows_deduped", 0)
-            metrics["rows_deleted"] = got_out.get("rows_deleted") or 0
-            metrics["rows_upserted"] = metrics["rows_deduped"] - metrics["rows_deleted"]
 
         # auto-compaction counts delta COMMITS since the last compaction
         # (file counts vary with AQE); a full compact folds deltas into
