@@ -488,6 +488,24 @@ class LocalSnapshotSink(SnapshotSink):
             if fn.endswith(".json")
         )
 
+    def vacuum_orphans(self) -> int:
+        """Delete data directories referenced by NO manifest -- leftovers
+        of commits that crashed between data write and manifest/pointer
+        swap (the crash window documented in the module docstring)."""
+        referenced: set[str] = set()
+        for sid in self.snapshots():
+            m = self.manifest(sid)
+            for files in list(m["files"].values()) + list(m.get("deltas", {}).values()):
+                referenced.update(files)
+        removed = 0
+        data_root = os.path.join(self.table_dir, "data")
+        for snap in os.listdir(data_root):
+            snap_dir = os.path.join(data_root, snap)
+            if not any(f.startswith(snap_dir + os.sep) for f in referenced):
+                shutil.rmtree(snap_dir)
+                removed += 1
+        return removed
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Delete data dirs not referenced by the newest ``keep_last`` manifests."""
         keep = self.snapshots()[-keep_last:]

@@ -1,0 +1,108 @@
+"""Stateful streaming operators over the change stream.
+
+Two shapes, per the Spark-first rule (use built-ins where they fit, drop
+to ``applyInPandasWithState`` only for semantics built-ins can't express):
+
+* :func:`windowed_turn_counts` -- watermarked session-window aggregation,
+  100% built-in (``F.session_window`` + watermark handles late data).
+* :func:`conversation_progress` -- custom per-conversation running state
+  (event count, latest turn, last-seen ts) via ``applyInPandasWithState``:
+  the state survives across micro-batches, one update row per key per
+  trigger.  This is the engine's "custom stateful operator" escape hatch;
+  state is Arrow-batched, never row-at-a-time Python.
+
+The reference's closest analog is per-module mutable accumulation across
+the fetch loop (``self.results`` mutation + audit summary,
+/root/reference/src/fetchez/core.py:954-992) -- reimagined as managed,
+checkpointed stream state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PROGRESS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_turn", T.IntegerType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_turn", T.IntegerType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+
+def _progress_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    if state.exists:
+        n, max_turn, last_us = state.get
+    else:
+        n, max_turn, last_us = 0, -1, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+    state.update((n, max_turn, last_us))
+    yield pd.DataFrame(
+        {
+            "conv_id": [conv_id],
+            "n_events": [n],
+            "max_turn": [max_turn],
+            "last_ts": [pd.Timestamp(last_us * 1000, unit="ns", tz="UTC")],
+        }
+    )
+
+
+def conversation_progress(events: DataFrame) -> DataFrame:
+    """Running per-conversation progress, updated every micro-batch.
+
+    Works on a streaming DataFrame (state checkpointed across batches)."""
+    return events.groupBy("conv_id").applyInPandasWithState(
+        _progress_fn,
+        outputStructType=PROGRESS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_turn_counts(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session-windowed event counts per conversation with a watermark --
+    late events inside the watermark still extend/merge their session;
+    older ones are dropped by the runtime (bounded state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("turn_idx").alias("max_turn"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "conv_id",
+            "n_events",
+            "max_turn",
+        )
+    )

@@ -172,3 +172,20 @@ def test_crash_between_manifest_and_version_is_safe(spark, tmp_path):
     a = sink.read(spark).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     b = clean.read(spark).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_vacuum_orphans_removes_only_unreferenced(spark, tmp_path):
+    import os
+
+    chunks = write_change_log(SPEC, str(tmp_path / "log"), num_chunks=2)
+    sink = LocalSnapshotSink(str(tmp_path / "table"), num_buckets=8)
+    replay_batches(spark, chunks, sink)
+    n = sink.read(spark).count()
+    # simulate a crashed commit: orphan data dir with no manifest
+    orphan = os.path.join(str(tmp_path / "table"), "data", "snap-9999999999")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-zzz.parquet"), "wb").write(b"junk")
+    removed = sink.vacuum_orphans()
+    assert removed == 1
+    assert not os.path.exists(orphan)
+    assert sink.read(spark).count() == n  # live data untouched
