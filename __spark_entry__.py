@@ -389,6 +389,24 @@ def _q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable MinHash signature (md5-based, engine-agnostic): per doc,
+    min over 5-gram shingles of md5(seed:shingle) for two seeds.  Verifies
+    the minhash computation itself against the oracle; the scale path
+    (xxhash64 + banding) is `minhash_lsh_dups`."""
+    from fetchez_spark.functions.text import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles("text", k=5)
+
+    def h(seed: int):
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.encode(F.concat(F.lit(f"{seed}:"), s), "UTF-8")))
+        )
+
+    return d.select("doc_id", h(0).alias("h0"), h(1).alias("h1"))
+
+
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fetchez_spark.functions.dedup import simhash
 
@@ -476,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_dups": _q_doc_fingerprint_dups,
         "multimodal_binary_meta": _q_multimodal_binary_meta,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "minhash_portable": _q_minhash_portable,
         "minhash_lsh_dups": _q_minhash_lsh_dups,  # rows-only (xxhash64)
         "simhash_docs": _q_simhash_docs,  # rows-only (xxhash64)
         # similarity search
@@ -675,6 +694,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa._id = id_a
             JOIN sizes sb ON sb._id = id_b
             WHERE _inter / (sa._n + sb._n - _inter) >= 0.8
+        """,
+        "minhash_portable": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(text) - 3, 2)),
+                       i -> substr(text, i::INT, 5))) AS s
+              FROM documents)
+            SELECT doc_id,
+                   list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+                   list_min(list_transform(s, x -> md5('1:' || x))) AS h1
+            FROM sh
         """,
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

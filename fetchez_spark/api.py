@@ -1,0 +1,106 @@
+"""One-call Python API -- the ``fetchez.get()`` facade reimagined.
+
+Reference: ``api.get(module, region=..., hooks=[...], **kwargs)`` resolves
+registries, builds the module, runs the engine, returns results
+(/root/reference/src/fetchez/api.py:55-125), plus ``api.search(term)``
+(api.py:35-52).  Here:
+
+* :func:`ingest` -- one bounded replay of a source into a sink, returning
+  per-batch commit metrics.
+* :func:`tail` -- start the streaming query (caller owns the handle).
+* :func:`search` -- registry full-text search across sources/sinks/
+  transforms.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from fetchez_spark import registry as _registry
+from fetchez_spark.selection import Selection
+from fetchez_spark.streaming.engine import replay_batches, run_stream
+from fetchez_spark.streaming.lineage import LineageLog
+from fetchez_spark.transforms import build_chain
+
+
+def _build(source, sink, spark):
+    if isinstance(source, dict):
+        source = _registry.make_source(source["name"], **source.get("args", {}))
+    if isinstance(sink, dict):
+        sink = _registry.make_sink(sink["name"], **sink.get("args", {}))
+    return source, sink
+
+
+def ingest(
+    spark: SparkSession,
+    source,
+    sink,
+    transforms: list | None = None,
+    selection: str | Selection | None = None,
+    lineage_dir: str | None = None,
+    token_prefix: str = "replay",
+) -> list[dict[str, Any]]:
+    """Bounded replay of everything currently in ``source`` into ``sink``.
+
+    ``source``/``sink`` may be instances or ``{"name": ..., "args": {...}}``
+    registry specs; ``transforms`` a chain spec (see transforms.build_chain);
+    ``selection`` a Selection or its string form.  Idempotent on re-run
+    (committed batch tokens skip).  Returns per-batch commit metrics.
+    """
+    source, sink = _build(source, sink, spark)
+    if isinstance(selection, str):
+        selection = Selection.parse(selection)
+    chain = build_chain(transforms or []) if not callable(transforms) else [transforms]
+    if selection is not None:
+        # the replay path reads batch files directly (not source.read()),
+        # so the selection rides the transform chain; the predicate still
+        # pushes down to the scan because it's the first op on the batch
+        source.selection = selection
+        pred = selection.predicate()
+        chain = [lambda df: df.filter(pred)] + chain
+    lineage = LineageLog(lineage_dir) if lineage_dir else None
+    return replay_batches(
+        spark, source.batches(spark), sink,
+        lineage=lineage, transforms=chain, token_prefix=token_prefix,
+    )
+
+
+def tail(
+    spark: SparkSession,
+    source,
+    sink,
+    checkpoint_dir: str,
+    transforms: list | None = None,
+    lineage_dir: str | None = None,
+    available_now: bool = False,
+):
+    """Tail the source continuously (or drain it once with
+    ``available_now=True``); returns the StreamingQuery."""
+    source, sink = _build(source, sink, spark)
+    return run_stream(
+        spark,
+        source.log_dir,
+        sink,
+        checkpoint_dir=checkpoint_dir,
+        schema=getattr(source, "schema", None),
+        max_files_per_trigger=getattr(source, "max_files_per_trigger", 4),
+        lineage=LineageLog(lineage_dir) if lineage_dir else None,
+        transforms=build_chain(transforms or []),
+        available_now=available_now,
+    )
+
+
+def search(term: str) -> list[dict[str, Any]]:
+    from fetchez_spark.transforms import search_transforms
+
+    out = [
+        {"name": s.name, "kind": "source/sink", "desc": s.desc}
+        for s in _registry.search(term)
+    ]
+    out += [
+        {"name": t.name, "kind": f"transform/{t.stage}", "desc": t.desc}
+        for t in search_transforms(term)
+    ]
+    return out

@@ -112,8 +112,9 @@ class Recipe:
             k: (self._resolve_path(v) if k.endswith("_dir") and isinstance(v, str) else v)
             for k, v in src_cfg.get("args", {}).items()
         }
-        if cfg.get("selection"):
-            src_args["selection"] = Selection.parse(cfg["selection"])
+        selection = Selection.parse(cfg["selection"]) if cfg.get("selection") else None
+        if selection is not None:
+            src_args["selection"] = selection
         source = make_source(src_cfg["name"], **src_args)
 
         sink_cfg = dict(cfg["sink"])
@@ -124,6 +125,11 @@ class Recipe:
         sink = make_sink(sink_cfg["name"], **sink_args)
 
         transforms = build_chain(cfg.get("transforms", []))
+        if selection is not None:
+            # replay mode reads batch files directly, so the selection also
+            # rides the transform chain (first op -> still scan-pushed)
+            pred = selection.predicate()
+            transforms = [lambda df: df.filter(pred)] + transforms
         run_cfg = dict(cfg.get("run", {}))
         lineage = (
             LineageLog(self._resolve_path(run_cfg["lineage_dir"]))

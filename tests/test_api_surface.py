@@ -100,6 +100,7 @@ def test_recipe_end_to_end_and_dry_run(spark, tmp_path):
         "project": "t",
         "min_engine_version": "0.1.0",
         "source": {"name": "parquet_log", "args": {"log_dir": str(tmp_path / "log"), "batch_files": 1}},
+        "selection": "key:conv_00000000/conv_00000030",
         "transforms": [
             {"transform": "filter_regex", "args": {"column": "role", "pattern": "system", "keep": False}}
         ],
@@ -122,6 +123,7 @@ def test_recipe_end_to_end_and_dry_run(spark, tmp_path):
     got = sink.read(spark)
     assert got.count() > 0
     assert got.filter("role = 'system'").count() == 0  # transform applied
+    assert got.filter("conv_id >= 'conv_00000030'").count() == 0  # selection applied
 
 
 def test_recipe_version_gate(tmp_path):
