@@ -89,6 +89,7 @@ class LocalSnapshotSink(SnapshotSink):
         mode: str = "mor",
         compact_every: int = 16,
         late_tolerance_seconds: float | None = None,
+        dedup_on_write: bool | None = None,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -99,6 +100,15 @@ class LocalSnapshotSink(SnapshotSink):
         self.mode = mode
         self.compact_every = compact_every
         self.late_tolerance_seconds = late_tolerance_seconds
+        # MoR default: skip the within-batch dedup shuffle.  The
+        # max-(ts,_seq) reduction is associative and idempotent and ALREADY
+        # runs at read/compaction time over overlapping deltas, so deduping
+        # again at ingest only shrinks delta files (~5-20%) at the price of
+        # a full shuffle -- the ingest path becomes scan -> project -> write,
+        # zero shuffles.  CoW merges rewrite base files, so they always dedup.
+        if dedup_on_write is None:
+            dedup_on_write = mode == "cow"
+        self.dedup_on_write = dedup_on_write
         os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
         if self._version() is None:
@@ -305,9 +315,11 @@ class LocalSnapshotSink(SnapshotSink):
         )
         batch = batch.filter(~F.col("_too_late")).drop("_too_late")
 
-        # 1. within-batch dedup (salted two-phase if configured) + reshape.
-        deduped = dedup_latest(batch, key=self.key, order=["ts", "seq"], salt=self.dedup_salt)
-        rows = batch_to_target_rows(deduped)
+        # 1. reshape (+ within-batch dedup when configured: always for CoW,
+        # optional shuffle for MoR -- see __init__).
+        if self.dedup_on_write or self.mode == "cow":
+            batch = dedup_latest(batch, key=self.key, order=["ts", "seq"], salt=self.dedup_salt)
+        rows = batch_to_target_rows(batch)
         obs_out = Observation(f"out-{uuid.uuid4().hex[:8]}")
         rows = rows.observe(
             obs_out,
