@@ -124,7 +124,11 @@ class Recipe:
         }
         sink = make_sink(sink_cfg["name"], **sink_args)
 
-        transforms = build_chain(cfg.get("transforms", []))
+        from fetchez_spark.transforms import expand_presets
+
+        transforms = build_chain(
+            expand_presets(cfg.get("transforms", []), cfg.get("presets"))
+        )
         if selection is not None:
             # replay mode reads batch files directly, so the selection also
             # rides the transform chain (first op -> still scan-pushed)

@@ -91,6 +91,34 @@ def build_chain(chain: list) -> list[Transform]:
 # built-ins (each cites the hook it re-expresses)
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# presets: named transform-chain macros (the CLI shortcut -> hook-chain
+# compilation, cli.py:652-681, and user preset YAML, presets.py:56-135)
+# --------------------------------------------------------------------------
+PRESETS: dict[str, list] = {
+    # --audit-log -> Checksum(md5) + MetadataEnrich (+ the audit/lineage
+    # output the engine always writes), cli.py:674-681
+    "audit": ["checksum", "enrich"],
+    # --list / --inventory -> plan-only runs, cli.py:652-667
+    "plan_only": ["dry_run"],
+    # conversational-payload hygiene for transcript streams
+    "clean_transcripts": [
+        {"transform": "filter_regex", "args": {"column": "text", "pattern": "^\\s*$", "keep": False}},
+    ],
+}
+
+
+def expand_presets(chain: list, presets: list[str] | None = None) -> list:
+    """Prepend named preset chains (module-scoped presets override global
+    by coming first, presets.py:112-125)."""
+    expanded: list = []
+    for name in presets or []:
+        if name not in PRESETS:
+            raise KeyError(f"unknown preset {name!r}; known: {sorted(PRESETS)}")
+        expanded.extend(PRESETS[name])
+    return expanded + list(chain or [])
+
+
 @register_transform("dry_run", "pre", "pipeline", "empty the batch; plan-only run (dryrun.py:20-27)")
 def _dry_run() -> Transform:
     return lambda df: df.limit(0)

@@ -160,3 +160,61 @@ def test_plugin_discovery(tmp_path):
     # broken plugins are skipped, not fatal
     (tmp_path / "broken.py").write_text("raise RuntimeError('boom')\n")
     assert "broken" not in registry.load_plugins(str(tmp_path))
+
+
+def test_presets_expand_and_unknown_rejected(spark):
+    from fetchez_spark.transforms import build_chain, expand_presets
+
+    chain = build_chain(expand_presets([], ["audit"]))
+    assert len(chain) == 2  # checksum + enrich
+    df = spark.createDataFrame([("user", "hello")], ["role", "text"])
+    out = df
+    for t in chain:
+        out = t(out)
+    assert {"row_hash", "ingested_at", "engine_version"} <= set(out.columns)
+    with pytest.raises(KeyError, match="unknown preset"):
+        expand_presets([], ["nope"])
+
+
+def test_live_tail_picks_up_new_files(spark, tmp_path):
+    """True tailing: a processingTime stream ingests files that arrive
+    AFTER the query starts."""
+    import time as _time
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+    from fetchez_spark.streaming.engine import run_stream
+
+    spec1 = ChangeLogSpec(num_events=500, num_convs=10, seed=31)
+    write_change_log(spec1, str(tmp_path / "log"), num_chunks=1)
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    q = run_stream(
+        spark, str(tmp_path / "log"), sink, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, available_now=False,
+    )
+    try:
+        deadline = _time.time() + 120
+        while not sink.manifest()["committed_batches"] and _time.time() < deadline:
+            _time.sleep(1)
+        n1 = sink.read(spark).count()
+        assert n1 > 0
+        # new chunk arrives while the query is live (fresh keys, later seq)
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from fetchez_spark.changegen import generate_change_log
+
+        late = generate_change_log(ChangeLogSpec(num_events=300, num_convs=10, seed=32))
+        late["conv_id"] = "late_" + late["conv_id"]
+        late["seq"] = late["seq"] + 10_000
+        pq.write_table(
+            pa.Table.from_pandas(late, preserve_index=False),
+            str(tmp_path / "log" / "chunk-99999.parquet"),
+        )
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if sink.read(spark).filter("conv_id like 'late_%'").count() > 0:
+                break
+            _time.sleep(2)
+        assert sink.read(spark).filter("conv_id like 'late_%'").count() > 0
+    finally:
+        q.stop()
