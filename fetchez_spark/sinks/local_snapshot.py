@@ -264,7 +264,27 @@ class LocalSnapshotSink(SnapshotSink):
             df = df.drop(INTERNAL_SEQ, INTERNAL_DELETED)
         return df
 
+    def lookup(self, spark: SparkSession, key_value: str) -> DataFrame:
+        """Point lookup by the leading key (conv_id): manifest-level bucket
+        pruning means only ONE bucket's files (plus any not-yet-compacted
+        flat deltas) reach the scan -- O(table/num_buckets) IO, the read
+        path a 100 TB table depends on."""
+        m = self.manifest()
+        # python-side Murmur3 match is not worth reimplementing; compute the
+        # bucket with a 1-row Spark job (cheap, no scan)
+        b = (
+            spark.range(1)
+            .select(F.pmod(F.hash(F.lit(key_value)), F.lit(m["num_buckets"])).alias("b"))
+            .first()["b"]
+        )
+        return self.read(spark, buckets=[int(b)]).filter(F.col(self.key[0]) == key_value)
+
     # -------------------------------------------------------------- merging
+    # NOTE concurrency: this sink assumes a SINGLE writer (one streaming
+    # query / replay driver per table), which is the CDC topology.  The
+    # VERSION pointer swap is atomic but last-writer-wins; concurrent
+    # writers would need optimistic CAS on the pointer (compare parent
+    # snapshot before replace) the way Iceberg catalogs do.
     def merge(
         self,
         batch: DataFrame,
