@@ -11,8 +11,15 @@ the driver's rows-only check.
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 from collections.abc import Callable
+
+# make `import fetchez_spark` work no matter how the driver imported this
+# module (by path, from another cwd, ...)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
