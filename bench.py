@@ -75,7 +75,7 @@ def _events_for(sf: float) -> int:
     return max(int(80_000_000 * max(sf, 0.001)), 100_000)
 
 
-def _write_log(n_events: int, out_dir: str, chunks: int = 32) -> list[str]:
+def _write_log(n_events: int, out_dir: str, chunks: int = 128) -> list[str]:
     from fetchez_spark.changegen import ChangeLogSpec, write_change_log_chunked
 
     spec = ChangeLogSpec(

@@ -237,6 +237,41 @@ def _explode_column(column: str, output: str = "item", keep_source: bool = True)
 
 
 @register_transform(
+    "exact_dedup", "file", "dedup",
+    "drop byte-identical duplicate payloads within the batch (hash-groupBy on a content column)",
+    ["dedup", "fingerprint", "md5"],
+)
+def _exact_dedup(column: str = "text", key: str | None = None) -> Transform:
+    def t(df: DataFrame) -> DataFrame:
+        from fetchez_spark.operators.dedup import dedup_latest
+
+        order = [c for c in ("ts", "seq") if c in df.columns] or [column]
+        return dedup_latest(df, key=[column] if key is None else [key], order=order)
+
+    return t
+
+
+@register_transform(
+    "near_dedup_minhash", "file", "dedup",
+    "drop near-duplicate documents via MinHash+LSH banding (jaccard-style shingle similarity)",
+    ["dedup", "minhash", "lsh", "jaccard", "near-duplicate"],
+)
+def _near_dedup_minhash(
+    text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 32, bands: int = 8
+) -> Transform:
+    def t(df: DataFrame) -> DataFrame:
+        from fetchez_spark.functions.dedup import minhash_lsh_candidates
+
+        pairs = minhash_lsh_candidates(
+            df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, bands=bands
+        ).filter(F.col("n_shared_bands") >= 2)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, on=id_col, how="left_anti")
+
+    return t
+
+
+@register_transform(
     "inventory", "post", "metadata",
     "manifest of the planned batch -> JSON dir (inventory.py:25-61)",
 )
