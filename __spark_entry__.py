@@ -456,6 +456,17 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(e, qv, k=10, dim=64, n_planes=8)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only: KMeans centroids aren't SQL-expressible):
+    MLlib-KMeans cells, nprobe=2/8 probe, exact cosine within cells."""
+    from fetchez_spark.functions.similarity import IVFIndex
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = IVFIndex(k=8, seed=42).fit(e)
+    return idx.topk(idx.assign(e), qv, k=10, nprobe=2)
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fetchez_spark.functions.similarity import embedding_neardup_pairs
 
@@ -508,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_norm_buckets": _q_embedding_norm_buckets,
         "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (generated hyperplanes)
+        "ivf_topk": _q_ivf_topk,  # rows-only (KMeans centroids)
         "embedding_neardup": _q_embedding_neardup,  # rows-only
     }
 

@@ -108,6 +108,79 @@ def ann_lsh_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+class IVFIndex:
+    """Inverted-file (IVF) ANN index: KMeans centroids partition the
+    vector space; a probe scores only the ``nprobe`` nearest cells.
+
+    Scale shape: build is one MLlib KMeans fit (sampled); assignment adds
+    a ``_cell`` column the table is partitioned/clustered on, so a probe
+    is a partition-pruned scan of nprobe/k of the data -- the IVF analog
+    of the sink's bucket pruning.  Query-side math is the same JVM-side
+    cosine as the brute-force path.
+    """
+
+    def __init__(self, k: int = 16, seed: int = 42, vec_col: str = "embedding") -> None:
+        self.k = k
+        self.seed = seed
+        self.vec_col = vec_col
+        self.centroids: list[list[float]] | None = None
+
+    def fit(self, df: DataFrame) -> "IVFIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        vecs = df.select(
+            array_to_vector(F.col(self.vec_col).cast("array<double>")).alias("features")
+        )
+        model = KMeans(k=self.k, seed=self.seed, maxIter=10).fit(vecs)
+        self.centroids = [list(map(float, c)) for c in model.clusterCenters()]
+        return self
+
+    def _cell_expr(self, vec_col: Column) -> Column:
+        """Nearest centroid by cosine, as a pure expression (no UDF)."""
+        best_cell = F.lit(0)
+        best_sim = F.lit(-2.0)
+        for i, c in enumerate(self.centroids):
+            cent = F.array(*[F.lit(x) for x in c])
+            sim = cosine(vec_col, cent)
+            best_cell = F.when(sim > best_sim, F.lit(i)).otherwise(best_cell)
+            best_sim = F.when(sim > best_sim, sim).otherwise(best_sim)
+        return best_cell
+
+    def assign(self, df: DataFrame, out: str = "_cell") -> DataFrame:
+        return df.withColumn(out, self._cell_expr(F.col(self.vec_col)))
+
+    def _query_cells(self, query_vec: list[float], nprobe: int) -> list[int]:
+        import math
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a)) or 1.0
+            nb = math.sqrt(sum(x * x for x in b)) or 1.0
+            return d / (na * nb)
+
+        sims = sorted(
+            ((cos(query_vec, c), i) for i, c in enumerate(self.centroids)), reverse=True
+        )
+        return [i for _, i in sims[:nprobe]]
+
+    def topk(
+        self,
+        assigned: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        nprobe: int = 2,
+        id_col: str = "vec_id",
+        cell_col: str = "_cell",
+    ) -> DataFrame:
+        cells = self._query_cells(query_vec, nprobe)
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        scored = assigned.filter(F.col(cell_col).isin(cells)).select(
+            F.col(id_col), F.round(cosine(F.col(self.vec_col), q), 6).alias("cos_sim")
+        )
+        return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -124,3 +124,27 @@ def test_multimodal_unknown_kind_raises(spark):
     df = spark.createDataFrame([(1, "hologram", bytearray(b"x"), "x/y")], MEDIA_SCHEMA)
     with pytest.raises(Exception, match="no decoder"):
         decode_metadata(df).collect()
+
+
+def test_ivf_index_recall_vs_bruteforce(spark):
+    """IVF probe over real testdata embeddings: top-10 with nprobe=4 of 8
+    cells must substantially agree with brute force (recall check), and
+    only a fraction of rows are scored (pruning check)."""
+    from fetchez_spark.functions.similarity import IVFIndex, cosine_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in df.filter("vec_id = 1").first()["embedding"]]
+
+    idx = IVFIndex(k=8, seed=42).fit(df)
+    assigned = idx.assign(df).cache()
+    got = [r["vec_id"] for r in idx.topk(assigned, qv, k=10, nprobe=4).collect()]
+    exact = [r["vec_id"] for r in cosine_topk(df, qv, k=10).collect()]
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.5, f"recall {recall}: {got} vs {exact}"
+    assert got[0] == 1  # the query's own vector is found
+
+    # pruning: probed cells hold fewer rows than the table
+    cells = idx._query_cells(qv, 4)
+    probed = assigned.filter(assigned["_cell"].isin(cells)).count()
+    assert probed < df.count()
+    assigned.unpersist()
