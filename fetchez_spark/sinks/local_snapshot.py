@@ -264,6 +264,11 @@ class LocalSnapshotSink(SnapshotSink):
             df = df.drop(INTERNAL_SEQ, INTERNAL_DELETED)
         return df
 
+    def create_view(self, spark: SparkSession, name: str = "transcripts") -> None:
+        """Register the current table state as a temp view for spark.sql
+        (the SQL face of the engine: SELECT ... FROM transcripts)."""
+        self.read(spark).createOrReplaceTempView(name)
+
     def lookup(self, spark: SparkSession, key_value: str) -> DataFrame:
         """Point lookup by the leading key (conv_id): manifest-level bucket
         pruning means only ONE bucket's files (plus any not-yet-compacted

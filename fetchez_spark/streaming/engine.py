@@ -51,7 +51,12 @@ def make_batch_fn(
                 on_batch(batch_id, {"skipped": True})
             return
         batch = _apply_transforms(batch, transforms)
-        metrics = sink.merge(batch, batch_token=str(batch_id))
+        # Spark's checkpoint owns source offsets keyed by batch_id; the
+        # sink records the same batch_id so {offsets, snapshot} commit as
+        # one logical unit (SURVEY.md section 4 "resume from partial")
+        metrics = sink.merge(
+            batch, batch_token=str(batch_id), offsets={"stream_batch_id": int(batch_id)}
+        )
         if lineage is not None:
             # counts arrive as observed metrics from the merge job itself;
             # the batch is passed only as a fallback scan source
@@ -125,7 +130,7 @@ def replay_batches(
             out.append({"batch_token": token, "skipped": True})
             continue
         batch = _apply_transforms(batch, transforms)
-        metrics = sink.merge(batch, batch_token=token)
+        metrics = sink.merge(batch, batch_token=token, offsets={"files": files})
         if lineage is not None:
             metrics = {**metrics, **lineage.record(i, metrics, batch=batch)}
         out.append(metrics)

@@ -189,3 +189,18 @@ def test_vacuum_orphans_removes_only_unreferenced(spark, tmp_path):
     assert removed == 1
     assert not os.path.exists(orphan)
     assert sink.read(spark).count() == n  # live data untouched
+
+
+def test_sql_view_and_offsets_in_manifest(spark, tmp_path):
+    chunks = write_change_log(SPEC, str(tmp_path / "log"), num_chunks=2)
+    sink = LocalSnapshotSink(str(tmp_path / "table"), num_buckets=8)
+    replay_batches(spark, chunks, sink)
+    # offsets recorded per commit (self-contained resume bookkeeping)
+    assert sink.manifest()["offsets"]["files"] == [chunks[1]]
+    sink.create_view(spark, "transcripts")
+    n = spark.sql("SELECT count(*) AS n FROM transcripts").collect()[0]["n"]
+    assert n == sink.read(spark).count()
+    top = spark.sql(
+        "SELECT conv_id, count(*) AS turns FROM transcripts GROUP BY conv_id ORDER BY turns DESC, conv_id LIMIT 1"
+    ).collect()[0]
+    assert top["turns"] >= 1
