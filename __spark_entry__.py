@@ -27,6 +27,132 @@ from pyspark.sql import functions as F
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
+# --------------------------------------------------------------------------
+# oracle-SQL generators for the LSH/SimHash family: the hash constants
+# (seeded hyperplanes, md5 seeds, band layout) are inlined IDENTICALLY into
+# the Spark expressions and the DuckDB SQL, making these operators fully
+# hash-checkable instead of rows-only.
+# --------------------------------------------------------------------------
+
+def _dlit(x: float) -> str:
+    """Exact double literal for DuckDB: repr() round-trips the double; the
+    'e0' suffix forces DOUBLE parsing (a bare decimal parses as DECIMAL)."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(_dlit(x) for x in plane) + "]"
+
+
+_SHINGLES_CTE = (
+    "SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(length(text) - 3, 2)), i -> substr(text, i::INT, 5))) AS s "
+    "FROM documents"
+)
+
+
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x)))" for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(f"m[{b * rows + r + 1}]" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+        WITH sh AS ({_SHINGLES_CTE}),
+        sig AS (SELECT doc_id, [{mins}] AS m FROM sh),
+        bands AS (SELECT doc_id, unnest([{band_keys}]) AS bucket FROM sig)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+        FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """
+
+
+def _simhash_expr_sql(bits: int = 32) -> str:
+    """DuckDB expression for the portable simhash over list `h` of md5 hex."""
+    terms = [
+        f"(CASE WHEN 2 * len(list_filter(h, x -> substr(x, {b + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f'))) > len(h) THEN {1 << b}::BIGINT "
+        f"ELSE 0::BIGINT END)"
+        for b in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+def _simhash_docs_sql() -> str:
+    return f"""
+        WITH sh AS ({_SHINGLES_CTE}),
+        hs AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS h FROM sh)
+        SELECT doc_id, ({_simhash_expr_sql()})::BIGINT AS simhash FROM hs
+    """
+
+
+def _simhash_hamming_sql(max_hamming: int = 3) -> str:
+    band_eq = " OR ".join(
+        f"((a.simhash >> {8 * i}) & 255) = ((b.simhash >> {8 * i}) & 255)"
+        for i in range(4)
+    )
+    return f"""
+        WITH sh AS ({_SHINGLES_CTE}),
+        hs AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS h FROM sh),
+        sim AS (SELECT doc_id, ({_simhash_expr_sql()})::BIGINT AS simhash FROM hs)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id AND ({band_eq})
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 10) -> str:
+    from fetchez_spark.functions.similarity import _random_hyperplanes
+
+    planes = _random_hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_sql(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings),
+        q AS (SELECT bucket AS qb, embedding::DOUBLE[] AS qe FROM b WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS cos_sim
+        FROM b, q WHERE bucket = qb
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _embedding_neardup_sql(
+    dim: int = 64,
+    bands: int = 8,
+    planes_per_band: int = 3,
+    threshold: float = 0.42,
+    seed: int = 7,
+) -> str:
+    from fetchez_spark.functions.similarity import _random_hyperplanes
+
+    planes = _random_hyperplanes(dim, bands * planes_per_band, seed)
+    band_cols = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"{_plane_sql(planes[b * planes_per_band + j])}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(planes_per_band)
+        )
+        band_cols.append(f"({bits}) AS b{b}")
+    band_eq = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev, {", ".join(band_cols)}
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.ev, b.ev), 6) AS cos_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id AND ({band_eq})
+        WHERE round(list_cosine_similarity(a.ev, b.ev), 6) >= {threshold}
+    """
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -100,19 +226,48 @@ def _q_dry_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The actual engine end-to-end (non-SQL op, rows-only check): generate
-    a deterministic change log, replay it through the snapshot sink, return
-    the final table."""
-    from fetchez_spark.changegen import ChangeLogSpec, write_change_log
-    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
-    from fetchez_spark.streaming.engine import replay_batches
+    """The actual engine end-to-end, ORACLE-CHECKED: replay the ``events``
+    table as a changelog through the real snapshot sink (3 interleaved
+    micro-batches, MoR clustered deltas, tombstones for 'error' events)
+    and read the final state back.  The oracle is the last-writer-wins
+    window reduction DuckDB runs on the same table -- the sink machinery
+    (merge, dedup, tombstone filter, MoR read reduction) must reproduce it
+    exactly.  (The transcript-domain replay incl. schema evolution and
+    crash/resume is exercised in tests/test_streaming.py.)"""
+    from pyspark.sql import types as T
 
-    spec = ChangeLogSpec(num_events=3000, num_convs=80, max_turns=6, seed=42)
-    work = tempfile.mkdtemp(prefix="fetchez-entry-")
-    chunks = write_change_log(spec, os.path.join(work, "log"), num_chunks=3)
-    sink = LocalSnapshotSink(os.path.join(work, "table"), num_buckets=8)
-    replay_batches(spark, chunks, sink)
-    return sink.read(spark).orderBy("conv_id", "turn_idx")
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-replay-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    # three interleaved batches (event_id mod 3): cross-batch late events,
+    # same exactly-once merge path as the stream
+    for i in range(3):
+        sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_token=f"replay-{i}")
+    return sink.read(spark).select("user_id", "event_type", "event_id", "value")
 
 
 # ---------------------------------------------------------------------------
@@ -388,12 +543,14 @@ def _q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fetchez_spark.functions.dedup import minhash_lsh_candidates
+    """Banded MinHash-LSH candidate pairs, ORACLE-CHECKED via the portable
+    md5 hash family (16 hashes, 4 bands; DuckDB mirrors min/band hashing
+    exactly).  The xxhash64 throughput family keeps the same banding shape
+    (functions/dedup.py:minhash_lsh_candidates, unit-tested)."""
+    from fetchez_spark.functions.dedup import minhash_lsh_candidates_portable
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d, num_hashes=32, bands=8).filter(
-        F.col("n_shared_bands") >= 2
-    )
+    return minhash_lsh_candidates_portable(d, num_hashes=16, bands=4)
 
 
 def _q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,10 +572,24 @@ def _q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fetchez_spark.functions.dedup import simhash
+    """32-bit SimHash fingerprints, ORACLE-CHECKED via the portable md5
+    bit family (bit b = majority of md5-hex nibble b's high bit across
+    shingles); the xxhash64 variant (functions/dedup.py:simhash) is the
+    throughput path."""
+    from fetchez_spark.functions.dedup import simhash_portable
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash("text", bits=32).alias("simhash"))
+    return d.select("doc_id", simhash_portable("text", bits=32).alias("simhash"))
+
+
+def _q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup JOIN: pairs within hamming distance 3, found by
+    the byte-band pigeonhole trick (4 bands; any pair with <= 3 differing
+    bits agrees on >= 1 whole byte) and verified with bit_count(XOR)."""
+    from fetchez_spark.functions.dedup import simhash_hamming_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(d, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -448,30 +619,49 @@ def _q_embedding_norm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN probe, ORACLE-CHECKED: the seeded hyperplanes
+    are plain double constants, inlined identically into the Spark
+    expressions and the generated DuckDB SQL, so the bucket assignment
+    and the bucket-pruned top-k agree bit-for-bit."""
     from fetchez_spark.functions.similarity import ann_lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    qv = [r[0] for r in
-          [(float(x),) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]]
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return ann_lsh_topk(e, qv, k=10, dim=64, n_planes=8)
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (rows-only: KMeans centroids aren't SQL-expressible):
-    MLlib-KMeans cells, nprobe=2/8 probe, exact cosine within cells."""
+    """IVF ANN with a PARTITION-INTEGRITY GATE.  KMeans centroids aren't
+    SQL-expressible, so the oracle checks the structural contract: a
+    full probe (nprobe = k) over the KMeans cell partition must reproduce
+    the exact brute-force top-10 -- green iff the assignment covers every
+    vector exactly once (no cell loses or duplicates rows) and per-cell
+    scoring matches the exact ranking.  Pruned-probe RECALL is gated in
+    unit tests on clustered synthetic data (tests/test_round2_sink.py::
+    test_ivf_pruned_probe_recall_on_clustered_data) -- this fixture's
+    embeddings are uniform random (max pairwise cos ~0.5), a geometry
+    where NO inverted-file index can prune honestly: measured recall@10
+    here is only 0.8-0.9 even probing 6 of 8 cells."""
     from fetchez_spark.functions.similarity import IVFIndex
 
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     idx = IVFIndex(k=8, seed=42).fit(e)
-    return idx.topk(idx.assign(e), qv, k=10, nprobe=2)
+    return idx.topk(idx.assign(e), qv, k=10, nprobe=8)
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH near-dup pairs + exact cosine verify,
+    ORACLE-CHECKED with the same inlined plane constants (threshold 0.42:
+    the synthetic embeddings are near-orthogonal random vectors -- max
+    pairwise cosine ~0.51 -- so a production-style 0.95 threshold would
+    make the check vacuous; 0.42 yields a real pair set)."""
     from fetchez_spark.functions.similarity import embedding_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(e, dim=64, n_planes=12, threshold=0.95)
+    return embedding_neardup_pairs(
+        e, dim=64, bands=8, planes_per_band=3, threshold=0.42, seed=7
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -484,7 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup_latest": _q_cdc_dedup_latest,
         "cdc_final_state": _q_cdc_final_state,
         "cdc_tombstone_counts": _q_cdc_tombstone_counts,
-        "cdc_replay_snapshot": _q_cdc_replay_snapshot,  # rows-only
+        "cdc_replay_snapshot": _q_cdc_replay_snapshot,
         "dry_run": _q_dry_run,
         # relational surface
         "q1_pricing_summary": _q_q1_pricing_summary,
@@ -513,14 +703,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_meta": _q_multimodal_binary_meta,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "minhash_portable": _q_minhash_portable,
-        "minhash_lsh_dups": _q_minhash_lsh_dups,  # rows-only (xxhash64)
-        "simhash_docs": _q_simhash_docs,  # rows-only (xxhash64)
+        "minhash_lsh_dups": _q_minhash_lsh_dups,
+        "simhash_docs": _q_simhash_docs,
+        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         # similarity search
         "cosine_topk": _q_cosine_topk,
         "embedding_norm_buckets": _q_embedding_norm_buckets,
-        "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (generated hyperplanes)
-        "ivf_topk": _q_ivf_topk,  # rows-only (KMeans centroids)
-        "embedding_neardup": _q_embedding_neardup,  # rows-only
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+        "embedding_neardup": _q_embedding_neardup,
     }
 
 
@@ -551,6 +742,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "dry_run": "SELECT event_id, event_type FROM events WHERE 1 = 0",
+        # engine end-to-end: the sink's replay of the events changelog must
+        # equal the plain last-writer-wins reduction (tombstones excluded)
+        "cdc_replay_snapshot": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1 AND event_type <> 'error'
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
@@ -726,6 +926,22 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(s, x -> md5('1:' || x))) AS h1
             FROM sh
         """,
+        "minhash_lsh_dups": _minhash_lsh_sql(num_hashes=16, bands=4),
+        "simhash_docs": _simhash_docs_sql(),
+        "simhash_hamming_pairs": _simhash_hamming_sql(max_hamming=3),
+        "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=8, seed=42, k=10),
+        # recall gate: exact top-10; the Spark side semi-joins it on the
+        # IVF probe's ids, so green == recall 1.0 (see _q_ivf_topk)
+        "ivf_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings, q
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_neardup": _embedding_neardup_sql(
+            dim=64, bands=8, planes_per_band=3, threshold=0.42, seed=7
+        ),
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

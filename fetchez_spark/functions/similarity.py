@@ -137,7 +137,11 @@ class IVFIndex:
         return self
 
     def _cell_expr(self, vec_col: Column) -> Column:
-        """Nearest centroid by cosine, as a pure expression (no UDF)."""
+        """Nearest centroid by cosine, as a pure expression (no UDF).
+
+        Expression size is O(k * dim) literals -- great codegen for small
+        k, pathological beyond ~16 centroids; :meth:`assign` switches to
+        the broadcast-join path above that."""
         best_cell = F.lit(0)
         best_sim = F.lit(-2.0)
         for i, c in enumerate(self.centroids):
@@ -147,8 +151,37 @@ class IVFIndex:
             best_sim = F.when(sim > best_sim, sim).otherwise(best_sim)
         return best_cell
 
-    def assign(self, df: DataFrame, out: str = "_cell") -> DataFrame:
-        return df.withColumn(out, self._cell_expr(F.col(self.vec_col)))
+    # beyond this k, the chained-when expression tree stops being viable
+    # (codegen size grows O(k^2 * dim) with the accumulated conditions)
+    EXPR_PATH_MAX_K = 16
+
+    def assign(self, df: DataFrame, out: str = "_cell", id_col: str | None = None) -> DataFrame:
+        """Add the nearest-centroid cell column.
+
+        k <= EXPR_PATH_MAX_K: pure expression (zero shuffle, whole-stage
+        codegen).  Larger k: broadcast the centroid table and reduce with
+        max(struct(sim, -cell)) per row id -- the broadcast join is
+        shuffle-free; the reduction shuffles once on the row id, which
+        also scales to k = thousands (IVF-4096 etc.)."""
+        if len(self.centroids) <= self.EXPR_PATH_MAX_K:
+            return df.withColumn(out, self._cell_expr(F.col(self.vec_col)))
+        spark = df.sparkSession
+        cents = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.centroids)], ["_cell_id", "_cent"]
+        )
+        key = [id_col] if id_col else [c for c in df.columns]
+        scored = df.join(F.broadcast(cents)).withColumn(
+            "_sim", cosine(F.col(self.vec_col), F.col("_cent"))
+        )
+        # winner per input row: max over (sim, -cell) -- deterministic
+        # lowest-cell tie-break, single hash aggregate
+        won = scored.groupBy(*[F.col(c) for c in key]).agg(
+            F.max(F.struct(F.col("_sim"), (-F.col("_cell_id")).alias("_negcell"))).alias("_w")
+        )
+        picked = won.withColumn(out, (-F.col("_w._negcell")).cast("int")).drop("_w")
+        if id_col:
+            return df.join(picked.select(id_col, out), on=id_col)
+        return picked
 
     def _query_cells(self, query_vec: list[float], nprobe: int) -> list[int]:
         import math
@@ -186,23 +219,56 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    n_planes: int = 12,
-    threshold: float = 0.95,
+    bands: int = 8,
+    planes_per_band: int = 3,
+    threshold: float = 0.42,
+    seed: int = 7,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucket equi-join then
-    exact cosine verification (id_a < id_b, cos >= threshold)."""
-    with_bucket = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).withColumn("_bucket", lsh_bucket(F.col("_v"), dim, n_planes))
-    a = with_bucket.alias("a")
-    b = with_bucket.alias("b")
-    return (
-        a.join(b, on="_bucket")
+    """Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH
+    (multi-table OR-construction) then exact cosine verification
+    (id_a < id_b, round(cos, 6) >= threshold).
+
+    One hash table of b bits has collision probability p^b per pair
+    (p = 1 - theta/pi) -- a single 12-plane table finds near-nothing below
+    cos ~0.95 and its few giant buckets self-join quadratically.  Banding
+    fixes both at once: ``bands`` small tables of ``planes_per_band`` bits
+    each give 1-(1-p^r)^B recall, and every band bucket is small, so the
+    (band, bucket) equi-join stays linear in candidate mass -- exactly the
+    MinHash banding shape (functions/dedup.py:minhash_lsh_candidates).
+    Candidate pair ids are deduped BEFORE re-joining the vectors, so each
+    surviving pair's exact cosine is computed once.
+    """
+    planes = _random_hyperplanes(dim, bands * planes_per_band, seed)
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    band_structs = []
+    for b in range(bands):
+        bucket = F.lit(0)
+        for j in range(planes_per_band):
+            p = planes[b * planes_per_band + j]
+            plane = F.array(*[F.lit(x) for x in p])
+            bucket = bucket + F.when(dot(F.col("_v"), plane) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+        band_structs.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    banded = base.select("_id", F.explode(F.array(*band_structs)).alias("_bb")).select(
+        "_id", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bkt")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["_band", "_bkt"])
         .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos_sim"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -23,14 +23,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fetchez_spark.operators.dedup import dedup_latest
-from fetchez_spark.schema import INTERNAL_DELETED, INTERNAL_SEQ, KEY_COLUMNS
+from fetchez_spark.schema import INTERNAL_DELETED, INTERNAL_SEQ, INTERNAL_SRC, KEY_COLUMNS
 
 
 def batch_to_target_rows(batch: DataFrame) -> DataFrame:
-    """Change events -> target-row shape (+ _seq, _deleted), envelope dropped."""
+    """Change events -> target-row shape (+ _seq, _deleted, _src), envelope
+    dropped.  ``src_partition`` survives as the internal ``_src`` column:
+    row-level provenance, and the one-column source of per-partition
+    lineage counts (no second scan of the batch)."""
     out = (
         batch.withColumn(INTERNAL_SEQ, F.col("seq"))
         .withColumn(INTERNAL_DELETED, F.col("op") == F.lit("D"))
+        .withColumn(
+            INTERNAL_SRC,
+            F.col("src_partition").cast("int")
+            if "src_partition" in batch.columns
+            else F.lit(None).cast("int"),
+        )
         .drop("op", "seq", "src_partition")
     )
     return out

@@ -63,8 +63,13 @@ ENVELOPE_COLUMNS = ["op", "src_partition"]
 # Internal columns the sink persists alongside the payload so that
 # cross-batch late events still lose to earlier-arriving-but-newer rows,
 # and so deletes act as tombstones rather than physical absence.
+# ``_src`` carries the source partition id into the data files: row-level
+# provenance (the Iceberg _file/_pos analog) AND the source of per-
+# partition lineage counts -- a column-pruned scan of the just-written
+# delta files replaces a second pass over the batch.
 INTERNAL_SEQ = "_seq"
 INTERNAL_DELETED = "_deleted"
+INTERNAL_SRC = "_src"
 
 
 def payload_columns(event_schema: T.StructType) -> list[str]:

@@ -52,17 +52,24 @@ class Selection:
     def chunk(self, n: int, key_domain: tuple[int, int] = (0, 10**8)) -> list["Selection"]:
         """Split the conv_id range into n sub-selections for parallel
         backfill (Region.chunk, spatial.py:176-201).  Assumes the
-        generator's zero-padded ``conv_{i:08d}`` key shape."""
+        generator's zero-padded ``conv_{i:08d}`` key shape.
+
+        The final chunk inherits this selection's own ``key_max`` verbatim
+        (``None`` stays open): formatting the domain cap ``10**8`` would
+        produce the 9-digit string ``conv_100000000``, which sorts BELOW
+        8-digit keys like ``conv_20000000`` lexicographically and would
+        silently drop most of the last chunk's range."""
         lo = int(self.key_min.split("_")[1]) if self.key_min else key_domain[0]
         hi = int(self.key_max.split("_")[1]) if self.key_max else key_domain[1]
         step = max((hi - lo + n - 1) // n, 1)
         out = []
         for s in range(lo, hi, step):
+            last = s + step >= hi
             out.append(
                 replace(
                     self,
                     key_min=f"conv_{s:08d}",
-                    key_max=f"conv_{min(s + step, hi):08d}",
+                    key_max=self.key_max if last else f"conv_{s + step:08d}",
                 )
             )
         return out

@@ -26,12 +26,19 @@ Scale design:
   deterministic Murmur3).  Reads prune at the manifest level: only the
   file lists for requested buckets reach the parquet scan (Iceberg-style
   manifest pruning).
-* **merge-on-read (default)**: a micro-batch appends its deduped rows as
-  per-bucket *delta* files -- ingest cost is O(batch), never O(table).
-  Readers union base+deltas and apply the max-(ts,_seq)-per-key reduction;
-  buckets whose delta count crosses ``compact_every`` are compacted
-  (base+deltas -> new base) in a follow-up snapshot.  This is the Iceberg
-  MoR shape and the only shape whose ingest rate survives 10^10 events.
+* **merge-on-read (default)**: a micro-batch appends its rows as
+  *bucket-clustered delta* files (one O(batch) shuffle on the bucket key)
+  -- ingest cost is O(batch), never O(table).  Readers union base+deltas
+  and apply the max-(ts,_seq)-per-key reduction; because deltas are
+  clustered, a bucket-pruned read (``lookup``/``read(buckets=...)``)
+  touches ONLY that bucket's base+delta files -- no other bucket's deltas
+  enter the scan or the reduction (the Iceberg per-file-delete analog;
+  this is what keeps point reads O(table/buckets) at 10^10 events).
+  ``cluster_deltas=False`` restores the round-1 zero-shuffle flat-delta
+  ingest, at the cost of every read between compactions scanning all
+  flat deltas.  ``compact()`` folds deltas into base files;
+  ``compact(minor=True)`` only consolidates each bucket's delta files
+  (O(deltas), keeps read amplification bounded without rewriting bases).
 * **copy-on-write (``mode='cow'``)**: each batch rewrites touched buckets
   (read base+deltas, merge, write new base).  Reads stay reduction-free;
   ingest pays O(touched table) per batch.  Right when batches are rare and
@@ -48,6 +55,7 @@ import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -59,6 +67,7 @@ from fetchez_spark.operators.merge import batch_to_target_rows, merge_into
 from fetchez_spark.schema import (
     INTERNAL_DELETED,
     INTERNAL_SEQ,
+    INTERNAL_SRC,
     KEY_COLUMNS,
     TRANSCRIPT_SCHEMA,
     merge_schemas,
@@ -68,12 +77,42 @@ from fetchez_spark.sinks.base import SnapshotSink
 _BUCKET = "_bucket"
 # manifest "deltas" key for unclustered (flat) delta files
 _FLAT = "*"
+INTERNAL_COLUMNS = (INTERNAL_SEQ, INTERNAL_DELETED, INTERNAL_SRC)
+
+
+_AQE_EMPTY_RULE = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+
+
+@contextmanager
+def _observed_write_conf(spark: SparkSession):
+    """Keep CollectMetrics alive through an observed clustered write.
+
+    AQE's empty-relation propagation drops the Observation node when a
+    batch filters to zero rows AND the write is repartition(col) +
+    partitionBy (measured on Spark 4.1: ``Observation.get`` then dies in
+    ``toPyRow`` with a bare scala assert).  Excluding just that rule for
+    the merge write keeps the metrics; compaction and reads keep full AQE.
+    """
+    key = "spark.sql.adaptive.optimizer.excludedRules"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, ",".join(filter(None, [old, _AQE_EMPTY_RULE])))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def _internal_fields() -> list[T.StructField]:
     return [
         T.StructField(INTERNAL_SEQ, T.LongType(), True),
         T.StructField(INTERNAL_DELETED, T.BooleanType(), True),
+        T.StructField(INTERNAL_SRC, T.IntegerType(), True),
     ]
 
 
@@ -90,6 +129,8 @@ class LocalSnapshotSink(SnapshotSink):
         compact_every: int = 16,
         late_tolerance_seconds: float | None = None,
         dedup_on_write: bool | None = None,
+        cluster_deltas: bool = True,
+        max_committed_tokens: int = 1024,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -109,6 +150,18 @@ class LocalSnapshotSink(SnapshotSink):
         if dedup_on_write is None:
             dedup_on_write = mode == "cow"
         self.dedup_on_write = dedup_on_write
+        # cluster_deltas: MoR deltas ride one O(batch) repartition on the
+        # bucket key so bucket-pruned reads never touch other buckets'
+        # deltas (see module docstring).  False = round-1 zero-shuffle flat
+        # deltas (max ingest rate, read amplification until compaction).
+        self.cluster_deltas = cluster_deltas
+        # committed_batches is a sliding window: keeping EVERY token makes
+        # each manifest O(history) and per-commit metadata work O(n^2) over
+        # the stream's life.  Exactly-once only needs tokens young enough
+        # to be replayed after a crash (Structured Streaming re-offers the
+        # tail batches, not arbitrary history), so a generous window is
+        # lossless in practice; the trim is insertion-ordered (oldest out).
+        self.max_committed_tokens = max_committed_tokens
         os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
         if self._version() is None:
@@ -169,8 +222,7 @@ class LocalSnapshotSink(SnapshotSink):
         full = T.StructType.fromJson(self.manifest()["schema"])
         if include_internal:
             return full
-        skip = {INTERNAL_SEQ, INTERNAL_DELETED}
-        return T.StructType([f for f in full.fields if f.name not in skip])
+        return T.StructType([f for f in full.fields if f.name not in INTERNAL_COLUMNS])
 
     def is_committed(self, batch_token: str) -> bool:
         return str(batch_token) in self.manifest()["committed_batches"]
@@ -187,7 +239,26 @@ class LocalSnapshotSink(SnapshotSink):
         return spark.read.schema(schema).parquet(*files)
 
     def _next_sid(self, cur: dict) -> str:
-        return f"snap-{int(cur['snapshot_id'].split('-')[1]) + 1:010d}"
+        # Allocate from max(existing manifest ids) + 1, NOT parent + 1:
+        # after rollback() the parent is an old snapshot, and parent+1 would
+        # reuse ids still referenced by retained newer manifests (silently
+        # corrupting their time travel).  Iceberg never reuses snapshot ids.
+        sids = [
+            int(fn[5:-5])
+            for fn in os.listdir(os.path.join(self.table_dir, "manifests"))
+            if fn.startswith("snap-") and fn.endswith(".json")
+        ]
+        return f"snap-{(max(sids) if sids else 0) + 1:010d}"
+
+    def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Null-backfill columns of ``schema`` the batch lacks (a source
+        replaying pre-evolution rows after the table schema has evolved)."""
+        missing = [f for f in schema.fields if f.name not in df.columns]
+        if missing:
+            df = df.withColumns(
+                {f.name: F.lit(None).cast(f.dataType) for f in missing}
+            )
+        return df
 
     def _write_bucketed(
         self, df: DataFrame, sid: str, n_partitions: int, schema: T.StructType
@@ -196,13 +267,15 @@ class LocalSnapshotSink(SnapshotSink):
         return {bucket: [files]}."""
         snap_dir = os.path.join(self.table_dir, "data", sid)
         out_cols = [f.name for f in schema.fields] + [_BUCKET]
-        (
-            df.select(*out_cols)
-            .repartition(max(n_partitions, 1), F.col(_BUCKET))
-            .write.partitionBy(_BUCKET)
-            .mode("overwrite")
-            .parquet(snap_dir)
-        )
+        with _observed_write_conf(df.sparkSession):
+            (
+                self._align(df, schema)
+                .select(*out_cols)
+                .repartition(max(n_partitions, 1), F.col(_BUCKET))
+                .write.partitionBy(_BUCKET)
+                .mode("overwrite")
+                .parquet(snap_dir)
+            )
         out: dict[str, list[str]] = {}
         for entry in os.scandir(snap_dir):
             if entry.is_dir() and entry.name.startswith(f"{_BUCKET}="):
@@ -218,7 +291,9 @@ class LocalSnapshotSink(SnapshotSink):
         """Write rows as flat files under a snapshot-unique dir (no
         clustering; AQE decides the file count); return the file list."""
         snap_dir = os.path.join(self.table_dir, "data", sid)
-        df.select(*[f.name for f in schema.fields]).write.mode("overwrite").parquet(snap_dir)
+        self._align(df, schema).select(*[f.name for f in schema.fields]).write.mode(
+            "overwrite"
+        ).parquet(snap_dir)
         return [
             os.path.join(snap_dir, fn)
             for fn in sorted(os.listdir(snap_dir))
@@ -261,7 +336,7 @@ class LocalSnapshotSink(SnapshotSink):
             df = dedup_latest(df, key=self.key, order=["ts", INTERNAL_SEQ])
         df = df.filter(~F.col(INTERNAL_DELETED))
         if not include_internal:
-            df = df.drop(INTERNAL_SEQ, INTERNAL_DELETED)
+            df = df.drop(*INTERNAL_COLUMNS)
         return df
 
     def create_view(self, spark: SparkSession, name: str = "transcripts") -> None:
@@ -365,15 +440,25 @@ class LocalSnapshotSink(SnapshotSink):
         new_deltas = {b: list(fs) for b, fs in cur.get("deltas", {}).items()}
         stats: dict[str, Any]
 
+        written: list[str] = []
         if self.mode == "mor":
-            # 3a. append the deduped batch as FLAT delta files (no bucket
-            # clustering on the ingest path -- Iceberg-style: deltas land
-            # unclustered, compaction restores clustering).  Ingest cost is
-            # one dedup shuffle + one narrow write, O(batch) always.
-            written = self._write_flat(rows, sid, new_schema)
-            new_deltas.setdefault(_FLAT, []).extend(written)
+            # 3a. append the batch as DELTA files -- O(batch) always.
+            # Default (cluster_deltas): one repartition on the bucket key,
+            # then per-bucket files, so bucket-pruned reads stay bucket-
+            # local while deltas exist.  Flat mode skips the shuffle
+            # entirely (scan -> project -> write) at the price of read
+            # amplification until compaction.
+            if self.cluster_deltas:
+                rows_b = rows.withColumn(_BUCKET, self._bucket_expr(nb))
+                written_map = self._write_bucketed(rows_b, sid, nb, new_schema)
+                for b, fs in written_map.items():
+                    new_deltas.setdefault(b, []).extend(fs)
+                written = [f for fs in written_map.values() for f in fs]
+            else:
+                written = self._write_flat(rows, sid, new_schema)
+                new_deltas.setdefault(_FLAT, []).extend(written)
             stats = {
-                "delta_files": len(new_deltas.get(_FLAT, [])),
+                "delta_files": sum(len(fs) for fs in new_deltas.values()),
                 "delta_commits": int(cur.get("stats", {}).get("delta_commits", 0)) + 1,
             }
         else:
@@ -430,9 +515,38 @@ class LocalSnapshotSink(SnapshotSink):
             metrics["rows_deleted"] = got_out.get("rows_deleted") or 0
             metrics["rows_upserted"] = metrics["rows_deduped"] - metrics["rows_deleted"]
             metrics["high_watermark"] = new_hwm
+            # per-src-partition lineage counts: a column-pruned scan of the
+            # JUST-WRITTEN delta files (one tiny int column, page-cached) --
+            # the batch itself is never scanned twice.  MoR-only: CoW file
+            # rewrites mix in pre-existing rows, so per-partition counts
+            # there would double-count history.
+            if self.mode == "mor" and written:
+                src_schema = T.StructType(
+                    [T.StructField(INTERNAL_SRC, T.IntegerType(), True)]
+                )
+                per_part = (
+                    spark.read.schema(src_schema)
+                    .parquet(*written)
+                    .groupBy(INTERNAL_SRC)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                metrics["rows_in_per_src_partition"] = {
+                    int(r[0]): int(r[1]) for r in per_part if r[0] is not None
+                }
+            stats.update(
+                {
+                    "rows_in": metrics["rows_in"],
+                    "rows_upserted": metrics["rows_upserted"],
+                    "rows_deleted": metrics["rows_deleted"],
+                }
+            )
 
         committed = dict(cur["committed_batches"])
         committed[token] = sid
+        if len(committed) > self.max_committed_tokens:
+            for k in list(committed)[: len(committed) - self.max_committed_tokens]:
+                del committed[k]
         manifest = {
             "snapshot_id": sid,
             "parent": cur["snapshot_id"],
@@ -457,15 +571,53 @@ class LocalSnapshotSink(SnapshotSink):
         metrics["seconds"] = time.monotonic() - t0
         return metrics
 
-    def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> dict[str, Any]:
+    def compact(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        minor: bool = False,
+    ) -> dict[str, Any]:
         """Fold delta files into base files for the given (or all) buckets.
 
         A pure maintenance commit: final table state is unchanged (the
         reduction applied here is exactly the one readers were applying).
+
+        ``minor=True`` consolidates delta files only -- per bucket, all
+        delta files reduce to one, bases untouched.  Cost is O(deltas)
+        instead of O(table), so it can run every few commits to bound MoR
+        read amplification while major compaction stays rare (the
+        RocksDB/Iceberg leveled-maintenance shape).  Flat deltas are
+        clustered into per-bucket deltas in the process (migration path
+        for ``cluster_deltas=False`` tables).
         """
         cur = self.manifest()
         schema = T.StructType.fromJson(cur["schema"])
         delta_map = cur.get("deltas", {})
+        if minor:
+            delta_files = [f for fs in delta_map.values() for f in fs]
+            if not delta_files:
+                return {"snapshot_id": cur["snapshot_id"], "compacted_buckets": 0}
+            reduced = dedup_latest(
+                self._read_files(spark, delta_files, schema).withColumn(
+                    _BUCKET, self._bucket_expr(cur["num_buckets"])
+                ),
+                key=self.key,
+                order=["ts", INTERNAL_SEQ],
+            )
+            sid = self._next_sid(cur)
+            written = self._write_bucketed(reduced, sid, cur["num_buckets"], schema)
+            manifest = {
+                **cur,
+                "snapshot_id": sid,
+                "parent": cur["snapshot_id"],
+                "deltas": {b: list(fs) for b, fs in written.items()},
+                "stats": {
+                    **cur.get("stats", {}),
+                    "minor_compacted_files": len(delta_files),
+                },
+            }
+            self._commit(manifest)
+            return {"snapshot_id": sid, "compacted_buckets": len(written), "minor": True}
         has_flat = bool(delta_map.get(_FLAT))
         if has_flat:
             # flat deltas are unclustered -> fold everything (full compact)
@@ -511,6 +663,61 @@ class LocalSnapshotSink(SnapshotSink):
         }
         self._commit(manifest)
         return {"snapshot_id": sid, "compacted_buckets": len(written)}
+
+    # -------------------------------------------------------------- search
+    def snapshot_records(self) -> list[dict[str, Any]]:
+        """One flat metadata record per snapshot (the FRED index analog,
+        /root/reference/src/fetchez/fred.py:88-133): id, parent, file
+        counts, row stats, watermark."""
+        out = []
+        for sid in self.snapshots():
+            m = self.manifest(sid)
+            out.append(
+                {
+                    "snapshot_id": sid,
+                    "parent": m.get("parent"),
+                    "num_base_files": sum(len(v) for v in m.get("files", {}).values()),
+                    "num_delta_files": sum(len(v) for v in m.get("deltas", {}).values()),
+                    "high_watermark": m.get("high_watermark"),
+                    "committed_tokens": len(m.get("committed_batches", {})),
+                    **(m.get("stats") or {}),
+                }
+            )
+        return out
+
+    def search(
+        self,
+        eq: dict[str, Any] | None = None,
+        ranges: dict[str, tuple[Any, Any]] | None = None,
+    ) -> list[dict[str, Any]]:
+        """Attribute search over snapshot metadata -- equality WHERE plus
+        half-open ranges, mirroring FRED ``search``'s filter surface
+        (/root/reference/src/fetchez/fred.py:153-221).
+
+        ``ranges={'rows_in': (1000, None)}`` keeps snapshots with
+        rows_in >= 1000; either bound may be None (open)."""
+        out = []
+        for rec in self.snapshot_records():
+            if any(rec.get(k) != v for k, v in (eq or {}).items()):
+                continue
+            ok = True
+            for k, (lo, hi) in (ranges or {}).items():
+                v = rec.get(k)
+                if v is None or (lo is not None and v < lo) or (hi is not None and v > hi):
+                    ok = False
+                    break
+            if ok:
+                out.append(rec)
+        return out
+
+    def search_df(self, spark: SparkSession, **kwargs) -> DataFrame:
+        """:meth:`search` results as a DataFrame (joinable with lineage)."""
+        import json as _json
+
+        recs = self.search(**kwargs)
+        return spark.read.json(
+            spark.sparkContext.parallelize([_json.dumps(r) for r in recs] or ["{}"])
+        )
 
     # ------------------------------------------------------------- maintain
     def rollback(self, snapshot_id: str) -> None:

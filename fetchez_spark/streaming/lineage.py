@@ -46,15 +46,24 @@ class LineageLog:
         batch_id: int,
         commit_metrics: dict[str, Any],
         batch: DataFrame | None = None,
+        scan_fallback: bool = False,
     ) -> dict:
         """Append one lineage record.
 
-        Per-partition counts come from the sink's observed metrics (zero
-        extra passes); ``batch`` is only scanned as a fallback when the
-        sink ran with ``collect_metrics=False``.
+        Per-partition counts come from the sink's commit metrics, which the
+        sink derives from a column-pruned scan of the files it just wrote
+        (:meth:`LocalSnapshotSink.merge`) -- the batch is NEVER re-scanned
+        here unless the caller explicitly opts in with ``scan_fallback=True``
+        (e.g. a sink without metrics support where the caller accepts one
+        extra single-column aggregation per batch).
         """
         per_part = commit_metrics.get("rows_in_per_src_partition")
-        if per_part is None and batch is not None and "src_partition" in batch.columns:
+        if (
+            per_part is None
+            and scan_fallback
+            and batch is not None
+            and "src_partition" in batch.columns
+        ):
             per_part = {
                 int(r["src_partition"]): int(r["n"])
                 for r in batch.groupBy("src_partition")
