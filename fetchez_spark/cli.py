@@ -2,14 +2,69 @@
 
 Mirrors the reference CLI's informational surface (--modules, --search,
 --info, --list-hooks, --hook-info -- /root/reference/src/fetchez/
-cli.py:532-635) plus recipe dispatch (cli.py:498-511) and dry-run.
+cli.py:532-635) plus recipe dispatch (cli.py:498-511), dry-run, the
+direct ``ingest <source> k=v ...`` form with source-signature
+introspection (cli.py:113-163 auto-flags), and catalog search over
+snapshot metadata (fred.py:153-221 analog).
 """
 
 from __future__ import annotations
 
 import argparse
+import inspect
 import json
 import sys
+
+
+def _coerce(value: str, annotation) -> object:
+    """Parse a k=v string per the target parameter's annotation/default --
+    the reference builds argparse flags from the source-class signature
+    (cli.py:113-163); here the coercion happens at dispatch time."""
+    ann = str(annotation)
+    if value.lower() in ("none", "null"):
+        return None
+    if "bool" in ann:
+        return value.lower() in ("1", "true", "yes", "on")
+    if "int" in ann:
+        return int(value)
+    if "float" in ann:
+        return float(value)
+    if "list" in ann or value.startswith("["):
+        return json.loads(value)
+    return value
+
+
+def introspect_source_args(cls) -> dict[str, dict]:
+    """{param: {annotation, default, required}} from the class signature."""
+    out: dict[str, dict] = {}
+    sig = inspect.signature(cls.__init__)
+    for name, p in sig.parameters.items():
+        if name in ("self",) or p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD):
+            continue
+        out[name] = {
+            "annotation": None if p.annotation is p.empty else str(p.annotation),
+            "default": None if p.default is p.empty else p.default,
+            "required": p.default is p.empty,
+        }
+    return out
+
+
+def _parse_kv(pairs: list[str], cls) -> dict:
+    spec = introspect_source_args(cls)
+    args: dict = {}
+    for pair in pairs:
+        k, sep, v = pair.partition("=")
+        if not sep:
+            raise SystemExit(f"expected key=value, got {pair!r}")
+        if k not in spec:
+            raise SystemExit(
+                f"unknown arg {k!r} for {cls.__name__}; accepts: {sorted(spec)}"
+            )
+        args[k] = _coerce(v, spec[k]["annotation"] or type(spec[k]["default"]).__name__)
+    missing = [k for k, s in spec.items() if s["required"] and k not in args]
+    if missing:
+        raise SystemExit(f"missing required args for {cls.__name__}: {missing}")
+    return args
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -33,6 +88,24 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("run", help="run a YAML/JSON recipe")
     p.add_argument("recipe")
     p.add_argument("--dry-run", action="store_true", help="plan only, commit nothing")
+    p = sub.add_parser(
+        "ingest",
+        help="direct run without a recipe: ingest <source> k=v ... "
+        "--table <dir> (args introspected from the source class)",
+    )
+    p.add_argument("source")
+    p.add_argument("kv", nargs="*", help="source args as key=value")
+    p.add_argument("--table", required=True, help="target table dir (local_snapshot)")
+    p.add_argument("--sink-arg", action="append", default=[], help="sink key=value")
+    p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--show-args", action="store_true", help="print the introspected signature and exit")
+    p = sub.add_parser(
+        "snapshots", help="search snapshot metadata of a table (catalog search)"
+    )
+    p.add_argument("table_dir")
+    p.add_argument("--where", action="append", default=[], help="equality filter key=value")
+    p.add_argument("--range", action="append", default=[], dest="ranges",
+                   help="range filter key=lo:hi ('' leaves a bound open)")
 
     args = parser.parse_args(argv)
     from fetchez_spark import registry
@@ -76,6 +149,63 @@ def main(argv: list[str] | None = None) -> int:
 
         result = Recipe.from_file(args.recipe).run(dry_run=args.dry_run)
         print(json.dumps(result, default=str)[:2000])
+        return 0
+    if args.cmd == "ingest":
+        cls = registry.get_source_class(args.source)
+        if args.show_args:
+            print(json.dumps(introspect_source_args(cls), default=str, indent=2))
+            return 0
+        src_args = _parse_kv(args.kv, cls)
+        from fetchez_spark.session import get_spark
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+        from fetchez_spark.streaming.engine import replay_batches
+
+        sink_kv = dict(kv.partition("=")[::2] for kv in args.sink_arg)
+        sink_args = {
+            k: _coerce(v, "int" if v.lstrip("-").isdigit() else "str")
+            for k, v in sink_kv.items()
+        }
+        spark = get_spark(
+            app_name=f"fetchez-ingest-{args.source}",
+            master=f"local[{args.cores}]" if args.cores else None,
+        )
+        source = cls(**src_args)
+        sink = LocalSnapshotSink(args.table, **sink_args)
+        results = replay_batches(spark, source.batches(spark), sink)
+        print(json.dumps({"batches": len(results), "table": args.table,
+                          "snapshot": sink.current_snapshot_id}, default=str))
+        return 0
+    if args.cmd == "snapshots":
+        import os
+
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        if not os.path.isfile(os.path.join(args.table_dir, "VERSION")):
+            print(f"not a snapshot table: {args.table_dir}", file=sys.stderr)
+            return 1
+
+        def _num(x):
+            if x == "":
+                return None
+            try:
+                return int(x)
+            except ValueError:
+                try:
+                    return float(x)
+                except ValueError:
+                    return x
+
+        sink = LocalSnapshotSink(args.table_dir)
+        eq = {
+            k: _num(v) for k, _, v in (kv.partition("=") for kv in args.where)
+        } or None
+        ranges = {}
+        for r in args.ranges:
+            k, _, bounds = r.partition("=")
+            lo, _, hi = bounds.partition(":")
+            ranges[k] = (_num(lo), _num(hi))
+        for rec in sink.search(eq=eq, ranges=ranges or None):
+            print(json.dumps(rec, default=str))
         return 0
     parser.print_help()
     return 0

@@ -18,6 +18,22 @@ Spec shape::
     transforms: [{transform: filter_regex, args: {column: role, pattern: "user|assistant"}}]
     sink: {name: local_snapshot, args: {table_dir: /data/table, num_buckets: 64}}
     run: {mode: replay, checkpoint_dir: /data/ckpt, lineage_dir: /data/lineage}
+
+Multi-source jobs (reference ``modules[]`` lists with per-module region /
+hook overrides, recipe.py:207-237) replace ``source:`` with ``sources:``
+-- a list whose entries may each carry their own ``selection`` and
+``transforms``, falling back to the recipe-global ones::
+
+    sources:
+      - {name: parquet_log, args: {log_dir: /data/log_a}}
+      - name: parquet_log
+        args: {log_dir: /data/log_b}
+        selection: "key:conv_00000000/conv_00050000"   # per-source override
+        transforms: [{transform: filter_regex, args: {column: role, pattern: user}}]
+
+All sources replay into the ONE sink (per-source batch-token prefixes
+keep exactly-once per source); per-source transforms run after the
+global chain, mirroring module-hooks-after-global-hooks ordering.
 """
 
 from __future__ import annotations
@@ -107,15 +123,43 @@ class Recipe:
                 shuffle_partitions=execution.get("shuffle_partitions"),
             )
 
-        src_cfg = dict(cfg["source"])
-        src_args = {
-            k: (self._resolve_path(v) if k.endswith("_dir") and isinstance(v, str) else v)
-            for k, v in src_cfg.get("args", {}).items()
-        }
-        selection = Selection.parse(cfg["selection"]) if cfg.get("selection") else None
-        if selection is not None:
-            src_args["selection"] = selection
-        source = make_source(src_cfg["name"], **src_args)
+        from fetchez_spark.transforms import expand_presets, load_preset_files
+
+        load_preset_files()  # user preset YAML dir extends PRESETS
+        global_selection = (
+            Selection.parse(cfg["selection"]) if cfg.get("selection") else None
+        )
+        global_transforms = expand_presets(cfg.get("transforms", []), cfg.get("presets"))
+
+        # normalize `source:` (single) and `sources:` (list) into units;
+        # per-source selection/transforms fall back to the globals (the
+        # reference's per-module region override, recipe.py:207-237)
+        raw_units = cfg.get("sources") or [dict(cfg["source"])]
+        units = []
+        for raw in raw_units:
+            raw = dict(raw)
+            src_args = {
+                k: (self._resolve_path(v) if k.endswith("_dir") and isinstance(v, str) else v)
+                for k, v in raw.get("args", {}).items()
+            }
+            selection = (
+                Selection.parse(raw["selection"])
+                if raw.get("selection")
+                else global_selection
+            )
+            if selection is not None:
+                src_args["selection"] = selection
+            source = make_source(raw["name"], **src_args)
+            chain = list(global_transforms) + list(raw.get("transforms", []))
+            transforms = build_chain(chain)
+            if selection is not None:
+                # replay mode reads batch files directly, so the selection
+                # also rides the transform chain (first op -> scan-pushed)
+                pred = selection.predicate()
+                transforms = [
+                    (lambda p: lambda df: df.filter(p))(pred)
+                ] + transforms
+            units.append((source, transforms))
 
         sink_cfg = dict(cfg["sink"])
         sink_args = {
@@ -124,45 +168,52 @@ class Recipe:
         }
         sink = make_sink(sink_cfg["name"], **sink_args)
 
-        from fetchez_spark.transforms import expand_presets
-
-        transforms = build_chain(
-            expand_presets(cfg.get("transforms", []), cfg.get("presets"))
-        )
-        if selection is not None:
-            # replay mode reads batch files directly, so the selection also
-            # rides the transform chain (first op -> still scan-pushed)
-            pred = selection.predicate()
-            transforms = [lambda df: df.filter(pred)] + transforms
         run_cfg = dict(cfg.get("run", {}))
         lineage = (
             LineageLog(self._resolve_path(run_cfg["lineage_dir"]))
             if run_cfg.get("lineage_dir")
             else None
         )
-        return spark, source, sink, transforms, lineage, run_cfg
+        return spark, units, sink, lineage, run_cfg
 
     def run(self, spark=None, dry_run: bool = False) -> dict[str, Any]:
         from fetchez_spark.streaming.engine import replay_batches, run_stream
 
-        spark, source, sink, transforms, lineage, run_cfg = self.build(spark)
+        spark, units, sink, lineage, run_cfg = self.build(spark)
         mode = run_cfg.get("mode", "replay")
         if dry_run:
-            df = source.read(spark)
-            for t in transforms:
-                df = t(df)
-            return {"mode": "dry_run", "plan": df._jdf.queryExecution().toString()}
+            plans = []
+            for source, transforms in units:
+                df = source.read(spark)
+                for t in transforms:
+                    df = t(df)
+                plans.append(df._jdf.queryExecution().toString())
+            return {"mode": "dry_run", "plan": "\n".join(plans)}
         if mode == "replay":
-            results = replay_batches(
-                spark,
-                source.batches(spark),
-                sink,
-                lineage=lineage,
-                transforms=transforms,
-                token_prefix=run_cfg.get("token_prefix", "replay"),
-            )
-            return {"mode": mode, "batches": results}
+            all_results = []
+            for i, (source, transforms) in enumerate(units):
+                prefix = run_cfg.get("token_prefix", "replay")
+                if len(units) > 1:
+                    prefix = f"{prefix}-s{i}"  # exactly-once per source
+                all_results.extend(
+                    replay_batches(
+                        spark,
+                        source.batches(spark),
+                        sink,
+                        lineage=lineage,
+                        transforms=transforms,
+                        token_prefix=prefix,
+                    )
+                )
+            return {"mode": mode, "batches": all_results}
         if mode == "stream":
+            if len(units) > 1:
+                raise ValueError(
+                    "stream mode runs one source per query; start one "
+                    "recipe per stream (they share the sink safely only "
+                    "with distinct checkpoint dirs and token prefixes)"
+                )
+            source, transforms = units[0]
             query = run_stream(
                 spark,
                 source.log_dir,

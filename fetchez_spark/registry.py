@@ -30,13 +30,31 @@ _SOURCES: dict[str, SourceInfo] = {}
 _SINKS: dict[str, SourceInfo] = {}
 
 
-def register_source(info: SourceInfo) -> None:
+def _inherit(info: SourceInfo, table: dict[str, SourceInfo], extends: str | None) -> SourceInfo:
+    """Metadata inheritance (registry.py:1021-1054): a child entry fills
+    its empty category/desc/tags from the parent it extends; tags union."""
+    if not extends:
+        return info
+    parent = table.get(extends)
+    if parent is None:
+        raise KeyError(f"extends unknown entry {extends!r}")
+    return SourceInfo(
+        name=info.name,
+        cls=info.cls or parent.cls,
+        category=info.category or parent.category,
+        desc=info.desc or parent.desc,
+        tags=sorted(set(parent.tags) | set(info.tags)),
+        aliases=info.aliases,
+    )
+
+
+def register_source(info: SourceInfo, extends: str | None = None) -> None:
     """Dynamic registration (registry.py:1189-1215 analog)."""
-    _SOURCES[info.name] = info
+    _SOURCES[info.name] = _inherit(info, _SOURCES, extends)
 
 
-def register_sink(info: SourceInfo) -> None:
-    _SINKS[info.name] = info
+def register_sink(info: SourceInfo, extends: str | None = None) -> None:
+    _SINKS[info.name] = _inherit(info, _SINKS, extends)
 
 
 def _resolve(ref: str):
@@ -95,7 +113,7 @@ def load_plugins(plugin_dir: str | None = None) -> list[str]:
     or a ``setup_fetchez_spark(registry)`` function (entry-point analog,
     registry.py:1145-1159)."""
     plugin_dir = plugin_dir or os.path.expanduser("~/.fetchez_spark/plugins")
-    loaded: list[str] = []
+    loaded: list[str] = load_entry_point_plugins()
     if not os.path.isdir(plugin_dir):
         return loaded
     sys.path.insert(0, plugin_dir)
@@ -115,6 +133,28 @@ def load_plugins(plugin_dir: str | None = None) -> list[str]:
                 continue
     finally:
         sys.path.remove(plugin_dir)
+    return loaded
+
+
+def load_entry_point_plugins(group: str = "fetchez_spark.plugins") -> list[str]:
+    """Pip entry-point plugin discovery (registry.py:1145-1159): any
+    installed distribution exposing ``[project.entry-points.
+    "fetchez_spark.plugins"]`` gets its hook called with this registry
+    module.  Broken plugins are skipped, same policy as the plugin dir."""
+    import importlib.metadata as md
+
+    loaded: list[str] = []
+    try:
+        eps = md.entry_points(group=group)
+    except Exception:
+        return loaded
+    for ep in eps:
+        try:
+            hook = ep.load()
+            hook(sys.modules[__name__])
+            loaded.append(ep.name)
+        except Exception:
+            continue
     return loaded
 
 

@@ -2,16 +2,30 @@
 
 No ``iceberg-spark-runtime`` jar ships in this sandbox's pyspark install
 and no network is assumed (verified -- SURVEY.md section 7 step 3), so
-this adapter cannot run here; it exists so a deployment with the jar on
-the classpath gets identical semantics behind the same
+this adapter cannot execute end-to-end here; it exists so a deployment
+with the jar on the classpath gets identical semantics behind the same
 :class:`~fetchez_spark.sinks.base.SnapshotSink` interface as the tested
-:class:`~fetchez_spark.sinks.local_snapshot.LocalSnapshotSink`.
+:class:`~fetchez_spark.sinks.local_snapshot.LocalSnapshotSink`.  What IS
+tested in-sandbox (tests/test_iceberg_adapter.py): every SQL statement
+this adapter emits parses under Spark's own SQL parser, and the
+batch-token bookkeeping round-trips against a stubbed property store.
 
 Activation (spark-submit):
     --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
     --conf spark.sql.catalog.fz=org.apache.iceberg.spark.SparkCatalog
     --conf spark.sql.catalog.fz.type=hadoop
     --conf spark.sql.catalog.fz.warehouse=<warehouse dir>
+
+Exactly-once: each merged batch records its token as the table property
+``fetchez.committed.<token>``; :meth:`is_committed` reads the SAME store
+(SHOW TBLPROPERTIES), so replays after restart are skipped.  The MERGE
+and the property write are two commits, but the crash window between
+them is safe because the MERGE is IDEMPOTENT: every clause is guarded by
+``struct(s.ts, s._seq) > struct(t.ts, t._seq)`` (strictly newer wins), so
+re-merging an applied batch matches only equal-version rows and changes
+nothing, and tombstones are kept as rows (``_deleted``), so a replayed
+delete neither fails nor resurrects.  The token window is trimmed like
+the local sink's manifest window (bounded metadata growth).
 """
 
 from __future__ import annotations
@@ -20,11 +34,19 @@ import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from fetchez_spark.operators.dedup import dedup_latest
-from fetchez_spark.schema import KEY_COLUMNS
+from fetchez_spark.operators.merge import batch_to_target_rows
+from fetchez_spark.schema import (
+    INTERNAL_DELETED,
+    INTERNAL_SEQ,
+    INTERNAL_SRC,
+    KEY_COLUMNS,
+    TRANSCRIPT_SCHEMA,
+)
 from fetchez_spark.sinks.base import SnapshotSink
+
+_TOKEN_PREFIX = "fetchez.committed."
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -35,11 +57,57 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-class IcebergSink(SnapshotSink):
-    """MERGE INTO an Iceberg v2 table; offsets + batch token in snapshot
-    summary properties for exactly-once."""
+def create_table_sql(table: str, schema=None, num_buckets: int = 32, key: list[str] | None = None) -> str:
+    """DDL for the target: payload + internal columns, v2 MoR, bucketed on
+    the leading key (the Iceberg twin of LocalSnapshotSink's layout)."""
+    schema = schema or TRANSCRIPT_SCHEMA
+    key = key or KEY_COLUMNS
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    internal = f"{INTERNAL_SEQ} bigint, {INTERNAL_DELETED} boolean, {INTERNAL_SRC} int"
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} ({cols}, {internal}) "
+        f"USING iceberg PARTITIONED BY (bucket({num_buckets}, {key[0]})) "
+        f"TBLPROPERTIES ('format-version' = '2', "
+        f"'write.delete.mode' = 'merge-on-read', "
+        f"'write.update.mode' = 'merge-on-read', "
+        f"'write.merge.mode' = 'merge-on-read')"
+    )
 
-    def __init__(self, spark: SparkSession, table: str, key: list[str] | None = None) -> None:
+
+def merge_sql(table: str, source_view: str, key: list[str], columns: list[str]) -> str:
+    """MERGE text with EXPLICIT column lists (no ``UPDATE SET *``: the
+    source is projected to the exact target shape by batch_to_target_rows,
+    and explicit lists survive target tables with extra columns) and
+    struct() version comparison (row-constructor ``(a, b) > (c, d)`` is
+    not valid Spark SQL)."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key)
+    newer = f"struct(s.ts, s.{INTERNAL_SEQ}) > struct(t.ts, t.{INTERNAL_SEQ})"
+    sets = ", ".join(f"t.{c} = s.{c}" for c in columns)
+    ins_cols = ", ".join(columns)
+    ins_vals = ", ".join(f"s.{c}" for c in columns)
+    # Tombstones are kept as rows (_deleted = true), mirroring the local
+    # sink: a late pre-delete update must LOSE to the tombstone's version,
+    # which physical DELETE cannot express.
+    return (
+        f"MERGE INTO {table} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED AND {newer} THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+class IcebergSink(SnapshotSink):
+    """MERGE INTO an Iceberg v2 table; batch tokens in table properties
+    for exactly-once (see module docstring for the idempotence argument)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        key: list[str] | None = None,
+        num_buckets: int = 32,
+        max_committed_tokens: int = 1024,
+        create: bool = True,
+    ) -> None:
         if not iceberg_available(spark):
             raise RuntimeError(
                 "iceberg-spark-runtime is not on the classpath; use "
@@ -48,52 +116,73 @@ class IcebergSink(SnapshotSink):
         self.spark = spark
         self.table = table
         self.key = key or KEY_COLUMNS
+        self.max_committed_tokens = max_committed_tokens
+        if create:
+            spark.sql(create_table_sql(table, num_buckets=num_buckets, key=self.key))
+
+    # ------------------------------------------------------------- tokens
+    def _properties(self) -> dict[str, str]:
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()
+        return {r[0]: r[1] for r in rows}
 
     def _committed_tokens(self) -> set[str]:
-        rows = self.spark.sql(
-            f"SELECT summary FROM {self.table}.snapshots"
-        ).collect()
-        out = set()
-        for r in rows:
-            tok = (r["summary"] or {}).get("fetchez.batch_token")
-            if tok:
-                out.add(tok)
-        return out
+        return {
+            k[len(_TOKEN_PREFIX):]
+            for k in self._properties()
+            if k.startswith(_TOKEN_PREFIX)
+        }
 
     def is_committed(self, batch_token: str) -> bool:
         return str(batch_token) in self._committed_tokens()
 
-    def merge(self, batch: DataFrame, batch_token: str, offsets: dict[str, Any] | None = None):
-        t0 = time.monotonic()
-        if self.is_committed(batch_token):
-            return {"skipped": True, "batch_token": str(batch_token)}
-        deduped = dedup_latest(batch, key=self.key, order=["ts", "seq"])
-        deduped.createOrReplaceTempView("_fz_batch")
-        on = " AND ".join(f"t.{k} = s.{k}" for k in self.key)
-        # newer-(ts,seq)-wins across batches; deletes are real deletes here
-        # (Iceberg v2 equality deletes give MoR semantics natively)
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.table} t USING _fz_batch s ON {on}
-            WHEN MATCHED AND (s.ts, s.seq) > (t.ts, t._seq) AND s.op = 'D' THEN DELETE
-            WHEN MATCHED AND (s.ts, s.seq) > (t.ts, t._seq) THEN UPDATE SET *
-            WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
-            """
-        )
+    def _record_token(self, batch_token: str) -> None:
         self.spark.sql(
             f"ALTER TABLE {self.table} SET TBLPROPERTIES "
-            f"('fetchez.batch_token' = '{batch_token}')"
+            f"('{_TOKEN_PREFIX}{batch_token}' = '{time.time_ns()}')"
         )
+        # bounded metadata: trim the oldest tokens past the window
+        toks = sorted(
+            (
+                (v, k)
+                for k, v in self._properties().items()
+                if k.startswith(_TOKEN_PREFIX)
+            )
+        )
+        excess = len(toks) - self.max_committed_tokens
+        if excess > 0:
+            drop = ", ".join(f"'{k}'" for _, k in toks[:excess])
+            self.spark.sql(f"ALTER TABLE {self.table} UNSET TBLPROPERTIES ({drop})")
+
+    # -------------------------------------------------------------- merge
+    def merge(self, batch: DataFrame, batch_token: str, offsets: dict[str, Any] | None = None):
+        t0 = time.monotonic()
+        token = str(batch_token)
+        if self.is_committed(token):
+            return {"skipped": True, "batch_token": token}
+        rows = dedup_latest(
+            batch_to_target_rows(batch), key=self.key, order=["ts", INTERNAL_SEQ]
+        )
+        view = "_fz_batch"
+        rows.createOrReplaceTempView(view)
+        self.spark.sql(merge_sql(self.table, view, self.key, rows.columns))
+        self._record_token(token)
         return {
             "skipped": False,
-            "batch_token": str(batch_token),
+            "batch_token": token,
             "seconds": time.monotonic() - t0,
         }
 
+    # --------------------------------------------------------------- read
     def read(self, spark: SparkSession, snapshot_id: str | None = None, include_internal: bool = False) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        reader = spark.read
         if snapshot_id:
-            return spark.read.option("snapshot-id", snapshot_id).table(self.table)
-        return spark.read.table(self.table)
+            reader = reader.option("snapshot-id", snapshot_id)
+        df = reader.table(self.table).filter(~F.col(INTERNAL_DELETED))
+        if not include_internal:
+            df = df.drop(INTERNAL_SEQ, INTERNAL_DELETED, INTERNAL_SRC)
+        return df
 
     def rollback(self, snapshot_id: str) -> None:
         self.spark.sql(

@@ -13,6 +13,8 @@ chains stay inside whole-stage codegen.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -106,6 +108,31 @@ PRESETS: dict[str, list] = {
         {"transform": "filter_regex", "args": {"column": "text", "pattern": "^\\s*$", "keep": False}},
     ],
 }
+
+
+def load_preset_files(preset_dir: str | None = None) -> list[str]:
+    """Merge user preset YAML files into PRESETS (presets.py:56-135: user
+    preset files extend/override the built-in table).  Each ``*.yaml`` in
+    the dir maps preset name -> transform chain; later files and user
+    entries override built-ins of the same name."""
+    import yaml
+
+    preset_dir = preset_dir or os.path.expanduser("~/.fetchez_spark/presets")
+    loaded: list[str] = []
+    if not os.path.isdir(preset_dir):
+        return loaded
+    for fn in sorted(os.listdir(preset_dir)):
+        if not (fn.endswith(".yaml") or fn.endswith(".yml")):
+            continue
+        with open(os.path.join(preset_dir, fn)) as f:
+            data = yaml.safe_load(f) or {}
+        if not isinstance(data, dict):
+            continue
+        for name, chain in data.items():
+            if isinstance(chain, list):
+                PRESETS[name] = chain
+                loaded.append(name)
+    return loaded
 
 
 def expand_presets(chain: list, presets: list[str] | None = None) -> list:
@@ -273,13 +300,25 @@ def _near_dedup_minhash(
 
 @register_transform(
     "inventory", "post", "metadata",
-    "manifest of the planned batch -> JSON dir (inventory.py:25-61)",
+    "manifest of the planned batch -> JSON/CSV/text dir (inventory.py:25-61; "
+    "formats per audit.py:50-81)",
 )
-def _inventory(out_dir: str, columns: list | None = None) -> Transform:
+def _inventory(out_dir: str, columns: list | None = None, fmt: str = "json") -> Transform:
+    if fmt not in ("json", "csv", "text"):
+        raise ValueError(f"fmt must be json|csv|text, got {fmt!r}")
+
     def t(df: DataFrame) -> DataFrame:
         cols = columns or ["op", "conv_id", "turn_idx", "ts", "seq"]
         present = [c for c in cols if c in df.columns]
-        df.select(*present).write.mode("append").json(out_dir)
+        out = df.select(*present)
+        if fmt == "json":
+            out.write.mode("append").json(out_dir)
+        elif fmt == "csv":
+            out.write.mode("append").option("header", "true").csv(out_dir)
+        else:  # text: one pipe-joined line per row (audit.py text writer)
+            out.select(
+                F.concat_ws("|", *[F.col(c).cast("string") for c in present]).alias("value")
+            ).write.mode("append").text(out_dir)
         return df
 
     return t

@@ -21,3 +21,71 @@ def test_iceberg_registered_as_sink():
     assert info is not None and "MERGE INTO" in info.desc
     cls = registry.get_sink_class("iceberg")
     assert cls.__name__ == "IcebergSink"
+
+
+def test_iceberg_sql_parses(spark):
+    """Every statement the adapter emits must survive Spark's own SQL
+    parser (the in-sandbox proxy for a deployment with the jar: round-1's
+    MERGE used a row-constructor comparison that could never parse)."""
+    from fetchez_spark.schema import INTERNAL_DELETED, INTERNAL_SEQ, INTERNAL_SRC
+    from fetchez_spark.sinks.iceberg import create_table_sql, merge_sql
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    ddl = create_table_sql("fz.db.transcripts", num_buckets=16)
+    parser.parsePlan(ddl)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
+            INTERNAL_SEQ, INTERNAL_DELETED, INTERNAL_SRC]
+    m = merge_sql("fz.db.transcripts", "_fz_batch", ["conv_id", "turn_idx"], cols)
+    parser.parsePlan(m)
+    assert "UPDATE SET *" not in m and "INSERT *" not in m
+    assert f"struct(s.ts, s.{INTERNAL_SEQ}) > struct(t.ts, t.{INTERNAL_SEQ})" in m
+
+
+class _FakePropsSpark:
+    """Tiny stand-in for spark.sql over the three property statements the
+    token bookkeeping uses (SHOW/SET/UNSET TBLPROPERTIES)."""
+
+    def __init__(self):
+        self.props: dict[str, str] = {}
+
+    def sql(self, q: str):
+        import re
+
+        q = " ".join(q.split())
+        if q.startswith("SHOW TBLPROPERTIES"):
+            class R:
+                def __init__(self, items):
+                    self._items = items
+
+                def collect(self):
+                    return [(k, v) for k, v in self._items]
+
+            return R(sorted(self.props.items()))
+        m = re.match(r"ALTER TABLE \S+ SET TBLPROPERTIES \('([^']+)' = '([^']+)'\)", q)
+        if m:
+            self.props[m.group(1)] = m.group(2)
+            return None
+        m = re.match(r"ALTER TABLE \S+ UNSET TBLPROPERTIES \((.+)\)", q)
+        if m:
+            for k in re.findall(r"'([^']+)'", m.group(1)):
+                self.props.pop(k, None)
+            return None
+        raise AssertionError(f"unexpected sql: {q}")
+
+
+def test_iceberg_token_roundtrip_and_trim():
+    """Exactly-once bookkeeping: write and read use the SAME property
+    store (round-1 wrote table properties but read snapshot summaries, so
+    committed batches were always re-merged), and the window trims."""
+    from fetchez_spark.sinks.iceberg import IcebergSink
+
+    sink = object.__new__(IcebergSink)
+    sink.spark = _FakePropsSpark()
+    sink.table = "fz.db.t"
+    sink.max_committed_tokens = 3
+    for i in range(5):
+        assert not sink.is_committed(f"b{i}")
+        sink._record_token(f"b{i}")
+        assert sink.is_committed(f"b{i}")
+    toks = sink._committed_tokens()
+    assert len(toks) == 3 and "b4" in toks and "b0" not in toks
