@@ -485,6 +485,49 @@ def _q_pagination_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INLINE_ENTRIES = [
+    (0, "https://example.org/tiles/0.tif", 1.5),
+    (1, "https://example.org/tiles/1.tif", 2.0),
+    (2, "https://example.org/tiles/2.tif", 0.25),
+]
+
+
+def _q_inline_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-entry passthrough source (the `https` one-URL-one-entry
+    module, /root/reference/src/fetchez/modules/https.py): caller-supplied
+    rows enter the same pipeline as real sources."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sources.inline import InlineSource
+
+    schema = T.StructType(
+        [
+            T.StructField("entry_id", T.IntegerType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("weight", T.DoubleType()),
+        ]
+    )
+    src = InlineSource(list(_INLINE_ENTRIES), schema=schema)
+    return src.read(spark).orderBy("entry_id")
+
+
+def _q_scalar_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-row scalar lookups (sun_moon solar-position /
+    ipinfo scalar-enrich analogs, modules/sun_moon.py, ipinfo.py): pure
+    expressions derived from each event timestamp -- 0-based day-of-week,
+    hour, and a diurnal phase sin() proxy for the solar hour angle."""
+    import math
+
+    ev = _t(spark, sf_dir, "events")
+    minutes = F.hour("ts") * 60 + F.minute("ts")
+    return ev.select(
+        "event_id",
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hh"),
+        F.round(F.sin(minutes * F.lit(2.0 * math.pi) / F.lit(1440.0)), 6).alias("diurnal_phase"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -695,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_values_list": _q_filter_values_list,
         "checksum_rows": _q_checksum_rows,
         "pagination_full_scan": _q_pagination_full_scan,
+        "inline_passthrough": _q_inline_passthrough,
+        "scalar_time_features": _q_scalar_time_features,
         # text analysis
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -860,6 +905,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn
                   FROM events)
             GROUP BY 1
+        """,
+        "inline_passthrough": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({i}::INTEGER, '{u}', {w}e0)" for i, u, w in _INLINE_ENTRIES
+            )
+            + ") AS t(entry_id, url, weight) ORDER BY entry_id"
+        ),
+        "scalar_time_features": """
+            SELECT event_id,
+                   date_part('dow', ts)::INTEGER AS dow,
+                   date_part('hour', ts)::INTEGER AS hh,
+                   round(sin((date_part('hour', ts) * 60 + date_part('minute', ts))
+                             * 2.0 * pi() / 1440.0), 6) AS diurnal_phase
+            FROM events
         """,
         "text_token_stats": """
             SELECT doc_id,

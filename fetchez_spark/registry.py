@@ -171,6 +171,17 @@ register_source(
 )
 register_source(
     SourceInfo(
+        "inline",
+        "fetchez_spark.sources.inline:InlineSource",
+        "passthrough",
+        "single-entry passthrough: rows supplied literally by the caller "
+        "(the https one-URL-one-entry module analog)",
+        tags=["inline", "passthrough", "manual"],
+        aliases=["https", "entry"],
+    )
+)
+register_source(
+    SourceInfo(
         "synthetic",
         "fetchez_spark.sources.parquet_log:SyntheticSource",
         "log",

@@ -49,18 +49,30 @@ class Selection:
             ts_max=self.ts_max + d if self.ts_max else None,
         )
 
-    def chunk(self, n: int, key_domain: tuple[int, int] = (0, 10**8)) -> list["Selection"]:
-        """Split the conv_id range into n sub-selections for parallel
-        backfill (Region.chunk, spatial.py:176-201).  Assumes the
-        generator's zero-padded ``conv_{i:08d}`` key shape.
+    def chunk(
+        self,
+        n: int,
+        key_domain: tuple[int, int] = (0, 10**8),
+        key_format=None,
+        key_parse=None,
+    ) -> list["Selection"]:
+        """Split the key range into n sub-selections for parallel backfill
+        (Region.chunk, spatial.py:176-201).
+
+        ``key_format``/``key_parse`` form the key codec (int <-> key
+        string); the default codec is the generator's zero-padded
+        ``conv_{i:08d}`` shape.  Any ordered key space plugs in here
+        (e.g. hex ids: ``key_format=lambda i: f"{i:016x}"``).
 
         The final chunk inherits this selection's own ``key_max`` verbatim
         (``None`` stays open): formatting the domain cap ``10**8`` would
         produce the 9-digit string ``conv_100000000``, which sorts BELOW
         8-digit keys like ``conv_20000000`` lexicographically and would
         silently drop most of the last chunk's range."""
-        lo = int(self.key_min.split("_")[1]) if self.key_min else key_domain[0]
-        hi = int(self.key_max.split("_")[1]) if self.key_max else key_domain[1]
+        key_format = key_format or (lambda i: f"conv_{i:08d}")
+        key_parse = key_parse or (lambda s: int(s.split("_")[1]))
+        lo = key_parse(self.key_min) if self.key_min else key_domain[0]
+        hi = key_parse(self.key_max) if self.key_max else key_domain[1]
         step = max((hi - lo + n - 1) // n, 1)
         out = []
         for s in range(lo, hi, step):
@@ -68,8 +80,8 @@ class Selection:
             out.append(
                 replace(
                     self,
-                    key_min=f"conv_{s:08d}",
-                    key_max=self.key_max if last else f"conv_{s + step:08d}",
+                    key_min=key_format(s),
+                    key_max=self.key_max if last else key_format(s + step),
                 )
             )
         return out

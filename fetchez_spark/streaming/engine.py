@@ -130,18 +130,22 @@ def replay_batches(
 ) -> list[dict[str, Any]]:
     """Deterministic batch-mode replay (no streaming machinery).
 
-    ``chunk_paths``: list of batches, each a list of parquet files (a bare
-    string is one single-file batch).  Used by tests and the bench --
-    identical merge path as the stream, identical exactly-once token check.
-    Per-batch schema may differ additively (mid-log schema evolution).
+    ``chunk_paths``: list of batches -- each a list of parquet files, a
+    bare string (one single-file batch), or an already-materialized
+    DataFrame (inline/passthrough sources).  Used by tests and the bench
+    -- identical merge path as the stream, identical exactly-once token
+    check.  Per-batch schema may differ additively (mid-log evolution).
     """
     out = []
     for i, chunk in enumerate(chunk_paths):
-        files = [chunk] if isinstance(chunk, str) else list(chunk)
-        reader = spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        batch = reader.parquet(*files)
+        if isinstance(chunk, DataFrame):
+            batch, files = chunk, ["<inline>"]
+        else:
+            files = [chunk] if isinstance(chunk, str) else list(chunk)
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            batch = reader.parquet(*files)
         token = f"{token_prefix}-{i}"
         if sink.is_committed(token):
             out.append({"batch_token": token, "skipped": True})

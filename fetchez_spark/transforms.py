@@ -264,6 +264,33 @@ def _explode_column(column: str, output: str = "item", keep_source: bool = True)
 
 
 @register_transform(
+    "console", "post", "pipeline",
+    "print a bounded sample of the batch to stdout, pass rows through "
+    "unchanged (the `pipe` console-sink hook, pipe.py analog)",
+)
+def _console(n: int = 20, truncate: bool = True) -> Transform:
+    def t(df: DataFrame) -> DataFrame:
+        df.show(n=n, truncate=truncate)
+        return df
+
+    return t
+
+
+@register_transform(
+    "focus", "file", "file_ops",
+    "explode an array column then keep one row per (parent key, item) -- "
+    "the focus_sink narrow-to-targets hook (focus.py:42-56)",
+)
+def _focus(column: str, key: list | None = None, output: str = "item") -> Transform:
+    def t(df: DataFrame) -> DataFrame:
+        out = df.withColumn(output, F.explode(F.col(column))).drop(column)
+        dedup_cols = list(key or [c for c in ("conv_id", "turn_idx") if c in df.columns])
+        return out.dropDuplicates(dedup_cols + [output])
+
+    return t
+
+
+@register_transform(
     "exact_dedup", "file", "dedup",
     "drop byte-identical duplicate payloads within the batch (hash-groupBy on a content column)",
     ["dedup", "fingerprint", "md5"],

@@ -272,3 +272,53 @@ def test_streaming_metrics_listener(spark, tmp_path):
         assert len(files) >= len(listener.progress) > 0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_console_and_focus_transforms(spark, capsys):
+    from pyspark.sql import functions as F
+
+    from fetchez_spark.transforms import get_transform
+
+    df = spark.createDataFrame(
+        [("c1", 0, ["a", "b", "a"]), ("c1", 1, ["a"])],
+        ["conv_id", "turn_idx", "tags"],
+    )
+    out = get_transform("console", n=5)(df)
+    assert out is df  # passthrough
+    assert "conv_id" in capsys.readouterr().out
+    focused = get_transform("focus", column="tags")(df).orderBy(
+        "conv_id", "turn_idx", "item"
+    )
+    rows = [(r["conv_id"], r["turn_idx"], r["item"]) for r in focused.collect()]
+    assert rows == [("c1", 0, "a"), ("c1", 0, "b"), ("c1", 1, "a")]
+
+
+def test_inline_source_merges_like_any_source(spark, tmp_path):
+    import datetime as dt
+
+    from fetchez_spark.schema import CHANGE_EVENT_SCHEMA
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+    from fetchez_spark.sources.inline import InlineSource
+    from fetchez_spark.streaming.engine import replay_batches
+
+    rows = [
+        ("I", "c1", 0, "user", "manual fix", None, dt.datetime(2024, 1, 2), 99, 0)
+    ]
+    src = InlineSource(rows, schema=CHANGE_EVENT_SCHEMA)
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2)
+    out = replay_batches(spark, src.batches(spark), sink, token_prefix="inline")
+    assert out[0]["rows_in"] == 1
+    assert sink.read(spark).first()["text"] == "manual fix"
+
+
+def test_selection_chunk_key_codec():
+    from fetchez_spark.selection import Selection
+
+    chunks = Selection(key_min="0000000000000000", key_max="0000000000000100").chunk(
+        4,
+        key_format=lambda i: f"{i:016x}",
+        key_parse=lambda s: int(s, 16),
+    )
+    assert chunks[0].key_min == f"{0:016x}"
+    assert chunks[-1].key_max == "0000000000000100"
+    assert len(chunks) == 4
