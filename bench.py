@@ -228,20 +228,22 @@ def run_scaling() -> None:
                 # taskset pins the WHOLE JVM (GC, shuffle IO, netty -- not
                 # just task slots) to N cpus: local[N] alone leaves those
                 # helper threads free to use all 32 cores, which flatters
-                # the small-N run and understates true N->4N scaling
-                subprocess.run(
-                    [
-                        "taskset", "-c", f"0-{cores - 1}",
-                        sys.executable,
-                        __file__,
-                        "--single",
-                        str(cores),
-                        os.path.join(shared, "log"),
-                        out,
-                    ],
-                    check=True,
-                    env=env,
-                )
+                # the small-N run and understates true N->4N scaling.
+                # FETCHEZ_SCALING_PIN=0 runs unpinned (the cluster-like
+                # upper bound: real executors keep their helper threads
+                # off the task slots' critical path).
+                pin = os.environ.get("FETCHEZ_SCALING_PIN", "1") != "0"
+                cmd = [
+                    sys.executable,
+                    __file__,
+                    "--single",
+                    str(cores),
+                    os.path.join(shared, "log"),
+                    out,
+                ]
+                if pin:
+                    cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+                subprocess.run(cmd, check=True, env=env)
                 with open(out) as f:
                     r = json.load(f)
                 all_trials.setdefault(cores, []).append(r["value"])

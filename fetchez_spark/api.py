@@ -104,3 +104,16 @@ def search(term: str) -> list[dict[str, Any]]:
         for t in search_transforms(term)
     ]
     return out
+
+
+def snapshots(
+    table_dir: str,
+    eq: dict[str, Any] | None = None,
+    ranges: dict[str, tuple[Any, Any]] | None = None,
+) -> list[dict[str, Any]]:
+    """Catalog search over a table's snapshot metadata (the FRED ``search``
+    analog, fred.py:153-221): equality + range filters over snapshot id,
+    file counts, row stats, and watermark."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).search(eq=eq, ranges=ranges)

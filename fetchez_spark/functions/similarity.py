@@ -214,6 +214,66 @@ class IVFIndex:
         return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def neardup_clusters(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rounds: int = 20,
+    **neardup_kwargs,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph:
+    (vec_id, cluster_id) for every vector in >= 1 pair, cluster_id = the
+    smallest id reachable through near-dup edges (the canonical survivor,
+    so dedup keeps exactly one doc per cluster).
+
+    Algorithm: min-label propagation -- each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup components are short chains in
+    practice; ``max_rounds`` bounds pathological paths).  Each round is a
+    partial-aggregated equi-join + groupBy -- the simple member of the
+    Hash-to-Min / large-star-small-star family, same shuffle shape,
+    adequate because near-dup graphs are tiny relative to the corpus.
+    Driver-side work per round is ONE bounded count (convergence check).
+    """
+    pairs = embedding_neardup_pairs(df, vec_col, id_col, **neardup_kwargs).select(
+        "id_a", "id_b"
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = (
+        edges.select(F.col("id_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_rounds):
+        neigh = (
+            edges.join(labels, edges["id_b"] == labels["node"])
+            .groupBy("id_a")
+            .agg(F.min("label").alias("_nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["id_a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("_nlabel", F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -310,3 +310,40 @@ def test_ivf_pruned_probe_recall_on_clustered_data(spark):
         .collect()
     }
     assert len(approx & exact) == 10, f"recall {len(approx & exact)}/10"
+
+
+def test_compaction_single_shuffle(spark, tmp_path):
+    """The compaction write must move the table ONCE: a single Exchange
+    (on _bucket), bucket-local reduction, no repartition before the
+    partitionBy write (the round-1 plan shuffled twice: groupBy(key) then
+    repartition(bucket))."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.schema import INTERNAL_SEQ
+    from fetchez_spark.sinks.local_snapshot import _BUCKET
+
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4, compact_every=10**9)
+    sink.merge(_df(spark, [ev("I", f"c{i}", 0, "x", i, i) for i in range(20)]), "b1")
+    m = sink.manifest()
+    schema = T.StructType.fromJson(m["schema"])
+    files = [f for fs in m["deltas"].values() for f in fs]
+    df = sink._read_files(spark, files, schema).withColumn(
+        _BUCKET, sink._bucket_expr(m["num_buckets"])
+    )
+    aligned = sink._align(df, schema)
+    order = ["ts", INTERNAL_SEQ]
+    others = [f.name for f in schema.fields if f.name not in order]
+    big = F.struct(*[F.col(c) for c in order], *[F.col(c) for c in others])
+    won = (
+        aligned.repartition(4, F.col(_BUCKET))
+        .groupBy(F.col(_BUCKET), *[F.col(k) for k in sink.key])
+        .agg(F.max(big).alias("_w"))
+    )
+    plan = won._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected ONE shuffle, plan:\n{plan[:2000]}"
+    # and the compacted state equals the read-side reduction
+    before = sink.read(spark).orderBy("conv_id").collect()
+    sink.compact(spark)
+    after = sink.read(spark).orderBy("conv_id").collect()
+    assert after == before

@@ -322,3 +322,43 @@ def test_selection_chunk_key_codec():
     assert chunks[0].key_min == f"{0:016x}"
     assert chunks[-1].key_max == "0000000000000100"
     assert len(chunks) == 4
+
+
+def test_api_snapshots_search(spark, tmp_path):
+    import datetime as dt
+
+    from fetchez_spark import api
+    from fetchez_spark.schema import CHANGE_EVENT_SCHEMA
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2)
+    rows = [
+        ("I", f"c{i}", 0, "user", "x", None, dt.datetime(2024, 1, 1, 12, 0, i), i, 0)
+        for i in range(5)
+    ]
+    sink.merge(spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA), "b1")
+    recs = api.snapshots(str(tmp_path / "t"), ranges={"rows_in": (1, None)})
+    assert len(recs) == 1 and recs[0]["rows_in"] == 5
+
+
+def test_neardup_clusters_min_label(spark):
+    """Planted graph: component {0,1,2} (chain via high-cos pairs) plus an
+    isolated vector -- every member must get cluster_id = min id."""
+    import numpy as np
+
+    from fetchez_spark.functions.similarity import neardup_clusters
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=16)
+    rows = []
+    for i, eps in ((0, 0.0), (1, 0.05), (2, 0.08)):
+        v = base + eps * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((3, [float(x) for x in rng.normal(size=16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = neardup_clusters(
+        df, dim=16, bands=4, planes_per_band=2, threshold=0.9, seed=7
+    ).collect()
+    got = {r["vec_id"]: r["cluster_id"] for r in out}
+    assert got.get(0) == 0 and got.get(1) == 0 and got.get(2) == 0
+    assert 3 not in got, "isolated vector joins no cluster"
