@@ -269,14 +269,12 @@ def _q_cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("seq"),
         F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
     )
+    # derive the payload schema from the batch itself: under a default
+    # session pandas-written parquet timestamps read as TimestampNTZ, and
+    # a hardcoded TimestampType would conflict at schema-evolution time
+    env_fields = {f.name: f for f in env.schema.fields}
     payload = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("event_id", T.LongType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("ts", T.TimestampType()),
-        ]
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
     )
     fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="fetchez-entry-replay-", dir=fast)

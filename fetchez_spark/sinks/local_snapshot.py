@@ -5,7 +5,15 @@ Layout (one directory per table)::
     <table_dir>/
       VERSION                      # name of current manifest (atomic os.replace)
       manifests/snap-0000000001.json
+      manifests/lists/list-<sha1>.json   # content-addressed per-bucket file lists
       data/snap-0000000001/_bucket=<b>/part-*.parquet
+
+Manifests reference per-bucket file lists as immutable content-addressed
+blobs ("ref:list-<sha1>.json"): a commit writes blobs only for buckets it
+touched and copies ~50-byte ref strings for the rest, so per-commit
+metadata work is O(touched buckets) and total metadata writes over a
+stream's life are O(n), not O(n^2) (the Iceberg manifest-list shape).
+Committed batch tokens are a bounded sliding window for the same reason.
 
 Manifest (the "snapshot"): schema, parent pointer, per-bucket base-file and
 delta-file lists, committed batch tokens, row stats.  A commit is:
@@ -162,6 +170,8 @@ class LocalSnapshotSink(SnapshotSink):
         # tail batches, not arbitrary history), so a generous window is
         # lossless in practice; the trim is insertion-ordered (oldest out).
         self.max_committed_tokens = max_committed_tokens
+        # immutable content-addressed file-list blobs -> safe to cache
+        self._list_cache: dict[str, list[str]] = {}
         os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
         if self._version() is None:
@@ -213,6 +223,71 @@ class LocalSnapshotSink(SnapshotSink):
         sid = snapshot_id or self._version()
         with open(self._manifest_path(sid)) as f:
             return json.load(f)
+
+    # ------------------------------------------------- file-list blob refs
+    # Per-bucket file lists are content-addressed blobs under
+    # manifests/lists/, and manifests store "ref:<blob>" strings instead of
+    # inline lists (the Iceberg manifest-list shape).  Consequences:
+    # * a commit writes blobs ONLY for the buckets it touched; untouched
+    #   buckets' refs are copied as ~50-byte strings, so per-commit
+    #   metadata work is O(touched), not O(all files) -- the difference
+    #   between O(n) and O(n^2) total metadata writes over a stream's life;
+    # * bucket-pruned reads resolve ONLY the requested buckets' refs;
+    # * content addressing (sha1 of the list) dedups identical lists
+    #   across snapshots for free; blobs are immutable -> cached.
+    def _lists_dir(self) -> str:
+        return os.path.join(self.table_dir, "manifests", "lists")
+
+    def _pack_list(self, files: list[str]):
+        """list -> 'ref:<blob>' (written once, content-addressed)."""
+        if not files:
+            return []
+        import hashlib
+
+        body = json.dumps(sorted(files))
+        blob = f"list-{hashlib.sha1(body.encode()).hexdigest()[:20]}.json"
+        path = os.path.join(self._lists_dir(), blob)
+        if not os.path.exists(path):
+            os.makedirs(self._lists_dir(), exist_ok=True)
+            tmp = path + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(body)
+            os.replace(tmp, path)
+        self._list_cache[blob] = list(files)
+        return f"ref:{blob}"
+
+    def _resolve_list(self, val) -> list[str]:
+        """'ref:<blob>' | inline list -> list (inline = pre-ref manifests)."""
+        if isinstance(val, list):
+            return val
+        blob = val[len("ref:"):]
+        cached = self._list_cache.get(blob)
+        if cached is None:
+            with open(os.path.join(self._lists_dir(), blob)) as f:
+                cached = json.loads(f.read())
+            self._list_cache[blob] = cached
+        return list(cached)
+
+    def _resolve_map(self, m: dict, buckets: list[str] | None = None) -> dict[str, list[str]]:
+        keys = m.keys() if buckets is None else [b for b in buckets if b in m]
+        return {b: self._resolve_list(m[b]) for b in keys}
+
+    def _pack_map(self, m: dict) -> dict:
+        return {
+            b: (self._pack_list(v) if isinstance(v, list) else v) for b, v in m.items()
+        }
+
+    def _count_files(self, m: dict) -> int:
+        return sum(len(self._resolve_list(v)) for v in m.values())
+
+    def file_lists(self, snapshot_id: str | None = None) -> dict[str, list[str]]:
+        """Resolved {bucket: [base files]} for a snapshot (public face of
+        the ref-or-inline manifest encoding)."""
+        return self._resolve_map(self.manifest(snapshot_id)["files"])
+
+    def delta_lists(self, snapshot_id: str | None = None) -> dict[str, list[str]]:
+        """Resolved {bucket: [delta files]} for a snapshot."""
+        return self._resolve_map(self.manifest(snapshot_id).get("deltas", {}))
 
     @property
     def current_snapshot_id(self) -> str:
@@ -365,11 +440,15 @@ class LocalSnapshotSink(SnapshotSink):
             if buckets is not None
             else sorted(set(base_map) | set(delta_map) - {_FLAT})
         )
-        base = [f for b in keys for f in base_map.get(b, [])]
-        deltas = [f for b in keys for f in delta_map.get(b, []) if b != _FLAT]
+        # resolve ONLY the selected buckets' list refs: pruned reads touch
+        # O(selected) metadata, not O(table)
+        rbase = self._resolve_map(base_map, keys)
+        rdelta = self._resolve_map(delta_map, [k for k in keys if k != _FLAT])
+        base = [f for b in keys for f in rbase.get(b, [])]
+        deltas = [f for b in keys for f in rdelta.get(b, [])]
         # flat deltas are unclustered: always in scope (bucket-pruned reads
         # post-filter them through the reduction)
-        deltas += list(delta_map.get(_FLAT, []))
+        deltas += self._resolve_list(delta_map.get(_FLAT, []))
         df = self._read_files(spark, base + deltas, schema)
         if delta_map.get(_FLAT) and buckets is not None:
             # flat delta files are unclustered; a bucket-pruned read must
@@ -496,8 +575,10 @@ class LocalSnapshotSink(SnapshotSink):
         metrics: dict[str, Any] = {"batch_token": token, "skipped": False, "mode": self.mode}
 
         sid = self._next_sid(cur)
+        # refs/lists pass through untouched for buckets this commit does
+        # not modify -- that is what makes commit metadata O(touched)
         new_files = dict(cur["files"])
-        new_deltas = {b: list(fs) for b, fs in cur.get("deltas", {}).items()}
+        new_deltas = dict(cur.get("deltas", {}))
         stats: dict[str, Any]
 
         written: list[str] = []
@@ -512,13 +593,13 @@ class LocalSnapshotSink(SnapshotSink):
                 rows_b = rows.withColumn(_BUCKET, self._bucket_expr(nb))
                 written_map = self._write_bucketed(rows_b, sid, nb, new_schema)
                 for b, fs in written_map.items():
-                    new_deltas.setdefault(b, []).extend(fs)
+                    new_deltas[b] = self._resolve_list(new_deltas.get(b, [])) + fs
                 written = [f for fs in written_map.values() for f in fs]
             else:
                 written = self._write_flat(rows, sid, new_schema)
-                new_deltas.setdefault(_FLAT, []).extend(written)
+                new_deltas[_FLAT] = self._resolve_list(new_deltas.get(_FLAT, [])) + written
             stats = {
-                "delta_files": sum(len(fs) for fs in new_deltas.values()),
+                "delta_files": self._count_files(new_deltas),
                 "delta_commits": int(cur.get("stats", {}).get("delta_commits", 0)) + 1,
             }
         else:
@@ -537,9 +618,13 @@ class LocalSnapshotSink(SnapshotSink):
             # (present if the table previously ran MoR), and any flat
             # deltas (bucket-filtered below)
             existing_files = (
-                [f for b in touched for f in cur["files"].get(str(b), [])]
-                + [f for b in touched for f in cur.get("deltas", {}).get(str(b), [])]
-                + list(cur.get("deltas", {}).get(_FLAT, []))
+                [f for b in touched for f in self._resolve_list(cur["files"].get(str(b), []))]
+                + [
+                    f
+                    for b in touched
+                    for f in self._resolve_list(cur.get("deltas", {}).get(str(b), []))
+                ]
+                + self._resolve_list(cur.get("deltas", {}).get(_FLAT, []))
             )
             read_schema = T.StructType(list(new_schema.fields))  # null-backfill
             existing = None
@@ -654,8 +739,8 @@ class LocalSnapshotSink(SnapshotSink):
             "parent": cur["snapshot_id"],
             "schema": new_schema.jsonValue(),
             "num_buckets": nb,
-            "files": new_files,
-            "deltas": new_deltas,
+            "files": self._pack_map(new_files),
+            "deltas": self._pack_map(new_deltas),
             "committed_batches": committed,
             "stats": stats,
             "high_watermark": new_hwm,
@@ -694,7 +779,10 @@ class LocalSnapshotSink(SnapshotSink):
         """
         cur = self.manifest()
         schema = T.StructType.fromJson(cur["schema"])
-        delta_map = cur.get("deltas", {})
+        # compaction is table-wide maintenance: resolve all list refs up
+        # front (reads/commits stay O(touched); this path is O(deltas))
+        delta_map = self._resolve_map(cur.get("deltas", {}))
+        base_map = self._resolve_map(cur["files"])
         if minor:
             delta_files = [f for fs in delta_map.values() for f in fs]
             if not delta_files:
@@ -712,7 +800,7 @@ class LocalSnapshotSink(SnapshotSink):
                 **cur,
                 "snapshot_id": sid,
                 "parent": cur["snapshot_id"],
-                "deltas": {b: list(fs) for b, fs in written.items()},
+                "deltas": self._pack_map({b: list(fs) for b, fs in written.items()}),
                 "stats": {
                     **cur.get("stats", {}),
                     "minor_compacted_files": len(delta_files),
@@ -735,7 +823,7 @@ class LocalSnapshotSink(SnapshotSink):
             delta_files = [f for b in todo for f in delta_map.get(b, [])]
         if not delta_files:
             return {"snapshot_id": cur["snapshot_id"], "compacted_buckets": 0}
-        files = [f for b in todo for f in cur["files"].get(b, [])] + delta_files
+        files = [f for b in todo for f in base_map.get(b, [])] + delta_files
         sid = self._next_sid(cur)
         written = self._dedup_write_bucketed(
             self._read_files(spark, files, schema).withColumn(
@@ -757,8 +845,8 @@ class LocalSnapshotSink(SnapshotSink):
             **cur,
             "snapshot_id": sid,
             "parent": cur["snapshot_id"],
-            "files": new_files,
-            "deltas": new_deltas,
+            "files": self._pack_map(new_files),
+            "deltas": self._pack_map(new_deltas),
             "stats": {"compacted_buckets": len(written), "delta_commits": 0},
         }
         self._commit(manifest)
@@ -776,8 +864,8 @@ class LocalSnapshotSink(SnapshotSink):
                 {
                     "snapshot_id": sid,
                     "parent": m.get("parent"),
-                    "num_base_files": sum(len(v) for v in m.get("files", {}).values()),
-                    "num_delta_files": sum(len(v) for v in m.get("deltas", {}).values()),
+                    "num_base_files": self._count_files(m.get("files", {})),
+                    "num_delta_files": self._count_files(m.get("deltas", {})),
                     "high_watermark": m.get("high_watermark"),
                     "committed_tokens": len(m.get("committed_batches", {})),
                     **(m.get("stats") or {}),
@@ -840,7 +928,7 @@ class LocalSnapshotSink(SnapshotSink):
         for sid in self.snapshots():
             m = self.manifest(sid)
             for files in list(m["files"].values()) + list(m.get("deltas", {}).values()):
-                referenced.update(files)
+                referenced.update(self._resolve_list(files))
         removed = 0
         data_root = os.path.join(self.table_dir, "data")
         for snap in os.listdir(data_root):
@@ -856,12 +944,13 @@ class LocalSnapshotSink(SnapshotSink):
         if self.current_snapshot_id not in keep:
             keep.append(self.current_snapshot_id)
         referenced: set[str] = set()
+        live_blobs: set[str] = set()
         for sid in keep:
             m = self.manifest(sid)
-            for files in m["files"].values():
-                referenced.update(files)
-            for files in m.get("deltas", {}).values():
-                referenced.update(files)
+            for files in list(m["files"].values()) + list(m.get("deltas", {}).values()):
+                referenced.update(self._resolve_list(files))
+                if isinstance(files, str):
+                    live_blobs.add(files[len("ref:"):])
         removed = 0
         data_root = os.path.join(self.table_dir, "data")
         for snap in os.listdir(data_root):
@@ -873,4 +962,10 @@ class LocalSnapshotSink(SnapshotSink):
         for sid in self.snapshots():
             if sid not in keep:
                 os.remove(self._manifest_path(sid))
+        # gc file-list blobs referenced by no retained manifest
+        if os.path.isdir(self._lists_dir()):
+            for fn in os.listdir(self._lists_dir()):
+                if fn.endswith(".json") and fn not in live_blobs:
+                    os.remove(os.path.join(self._lists_dir(), fn))
+                    self._list_cache.pop(fn, None)
         return removed

@@ -45,10 +45,11 @@ def test_bucket_pruned_read_skips_other_buckets_deltas(spark, tmp_path):
     sink.merge(_df(spark, [ev("U", c, 0, "v2", 100 + i, 100 + i) for i, c in enumerate(convs)]), "b2")
     m = sink.manifest()
     assert not m["files"], "nothing compacted yet"
-    delta_buckets = {b for b, fs in m["deltas"].items() if fs}
+    deltas = sink.delta_lists()
+    delta_buckets = {b for b, fs in deltas.items() if fs}
     assert len(delta_buckets) > 1, "fixture must spread over several buckets"
     b = sorted(delta_buckets)[0]
-    allowed = set(m["deltas"][b])
+    allowed = set(deltas[b])
     scanned = {f.removeprefix("file://") for f in sink.read(spark, buckets=[int(b)]).inputFiles()}
     assert scanned, "pruned read scans something"
     assert scanned <= allowed, f"read leaked into other buckets: {scanned - allowed}"
@@ -61,7 +62,7 @@ def test_lookup_prunes_with_deltas(spark, tmp_path):
     sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
     sink.merge(_df(spark, [ev("I", f"c{i}", 0, "x", i, i) for i in range(8)]), "b1")
     m = sink.manifest()
-    all_delta_files = [f for fs in m["deltas"].values() for f in fs]
+    all_delta_files = [f for fs in sink.delta_lists().values() for f in fs]
     df = sink.lookup(spark, "c3")
     scanned = {f.removeprefix("file://") for f in df.inputFiles()}
     assert scanned < set(all_delta_files)
@@ -194,13 +195,13 @@ def test_minor_compaction_consolidates_deltas(spark, tmp_path):
         )
     before = sink.read(spark).orderBy("conv_id").collect()
     m0 = sink.manifest()
-    n_delta_before = sum(len(fs) for fs in m0["deltas"].values())
+    n_delta_before = sum(len(fs) for fs in sink.delta_lists().values())
     assert n_delta_before >= 4
     res = sink.compact(spark, minor=True)
     assert res["minor"] and res["compacted_buckets"] >= 1
     m1 = sink.manifest()
     assert m1["files"] == m0["files"], "bases untouched"
-    n_delta_after = sum(len(fs) for fs in m1["deltas"].values())
+    n_delta_after = sum(len(fs) for fs in sink.delta_lists().values())
     assert n_delta_after <= m1["num_buckets"], "one consolidated delta per bucket"
     after = sink.read(spark).orderBy("conv_id").collect()
     assert after == before, "minor compaction is state-preserving"
@@ -326,7 +327,7 @@ def test_compaction_single_shuffle(spark, tmp_path):
     sink.merge(_df(spark, [ev("I", f"c{i}", 0, "x", i, i) for i in range(20)]), "b1")
     m = sink.manifest()
     schema = T.StructType.fromJson(m["schema"])
-    files = [f for fs in m["deltas"].values() for f in fs]
+    files = [f for fs in sink.delta_lists().values() for f in fs]
     df = sink._read_files(spark, files, schema).withColumn(
         _BUCKET, sink._bucket_expr(m["num_buckets"])
     )
@@ -347,3 +348,41 @@ def test_compaction_single_shuffle(spark, tmp_path):
     sink.compact(spark)
     after = sink.read(spark).orderBy("conv_id").collect()
     assert after == before
+
+
+def test_manifest_size_bounded_by_touched_not_history(spark, tmp_path):
+    """File-list blob refs: each commit's manifest JSON stays ~constant
+    size as commits accumulate (it stores ~50-byte refs for untouched
+    buckets), instead of growing with the total file count (ADVICE:
+    O(n^2) metadata over the stream's life)."""
+    import os as _os
+
+    sink = LocalSnapshotSink(
+        str(tmp_path / "t"), num_buckets=4, compact_every=10**9, max_committed_tokens=4
+    )
+    sizes = []
+    for i in range(10):
+        sink.merge(_df(spark, [ev("I", f"c{i}", 0, "x", i, i)]), f"b{i}")
+        sizes.append(_os.path.getsize(sink._manifest_path(sink.current_snapshot_id)))
+    # growth from commit 3 to commit 10 must be tiny (ref strings only),
+    # NOT proportional to the 10x file count
+    assert sizes[-1] < sizes[2] * 1.5, sizes
+    # refs resolve to the full lists and reads still see everything
+    assert sink.read(spark).count() == 10
+    n_files = sum(len(fs) for fs in sink.delta_lists().values())
+    assert n_files >= 10
+
+
+def test_expire_gcs_list_blobs(spark, tmp_path):
+    import os as _os
+
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2, compact_every=10**9)
+    for i in range(4):
+        sink.merge(_df(spark, [ev("I", f"c{i}", 0, "x", i, i)]), f"b{i}")
+    lists_dir = sink._lists_dir()
+    before = len(_os.listdir(lists_dir))
+    assert before >= 4
+    sink.expire_snapshots(keep_last=1)
+    after = len(_os.listdir(lists_dir))
+    assert after < before, "unreferenced list blobs were garbage-collected"
+    assert sink.read(spark).count() == 4, "current state intact"

@@ -83,9 +83,9 @@ def test_lookup_prunes_to_one_bucket(spark, tmp_path):
     rows = hit.collect()
     assert rows and all(r["conv_id"] == "conv_00000000" for r in rows)
     # pruning: the scan reads at most 1/16th of the base files
-    m = sink.manifest()
-    total_files = sum(len(fs) for fs in m["files"].values())
-    one_bucket = max(len(fs) for fs in m["files"].values())
+    fl = sink.file_lists()
+    total_files = sum(len(fs) for fs in fl.values())
+    one_bucket = max(len(fs) for fs in fl.values())
     assert one_bucket < total_files  # manifest really is bucket-partitioned
     # cross-check against a full-scan read
     full = sink.read(spark).filter("conv_id = 'conv_00000000'").collect()
