@@ -139,6 +139,7 @@ class LocalSnapshotSink(SnapshotSink):
         dedup_on_write: bool | None = None,
         cluster_deltas: bool = True,
         max_committed_tokens: int = 1024,
+        write_fanout: int = 1,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -170,6 +171,9 @@ class LocalSnapshotSink(SnapshotSink):
         # tail batches, not arbitrary history), so a generous window is
         # lossless in practice; the trim is insertion-ordered (oldest out).
         self.max_committed_tokens = max_committed_tokens
+        # skew valve for the delta-write shuffle: split each bucket's
+        # write across this many tasks (see _write_bucketed)
+        self.write_fanout = write_fanout
         # immutable content-addressed file-list blobs -> safe to cache
         self._list_cache: dict[str, list[str]] = {}
         os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
@@ -336,17 +340,31 @@ class LocalSnapshotSink(SnapshotSink):
         return df
 
     def _write_bucketed(
-        self, df: DataFrame, sid: str, n_partitions: int, schema: T.StructType
+        self,
+        df: DataFrame,
+        sid: str,
+        n_partitions: int,
+        schema: T.StructType,
+        fanout: int = 1,
     ) -> dict[str, list[str]]:
         """Write rows partitioned by bucket under a snapshot-unique dir;
-        return {bucket: [files]}."""
+        return {bucket: [files]}.
+
+        ``fanout > 1`` splits each bucket's write across ``fanout`` tasks
+        (shuffle key = (bucket, hash(_seq) % fanout)): the skew valve for
+        a Zipf-hot conversation whose bucket would otherwise serialize on
+        one write task.  Costs up to ``fanout`` delta files per bucket per
+        batch; compaction restores one file per bucket."""
         snap_dir = os.path.join(self.table_dir, "data", sid)
         out_cols = [f.name for f in schema.fields] + [_BUCKET]
+        shuffle_keys = [F.col(_BUCKET)]
+        if fanout > 1:
+            shuffle_keys.append(F.pmod(F.xxhash64(F.col(INTERNAL_SEQ)), F.lit(fanout)))
         with _observed_write_conf(df.sparkSession):
             (
                 self._align(df, schema)
                 .select(*out_cols)
-                .repartition(max(n_partitions, 1), F.col(_BUCKET))
+                .repartition(max(n_partitions, 1) * max(fanout, 1), *shuffle_keys)
                 .write.partitionBy(_BUCKET)
                 .mode("overwrite")
                 .parquet(snap_dir)
@@ -591,7 +609,9 @@ class LocalSnapshotSink(SnapshotSink):
             # amplification until compaction.
             if self.cluster_deltas:
                 rows_b = rows.withColumn(_BUCKET, self._bucket_expr(nb))
-                written_map = self._write_bucketed(rows_b, sid, nb, new_schema)
+                written_map = self._write_bucketed(
+                    rows_b, sid, nb, new_schema, fanout=self.write_fanout
+                )
                 for b, fs in written_map.items():
                     new_deltas[b] = self._resolve_list(new_deltas.get(b, [])) + fs
                 written = [f for fs in written_map.values() for f in fs]

@@ -62,3 +62,39 @@ def test_search_finds_dedup_transforms():
 
     names = {r["name"] for r in api.search("jaccard")}
     assert "near_dedup_minhash" in names
+
+
+def test_soak_minor_major_cadence_with_fanout(spark, tmp_path):
+    """Leveled-maintenance soak: minor compaction every 4 batches bounds
+    delta-file count, one major at the end folds to bases; hot-bucket
+    write fanout on -- final state still equals the pandas oracle."""
+    spec = ChangeLogSpec(
+        num_events=9_000, num_convs=150, max_turns=8, seed=88, evolve_at=0.5
+    )
+    chunks = write_change_log(spec, str(tmp_path / "log"), num_chunks=12)
+    sink = LocalSnapshotSink(
+        str(tmp_path / "t"), num_buckets=8, compact_every=10**9, write_fanout=2
+    )
+    for i, chunk in enumerate(chunks):
+        replay_batches(spark, [chunk], sink, token_prefix=f"s{i}")
+        if (i + 1) % 4 == 0:
+            sink.compact(spark, minor=True)
+            n_delta = sum(len(fs) for fs in sink.delta_lists().values())
+            assert n_delta <= sink.manifest()["num_buckets"]
+    sink.compact(spark)
+    assert all(not fs for fs in sink.delta_lists().values())
+
+    got = (
+        sink.read(spark)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    expected = oracle_final_state(generate_change_log(spec))
+    assert len(got) == len(expected)
+    for col in ["conv_id", "turn_idx", "role", "text", "tool", "model"]:
+        pd.testing.assert_series_equal(
+            got[col].reset_index(drop=True),
+            expected[col].reset_index(drop=True),
+            check_names=False,
+        )
