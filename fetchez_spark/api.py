@@ -117,3 +117,19 @@ def snapshots(
     from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
     return LocalSnapshotSink(table_dir).search(eq=eq, ranges=ranges)
+
+
+def changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot: str,
+    to_snapshot: str | None = None,
+    include_internal: bool = False,
+):
+    """Incremental scan facade: rows merged after ``from_snapshot`` (see
+    LocalSnapshotSink.read_changes -- the Iceberg incremental-read analog)."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).read_changes(
+        spark, from_snapshot, to_snapshot, include_internal=include_internal
+    )

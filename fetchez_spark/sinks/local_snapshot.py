@@ -481,6 +481,68 @@ class LocalSnapshotSink(SnapshotSink):
             df = df.drop(*INTERNAL_COLUMNS)
         return df
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot: str,
+        to_snapshot: str | None = None,
+        include_internal: bool = False,
+    ) -> DataFrame:
+        """Incremental scan: the change rows appended AFTER ``from_snapshot``
+        up to ``to_snapshot`` (default: current) -- the Iceberg
+        incremental-read analog, so downstream consumers can tail the
+        table instead of re-reading it.
+
+        Implementation: set-difference of the two snapshots' file lists,
+        restricted to files written by MERGE commits (compaction snapshots
+        rewrite files without changing state and are skipped via their
+        stats marker, so maintenance never re-emits rows).  Deletes appear
+        as tombstone rows (``_deleted = true``) when ``include_internal``;
+        the default projection filters them out and exposes upserts only.
+        Cost: O(files added in the range) -- no full-table scan.
+
+        Precision: exact for MoR tables (each merge's delta files hold
+        exactly that batch's rows).  CoW merges rewrite whole buckets, so
+        for CoW tables the result is file-granular and over-approximates
+        (it re-emits the rewritten buckets' surviving rows) -- use MoR
+        when consumers tail changes.
+        """
+        to_snapshot = to_snapshot or self._version()
+        # walk the parent chain from `to` back to `from`, collecting files
+        # added by merge commits (deltas for MoR, base rewrites for CoW)
+        added: list[str] = []
+        sid = to_snapshot
+        chain_ok = False
+        while sid is not None:
+            if sid == from_snapshot:
+                chain_ok = True
+                break
+            m = self.manifest(sid)
+            stats = m.get("stats", {})
+            is_compaction = "compacted_buckets" in stats or "minor_compacted_files" in stats
+            if not is_compaction:
+                parent = m.get("parent")
+                pfiles: set[str] = set()
+                if parent is not None:
+                    pm = self.manifest(parent)
+                    for v in list(pm["files"].values()) + list(pm.get("deltas", {}).values()):
+                        pfiles.update(self._resolve_list(v))
+                for v in list(m["files"].values()) + list(m.get("deltas", {}).values()):
+                    for f in self._resolve_list(v):
+                        if f not in pfiles:
+                            added.append(f)
+            sid = m.get("parent")
+        if not chain_ok:
+            raise ValueError(
+                f"{from_snapshot!r} is not an ancestor of {to_snapshot!r} "
+                "(expired or on an abandoned rollback branch)"
+            )
+        schema = T.StructType.fromJson(self.manifest(to_snapshot)["schema"])
+        df = self._read_files(spark, sorted(set(added)), schema)
+        if not include_internal:
+            df = df.filter(~F.col(INTERNAL_DELETED)).drop(*INTERNAL_COLUMNS)
+        return df
+
     def create_view(self, spark: SparkSession, name: str = "transcripts") -> None:
         """Register the current table state as a temp view for spark.sql
         (the SQL face of the engine: SELECT ... FROM transcripts)."""

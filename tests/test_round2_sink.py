@@ -406,3 +406,36 @@ def test_write_fanout_splits_hot_bucket(spark, tmp_path):
         for r in sink.read(spark).collect()
     }
     assert got[("hot", 4)] == "v59" and len(got) == 5 + 6
+
+
+def test_read_changes_incremental_scan(spark, tmp_path):
+    """Incremental read between snapshots: exactly the rows merged in the
+    range, deletes as tombstones when internal, maintenance snapshots
+    contribute nothing."""
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4, compact_every=10**9)
+    sink.merge(_df(spark, [ev("I", "c1", 0, "a", 0, 0), ev("I", "c2", 0, "b", 1, 1)]), "b1")
+    s1 = sink.current_snapshot_id
+    sink.merge(_df(spark, [ev("U", "c1", 0, "a2", 10, 10)]), "b2")
+    sink.merge(_df(spark, [ev("D", "c2", 0, None, 11, 11), ev("I", "c3", 0, "c", 12, 12)]), "b3")
+    s3 = sink.current_snapshot_id
+
+    got = {
+        (r["conv_id"], r["text"]) for r in sink.read_changes(spark, s1).collect()
+    }
+    assert got == {("c1", "a2"), ("c3", "c")}, got
+    with_tombstones = sink.read_changes(spark, s1, include_internal=True)
+    deleted = [r["conv_id"] for r in with_tombstones.filter(F.col("_deleted")).collect()]
+    assert deleted == ["c2"]
+
+    # compaction adds no changes
+    sink.compact(spark)
+    s4 = sink.current_snapshot_id
+    assert sink.read_changes(spark, s3, s4).count() == 0
+    # and the range ending after compaction still reports only real merges
+    assert sink.read_changes(spark, s1, s4).count() == 2
+
+    # expired/foreign ancestor -> loud error
+    import pytest
+
+    with pytest.raises(ValueError, match="ancestor"):
+        sink.read_changes(spark, "snap-0000000099")
