@@ -106,6 +106,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--where", action="append", default=[], help="equality filter key=value")
     p.add_argument("--range", action="append", default=[], dest="ranges",
                    help="range filter key=lo:hi ('' leaves a bound open)")
+    p = sub.add_parser(
+        "changes", help="incremental scan: rows merged after a snapshot"
+    )
+    p.add_argument("table_dir")
+    p.add_argument("from_snapshot")
+    p.add_argument("--to", default=None)
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--cores", type=int, default=4)
 
     args = parser.parse_args(argv)
     from fetchez_spark import registry
@@ -206,6 +214,19 @@ def main(argv: list[str] | None = None) -> int:
             ranges[k] = (_num(lo), _num(hi))
         for rec in sink.search(eq=eq, ranges=ranges or None):
             print(json.dumps(rec, default=str))
+        return 0
+    if args.cmd == "changes":
+        from fetchez_spark import api
+        from fetchez_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="fetchez-changes", master=f"local[{args.cores}]"
+        )
+        df = api.changes(spark, args.table_dir, args.from_snapshot, args.to)
+        n = df.count()
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
+        print(json.dumps({"total_changed_rows": n}))
         return 0
     parser.print_help()
     return 0

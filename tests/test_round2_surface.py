@@ -362,3 +362,23 @@ def test_neardup_clusters_min_label(spark):
     got = {r["vec_id"]: r["cluster_id"] for r in out}
     assert got.get(0) == 0 and got.get(1) == 0 and got.get(2) == 0
     assert 3 not in got, "isolated vector joins no cluster"
+
+
+def test_cli_changes(spark, tmp_path, capsys):
+    import datetime as dt
+
+    from fetchez_spark.cli import main
+    from fetchez_spark.schema import CHANGE_EVENT_SCHEMA
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2)
+    rows1 = [("I", "c1", 0, "user", "a", None, dt.datetime(2024, 1, 1), 0, 0)]
+    rows2 = [("I", "c2", 0, "user", "b", None, dt.datetime(2024, 1, 2), 1, 0)]
+    sink.merge(spark.createDataFrame(rows1, CHANGE_EVENT_SCHEMA), "b1")
+    s1 = sink.current_snapshot_id
+    sink.merge(spark.createDataFrame(rows2, CHANGE_EVENT_SCHEMA), "b2")
+    rc = main(["changes", str(tmp_path / "t"), s1])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1] == {"total_changed_rows": 1}
+    assert lines[0]["conv_id"] == "c2"
