@@ -40,6 +40,10 @@ def get_spark(
         # aggregation after 128 distinct keys per partition by default,
         # which kills multi-core scaling on high-cardinality groupBys
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+        # zstd parquet: ~31% smaller files than the snappy default on the
+        # transcript payload at indistinguishable wall time (measured,
+        # interleaved trials) -- at 100 TB that is pure IO/storage savings
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
