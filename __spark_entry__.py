@@ -607,6 +607,38 @@ def _q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top TF-IDF term: tf from an explode+groupBy, document
+    frequency from a distinct inverted index, idf = ln(N/df) -- the
+    classic two-aggregation relevance plan (partial-agg groupBys + one
+    broadcastable term-df join; nothing quadratic).  Tie-break: term ASC."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # bounded scalar (table row count), not row data
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("tok", F.lower("tok"))
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        toks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(df_, "tok").withColumn(
+        "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), F.round("score", 6).alias("tfidf"))
+    )
+
+
 def _q_doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (hash-groupBy)."""
     d = _t(spark, sf_dir, "documents")
@@ -807,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "lang_id_counts": _q_lang_id_counts,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "doc_fingerprint_dups": _q_doc_fingerprint_dups,
         "multimodal_binary_meta": _q_multimodal_binary_meta,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
@@ -1009,6 +1042,24 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'en' ELSE 'other' END AS guessed,
                    count(*) AS n
             FROM documents GROUP BY 1, 2
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, lower(t) AS tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT tok, count(*) AS df
+                    FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            scored AS (
+              SELECT doc_id, tok, tf * ln(n.n / df) AS score
+              FROM tf JOIN dfq USING (tok), n)
+            SELECT doc_id, tok AS top_term, round(score, 6) AS tfidf FROM (
+              SELECT doc_id, tok, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, tok ASC) AS rn
+              FROM scored) WHERE rn = 1
         """,
         "doc_fingerprint_dups": """
             SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id
