@@ -71,34 +71,53 @@ def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
     """
 
 
+_SQL_HEX_HIGH = "('8','9','a','b','c','d','e','f')"  # nibble bit 3 set
+_SQL_HEX_BIT2 = "('4','5','6','7','c','d','e','f')"  # nibble bit 2 set
+
+
 def _simhash_expr_sql(bits: int = 32) -> str:
-    """DuckDB expression for the portable simhash over list `h` of md5 hex."""
-    terms = [
-        f"(CASE WHEN 2 * len(list_filter(h, x -> substr(x, {b + 1}, 1) IN "
-        f"('8','9','a','b','c','d','e','f'))) > len(h) THEN {1 << b}::BIGINT "
-        f"ELSE 0::BIGINT END)"
-        for b in range(bits)
-    ]
+    """DuckDB expression for the portable simhash over list `h` of md5 hex.
+
+    Mirrors functions/dedup.py:simhash_portable bit-for-bit: bit b reads
+    nibble b%32, testing nibble bit 3 for b<32 and bit 2 for b>=32 (64
+    bits from 32 hex nibbles).  Bit 63's weight is BIGINT MIN (DuckDB
+    raises on 1<<63, so the literal is spelled out); summing disjoint
+    powers of two incl. the sign bit reproduces the two's-complement
+    value Spark's bitwiseOR builds."""
+    terms = []
+    for b in range(bits):
+        digits = _SQL_HEX_HIGH if b < 32 else _SQL_HEX_BIT2
+        weight = f"{1 << b}::BIGINT" if b < 63 else "(-9223372036854775808)::BIGINT"
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter(h, x -> substr(x, {(b % 32) + 1}, 1) IN "
+            f"{digits})) > len(h) THEN {weight} ELSE 0::BIGINT END)"
+        )
     return " + ".join(terms)
 
 
-def _simhash_docs_sql() -> str:
+def _simhash_docs_sql(bits: int = 32) -> str:
     return f"""
         WITH sh AS ({_SHINGLES_CTE}),
         hs AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS h FROM sh)
-        SELECT doc_id, ({_simhash_expr_sql()})::BIGINT AS simhash FROM hs
+        SELECT doc_id, ({_simhash_expr_sql(bits)})::BIGINT AS simhash FROM hs
     """
 
 
-def _simhash_hamming_sql(max_hamming: int = 3) -> str:
+def _simhash_hamming_sql(max_hamming: int = 3, bits: int = 64, n_bands: int = 4) -> str:
+    """DuckDB mirror of simhash_hamming_pairs.  Note the shift semantics:
+    DuckDB >> is logical, Spark shiftright is arithmetic -- they agree on
+    every band because the mask keeps only the low `width` bits and
+    max_shift + width == bits <= 64."""
+    width = bits // n_bands
+    mask = (1 << width) - 1
     band_eq = " OR ".join(
-        f"((a.simhash >> {8 * i}) & 255) = ((b.simhash >> {8 * i}) & 255)"
-        for i in range(4)
+        f"((a.simhash >> {width * i}) & {mask}) = ((b.simhash >> {width * i}) & {mask})"
+        for i in range(n_bands)
     )
     return f"""
         WITH sh AS ({_SHINGLES_CTE}),
         hs AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS h FROM sh),
-        sim AS (SELECT doc_id, ({_simhash_expr_sql()})::BIGINT AS simhash FROM hs)
+        sim AS (SELECT doc_id, ({_simhash_expr_sql(bits)})::BIGINT AS simhash FROM hs)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
         FROM sim a JOIN sim b ON a.doc_id < b.doc_id AND ({band_eq})
@@ -544,7 +563,7 @@ _INLINE_ENTRIES = [
 
 def _q_inline_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-entry passthrough source (the `https` one-URL-one-entry
-    module, /root/reference/src/fetchez/modules/https.py): caller-supplied
+    module, /root/reference/src/fetchez/core.py:1142-1150 HttpDataset): caller-supplied
     rows enter the same pipeline as real sources."""
     from pyspark.sql import types as T
 
@@ -708,13 +727,15 @@ def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup JOIN: pairs within hamming distance 3, found by
-    the byte-band pigeonhole trick (4 bands; any pair with <= 3 differing
-    bits agrees on >= 1 whole byte) and verified with bit_count(XOR)."""
+    """SimHash near-dup JOIN, Manku-shape (WWW'07): 64-bit fingerprints,
+    pairs within hamming distance 3 found by the 4 x 16-bit block
+    pigeonhole trick (any pair with <= 3 differing bits agrees on >= 1
+    whole block; 65,536 join-key values per band keeps the candidate join
+    linear at corpus scale) and verified with bit_count(XOR)."""
     from fetchez_spark.functions.dedup import simhash_hamming_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_hamming_pairs(d, max_hamming=3)
+    return simhash_hamming_pairs(d, max_hamming=3, bits=64, n_bands=4)
 
 
 # ---------------------------------------------------------------------------
@@ -1102,8 +1123,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
         """,
         "minhash_lsh_dups": _minhash_lsh_sql(num_hashes=16, bands=4),
-        "simhash_docs": _simhash_docs_sql(),
-        "simhash_hamming_pairs": _simhash_hamming_sql(max_hamming=3),
+        "simhash_docs": _simhash_docs_sql(bits=32),
+        "simhash_hamming_pairs": _simhash_hamming_sql(max_hamming=3, bits=64, n_bands=4),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=8, seed=42, k=10),
         # recall gate: exact top-10; the Spark side semi-joins it on the
         # IVF probe's ids, so green == recall 1.0 (see _q_ivf_topk)

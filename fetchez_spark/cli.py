@@ -34,6 +34,19 @@ def _coerce(value: str, annotation) -> object:
     return value
 
 
+def _num(x: str):
+    """'' -> None (open bound); numeric strings -> int/float; else str."""
+    if x == "":
+        return None
+    try:
+        return int(x)
+    except ValueError:
+        try:
+            return float(x)
+        except ValueError:
+            return x
+
+
 def introspect_source_args(cls) -> dict[str, dict]:
     """{param: {annotation, default, required}} from the class signature."""
     out: dict[str, dict] = {}
@@ -49,7 +62,7 @@ def introspect_source_args(cls) -> dict[str, dict]:
     return out
 
 
-def _parse_kv(pairs: list[str], cls) -> dict:
+def _parse_kv(pairs: list[str], cls, check_required: bool = True) -> dict:
     spec = introspect_source_args(cls)
     args: dict = {}
     for pair in pairs:
@@ -61,9 +74,10 @@ def _parse_kv(pairs: list[str], cls) -> dict:
                 f"unknown arg {k!r} for {cls.__name__}; accepts: {sorted(spec)}"
             )
         args[k] = _coerce(v, spec[k]["annotation"] or type(spec[k]["default"]).__name__)
-    missing = [k for k, s in spec.items() if s["required"] and k not in args]
-    if missing:
-        raise SystemExit(f"missing required args for {cls.__name__}: {missing}")
+    if check_required:
+        missing = [k for k, s in spec.items() if s["required"] and k not in args]
+        if missing:
+            raise SystemExit(f"missing required args for {cls.__name__}: {missing}")
     return args
 
 
@@ -101,6 +115,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--show-args", action="store_true", help="print the introspected signature and exit")
     p = sub.add_parser(
         "snapshots", help="search snapshot metadata of a table (catalog search)"
+    )
+    p.add_argument("table_dir")
+    p.add_argument("--where", action="append", default=[], help="equality filter key=value")
+    p.add_argument("--range", action="append", default=[], dest="ranges",
+                   help="range filter key=lo:hi ('' leaves a bound open)")
+    p = sub.add_parser(
+        "ingest-index",
+        help="import an external CSV/JSON inventory into a table's catalog "
+        "(searchable via `index`)",
+    )
+    p.add_argument("table_dir")
+    p.add_argument("source_file")
+    p.add_argument("--map", action="append", default=[], dest="maps",
+                   help="field mapping input_header=catalog_field")
+    p.add_argument("--wipe", action="store_true", help="replace existing index records")
+    p = sub.add_parser(
+        "index", help="search a table's ingested catalog index records"
     )
     p.add_argument("table_dir")
     p.add_argument("--where", action="append", default=[], help="equality filter key=value")
@@ -168,11 +199,12 @@ def main(argv: list[str] | None = None) -> int:
         from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
         from fetchez_spark.streaming.engine import replay_batches
 
-        sink_kv = dict(kv.partition("=")[::2] for kv in args.sink_arg)
-        sink_args = {
-            k: _coerce(v, "int" if v.lstrip("-").isdigit() else "str")
-            for k, v in sink_kv.items()
-        }
+        # sink args coerce through the SAME annotation-driven path as source
+        # args (introspected from LocalSnapshotSink.__init__): bools parse as
+        # bools (dedup_on_write=false != the truthy string 'false'), floats
+        # as floats (late_tolerance_seconds=1.5)
+        sink_args = _parse_kv(args.sink_arg, LocalSnapshotSink, check_required=False)
+        sink_args.pop("table_dir", None)
         spark = get_spark(
             app_name=f"fetchez-ingest-{args.source}",
             master=f"local[{args.cores}]" if args.cores else None,
@@ -183,7 +215,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"batches": len(results), "table": args.table,
                           "snapshot": sink.current_snapshot_id}, default=str))
         return 0
-    if args.cmd == "snapshots":
+    if args.cmd in ("snapshots", "index", "ingest-index"):
         import os
 
         from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
@@ -191,19 +223,14 @@ def main(argv: list[str] | None = None) -> int:
         if not os.path.isfile(os.path.join(args.table_dir, "VERSION")):
             print(f"not a snapshot table: {args.table_dir}", file=sys.stderr)
             return 1
-
-        def _num(x):
-            if x == "":
-                return None
-            try:
-                return int(x)
-            except ValueError:
-                try:
-                    return float(x)
-                except ValueError:
-                    return x
-
         sink = LocalSnapshotSink(args.table_dir)
+        if args.cmd == "ingest-index":
+            field_map = dict(kv.partition("=")[::2] for kv in args.maps)
+            res = sink.ingest_index(
+                args.source_file, field_map=field_map or None, wipe=args.wipe
+            )
+            print(json.dumps(res))
+            return 0
         eq = {
             k: _num(v) for k, _, v in (kv.partition("=") for kv in args.where)
         } or None
@@ -212,7 +239,12 @@ def main(argv: list[str] | None = None) -> int:
             k, _, bounds = r.partition("=")
             lo, _, hi = bounds.partition(":")
             ranges[k] = (_num(lo), _num(hi))
-        for rec in sink.search(eq=eq, ranges=ranges or None):
+        recs = (
+            sink.search(eq=eq, ranges=ranges or None)
+            if args.cmd == "snapshots"
+            else sink.search_index(eq=eq, ranges=ranges or None)
+        )
+        for rec in recs:
             print(json.dumps(rec, default=str))
         return 0
     if args.cmd == "changes":

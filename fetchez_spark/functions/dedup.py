@@ -22,6 +22,32 @@ from pyspark.sql import functions as F
 from fetchez_spark.functions.text import fingerprint, shingles
 
 
+def cap_bucket_size(
+    banded: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Drop LSH band buckets holding more than ``max_bucket_size`` members
+    before a candidate self-join.
+
+    The one remaining quadratic risk in any banded-LSH plan is a
+    degenerate bucket: 10^6 boilerplate near-identical docs land in ONE
+    band bucket and the self-join inside it is O(10^12) rows regardless of
+    how many buckets the band key space has.  Capping bucket membership
+    bounds candidate mass at bands * cap * n (linear), and genuine
+    near-dup pairs survive because they collide in MANY independent bands
+    -- losing one hot bucket costs recall 1-(1-p^r)^(B-1) vs ^B.  Same
+    coarse-filter-then-refine instinct as ``max_shingle_df`` below and the
+    reference's bbox-prefilter (/root/reference/src/fetchez/modules/
+    earthdata.py:226-250).  One extra partial-agg groupBy + broadcastable
+    join on the band key -- no new shuffle shape."""
+    ok = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .select(*bucket_cols)
+    )
+    return banded.join(ok, on=bucket_cols)
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical documents: (fingerprint, n_dups, keep_id).
 
@@ -52,10 +78,13 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
     Returns (id_a, id_b, n_shared_bands) with id_a < id_b.
+    ``max_bucket_size`` (the 100 TB knob) drops degenerate band buckets
+    before the self-join -- see :func:`cap_bucket_size`.
     """
     rows_per_band = num_hashes // bands
     sig = df.select(
@@ -68,6 +97,8 @@ def minhash_lsh_candidates(
         for b in range(bands)
     ]
     banded = sig.select("_id", F.explode(F.array(*band_cols)).alias("_bucket"))
+    if max_bucket_size is not None:
+        banded = cap_bucket_size(banded, ["_bucket"], max_bucket_size)
     # pair within bucket; equi-join on the band hash keeps this linear in
     # candidate mass (the O(n^2) blowup only happens inside a bucket)
     left = banded.alias("l")
@@ -159,10 +190,12 @@ def minhash_lsh_candidates_portable(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded MinHash-LSH candidates (id_a, id_b, n_shared_bands) over the
     portable md5 hash family -- same explode-band/equi-join scale shape as
-    :func:`minhash_lsh_candidates`, engine-agnostic hashes."""
+    :func:`minhash_lsh_candidates`, engine-agnostic hashes.
+    ``max_bucket_size`` drops degenerate buckets (:func:`cap_bucket_size`)."""
     rows_per_band = num_hashes // bands
     sigs = portable_minhash_sigs(text_col, num_hashes, k)
     band_cols = [
@@ -177,6 +210,8 @@ def minhash_lsh_candidates_portable(
     banded = df.select(
         F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("_bucket")
     )
+    if max_bucket_size is not None:
+        banded = cap_bucket_size(banded, ["_bucket"], max_bucket_size)
     return (
         banded.alias("l")
         .join(banded.alias("r"), on="_bucket")
@@ -186,23 +221,30 @@ def minhash_lsh_candidates_portable(
     )
 
 
-_HEX_HIGH = ["8", "9", "a", "b", "c", "d", "e", "f"]
+_HEX_HIGH = ["8", "9", "a", "b", "c", "d", "e", "f"]  # hex digits with bit 3 set
+_HEX_BIT2 = ["4", "5", "6", "7", "c", "d", "e", "f"]  # hex digits with bit 2 set
 
 
-def simhash_portable(col: Column | str, bits: int = 32, k: int = 5) -> Column:
+def simhash_portable(col: Column | str, bits: int = 64, k: int = 5) -> Column:
     """SimHash over the portable md5 family: bit b of the fingerprint is
-    the majority vote of bit 3 of hex nibble b across shingle hashes
-    (vote > 0 <=> 2 * count_set > n).  Pure substring/filter/size exprs --
-    identical results in Spark and DuckDB (oracle-checkable); the
-    throughput variant is :func:`simhash` (xxhash64 bitwise aggregates)."""
-    assert bits <= 32, "md5 hex exposes 32 nibbles"
+    the majority vote across shingle hashes of one bit of hex nibble
+    ``b % 32`` -- nibble bit 3 for b < 32, nibble bit 2 for b >= 32, so 64
+    independent md5 bits come out of the 32 hex nibbles (vote > 0 <=>
+    2 * count_set > n).  Pure substring/filter/size exprs -- identical
+    results in Spark and DuckDB (oracle-checkable); the throughput variant
+    is :func:`simhash` (xxhash64 bitwise aggregates).  64 bits is the
+    Manku et al. production fingerprint width (WWW'07: 64-bit simhash,
+    hamming <= 3 on 8B pages); 32-bit fingerprints under-discriminate at
+    10^9 docs (birthday collisions at random-pair hamming ~16)."""
+    assert bits <= 64, "the portable family exposes 2 bits per md5 nibble"
     sh = shingles(col, k=k)
     hashed = F.transform(sh, lambda s: F.md5(F.encode(s, "UTF-8")))
     n = F.size(hashed)
     out = F.lit(0).cast("long")
     for b in range(bits):
+        digits = _HEX_HIGH if b < 32 else _HEX_BIT2
         n_set = F.size(
-            F.filter(hashed, lambda h: F.substring(h, b + 1, 1).isin(_HEX_HIGH))
+            F.filter(hashed, lambda h: F.substring(h, (b % 32) + 1, 1).isin(digits))
         )
         out = out.bitwiseOR(
             F.when(n_set * 2 > n, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
@@ -217,17 +259,31 @@ def simhash_hamming_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    bits: int = 32,
+    bits: int = 64,
     k: int = 5,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance <= d, found with
-    the bit-band trick: split the fingerprint into d+1 byte bands -- by
-    pigeonhole, any pair within hamming d agrees on >= 1 whole band, so an
-    equi-join per band finds ALL qualifying pairs without an all-pairs
+    the bit-band trick: split the fingerprint into d+1 blocks -- by
+    pigeonhole, any pair within hamming d agrees on >= 1 whole block, so
+    an equi-join per block finds ALL qualifying pairs without an all-pairs
     scan.  Verification is exact ``bit_count(a XOR b)``.  Returns
-    (id_a, id_b, hamming)."""
-    n_bands = 4  # 32 bits / 8-bit bands; recall guaranteed for d <= 3
+    (id_a, id_b, hamming).
+
+    Default shape is Manku et al.'s (WWW'07 simhash paper): 64-bit
+    fingerprints in 4 x 16-bit blocks => 65,536 join-key values PER BAND,
+    so each band bucket holds ~n/65k docs and the candidate join stays
+    linear at corpus scale.  (The old 32-bit/8-bit-byte-band shape gave
+    only 256 values/band -- each bucket ~n/256 docs, effectively an
+    O(n^2/256) self-join at 10^9 docs; keep it only for tiny fixtures.)
+    ``max_bucket_size`` additionally hard-caps degenerate buckets
+    (:func:`cap_bucket_size`) -- a boilerplate-heavy corpus can still
+    concentrate one block value."""
+    width = bits // n_bands  # 16-bit blocks at the 64/4 default
+    assert bits % n_bands == 0, "bits must split evenly into n_bands blocks"
     assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    mask = F.lit((1 << width) - 1).cast("long")
     sim = df.select(F.col(id_col).alias("_id"), simhash_portable(text_col, bits, k).alias("_sh"))
     bands = sim.select(
         "_id",
@@ -237,13 +293,15 @@ def simhash_hamming_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("_sh", 8 * i).bitwiseAND(F.lit(255)).alias("v"),
+                        F.shiftright("_sh", width * i).bitwiseAND(mask).alias("v"),
                     )
                     for i in range(n_bands)
                 ]
             )
         ).alias("_b"),
     ).select("_id", "_sh", F.col("_b.band").alias("_band"), F.col("_b.v").alias("_v"))
+    if max_bucket_size is not None:
+        bands = cap_bucket_size(bands, ["_band", "_v"], max_bucket_size)
     pairs = (
         bands.alias("a")
         .join(bands.alias("b"), on=["_band", "_v"])

@@ -136,6 +136,48 @@ class IVFIndex:
         self.centroids = [list(map(float, c)) for c in model.clusterCenters()]
         return self
 
+    # -------------------------------------------------------- persistence
+    # A probe-serving flow must not refit per session: the centroids (the
+    # entire learned state -- small: k * dim floats) round-trip through a
+    # JSON sidecar, so `assign`/`topk` in a fresh session reproduce cell
+    # assignments bit-for-bit.  `index_version` guards format drift.
+    INDEX_VERSION = 1
+
+    def save(self, path: str) -> str:
+        import json
+        import os
+        import uuid
+
+        if self.centroids is None:
+            raise ValueError("fit() before save()")
+        payload = {
+            "index_version": self.INDEX_VERSION,
+            "kind": "ivf-cosine",
+            "k": self.k,
+            "seed": self.seed,
+            "vec_col": self.vec_col,
+            "centroids": self.centroids,
+        }
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        import json
+
+        with open(path) as f:
+            payload = json.load(f)
+        if payload.get("index_version") != cls.INDEX_VERSION:
+            raise ValueError(
+                f"unsupported index_version {payload.get('index_version')!r}"
+            )
+        idx = cls(k=payload["k"], seed=payload["seed"], vec_col=payload["vec_col"])
+        idx.centroids = [list(map(float, c)) for c in payload["centroids"]]
+        return idx
+
     def _cell_expr(self, vec_col: Column) -> Column:
         """Nearest centroid by cosine, as a pure expression (no UDF).
 
@@ -162,26 +204,46 @@ class IVFIndex:
         codegen).  Larger k: broadcast the centroid table and reduce with
         max(struct(sim, -cell)) per row id -- the broadcast join is
         shuffle-free; the reduction shuffles once on the row id, which
-        also scales to k = thousands (IVF-4096 etc.)."""
+        also scales to k = thousands (IVF-4096 etc.).  With no ``id_col``
+        a temporary monotonically_increasing_id is the reduce key, so
+        exact-duplicate rows keep their cardinality (grouping by payload
+        columns would collapse them)."""
         if len(self.centroids) <= self.EXPR_PATH_MAX_K:
             return df.withColumn(out, self._cell_expr(F.col(self.vec_col)))
         spark = df.sparkSession
         cents = spark.createDataFrame(
             [(i, c) for i, c in enumerate(self.centroids)], ["_cell_id", "_cent"]
         )
-        key = [id_col] if id_col else [c for c in df.columns]
-        scored = df.join(F.broadcast(cents)).withColumn(
-            "_sim", cosine(F.col(self.vec_col), F.col("_cent"))
-        )
-        # winner per input row: max over (sim, -cell) -- deterministic
-        # lowest-cell tie-break, single hash aggregate
-        won = scored.groupBy(*[F.col(c) for c in key]).agg(
-            F.max(F.struct(F.col("_sim"), (-F.col("_cell_id")).alias("_negcell"))).alias("_w")
-        )
-        picked = won.withColumn(out, (-F.col("_w._negcell")).cast("int")).drop("_w")
         if id_col:
+            scored = df.crossJoin(F.broadcast(cents)).withColumn(
+                "_sim", cosine(F.col(self.vec_col), F.col("_cent"))
+            )
+            # winner per input row: max over (sim, -cell) -- deterministic
+            # lowest-cell tie-break, single hash aggregate
+            won = scored.groupBy(F.col(id_col)).agg(
+                F.max(
+                    F.struct(F.col("_sim"), (-F.col("_cell_id")).alias("_negcell"))
+                ).alias("_w")
+            )
+            picked = won.withColumn(out, (-F.col("_w._negcell")).cast("int")).drop("_w")
             return df.join(picked.select(id_col, out), on=id_col)
-        return picked
+        # no id: synthesize one, group by (rid, payload) -- the rid is
+        # consumed inside the SAME plan (no self-join back), so its
+        # nondeterminism across recomputations cannot split rows
+        rid = "_ivf_rid"
+        scored = (
+            df.withColumn(rid, F.monotonically_increasing_id())
+            .crossJoin(F.broadcast(cents))
+            .withColumn("_sim", cosine(F.col(self.vec_col), F.col("_cent")))
+        )
+        won = scored.groupBy(F.col(rid), *[F.col(c) for c in df.columns]).agg(
+            F.max(
+                F.struct(F.col("_sim"), (-F.col("_cell_id")).alias("_negcell"))
+            ).alias("_w")
+        )
+        return (
+            won.withColumn(out, (-F.col("_w._negcell")).cast("int")).drop("_w", rid)
+        )
 
     def _query_cells(self, query_vec: list[float], nprobe: int) -> list[int]:
         import math
@@ -280,9 +342,10 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     dim: int = 64,
     bands: int = 8,
-    planes_per_band: int = 3,
+    planes_per_band: int = 16,
     threshold: float = 0.42,
     seed: int = 7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH
     (multi-table OR-construction) then exact cosine verification
@@ -297,6 +360,17 @@ def embedding_neardup_pairs(
     MinHash banding shape (functions/dedup.py:minhash_lsh_candidates).
     Candidate pair ids are deduped BEFORE re-joining the vectors, so each
     surviving pair's exact cosine is computed once.
+
+    Scale knobs: the default ``planes_per_band=16`` gives 2^16 buckets per
+    band, so band buckets stay small at corpus scale (3 bits = 8 buckets
+    only suits tiny oracle fixtures; pass it explicitly there).  Even so,
+    a degenerate corpus (millions of boilerplate near-identical docs) can
+    put everything in one bucket, so ``max_bucket_size`` hard-caps the
+    candidate mass: buckets with more than that many members are DROPPED
+    before the self-join (same knob as ``max_shingle_df`` in
+    functions/dedup.py:ngram_jaccard_pairs).  Genuine near-dup pairs
+    collide in many independent bands, so they survive losing a hot
+    bucket; with the cap on, candidate rows are <= bands * cap * n.
     """
     planes = _random_hyperplanes(dim, bands * planes_per_band, seed)
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
@@ -313,6 +387,10 @@ def embedding_neardup_pairs(
     banded = base.select("_id", F.explode(F.array(*band_structs)).alias("_bb")).select(
         "_id", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bkt")
     )
+    if max_bucket_size is not None:
+        from fetchez_spark.functions.dedup import cap_bucket_size
+
+        banded = cap_bucket_size(banded, ["_band", "_bkt"], max_bucket_size)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["_band", "_bkt"])

@@ -207,24 +207,35 @@ class Recipe:
                 )
             return {"mode": mode, "batches": all_results}
         if mode == "stream":
-            if len(units) > 1:
-                raise ValueError(
-                    "stream mode runs one source per query; start one "
-                    "recipe per stream (they share the sink safely only "
-                    "with distinct checkpoint dirs and token prefixes)"
+            # N sources = N concurrent streaming queries into the ONE sink:
+            # each gets its own checkpoint subdir and batch-token prefix, so
+            # tokens never collide and the sink's commit lock + MoR append
+            # reconciliation interleave their commits safely (the reference
+            # unions N modules into one run, core.py:822-832).
+            ckpt = self._resolve_path(run_cfg["checkpoint_dir"])
+            queries = []
+            for i, (source, transforms) in enumerate(units):
+                prefix = run_cfg.get("token_prefix", "")
+                if len(units) > 1:
+                    prefix = f"{prefix or 'stream'}-s{i}"
+                queries.append(
+                    run_stream(
+                        spark,
+                        source.log_dir,
+                        sink,
+                        checkpoint_dir=(
+                            os.path.join(ckpt, f"s{i}") if len(units) > 1 else ckpt
+                        ),
+                        schema=source.schema,
+                        max_files_per_trigger=source.max_files_per_trigger,
+                        lineage=lineage,
+                        transforms=transforms,
+                        available_now=run_cfg.get("available_now", True),
+                        token_prefix=prefix,
+                    )
                 )
-            source, transforms = units[0]
-            query = run_stream(
-                spark,
-                source.log_dir,
-                sink,
-                checkpoint_dir=self._resolve_path(run_cfg["checkpoint_dir"]),
-                schema=source.schema,
-                max_files_per_trigger=source.max_files_per_trigger,
-                lineage=lineage,
-                transforms=transforms,
-                available_now=run_cfg.get("available_now", True),
-            )
-            query.awaitTermination(run_cfg.get("timeout_sec", 3600))
-            return {"mode": mode, "query_id": str(query.id)}
+            timeout = run_cfg.get("timeout_sec", 3600)
+            for q in queries:
+                q.awaitTermination(timeout)
+            return {"mode": mode, "query_ids": [str(q.id) for q in queries]}
         raise ValueError(f"unknown run mode {mode!r}")

@@ -112,7 +112,10 @@ def load_plugins(plugin_dir: str | None = None) -> list[str]:
     the plugin dir; modules self-register via register_source/register_sink
     or a ``setup_fetchez_spark(registry)`` function (entry-point analog,
     registry.py:1145-1159)."""
-    plugin_dir = plugin_dir or os.path.expanduser("~/.fetchez_spark/plugins")
+    if plugin_dir is None:
+        from fetchez_spark.config import plugin_dir as _cfg_plugin_dir
+
+        plugin_dir = _cfg_plugin_dir()  # user config file can move it
     loaded: list[str] = load_entry_point_plugins()
     if not os.path.isdir(plugin_dir):
         return loaded
@@ -216,4 +219,17 @@ def make_source(name: str, **kwargs) -> Any:
 
 
 def make_sink(name: str, **kwargs) -> Any:
-    return get_sink_class(name)(**kwargs)
+    """Construct a sink; user-config ``sink:`` defaults fill kwargs the
+    caller left unset (explicit recipe/CLI args always win), filtered to
+    params the class actually accepts (so one config serves sinks with
+    different signatures)."""
+    import inspect
+
+    from fetchez_spark.config import sink_defaults
+
+    cls = get_sink_class(name)
+    accepted = set(inspect.signature(cls.__init__).parameters)
+    defaults = {
+        k: v for k, v in sink_defaults().items() if k in accepted and k not in kwargs
+    }
+    return cls(**{**defaults, **kwargs})

@@ -49,6 +49,10 @@ def get_spark(
     )
     if shuffle_partitions:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    for k, v in (extra_conf or {}).items():
+    # user config file (~/.fetchez_spark/config.yaml `session:` map) under
+    # explicit extra_conf -- explicit always wins
+    from fetchez_spark.config import session_conf
+
+    for k, v in {**session_conf(), **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

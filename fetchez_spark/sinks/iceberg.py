@@ -74,6 +74,16 @@ def create_table_sql(table: str, schema=None, num_buckets: int = 32, key: list[s
     )
 
 
+def alter_add_columns_sql(table: str, new_fields) -> str:
+    """Additive schema evolution DDL: Iceberg supports ALTER TABLE ADD
+    COLUMNS natively (metadata-only, no rewrite) -- the Iceberg twin of
+    LocalSnapshotSink's ``merge_schemas`` manifest update, and of the
+    reference's entry extra-keys widening
+    (/root/reference/src/fetchez/core.py:1128-1137)."""
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in new_fields)
+    return f"ALTER TABLE {table} ADD COLUMNS ({cols})"
+
+
 def merge_sql(table: str, source_view: str, key: list[str], columns: list[str]) -> str:
     """MERGE text with EXPLICIT column lists (no ``UPDATE SET *``: the
     source is projected to the exact target shape by batch_to_target_rows,
@@ -153,6 +163,23 @@ class IcebergSink(SnapshotSink):
             drop = ", ".join(f"'{k}'" for _, k in toks[:excess])
             self.spark.sql(f"ALTER TABLE {self.table} UNSET TBLPROPERTIES ({drop})")
 
+    # ------------------------------------------------------------- schema
+    def _target_columns(self) -> list[str]:
+        return self.spark.read.table(self.table).columns
+
+    def _evolve_schema(self, rows: DataFrame) -> list[str]:
+        """Additive evolution before the MERGE: any batch column the target
+        lacks becomes an ALTER TABLE ADD COLUMNS (a batch naming unknown
+        columns would otherwise fail the MERGE's explicit column lists).
+        Returns the added column names.  Width-only: dropped/renamed/
+        retyped columns are NOT evolved (same contract as the local sink's
+        merge_schemas)."""
+        existing = set(self._target_columns())
+        new_fields = [f for f in rows.schema.fields if f.name not in existing]
+        if new_fields:
+            self.spark.sql(alter_add_columns_sql(self.table, new_fields))
+        return [f.name for f in new_fields]
+
     # -------------------------------------------------------------- merge
     def merge(self, batch: DataFrame, batch_token: str, offsets: dict[str, Any] | None = None):
         t0 = time.monotonic()
@@ -162,6 +189,7 @@ class IcebergSink(SnapshotSink):
         rows = dedup_latest(
             batch_to_target_rows(batch), key=self.key, order=["ts", INTERNAL_SEQ]
         )
+        added = self._evolve_schema(rows)
         view = "_fz_batch"
         rows.createOrReplaceTempView(view)
         self.spark.sql(merge_sql(self.table, view, self.key, rows.columns))
@@ -169,6 +197,7 @@ class IcebergSink(SnapshotSink):
         return {
             "skipped": False,
             "batch_token": token,
+            "columns_added": added,
             "seconds": time.monotonic() - t0,
         }
 

@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -86,6 +87,66 @@ _BUCKET = "_bucket"
 # manifest "deltas" key for unclustered (flat) delta files
 _FLAT = "*"
 INTERNAL_COLUMNS = (INTERNAL_SEQ, INTERNAL_DELETED, INTERNAL_SRC)
+
+_TOKEN_RE = re.compile(r"^(.*?)(\d+)$")
+
+
+def _token_parts(token: str) -> tuple[str, int | None]:
+    """Split a batch token into (prefix, numeric suffix).
+
+    Engine-issued tokens are ``<prefix>-<n>`` with n monotonically
+    increasing per prefix (stream batch ids, replay indices); the suffix
+    drives the per-prefix token-sequence watermark that keeps exactly-once
+    EXACT beyond the bounded committed-token window.  Tokens with no
+    trailing digits get no watermark (always re-checked against the
+    window only)."""
+    m = _TOKEN_RE.match(token)
+    if not m:
+        return token, None
+    return m.group(1), int(m.group(2))
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """A concurrent commit changed state this commit cannot be reconciled
+    with (CoW bucket rewrites, racing major compactions).  MoR appends and
+    delta consolidations never raise this -- they reconcile."""
+
+
+def _coerce_scalar(v):
+    """Numeric-string coercion for ingested index records (so range search
+    compares numbers, not strings).  Non-strings pass through."""
+    if not isinstance(v, str):
+        return v
+    s = v.strip()
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            return v
+
+
+def _filter_records(
+    records: list[dict],
+    eq: dict[str, Any] | None,
+    ranges: dict[str, tuple[Any, Any]] | None,
+) -> list[dict]:
+    """Equality + half-open-range filter over flat metadata records (the
+    FRED ``search`` filter surface, fred.py:153-221)."""
+    out = []
+    for rec in records:
+        if any(rec.get(k) != v for k, v in (eq or {}).items()):
+            continue
+        ok = True
+        for k, (lo, hi) in (ranges or {}).items():
+            v = rec.get(k)
+            if v is None or (lo is not None and v < lo) or (hi is not None and v > hi):
+                ok = False
+                break
+        if ok:
+            out.append(rec)
+    return out
 
 
 _AQE_EMPTY_RULE = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
@@ -257,7 +318,10 @@ class LocalSnapshotSink(SnapshotSink):
             with open(tmp, "w") as f:
                 f.write(body)
             os.replace(tmp, path)
-        self._list_cache[blob] = list(files)
+        # cache the CANONICAL (sorted) form -- the blob on disk is sorted,
+        # so a cache hit and a disk read must return the same ordering
+        # (and two orderings of one file set share a slot safely)
+        self._list_cache[blob] = sorted(files)
         return f"ref:{blob}"
 
     def _resolve_list(self, val) -> list[str]:
@@ -328,6 +392,44 @@ class LocalSnapshotSink(SnapshotSink):
             if fn.startswith("snap-") and fn.endswith(".json")
         ]
         return f"snap-{(max(sids) if sids else 0) + 1:010d}"
+
+    def _claim_sid(self, cur: dict) -> str:
+        """Collision-free snapshot-id allocation for concurrent writers:
+        claim the id by exclusively creating its data directory (atomic
+        mkdir).  Two streaming queries appending to one table each get a
+        distinct sid, so their data writes can never clobber each other;
+        id order need not match commit order (the parent chain, not the
+        numbering, defines history -- same as Iceberg snapshot ids)."""
+        sid = self._next_sid(cur)
+        base = int(sid[5:])
+        for i in range(10_000):
+            candidate = f"snap-{base + i:010d}"
+            try:
+                os.makedirs(os.path.join(self.table_dir, "data", candidate))
+                return candidate
+            except FileExistsError:
+                continue
+        raise RuntimeError("could not allocate a snapshot id")  # pragma: no cover
+
+    @contextmanager
+    def _commit_lock(self):
+        """Inter-process exclusive lock around the manifest read-reconcile-
+        commit critical section (flock: works across processes AND across
+        threads, each holding its own fd).  Held only for driver-side
+        metadata work -- data-file writes happen OUTSIDE the lock, so N
+        concurrent streams overlap their Spark jobs and serialize only the
+        O(touched-buckets) manifest swap.  Single-writer tables pay one
+        uncontended flock per commit (~microseconds)."""
+        import fcntl
+
+        path = os.path.join(self.table_dir, "COMMIT.lock")
+        fd = os.open(path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """Null-backfill columns of ``schema`` the batch lacks (a source
@@ -584,6 +686,25 @@ class LocalSnapshotSink(SnapshotSink):
                 "skipped": True,
                 "batch_token": token,
             }
+        # deep-replay guard: the committed-token map is a bounded window,
+        # but the per-prefix token-sequence watermark is O(1) and never
+        # expires -- a token at or below its prefix's watermark was
+        # committed and later evicted from the window, so a from-scratch
+        # replay skips it instead of re-merging duplicate delta bytes and
+        # double-counting lineage rows_in.  Contract: tokens sharing a
+        # prefix commit in increasing numeric order (true for stream batch
+        # ids and replay indices; merge() enforces nothing for custom
+        # non-monotone tokens without trailing digits).
+        tok_prefix, tok_seq = _token_parts(token)
+        if tok_seq is not None and tok_seq <= int(
+            cur.get("token_seq", {}).get(tok_prefix, -1)
+        ):
+            return {
+                "snapshot_id": cur["snapshot_id"],
+                "skipped": True,
+                "batch_token": token,
+                "replayed_outside_window": True,
+            }
         spark = batch.sparkSession
         nb = cur["num_buckets"]
         cur_schema = T.StructType.fromJson(cur["schema"])
@@ -654,7 +775,7 @@ class LocalSnapshotSink(SnapshotSink):
 
         metrics: dict[str, Any] = {"batch_token": token, "skipped": False, "mode": self.mode}
 
-        sid = self._next_sid(cur)
+        sid = self._claim_sid(cur)
         # refs/lists pass through untouched for buckets this commit does
         # not modify -- that is what makes commit metadata O(touched)
         new_files = dict(cur["files"])
@@ -757,7 +878,12 @@ class LocalSnapshotSink(SnapshotSink):
                 metrics["rows_too_late"] = got_in.get("rows_too_late") or 0
                 metrics["rows_deduped"] = got_out.get("rows_deduped", 0)
                 metrics["rows_deleted"] = got_out.get("rows_deleted") or 0
-        if self.collect_metrics and self.mode == "mor" and written:
+        # the stats job runs whenever lineage wants it (collect_metrics) OR
+        # the fast path skipped the Observations (not use_observe): the
+        # high-watermark must advance even with metrics collection off,
+        # else a later reader with late_tolerance_seconds set sees hwm=None
+        # and silently applies no late-event rejection.
+        if self.mode == "mor" and written and (self.collect_metrics or not use_observe):
             # per-src-partition lineage counts (+ in fast mode: the batch
             # totals, deletes, and watermark).  MoR-only: CoW rewrites mix
             # in pre-existing rows, so per-partition counts there would
@@ -780,19 +906,21 @@ class LocalSnapshotSink(SnapshotSink):
                 )
                 .collect()
             )
-            metrics["rows_in_per_src_partition"] = {
-                int(r[INTERNAL_SRC]): int(r["n"])
-                for r in per_part
-                if r[INTERNAL_SRC] is not None
-            }
+            if self.collect_metrics:
+                metrics["rows_in_per_src_partition"] = {
+                    int(r[INTERNAL_SRC]): int(r["n"])
+                    for r in per_part
+                    if r[INTERNAL_SRC] is not None
+                }
             if not use_observe:
-                total = sum(int(r["n"]) for r in per_part)
-                metrics["rows_in"] = total
-                metrics["rows_too_late"] = 0
-                metrics["rows_deduped"] = total  # fast path writes verbatim
-                metrics["rows_deleted"] = sum(int(r["d"] or 0) for r in per_part)
                 maxes = [r["m"] for r in per_part if r["m"] is not None]
                 max_ts = max(maxes) if maxes else None
+                if self.collect_metrics:
+                    total = sum(int(r["n"]) for r in per_part)
+                    metrics["rows_in"] = total
+                    metrics["rows_too_late"] = 0
+                    metrics["rows_deduped"] = total  # fast path writes verbatim
+                    metrics["rows_deleted"] = sum(int(r["d"] or 0) for r in per_part)
         if max_ts is not None:
             iso = max_ts.isoformat(sep=" ")
             new_hwm = max(hwm, iso) if hwm else iso
@@ -811,30 +939,89 @@ class LocalSnapshotSink(SnapshotSink):
                 }
             )
 
-        committed = dict(cur["committed_batches"])
-        committed[token] = sid
-        if len(committed) > self.max_committed_tokens:
-            for k in list(committed)[: len(committed) - self.max_committed_tokens]:
-                del committed[k]
-        manifest = {
-            "snapshot_id": sid,
-            "parent": cur["snapshot_id"],
-            "schema": new_schema.jsonValue(),
-            "num_buckets": nb,
-            "files": self._pack_map(new_files),
-            "deltas": self._pack_map(new_deltas),
-            "committed_batches": committed,
-            "stats": stats,
-            "high_watermark": new_hwm,
-            "offsets": offsets,
-        }
-        self._commit(manifest)
+        # ---- commit: optimistic-concurrency manifest swap.  The expensive
+        # data-file writes above ran unlocked; under the (driver-side,
+        # metadata-only) commit lock we re-read the current manifest and,
+        # if another writer committed meanwhile, RECONCILE: an MoR append
+        # only ADDS delta files, so re-applying our additions on top of the
+        # latest manifest is always valid (concurrent appends commute, and
+        # a racing compaction cannot have folded files it never saw
+        # listed).  CoW rewrites base files computed FROM `cur`, which a
+        # concurrent commit invalidates -> ConcurrentWriteConflict.
+        def _manifest_for(base: dict) -> dict:
+            if base["snapshot_id"] == cur["snapshot_id"]:
+                files_, deltas_ = new_files, new_deltas
+                schema_, stats_, hwm_ = new_schema, stats, new_hwm
+            else:
+                files_ = dict(base["files"])
+                deltas_ = dict(base.get("deltas", {}))
+                if self.cluster_deltas:
+                    for b, fs in written_map.items():
+                        deltas_[b] = self._resolve_list(deltas_.get(b, [])) + fs
+                else:
+                    deltas_[_FLAT] = self._resolve_list(deltas_.get(_FLAT, [])) + written
+                schema_ = merge_schemas(
+                    T.StructType.fromJson(base["schema"]), batch_payload_schema
+                )
+                stats_ = {
+                    "delta_files": self._count_files(deltas_),
+                    "delta_commits": int(base.get("stats", {}).get("delta_commits", 0)) + 1,
+                }
+                ours = max_ts.isoformat(sep=" ") if max_ts is not None else None
+                hwm_ = max(
+                    (x for x in (base.get("high_watermark"), ours) if x is not None),
+                    default=None,
+                )
+            committed = dict(base["committed_batches"])
+            committed[token] = sid
+            if len(committed) > self.max_committed_tokens:
+                for k in list(committed)[: len(committed) - self.max_committed_tokens]:
+                    del committed[k]
+            token_seq = dict(base.get("token_seq", {}))
+            if tok_seq is not None:
+                token_seq[tok_prefix] = max(int(token_seq.get(tok_prefix, -1)), tok_seq)
+            return {
+                "snapshot_id": sid,
+                "parent": base["snapshot_id"],
+                "schema": schema_.jsonValue(),
+                "num_buckets": nb,
+                "files": self._pack_map(files_),
+                "deltas": self._pack_map(deltas_),
+                "committed_batches": committed,
+                "token_seq": token_seq,
+                "stats": stats_,
+                "high_watermark": hwm_,
+                "offsets": offsets,
+                # catalog payloads ride along untouched
+                **({"index": base["index"]} if "index" in base else {}),
+            }
+
+        with self._commit_lock():
+            latest = self.manifest()
+            if latest["snapshot_id"] != cur["snapshot_id"]:
+                if token in latest["committed_batches"]:
+                    return {
+                        "snapshot_id": latest["committed_batches"][token],
+                        "skipped": True,
+                        "batch_token": token,
+                    }
+                if self.mode != "mor":
+                    raise ConcurrentWriteConflict(
+                        "a concurrent commit advanced the table during a CoW "
+                        "merge; CoW requires a single writer (use MoR for "
+                        "multi-stream ingest)"
+                    )
+            manifest = _manifest_for(latest)
+            self._commit(manifest)
         metrics["snapshot_id"] = sid
 
         # auto-compaction counts delta COMMITS since the last compaction
         # (file counts vary with AQE); a full compact folds deltas into
         # bucketed base files and resets the counter
-        if self.mode == "mor" and stats.get("delta_commits", 0) >= self.compact_every:
+        if (
+            self.mode == "mor"
+            and manifest["stats"].get("delta_commits", 0) >= self.compact_every
+        ):
             metrics["compacted"] = self.compact(spark)["snapshot_id"]
 
         metrics["seconds"] = time.monotonic() - t0
@@ -869,7 +1056,7 @@ class LocalSnapshotSink(SnapshotSink):
             delta_files = [f for fs in delta_map.values() for f in fs]
             if not delta_files:
                 return {"snapshot_id": cur["snapshot_id"], "compacted_buckets": 0}
-            sid = self._next_sid(cur)
+            sid = self._claim_sid(cur)
             written = self._dedup_write_bucketed(
                 self._read_files(spark, delta_files, schema).withColumn(
                     _BUCKET, self._bucket_expr(cur["num_buckets"])
@@ -878,17 +1065,34 @@ class LocalSnapshotSink(SnapshotSink):
                 cur["num_buckets"],
                 schema,
             )
-            manifest = {
-                **cur,
-                "snapshot_id": sid,
-                "parent": cur["snapshot_id"],
-                "deltas": self._pack_map({b: list(fs) for b, fs in written.items()}),
-                "stats": {
-                    **cur.get("stats", {}),
-                    "minor_compacted_files": len(delta_files),
-                },
-            }
-            self._commit(manifest)
+            # commit via consumed-file subtraction against the LATEST
+            # manifest: delta files appended by concurrent streams during
+            # this consolidation survive untouched (MoR maintenance
+            # reconciles, it never conflicts)
+            consumed = set(delta_files)
+            with self._commit_lock():
+                latest = self.manifest()
+                deltas_ = {
+                    b: [f for f in self._resolve_list(v) if f not in consumed]
+                    for b, v in latest.get("deltas", {}).items()
+                }
+                for b, fs in written.items():
+                    deltas_[b] = deltas_.get(b, []) + list(fs)
+                manifest = {
+                    **latest,
+                    "snapshot_id": sid,
+                    "parent": latest["snapshot_id"],
+                    "deltas": self._pack_map(deltas_),
+                    # stats built from scratch: a minor compact is a pure
+                    # maintenance commit, so it must NOT inherit the parent
+                    # merge's rows_in/rows_upserted/rows_deleted (catalog
+                    # range filters like rows_in>=N would wrongly match it)
+                    "stats": {
+                        "delta_commits": int(latest.get("stats", {}).get("delta_commits", 0)),
+                        "minor_compacted_files": len(delta_files),
+                    },
+                }
+                self._commit(manifest)
             return {"snapshot_id": sid, "compacted_buckets": len(written), "minor": True}
         has_flat = bool(delta_map.get(_FLAT))
         if has_flat:
@@ -906,7 +1110,7 @@ class LocalSnapshotSink(SnapshotSink):
         if not delta_files:
             return {"snapshot_id": cur["snapshot_id"], "compacted_buckets": 0}
         files = [f for b in todo for f in base_map.get(b, [])] + delta_files
-        sid = self._next_sid(cur)
+        sid = self._claim_sid(cur)
         written = self._dedup_write_bucketed(
             self._read_files(spark, files, schema).withColumn(
                 _BUCKET, self._bucket_expr(cur["num_buckets"])
@@ -915,23 +1119,44 @@ class LocalSnapshotSink(SnapshotSink):
             max(len(todo), cur["num_buckets"] if has_flat else 1),
             schema,
         )
-        new_files = dict(cur["files"])
-        new_deltas = {b: list(fs) for b, fs in delta_map.items()}
-        for b in todo:
-            new_files[b] = []
-            new_deltas[b] = []
-        if has_flat:
-            new_deltas[_FLAT] = []
-        new_files.update(written)
-        manifest = {
-            **cur,
-            "snapshot_id": sid,
-            "parent": cur["snapshot_id"],
-            "files": self._pack_map(new_files),
-            "deltas": self._pack_map(new_deltas),
-            "stats": {"compacted_buckets": len(written), "delta_commits": 0},
-        }
-        self._commit(manifest)
+        consumed = set(delta_files)
+        with self._commit_lock():
+            latest = self.manifest()
+            if latest["snapshot_id"] != cur["snapshot_id"]:
+                # concurrent MoR appends reconcile (subtraction below keeps
+                # their delta files); a racing BASE rewrite of a bucket we
+                # rewrote does not -- both folds started from the same base
+                # and would fork history
+                for b in todo:
+                    if latest["files"].get(b) != cur["files"].get(b):
+                        raise ConcurrentWriteConflict(
+                            f"racing compaction/rewrite of bucket {b}; run one "
+                            "maintenance job per table"
+                        )
+            new_files = dict(latest["files"])
+            new_deltas = {
+                b: [f for f in self._resolve_list(v) if f not in consumed]
+                for b, v in latest.get("deltas", {}).items()
+            }
+            for b in todo:
+                new_files[b] = []
+            new_files.update(written)
+            # delta commits that landed AFTER this fold started are still
+            # pending; everything up to `cur` was folded
+            dc = max(
+                0,
+                int(latest.get("stats", {}).get("delta_commits", 0))
+                - int(cur.get("stats", {}).get("delta_commits", 0)),
+            )
+            manifest = {
+                **latest,
+                "snapshot_id": sid,
+                "parent": latest["snapshot_id"],
+                "files": self._pack_map(new_files),
+                "deltas": self._pack_map(new_deltas),
+                "stats": {"compacted_buckets": len(written), "delta_commits": dc},
+            }
+            self._commit(manifest)
         return {"snapshot_id": sid, "compacted_buckets": len(written)}
 
     # -------------------------------------------------------------- search
@@ -966,19 +1191,7 @@ class LocalSnapshotSink(SnapshotSink):
 
         ``ranges={'rows_in': (1000, None)}`` keeps snapshots with
         rows_in >= 1000; either bound may be None (open)."""
-        out = []
-        for rec in self.snapshot_records():
-            if any(rec.get(k) != v for k, v in (eq or {}).items()):
-                continue
-            ok = True
-            for k, (lo, hi) in (ranges or {}).items():
-                v = rec.get(k)
-                if v is None or (lo is not None and v < lo) or (hi is not None and v > hi):
-                    ok = False
-                    break
-            if ok:
-                out.append(rec)
-        return out
+        return _filter_records(self.snapshot_records(), eq, ranges)
 
     def search_df(self, spark: SparkSession, **kwargs) -> DataFrame:
         """:meth:`search` results as a DataFrame (joinable with lineage)."""
@@ -988,6 +1201,128 @@ class LocalSnapshotSink(SnapshotSink):
         return spark.read.json(
             spark.sparkContext.parallelize([_json.dumps(r) for r in recs] or ["{}"])
         )
+
+    # -------------------------------------------------------- index ingest
+    # FRED ``ingest`` analog (/root/reference/src/fetchez/fred.py:256-356):
+    # import an external CSV/JSON inventory into the table's catalog so a
+    # user migrating an existing file/table manifest can query it through
+    # the same search surface as snapshot metadata.
+    def ingest_index(
+        self,
+        source_file: str,
+        field_map: dict[str, str] | None = None,
+        wipe: bool = False,
+    ) -> dict[str, Any]:
+        """Ingest a CSV or JSON record listing into the catalog index.
+
+        Mirrors the reference's behavior: explicit ``field_map``
+        (input_header -> catalog_field) renames win; a ``location`` field
+        is heuristically detected from any url/link/path-ish header when
+        absent (records with none are skipped, counted); numeric strings
+        coerce to int/float so range search works.  Records are stored as
+        ONE content-addressed blob and the manifest carries only the ref
+        -- commit metadata stays O(1) however big the imported inventory
+        is, and identical re-imports dedup to the same blob.  The commit
+        is a metadata-only snapshot (data files untouched), reconciled
+        under the commit lock like every other commit."""
+        ext = source_file.rsplit(".", 1)[-1].lower()
+        if ext == "csv":
+            import csv
+
+            with open(source_file, encoding="utf-8-sig") as f:
+                items = list(csv.DictReader(f))
+        elif ext == "json":
+            with open(source_file, encoding="utf-8") as f:
+                data = json.load(f)
+            items = (
+                data
+                if isinstance(data, list)
+                else data.get("files") or data.get("items") or []
+            )
+        else:
+            raise ValueError(f"unsupported index format {ext!r} (csv or json)")
+        field_map = field_map or {}
+        records, skipped = [], 0
+        for item in items:
+            rec = {k: _coerce_scalar(v) for k, v in item.items() if k not in field_map}
+            for src, dst in field_map.items():
+                if src in item:
+                    rec[dst] = _coerce_scalar(item[src])
+            if "location" not in rec:
+                hit = next(
+                    (
+                        k
+                        for k in rec
+                        if any(s in k.lower() for s in ("url", "link", "path"))
+                    ),
+                    None,
+                )
+                if hit is None:
+                    skipped += 1
+                    continue
+                rec["location"] = rec[hit]
+            records.append(rec)
+        with self._commit_lock():
+            latest = self.manifest()
+            existing = [] if wipe else self.index_records(latest)
+            sid = self._claim_sid(latest)
+            manifest = {
+                **latest,
+                "snapshot_id": sid,
+                "parent": latest["snapshot_id"],
+                "index": self._pack_blob(existing + records),
+                "stats": {
+                    "delta_commits": int(latest.get("stats", {}).get("delta_commits", 0)),
+                    "ingested_records": len(records),
+                },
+            }
+            self._commit(manifest)
+        return {
+            "snapshot_id": sid,
+            "ingested": len(records),
+            "skipped": skipped,
+            "total_records": len(existing) + len(records),
+        }
+
+    def index_records(self, manifest: dict | None = None) -> list[dict[str, Any]]:
+        ref = (manifest or self.manifest()).get("index")
+        return self._resolve_blob(ref) if ref else []
+
+    def search_index(
+        self,
+        eq: dict[str, Any] | None = None,
+        ranges: dict[str, tuple[Any, Any]] | None = None,
+    ) -> list[dict[str, Any]]:
+        """FRED-style attribute search over the ingested index records
+        (same filter surface as :meth:`search`)."""
+        return _filter_records(self.index_records(), eq, ranges)
+
+    def index_df(self, spark: SparkSession) -> DataFrame:
+        """Ingested index as a DataFrame (the at-scale query face)."""
+        recs = self.index_records()
+        return spark.read.json(
+            spark.sparkContext.parallelize([json.dumps(r) for r in recs] or ["{}"])
+        )
+
+    def _pack_blob(self, obj) -> str:
+        """Arbitrary JSON object -> content-addressed immutable blob ref
+        (the general form of :meth:`_pack_list`)."""
+        import hashlib
+
+        body = json.dumps(obj, sort_keys=True, default=str)
+        blob = f"blob-{hashlib.sha1(body.encode()).hexdigest()[:20]}.json"
+        path = os.path.join(self._lists_dir(), blob)
+        if not os.path.exists(path):
+            os.makedirs(self._lists_dir(), exist_ok=True)
+            tmp = path + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(body)
+            os.replace(tmp, path)
+        return f"ref:{blob}"
+
+    def _resolve_blob(self, ref: str):
+        with open(os.path.join(self._lists_dir(), ref[len("ref:"):])) as f:
+            return json.load(f)
 
     # ------------------------------------------------------------- maintain
     def rollback(self, snapshot_id: str) -> None:

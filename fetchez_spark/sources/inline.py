@@ -1,8 +1,9 @@
 """Inline single-entry source -- the ``https`` passthrough module analog.
 
 The reference's ``https`` module turns ONE caller-supplied URL into one
-entry dict with no discovery step (/root/reference/src/fetchez/modules/
-https.py); the engine analog is a source whose rows come from the recipe
+entry dict with no discovery step (HttpDataset,
+/root/reference/src/fetchez/core.py:1142-1150 -- it lives in core, not
+modules/); the engine analog is a source whose rows come from the recipe
 or CLI itself (no storage, no network).  Useful for injecting control
 rows, manual corrections, or tiny lookup feeds into the same merge path
 as real change logs.

@@ -40,11 +40,21 @@ def make_batch_fn(
     lineage: LineageLog | None = None,
     transforms: list[Transform] | None = None,
     on_batch: Callable[[int, dict], None] | None = None,
+    token_prefix: str = "",
 ) -> Callable[[DataFrame, int], None]:
-    """The foreachBatch function: transform chain -> MERGE -> lineage."""
+    """The foreachBatch function: transform chain -> MERGE -> lineage.
+
+    ``token_prefix`` namespaces the batch tokens: N streaming queries
+    writing ONE table must each pass a distinct prefix, else their batch 0s
+    collide and the later stream's first batch is silently skipped as
+    already-committed.  (Each query also needs its own checkpoint dir --
+    that part Spark enforces.)"""
+
+    def _token(batch_id: int) -> str:
+        return f"{token_prefix}-{batch_id}" if token_prefix else str(batch_id)
 
     def batch_fn(batch: DataFrame, batch_id: int) -> None:
-        if sink.is_committed(str(batch_id)):
+        if sink.is_committed(_token(batch_id)):
             # replayed batch after restart: offsets already folded into a
             # committed snapshot; exactly-once requires a no-op here.
             if on_batch:
@@ -55,7 +65,9 @@ def make_batch_fn(
         # sink records the same batch_id so {offsets, snapshot} commit as
         # one logical unit (SURVEY.md section 4 "resume from partial")
         metrics = sink.merge(
-            batch, batch_token=str(batch_id), offsets={"stream_batch_id": int(batch_id)}
+            batch,
+            batch_token=_token(batch_id),
+            offsets={"stream_batch_id": int(batch_id), "token_prefix": token_prefix},
         )
         if lineage is not None:
             # per-partition counts arrive in the sink's commit metrics
@@ -80,11 +92,18 @@ def run_stream(
     transforms: list[Transform] | None = None,
     on_batch: Callable[[int, dict], None] | None = None,
     available_now: bool = True,
+    token_prefix: str = "",
 ):
     """Tail a parquet-backed change log with Structured Streaming.
 
     ``available_now=True`` runs a bounded replay of everything currently in
     the log (resumable via ``checkpoint_dir``); ``False`` keeps tailing.
+
+    ``token_prefix`` enables N concurrent streams into ONE sink table:
+    each query gets its own checkpoint dir AND its own prefix, so batch
+    tokens never collide and the sink's commit lock + MoR append
+    reconciliation interleave their commits safely (exactly-once per
+    stream).
 
     ``schema=None`` infers the UNION schema of the files already in the
     log (mergeSchema batch read of the footers): a file stream cannot
@@ -109,10 +128,16 @@ def run_stream(
     )
     writer = (
         stream.writeStream.foreachBatch(
-            make_batch_fn(sink, lineage=lineage, transforms=transforms, on_batch=on_batch)
+            make_batch_fn(
+                sink,
+                lineage=lineage,
+                transforms=transforms,
+                on_batch=on_batch,
+                token_prefix=token_prefix,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
-        .queryName("fetchez-cdc")
+        .queryName(f"fetchez-cdc-{token_prefix}" if token_prefix else "fetchez-cdc")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -117,7 +117,10 @@ def load_preset_files(preset_dir: str | None = None) -> list[str]:
     entries override built-ins of the same name."""
     import yaml
 
-    preset_dir = preset_dir or os.path.expanduser("~/.fetchez_spark/presets")
+    if preset_dir is None:
+        from fetchez_spark.config import preset_dir as _cfg_preset_dir
+
+        preset_dir = _cfg_preset_dir()  # user config file can move it
     loaded: list[str] = []
     if not os.path.isdir(preset_dir):
         return loaded

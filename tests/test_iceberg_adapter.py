@@ -89,3 +89,54 @@ def test_iceberg_token_roundtrip_and_trim():
         assert sink.is_committed(f"b{i}")
     toks = sink._committed_tokens()
     assert len(toks) == 3 and "b4" in toks and "b0" not in toks
+
+
+def test_iceberg_schema_evolution_sql_parses(spark):
+    """Additive evolution DDL (ALTER TABLE ADD COLUMNS) parses, and the
+    evolution-batch SQL sequence (DDL then MERGE naming the new column)
+    is exactly what a wider batch emits (round-2 verdict: a batch with a
+    new column used to generate a MERGE naming a column the target lacks)."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.iceberg import alter_add_columns_sql, merge_sql
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    ddl = alter_add_columns_sql(
+        "fz.db.transcripts",
+        [T.StructField("tool_meta", T.StringType()), T.StructField("score", T.DoubleType())],
+    )
+    parser.parsePlan(ddl)
+    assert ddl == (
+        "ALTER TABLE fz.db.transcripts ADD COLUMNS (tool_meta string, score double)"
+    )
+    m = merge_sql(
+        "fz.db.transcripts", "_fz_batch", ["conv_id", "turn_idx"],
+        ["conv_id", "turn_idx", "text", "tool_meta", "score"],
+    )
+    parser.parsePlan(m)
+    assert "t.tool_meta = s.tool_meta" in m
+
+
+def test_iceberg_evolve_schema_emits_ddl_only_for_new_columns(spark):
+    from fetchez_spark.sinks.iceberg import IcebergSink
+
+    sink = object.__new__(IcebergSink)
+    issued: list[str] = []
+
+    class _RecordingSpark:
+        def sql(self, q):
+            issued.append(" ".join(q.split()))
+
+    sink.spark = _RecordingSpark()
+    sink.table = "fz.db.t"
+    sink._target_columns = lambda: ["conv_id", "turn_idx", "text"]
+    rows = spark.createDataFrame(
+        [("c", 1, "x", "hammer")], "conv_id string, turn_idx int, text string, tool string"
+    )
+    added = sink._evolve_schema(rows)
+    assert added == ["tool"]
+    assert issued == ["ALTER TABLE fz.db.t ADD COLUMNS (tool string)"]
+    issued.clear()
+    sink._target_columns = lambda: ["conv_id", "turn_idx", "text", "tool"]
+    assert sink._evolve_schema(rows) == []
+    assert issued == [], "no DDL when the batch is not wider"

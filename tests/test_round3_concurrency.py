@@ -1,0 +1,219 @@
+"""Round-3 multi-writer support: N streaming queries -> ONE sink table.
+
+The sink's commit protocol is optimistic concurrency (Iceberg-style): data
+files are written unlocked under collision-free claimed snapshot ids, then
+the manifest swap happens under an inter-process flock with reconciliation
+-- an MoR append re-applies its delta additions on top of whatever
+committed meanwhile.  Tokens are namespaced per stream via
+``token_prefix`` so exactly-once holds per stream."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fetchez_spark.changegen import (
+    ChangeLogSpec,
+    generate_change_log,
+    oracle_final_state,
+    write_change_log,
+)
+from fetchez_spark.sinks.local_snapshot import (
+    ConcurrentWriteConflict,
+    LocalSnapshotSink,
+)
+from fetchez_spark.streaming.engine import run_stream
+
+UTC = dt.timezone.utc
+SPEC_A = ChangeLogSpec(num_events=2_000, num_convs=60, max_turns=6, seed=7)
+SPEC_B = ChangeLogSpec(num_events=2_000, num_convs=60, max_turns=6, seed=8)
+
+
+def _ts(h: int) -> dt.datetime:
+    return dt.datetime(2025, 1, 1, h, tzinfo=UTC)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long",
+    )
+
+
+def test_two_concurrent_streams_one_table(spark, tmp_path):
+    """Two availableNow streams over different logs, ONE sink table,
+    distinct checkpoints + token prefixes: exactly-once per stream, final
+    state == union of the per-log oracles.  (Round-2 verdict: bare
+    batch-id tokens made the second stream's batch 0 silently skip.)"""
+    write_change_log(SPEC_A, str(tmp_path / "log_a"), num_chunks=4)
+    write_change_log(SPEC_B, str(tmp_path / "log_b"), num_chunks=4)
+    sink = LocalSnapshotSink(str(tmp_path / "table"), num_buckets=8)
+    prefix_b = [lambda df: df.withColumn("conv_id", F.concat(F.lit("B"), "conv_id"))]
+    qa = run_stream(
+        spark, str(tmp_path / "log_a"), sink,
+        checkpoint_dir=str(tmp_path / "ckpt_a"),
+        max_files_per_trigger=1, token_prefix="a",
+    )
+    qb = run_stream(
+        spark, str(tmp_path / "log_b"), sink,
+        checkpoint_dir=str(tmp_path / "ckpt_b"),
+        max_files_per_trigger=1, transforms=prefix_b, token_prefix="b",
+    )
+    qa.awaitTermination(300)
+    qb.awaitTermination(300)
+
+    tokens = set(sink.manifest()["committed_batches"])
+    assert any(t.startswith("a-") for t in tokens)
+    assert any(t.startswith("b-") for t in tokens)
+    assert sink.manifest()["token_seq"]["a-"] >= 0
+    assert sink.manifest()["token_seq"]["b-"] >= 0
+
+    exp_a = oracle_final_state(generate_change_log(SPEC_A))
+    exp_b = oracle_final_state(generate_change_log(SPEC_B))
+    exp_b = exp_b.assign(conv_id="B" + exp_b["conv_id"])
+    expected = (
+        pd.concat([exp_a, exp_b])
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    got = (
+        sink.read(spark)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected)
+    for col in ["conv_id", "turn_idx", "role", "text", "tool"]:
+        pd.testing.assert_series_equal(
+            got[col], expected[col], check_names=False
+        )
+
+
+class _RacySink(LocalSnapshotSink):
+    """Deterministically injects a concurrent commit: just before taking
+    the commit lock, an interloper sink (same table dir) commits a batch,
+    so this sink's CAS always sees a moved snapshot pointer."""
+
+    interloper_fn = None
+
+    def _commit_lock(self):
+        if self.interloper_fn is not None:
+            fn, self.interloper_fn = self.interloper_fn, None
+            fn()
+        return super()._commit_lock()
+
+
+def test_mor_commit_reconciles_after_concurrent_commit(spark, tmp_path):
+    table = str(tmp_path / "t")
+    racy = _RacySink(table, num_buckets=4)
+    other = LocalSnapshotSink(table, num_buckets=4)
+    racy.merge(_batch(spark, [("c1", 0, "user", "base", None, _ts(9), "upsert", 1)]), "a-0")
+
+    racy.interloper_fn = lambda: other.merge(
+        _batch(spark, [("c2", 0, "user", "other", None, _ts(10), "upsert", 2)]), "b-0"
+    )
+    m = racy.merge(
+        _batch(spark, [("c3", 0, "user", "mine", None, _ts(11), "upsert", 3)]), "a-1"
+    )
+    assert not m["skipped"]
+    cur = racy.manifest()
+    assert set(cur["committed_batches"]) == {"a-0", "b-0", "a-1"}
+    # the reconciled commit chains onto the interloper's snapshot
+    assert cur["parent"] == cur["committed_batches"]["b-0"]
+    rows = {r["conv_id"]: r["text"] for r in racy.read(spark).collect()}
+    assert rows == {"c1": "base", "c2": "other", "c3": "mine"}
+    # watermark folded across both writers
+    assert cur["high_watermark"].startswith("2025-01-01 11:00")
+    assert cur["stats"]["delta_commits"] == 3
+
+
+def test_cow_concurrent_commit_conflicts_loudly(spark, tmp_path):
+    table = str(tmp_path / "t")
+    racy = _RacySink(table, num_buckets=4, mode="cow")
+    other = LocalSnapshotSink(table, num_buckets=4, mode="cow")
+    racy.merge(_batch(spark, [("c1", 0, "user", "base", None, _ts(9), "upsert", 1)]), "a-0")
+    racy.interloper_fn = lambda: other.merge(
+        _batch(spark, [("c2", 0, "user", "other", None, _ts(10), "upsert", 2)]), "b-0"
+    )
+    with pytest.raises(ConcurrentWriteConflict):
+        racy.merge(
+            _batch(spark, [("c3", 0, "user", "mine", None, _ts(11), "upsert", 3)]), "a-1"
+        )
+    # the interloper's commit survives; the conflicted merge left orphan
+    # data only (vacuumable), never a corrupt manifest
+    rows = {r["conv_id"]: r["text"] for r in other.read(spark).collect()}
+    assert rows == {"c1": "base", "c2": "other"}
+
+
+def test_minor_compact_keeps_deltas_added_during_consolidation(spark, tmp_path):
+    """A minor compact that races an append must keep the append's delta
+    files (consumed-file subtraction, not wholesale replacement)."""
+    table = str(tmp_path / "t")
+    racy = _RacySink(table, num_buckets=4, compact_every=10**9)
+    other = LocalSnapshotSink(table, num_buckets=4, compact_every=10**9)
+    racy.merge(_batch(spark, [("c1", 0, "user", "one", None, _ts(9), "upsert", 1)]), "a-0")
+    racy.merge(_batch(spark, [("c1", 1, "user", "two", None, _ts(9), "upsert", 2)]), "a-1")
+    racy.interloper_fn = lambda: other.merge(
+        _batch(spark, [("c9", 0, "user", "late", None, _ts(10), "upsert", 3)]), "b-0"
+    )
+    racy.compact(spark, minor=True)
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in racy.read(spark).collect()}
+    assert rows == {("c1", 0): "one", ("c1", 1): "two", ("c9", 0): "late"}
+
+
+def test_major_compact_keeps_deltas_added_during_fold(spark, tmp_path):
+    table = str(tmp_path / "t")
+    racy = _RacySink(table, num_buckets=4, compact_every=10**9)
+    other = LocalSnapshotSink(table, num_buckets=4, compact_every=10**9)
+    racy.merge(_batch(spark, [("c1", 0, "user", "one", None, _ts(9), "upsert", 1)]), "a-0")
+    racy.interloper_fn = lambda: other.merge(
+        _batch(spark, [("c9", 0, "user", "late", None, _ts(10), "upsert", 2)]), "b-0"
+    )
+    racy.compact(spark)
+    m = racy.manifest()
+    assert m["stats"]["compacted_buckets"] >= 1
+    assert m["stats"]["delta_commits"] == 1, "the racing append stays pending"
+    rows = {r["conv_id"]: r["text"] for r in racy.read(spark).collect()}
+    assert rows == {"c1": "one", "c9": "late"}
+
+
+def test_token_below_sequence_watermark_skips_outside_window(spark, tmp_path):
+    """Deep-replay guard (round-2 verdict #3->#9): a token evicted from the
+    bounded committed window must still be recognized as applied via the
+    O(1) per-prefix token-sequence watermark -- no duplicate delta bytes,
+    no double-counted lineage rows_in."""
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2, max_committed_tokens=2)
+    for i in range(5):
+        sink.merge(
+            _batch(spark, [(f"c{i}", 0, "user", "x", None, _ts(9 + i), "upsert", i)]),
+            f"r-{i}",
+        )
+    assert not sink.is_committed("r-0"), "token really is outside the window"
+    before = sink.manifest()
+    res = sink.merge(
+        _batch(spark, [("cXX", 0, "user", "ghost", None, _ts(20), "upsert", 99)]), "r-0"
+    )
+    assert res["skipped"] and res["replayed_outside_window"]
+    after = sink.manifest()
+    assert after["snapshot_id"] == before["snapshot_id"], "state unchanged"
+    assert sink.read(spark).filter(F.col("conv_id") == "cXX").count() == 0
+    # genuinely new tokens above the watermark still merge
+    assert not sink.merge(
+        _batch(spark, [("c9", 0, "user", "new", None, _ts(21), "upsert", 100)]), "r-9"
+    )["skipped"]
+
+
+def test_concurrent_sid_claims_never_collide(tmp_path):
+    import os
+
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2)
+    cur = sink.manifest()
+    a = sink._claim_sid(cur)
+    b = sink._claim_sid(cur)  # second claim BEFORE the first commits
+    assert a != b
+    assert os.path.isdir(os.path.join(str(tmp_path / "t"), "data", a))
+    assert os.path.isdir(os.path.join(str(tmp_path / "t"), "data", b))
