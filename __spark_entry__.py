@@ -52,7 +52,13 @@ _SHINGLES_CTE = (
 )
 
 
-def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_lsh_sql(
+    num_hashes: int = 16, bands: int = 4, max_bucket_size: int | None = None
+) -> str:
+    """``max_bucket_size`` mirrors the engine's degenerate-bucket cap
+    (functions/dedup.py:cap_bucket_size): band buckets holding more than
+    `cap` docs are dropped BEFORE the self-join, so the cap logic itself
+    is oracle-checked, not just the uncapped join."""
     rows = num_hashes // bands
     mins = ", ".join(
         f"list_min(list_transform(s, x -> md5('{i}:' || x)))" for i in range(num_hashes)
@@ -61,12 +67,20 @@ def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
         "md5(" + " || '|' || ".join(f"m[{b * rows + r + 1}]" for r in range(rows)) + ")"
         for b in range(bands)
     )
+    src = "bands"
+    cap_ctes = ""
+    if max_bucket_size is not None:
+        cap_ctes = f""",
+        ok AS (SELECT bucket FROM bands GROUP BY bucket
+               HAVING count(*) <= {max_bucket_size}),
+        fb AS (SELECT bands.doc_id, bands.bucket FROM bands JOIN ok USING (bucket))"""
+        src = "fb"
     return f"""
         WITH sh AS ({_SHINGLES_CTE}),
         sig AS (SELECT doc_id, [{mins}] AS m FROM sh),
-        bands AS (SELECT doc_id, unnest([{band_keys}]) AS bucket FROM sig)
+        bands AS (SELECT doc_id, unnest([{band_keys}]) AS bucket FROM sig){cap_ctes}
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
-        FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        FROM {src} a JOIN {src} b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     """
 
@@ -190,6 +204,49 @@ def _embedding_neardup_sql(
                round(list_cosine_similarity(a.ev, b.ev), 6) AS cos_sim
         FROM v a JOIN v b ON a.vec_id < b.vec_id AND ({band_eq})
         WHERE round(list_cosine_similarity(a.ev, b.ev), 6) >= {threshold}
+    """
+
+
+def _embedding_neardup_capped_sql(
+    dim: int = 64,
+    bands: int = 8,
+    planes_per_band: int = 3,
+    threshold: float = 0.42,
+    seed: int = 7,
+    max_bucket_size: int = 70,
+) -> str:
+    """Capped variant of :func:`_embedding_neardup_sql` in unpivoted
+    (band, bucket) form so the per-band bucket-size cap (the engine's
+    cap_bucket_size) is expressed as a HAVING filter before the
+    candidate self-join -- the oracle for the degenerate-bucket guard."""
+    from fetchez_spark.functions.similarity import _random_hyperplanes
+
+    planes = _random_hyperplanes(dim, bands * planes_per_band, seed)
+    band_cols = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"{_plane_sql(planes[b * planes_per_band + j])}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(planes_per_band)
+        )
+        band_cols.append(f"({bits}) AS b{b}")
+    unpivot = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, b{b} AS bucket FROM v" for b in range(bands)
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev, {", ".join(band_cols)}
+                   FROM embeddings),
+        bb AS ({unpivot}),
+        ok AS (SELECT band, bucket FROM bb GROUP BY band, bucket
+               HAVING count(*) <= {max_bucket_size}),
+        fb AS (SELECT bb.vec_id, bb.band, bb.bucket FROM bb JOIN ok USING (band, bucket)),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM fb a JOIN fb b
+                 ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b,
+               round(list_cosine_similarity(va.ev, vb.ev), 6) AS cos_sim
+        FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b
+        WHERE round(list_cosine_similarity(va.ev, vb.ev), 6) >= {threshold}
     """
 
 
@@ -715,6 +772,44 @@ def _q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", h(0).alias("h0"), h(1).alias("h1"))
 
 
+def _q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH with the degenerate-bucket cap ON (the 100 TB
+    guard: buckets holding > max_bucket_size docs are dropped before the
+    self-join, bounding candidate mass at bands*cap*n).  Non-vacuous at
+    sf0.01: several buckets exceed the cap, so the result differs from
+    `minhash_lsh_dups`; the DuckDB oracle mirrors the cap as a HAVING
+    filter, so the cap logic itself is hash-checked."""
+    from fetchez_spark.functions.dedup import minhash_lsh_candidates_portable
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates_portable(d, num_hashes=16, bands=4, max_bucket_size=4)
+
+
+def _q_embedding_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with the per-band bucket-size cap ON.  At sf0.01
+    the 3-bit oracle bands hold ~60-78 vectors each, so cap=70 genuinely
+    drops hot buckets while most true pairs survive via their other
+    bands -- the coarse-filter-then-refine guard, oracle-mirrored."""
+    from fetchez_spark.functions.similarity import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        e, dim=64, bands=8, planes_per_band=3, threshold=0.42, seed=7,
+        max_bucket_size=70,
+    )
+
+
+def _q_simhash64_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit portable SimHash fingerprints (the Manku WWW'07 production
+    width): 2 bits per md5 nibble -- nibble bit 3 for fingerprint bits
+    0-31, bit 2 for 32-63.  Oracle-checked bit-for-bit incl. the sign
+    bit (bit 63 = BIGINT MIN weight on both engines)."""
+    from fetchez_spark.functions.dedup import simhash_portable
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_portable("text", bits=64).alias("simhash64"))
+
+
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints, ORACLE-CHECKED via the portable md5
     bit family (bit b = majority of md5-hex nibble b's high bit across
@@ -866,7 +961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "minhash_portable": _q_minhash_portable,
         "minhash_lsh_dups": _q_minhash_lsh_dups,
+        "minhash_lsh_capped": _q_minhash_lsh_capped,
         "simhash_docs": _q_simhash_docs,
+        "simhash64_docs": _q_simhash64_docs,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         # similarity search
         "cosine_topk": _q_cosine_topk,
@@ -874,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_capped": _q_embedding_neardup_capped,
         "neardup_clusters": _q_neardup_clusters,
     }
 
@@ -1123,7 +1221,11 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
         """,
         "minhash_lsh_dups": _minhash_lsh_sql(num_hashes=16, bands=4),
+        "minhash_lsh_capped": _minhash_lsh_sql(num_hashes=16, bands=4, max_bucket_size=4),
         "simhash_docs": _simhash_docs_sql(bits=32),
+        "simhash64_docs": _simhash_docs_sql(bits=64).replace(
+            "AS simhash", "AS simhash64"
+        ),
         "simhash_hamming_pairs": _simhash_hamming_sql(max_hamming=3, bits=64, n_bands=4),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=8, seed=42, k=10),
         # recall gate: exact top-10; the Spark side semi-joins it on the
@@ -1137,6 +1239,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": _embedding_neardup_sql(
             dim=64, bands=8, planes_per_band=3, threshold=0.42, seed=7
+        ),
+        "embedding_neardup_capped": _embedding_neardup_capped_sql(
+            dim=64, bands=8, planes_per_band=3, threshold=0.42, seed=7,
+            max_bucket_size=70,
         ),
         "neardup_clusters": _neardup_clusters_sql(
             dim=64, bands=8, planes_per_band=3, threshold=0.42, seed=7
