@@ -82,20 +82,41 @@ def payload_columns(event_schema: T.StructType) -> list[str]:
     return [f.name for f in event_schema.fields if f.name not in skip]
 
 
-def merge_schemas(base: T.StructType, extra: T.StructType) -> T.StructType:
-    """Additive schema union: keep ``base`` order, append unseen fields.
+# Safe widening promotions (Iceberg's type-promotion table): reading an
+# old parquet file written with the narrow type under the widened schema
+# upcasts losslessly -- verified on this Spark build for both pairs.
+_WIDENINGS: dict[tuple[str, str], T.DataType] = {
+    ("int", "bigint"): T.LongType(),
+    ("float", "double"): T.DoubleType(),
+}
 
-    Type conflicts on the same name raise -- evolution is additive-only,
-    mirroring fetchez's entry.update(kwargs) open-schema behavior
-    (core.py:1128-1137) but with the safety Iceberg's schema merge gives.
+
+def merge_schemas(base: T.StructType, extra: T.StructType) -> T.StructType:
+    """Schema union: keep ``base`` order, append unseen fields, WIDEN on
+    safe numeric promotions (int->long, float->double -- the Iceberg
+    type-promotion set; old files stay valid, parquet upcasts on read).
+
+    Any other type conflict on the same name raises -- evolution is
+    additive-or-widening only, mirroring fetchez's entry.update(kwargs)
+    open-schema behavior (core.py:1128-1137) with the safety Iceberg's
+    schema merge gives.
     """
     fields = list(base.fields)
-    names = {f.name: f for f in base.fields}
+    names = {f.name: i for i, f in enumerate(base.fields)}
     for f in extra.fields:
-        cur = names.get(f.name)
-        if cur is None:
+        i = names.get(f.name)
+        if i is None:
             fields.append(T.StructField(f.name, f.dataType, True))
-        elif cur.dataType != f.dataType:
+            continue
+        cur = fields[i]
+        if cur.dataType == f.dataType:
+            continue
+        pair = (cur.dataType.simpleString(), f.dataType.simpleString())
+        if pair in _WIDENINGS:
+            fields[i] = T.StructField(cur.name, _WIDENINGS[pair], cur.nullable)
+        elif (pair[1], pair[0]) in _WIDENINGS:
+            pass  # batch is NARROWER than the table: table type already wide
+        else:
             raise TypeError(
                 f"schema evolution type conflict on {f.name!r}: "
                 f"{cur.dataType} vs {f.dataType}"

@@ -84,6 +84,12 @@ def alter_add_columns_sql(table: str, new_fields) -> str:
     return f"ALTER TABLE {table} ADD COLUMNS ({cols})"
 
 
+def alter_widen_column_sql(table: str, name: str, dtype) -> str:
+    """Type-promotion DDL (int->long, float->double): metadata-only in
+    Iceberg; old data files stay valid and upcast on read."""
+    return f"ALTER TABLE {table} ALTER COLUMN {name} TYPE {dtype.simpleString()}"
+
+
 def merge_sql(table: str, source_view: str, key: list[str], columns: list[str]) -> str:
     """MERGE text with EXPLICIT column lists (no ``UPDATE SET *``: the
     source is projected to the exact target shape by batch_to_target_rows,
@@ -167,18 +173,40 @@ class IcebergSink(SnapshotSink):
     def _target_columns(self) -> list[str]:
         return self.spark.read.table(self.table).columns
 
+    def _target_schema(self):
+        return self.spark.read.table(self.table).schema
+
     def _evolve_schema(self, rows: DataFrame) -> list[str]:
-        """Additive evolution before the MERGE: any batch column the target
+        """Schema evolution before the MERGE: any batch column the target
         lacks becomes an ALTER TABLE ADD COLUMNS (a batch naming unknown
-        columns would otherwise fail the MERGE's explicit column lists).
-        Returns the added column names.  Width-only: dropped/renamed/
-        retyped columns are NOT evolved (same contract as the local sink's
-        merge_schemas)."""
-        existing = set(self._target_columns())
+        columns would otherwise fail the MERGE's explicit column lists),
+        and safe numeric promotions (int->long, float->double) become
+        ALTER COLUMN TYPE -- the same additive-or-widening contract as the
+        local sink's merge_schemas.  Returns the evolved column names."""
+        from fetchez_spark.schema import _WIDENINGS
+
+        try:
+            target = {f.name: f.dataType for f in self._target_schema().fields}
+            existing = set(target)
+        except Exception:  # schema unavailable (stub/tests): additive only
+            target = None
+            existing = set(self._target_columns())
         new_fields = [f for f in rows.schema.fields if f.name not in existing]
         if new_fields:
             self.spark.sql(alter_add_columns_sql(self.table, new_fields))
-        return [f.name for f in new_fields]
+        evolved = [f.name for f in new_fields]
+        if target is not None:
+            for f in rows.schema.fields:
+                cur = target.get(f.name)
+                if cur is None or cur == f.dataType:
+                    continue
+                pair = (cur.simpleString(), f.dataType.simpleString())
+                if pair in _WIDENINGS:
+                    self.spark.sql(
+                        alter_widen_column_sql(self.table, f.name, _WIDENINGS[pair])
+                    )
+                    evolved.append(f.name)
+        return evolved
 
     # -------------------------------------------------------------- merge
     def merge(self, batch: DataFrame, batch_token: str, offsets: dict[str, Any] | None = None):

@@ -201,6 +201,7 @@ class LocalSnapshotSink(SnapshotSink):
         cluster_deltas: bool = True,
         max_committed_tokens: int = 1024,
         write_fanout: int = 1,
+        track_changes: bool = True,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -211,6 +212,12 @@ class LocalSnapshotSink(SnapshotSink):
         self.mode = mode
         self.compact_every = compact_every
         self.late_tolerance_seconds = late_tolerance_seconds
+        # CoW merges rewrite whole buckets, so the file diff between
+        # snapshots over-approximates the change set; track_changes writes
+        # the batch rows (O(batch), small next to the O(touched-table)
+        # rewrite) as a changes sidecar so read_changes stays exact.  MoR
+        # needs nothing: its delta files ARE the change set.
+        self.track_changes = track_changes
         # MoR default: skip the within-batch dedup shuffle.  The
         # max-(ts,_seq) reduction is associative and idempotent and ALREADY
         # runs at read/compaction time over overlapping deltas, so deduping
@@ -433,12 +440,23 @@ class LocalSnapshotSink(SnapshotSink):
 
     def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """Null-backfill columns of ``schema`` the batch lacks (a source
-        replaying pre-evolution rows after the table schema has evolved)."""
-        missing = [f for f in schema.fields if f.name not in df.columns]
+        replaying pre-evolution rows after the table schema has evolved),
+        and cast columns whose type was WIDENED (int->long, float->double
+        -- merge_schemas allows only safe promotions) so every written
+        file carries the current schema's types."""
+        have = {f.name: f.dataType for f in df.schema.fields}
+        missing = [f for f in schema.fields if f.name not in have]
         if missing:
             df = df.withColumns(
                 {f.name: F.lit(None).cast(f.dataType) for f in missing}
             )
+        widened = {
+            f.name: F.col(f.name).cast(f.dataType)
+            for f in schema.fields
+            if f.name in have and have[f.name] != f.dataType
+        }
+        if widened:
+            df = df.withColumns(widened)
         return df
 
     def _write_bucketed(
@@ -604,10 +622,12 @@ class LocalSnapshotSink(SnapshotSink):
         Cost: O(files added in the range) -- no full-table scan.
 
         Precision: exact for MoR tables (each merge's delta files hold
-        exactly that batch's rows).  CoW merges rewrite whole buckets, so
-        for CoW tables the result is file-granular and over-approximates
-        (it re-emits the rewritten buckets' surviving rows) -- use MoR
-        when consumers tail changes.
+        exactly that batch's rows) AND for CoW tables with the default
+        ``track_changes=True`` (each CoW commit persists its batch rows
+        as a ``_changes`` sidecar -- O(batch) extra write next to the
+        O(touched-table) rewrite -- which this scan prefers over the
+        rewritten base files).  Only ``track_changes=False`` CoW tables
+        fall back to the file-granular over-approximation.
         """
         to_snapshot = to_snapshot or self._version()
         # walk the parent chain from `to` back to `from`, collecting files
@@ -623,16 +643,20 @@ class LocalSnapshotSink(SnapshotSink):
             stats = m.get("stats", {})
             is_compaction = "compacted_buckets" in stats or "minor_compacted_files" in stats
             if not is_compaction:
-                parent = m.get("parent")
-                pfiles: set[str] = set()
-                if parent is not None:
-                    pm = self.manifest(parent)
-                    for v in list(pm["files"].values()) + list(pm.get("deltas", {}).values()):
-                        pfiles.update(self._resolve_list(v))
-                for v in list(m["files"].values()) + list(m.get("deltas", {}).values()):
-                    for f in self._resolve_list(v):
-                        if f not in pfiles:
-                            added.append(f)
+                if m.get("change_files"):
+                    # CoW precise path: the commit's own change sidecar
+                    added.extend(self._resolve_list(m["change_files"]))
+                else:
+                    parent = m.get("parent")
+                    pfiles: set[str] = set()
+                    if parent is not None:
+                        pm = self.manifest(parent)
+                        for v in list(pm["files"].values()) + list(pm.get("deltas", {}).values()):
+                            pfiles.update(self._resolve_list(v))
+                    for v in list(m["files"].values()) + list(m.get("deltas", {}).values()):
+                        for f in self._resolve_list(v):
+                            if f not in pfiles:
+                                added.append(f)
             sid = m.get("parent")
         if not chain_ok:
             raise ValueError(
@@ -783,6 +807,7 @@ class LocalSnapshotSink(SnapshotSink):
         stats: dict[str, Any]
 
         written: list[str] = []
+        change_files: list[str] = []  # CoW-only changes sidecar
         if self.mode == "mor":
             # 3a. append the batch as DELTA files -- O(batch) always.
             # Default (cluster_deltas): one repartition on the bucket key,
@@ -815,7 +840,21 @@ class LocalSnapshotSink(SnapshotSink):
                     self._bucket_expr(nb).alias(_BUCKET)
                 ).distinct().collect()
             ]
-            rows_b = rows.withColumn(_BUCKET, self._bucket_expr(nb))
+            rows_src = rows
+            if self.track_changes:
+                # the change SET of this commit is the batch (O(batch)),
+                # not the rewritten buckets; persist it FIRST and feed the
+                # rewrite from the written files -- the batch plan (and
+                # its Observation) runs exactly once, and read_changes
+                # stays precise for CoW tables
+                # sibling dir, NOT nested under data/<sid>: the bucket
+                # rewrite below writes data/<sid> with mode("overwrite"),
+                # which would clobber a nested sidecar
+                change_files = self._write_flat(rows, f"{sid}-changes", new_schema)
+                rows_src = self._read_files(
+                    spark, change_files, T.StructType(list(new_schema.fields))
+                )
+            rows_b = rows_src.withColumn(_BUCKET, self._bucket_expr(nb))
             # the rewrite must fold in ALL live rows of the touched
             # buckets: base files, the buckets' clustered delta files
             # (present if the table previously ran MoR), and any flat
@@ -994,6 +1033,13 @@ class LocalSnapshotSink(SnapshotSink):
                 "offsets": offsets,
                 # catalog payloads ride along untouched
                 **({"index": base["index"]} if "index" in base else {}),
+                # CoW precise change set (read_changes uses it over the
+                # base-file diff); MoR commits have none
+                **(
+                    {"change_files": self._pack_list(change_files)}
+                    if change_files
+                    else {}
+                ),
             }
 
         with self._commit_lock():
@@ -1346,6 +1392,8 @@ class LocalSnapshotSink(SnapshotSink):
             m = self.manifest(sid)
             for files in list(m["files"].values()) + list(m.get("deltas", {}).values()):
                 referenced.update(self._resolve_list(files))
+            if m.get("change_files"):
+                referenced.update(self._resolve_list(m["change_files"]))
         removed = 0
         data_root = os.path.join(self.table_dir, "data")
         for snap in os.listdir(data_root):
@@ -1364,10 +1412,17 @@ class LocalSnapshotSink(SnapshotSink):
         live_blobs: set[str] = set()
         for sid in keep:
             m = self.manifest(sid)
-            for files in list(m["files"].values()) + list(m.get("deltas", {}).values()):
-                referenced.update(self._resolve_list(files))
+            extras = [m[k] for k in ("change_files", "index") if m.get(k)]
+            for files in (
+                list(m["files"].values())
+                + list(m.get("deltas", {}).values())
+                + extras
+            ):
                 if isinstance(files, str):
                     live_blobs.add(files[len("ref:"):])
+                if files == m.get("index"):
+                    continue  # catalog blob: not a data-file list
+                referenced.update(self._resolve_list(files))
         removed = 0
         data_root = os.path.join(self.table_dir, "data")
         for snap in os.listdir(data_root):

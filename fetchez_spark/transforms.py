@@ -18,7 +18,7 @@ import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 Transform = Callable[[DataFrame], DataFrame]
@@ -289,6 +289,75 @@ def _focus(column: str, key: list | None = None, output: str = "item") -> Transf
         out = df.withColumn(output, F.explode(F.col(column))).drop(column)
         dedup_cols = list(key or [c for c in ("conv_id", "turn_idx") if c in df.columns])
         return out.dropDuplicates(dedup_cols + [output])
+
+    return t
+
+
+@register_transform(
+    "parse_xml", "file", "metadata",
+    "parse an XML-string column into a typed struct via from_xml "
+    "(JVM-side, the iso_xml metadata-extraction analog, core.py:194-290)",
+    ["xml", "metadata", "iso"],
+)
+def _parse_xml(
+    column: str = "xml",
+    schema: str = "title STRING, abstract STRING, date STRING",
+    output: str = "meta",
+    drop_source: bool = False,
+) -> Transform:
+    """``schema`` is a DDL string for the expected element shape.
+    ``from_xml`` runs in the JVM (no Python in the row path) and yields
+    null fields for malformed documents -- the lenient-parser behavior of
+    the reference's recover=True lxml parse."""
+
+    def t(df: DataFrame) -> DataFrame:
+        out = df.withColumn(output, F.from_xml(F.col(column), schema))
+        return out.drop(column) if drop_source else out
+
+    return t
+
+
+@register_transform(
+    "xml_metadata", "file", "metadata",
+    "extract title/abstract/date from ISO-19115-shaped XML metadata via "
+    "namespace-agnostic xpath (iso_xml.title/abstract/date, core.py:241-290)",
+    ["xml", "iso19115", "xpath"],
+)
+def _xml_metadata(column: str = "xml", prefix: str = "meta_") -> Transform:
+    """``from_xml`` with the gmd/gco-prefixed nested schema: lenient like
+    the reference's ``recover=True`` lxml parse (malformed docs yield
+    NULL fields, never a task failure -- Spark's ``xpath_string`` throws
+    on malformed XML, which a dirty metadata corpus cannot afford)."""
+    iso_schema = (
+        "`gmd:identificationInfo` STRUCT<"
+        "`gmd:citation`: STRUCT<"
+        "`gmd:title`: STRUCT<`gco:CharacterString`: STRING>, "
+        "`gmd:date`: STRUCT<`gco:Date`: STRING, `gco:DateTime`: STRING>>, "
+        "`gmd:abstract`: STRUCT<`gco:CharacterString`: STRING>>"
+    )
+    info = "m.`gmd:identificationInfo`"
+
+    def t(df: DataFrame) -> DataFrame:
+        parsed = df.withColumn("m", F.from_xml(F.col(column), iso_schema))
+        return (
+            parsed.withColumn(
+                f"{prefix}title",
+                F.col(f"{info}.`gmd:citation`.`gmd:title`.`gco:CharacterString`"),
+            )
+            .withColumn(
+                f"{prefix}abstract",
+                F.col(f"{info}.`gmd:abstract`.`gco:CharacterString`"),
+            )
+            .withColumn(
+                f"{prefix}date",
+                # Date, else DateTime -- the reference's fallback order
+                F.coalesce(
+                    F.col(f"{info}.`gmd:citation`.`gmd:date`.`gco:Date`"),
+                    F.col(f"{info}.`gmd:citation`.`gmd:date`.`gco:DateTime`"),
+                ),
+            )
+            .drop("m")
+        )
 
     return t
 

@@ -126,3 +126,188 @@ def test_user_config_file_respected(tmp_path, monkeypatch):
     finally:
         cfg._cache = None
         PRESETS.pop("cfg_preset", None)
+
+
+# --------------------------------------------------------- xml metadata
+ISO_DOC = (
+    '<gmi:MI_Metadata xmlns:gmi="http://www.isotc211.org/2005/gmi" '
+    'xmlns:gmd="http://www.isotc211.org/2005/gmd" '
+    'xmlns:gco="http://www.isotc211.org/2005/gco">'
+    "<gmd:identificationInfo><gmd:citation>"
+    "<gmd:title><gco:CharacterString>Survey H12345</gco:CharacterString></gmd:title>"
+    "<gmd:date><gco:Date>2024-03-01</gco:Date></gmd:date>"
+    "</gmd:citation>"
+    "<gmd:abstract><gco:CharacterString>Multibeam bathymetry.</gco:CharacterString></gmd:abstract>"
+    "</gmd:identificationInfo></gmi:MI_Metadata>"
+)
+
+
+def test_xml_metadata_transforms(spark):
+    """iso_xml analog (reference core.py:194-290): title/abstract/date out
+    of ISO-19115-shaped XML via JVM-side from_xml (lenient like the
+    reference's recover=True parse), plus generic from_xml struct parsing
+    -- zero Python in the row path."""
+    from fetchez_spark.transforms import get_transform
+
+    df = spark.createDataFrame(
+        [(1, ISO_DOC), (2, "<broken")], ["id", "xml"]
+    )
+    meta = get_transform("xml_metadata")(df).orderBy("id").collect()
+    assert meta[0]["meta_title"] == "Survey H12345"
+    assert meta[0]["meta_abstract"] == "Multibeam bathymetry."
+    assert meta[0]["meta_date"] == "2024-03-01"
+    assert meta[1]["meta_title"] is None  # malformed doc -> NULL, no crash
+
+    plain = spark.createDataFrame(
+        [(1, "<doc><title>T</title><abstract>A</abstract><date>D</date></doc>")],
+        ["id", "xml"],
+    )
+    parsed = get_transform(
+        "parse_xml", schema="title STRING, abstract STRING, date STRING",
+        drop_source=True,
+    )(plain).first()
+    assert parsed["meta"]["title"] == "T" and "xml" not in parsed.asDict()
+
+
+# ------------------------------------------------- CoW precise read_changes
+def test_cow_read_changes_is_batch_precise(spark, tmp_path):
+    """With track_changes (default), a CoW table's read_changes returns
+    exactly the batch rows -- not every surviving row of the rewritten
+    buckets (the round-2 documented over-approximation)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    UTC = dt.timezone.utc
+
+    def _b(rows):
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, "
+            "ts timestamp, op string, seq long",
+        )
+
+    t1 = dt.datetime(2025, 1, 1, 9, tzinfo=UTC)
+    t2 = dt.datetime(2025, 1, 1, 10, tzinfo=UTC)
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=1, mode="cow")
+    sink.merge(_b([("c1", 0, "user", "one", None, t1, "upsert", 1),
+                   ("c2", 0, "user", "two", None, t1, "upsert", 2)]), "m-0")
+    s1 = sink.current_snapshot_id
+    # second batch touches the SAME bucket (num_buckets=1): the rewrite
+    # re-emits c1/c2, but the change set is just c3
+    sink.merge(_b([("c3", 0, "user", "three", None, t2, "upsert", 3)]), "m-1")
+    changed = sink.read_changes(spark, s1).collect()
+    assert [(r["conv_id"], r["text"]) for r in changed] == [("c3", "three")]
+    # the sidecar survives vacuum (it lives under the snapshot dir)
+    sink.vacuum_orphans()
+    assert sink.read_changes(spark, s1).count() == 1
+
+    # fallback: tracking off -> file-granular over-approximation (documented)
+    sink2 = LocalSnapshotSink(
+        str(tmp_path / "t2"), num_buckets=1, mode="cow", track_changes=False
+    )
+    sink2.merge(_b([("c1", 0, "user", "one", None, t1, "upsert", 1)]), "m-0")
+    s1b = sink2.current_snapshot_id
+    sink2.merge(_b([("c3", 0, "user", "three", None, t2, "upsert", 3)]), "m-1")
+    over = {r["conv_id"] for r in sink2.read_changes(spark, s1b).collect()}
+    assert "c3" in over and len(over) >= 2
+
+
+# ----------------------------------------------------- type-widening evolution
+def test_merge_schemas_widens_safe_numeric_types():
+    import pytest
+    from pyspark.sql import types as T
+
+    from fetchez_spark.schema import merge_schemas
+
+    base = T.StructType([T.StructField("k", T.StringType()),
+                         T.StructField("n", T.IntegerType()),
+                         T.StructField("x", T.FloatType())])
+    wide = T.StructType([T.StructField("n", T.LongType()),
+                         T.StructField("x", T.DoubleType())])
+    out = merge_schemas(base, wide)
+    got = {f.name: f.dataType.simpleString() for f in out.fields}
+    assert got == {"k": "string", "n": "bigint", "x": "double"}
+    # narrower batch into an already-wide table: table type wins, no error
+    narrow = T.StructType([T.StructField("n", T.IntegerType())])
+    out2 = merge_schemas(out, narrow)
+    assert [f.dataType.simpleString() for f in out2.fields if f.name == "n"] == ["bigint"]
+    with pytest.raises(TypeError, match="conflict"):
+        merge_schemas(base, T.StructType([T.StructField("n", T.StringType())]))
+
+
+def test_sink_widening_evolution_end_to_end(spark, tmp_path):
+    """A mid-stream int->long promotion: the first batch writes int32
+    files, the second evolves the column to long; reads union BOTH file
+    generations under the widened schema (parquet upcasts -- verified on
+    this Spark build) and later narrow batches cast up on write."""
+    import datetime as dt
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    UTC = dt.timezone.utc
+    t = dt.datetime(2025, 1, 1, 9, tzinfo=UTC)
+    ddl = ("conv_id string, turn_idx int, role string, text string, tool string, "
+           "ts timestamp, op string, seq long, score {st}")
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2)
+    sink.merge(
+        spark.createDataFrame(
+            [("c1", 0, "u", "a", None, t, "upsert", 1, 10)], ddl.format(st="int")
+        ),
+        "w-0",
+    )
+    sink.merge(
+        spark.createDataFrame(
+            [("c2", 0, "u", "b", None, t, "upsert", 2, 3_000_000_000)],
+            ddl.format(st="long"),
+        ),
+        "w-1",
+    )
+    # narrow again after widening: casts up on write, no conflict
+    sink.merge(
+        spark.createDataFrame(
+            [("c3", 0, "u", "c", None, t, "upsert", 3, 7)], ddl.format(st="int")
+        ),
+        "w-2",
+    )
+    types = {f.name: f.dataType.simpleString() for f in sink.schema().fields}
+    assert types["score"] == "bigint"
+    got = {r["conv_id"]: r["score"] for r in sink.read(spark).collect()}
+    assert got == {"c1": 10, "c2": 3_000_000_000, "c3": 7}
+    # compaction folds the mixed-generation files without error
+    sink.compact(spark)
+    got2 = {r["conv_id"]: r["score"] for r in sink.read(spark).collect()}
+    assert got2 == got
+
+
+def test_iceberg_widening_ddl(spark):
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.iceberg import IcebergSink, alter_widen_column_sql
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    ddl = alter_widen_column_sql("fz.db.t", "score", T.LongType())
+    parser.parsePlan(ddl)
+    assert ddl == "ALTER TABLE fz.db.t ALTER COLUMN score TYPE bigint"
+
+    sink = object.__new__(IcebergSink)
+    issued: list[str] = []
+
+    class _Rec:
+        def sql(self, q):
+            issued.append(" ".join(q.split()))
+
+    sink.spark = _Rec()
+    sink.table = "fz.db.t"
+    sink._target_schema = lambda: T.StructType(
+        [T.StructField("conv_id", T.StringType()), T.StructField("score", T.IntegerType())]
+    )
+    rows = spark.createDataFrame([("c", 5, "x")], "conv_id string, score long, note string")
+    evolved = sink._evolve_schema(rows)
+    assert sorted(evolved) == ["note", "score"]
+    assert issued == [
+        "ALTER TABLE fz.db.t ADD COLUMNS (note string)",
+        "ALTER TABLE fz.db.t ALTER COLUMN score TYPE bigint",
+    ]

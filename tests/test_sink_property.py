@@ -90,3 +90,69 @@ def test_lookup_prunes_to_one_bucket(spark, tmp_path):
     # cross-check against a full-scan read
     full = sink.read(spark).filter("conv_id = 'conv_00000000'").collect()
     assert {tuple(r) for r in rows} == {tuple(r) for r in full}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=log_st,
+    assignment=st.lists(st.booleans(), min_size=2, max_size=4),
+    race_on=st.integers(0, 3),
+)
+def test_two_writers_any_interleaving_match_oracle(
+    spark, tmp_path_factory, events, assignment, race_on
+):
+    """Multi-writer property: split the log into chunks, assign each chunk
+    to one of TWO writer sinks on the same table, and force one commit to
+    race (the interloper commits between the racer's manifest read and its
+    commit-lock acquisition).  Any interleaving must reconcile to the
+    last-writer-wins oracle -- the commit protocol's core claim."""
+    rows = _rows(events)
+    n_chunks = len(assignment)
+    chunks = [rows[i::n_chunks] for i in range(n_chunks)]
+    chunks = [c for c in chunks if c]
+    table = tmp_path_factory.mktemp("mw")
+
+    class _Racy(LocalSnapshotSink):
+        interloper_fn = None
+
+        def _commit_lock(self):
+            if _Racy.interloper_fn is not None:
+                fn, _Racy.interloper_fn = _Racy.interloper_fn, None
+                fn()
+            return super()._commit_lock()
+
+    w = [
+        _Racy(str(table), num_buckets=4, compact_every=10**9),
+        LocalSnapshotSink(str(table), num_buckets=4, compact_every=10**9),
+    ]
+    seqs = [0, 0]
+    for i, chunk in enumerate(chunks):
+        who = int(assignment[i % len(assignment)])
+        df = spark.createDataFrame(chunk, CHANGE_EVENT_SCHEMA)
+        if i == race_on % len(chunks) and who == 0 and i + 1 < len(chunks):
+            # inject the NEXT chunk as a concurrent commit by the other
+            # writer while this one is mid-commit
+            other_chunk = chunks[i + 1]
+            odf = spark.createDataFrame(other_chunk, CHANGE_EVENT_SCHEMA)
+            tok = f"w1-{seqs[1]}"
+            seqs[1] += 1
+            _Racy.interloper_fn = lambda: w[1].merge(odf, tok)
+            w[0].merge(df, f"w0-{seqs[0]}")
+            seqs[0] += 1
+            # skip the chunk the interloper already committed
+            chunks[i + 1] = []
+        else:
+            if not chunk:
+                continue
+            w[who].merge(df, f"w{who}-{seqs[who]}")
+            seqs[who] += 1
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in w[0].read(spark).collect()
+    }
+    assert got == _oracle(rows)
+    toks = w[0].manifest()["committed_batches"]
+    assert len(set(toks)) == len(toks)
