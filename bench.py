@@ -153,6 +153,7 @@ def run_bench(cores: int, log_dir: str | None = None, json_out: str | None = Non
             num_buckets=max(2 * cores, 32),
             collect_metrics=True,
             compact_every=max(len(chunks) // 2, 2),
+            delta_compression=os.environ.get("FETCHEZ_DELTA_CODEC") or None,
         )
         lineage = LineageLog(os.path.join(work, "lineage"))
         t0 = time.monotonic()

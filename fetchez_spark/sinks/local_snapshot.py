@@ -202,6 +202,7 @@ class LocalSnapshotSink(SnapshotSink):
         max_committed_tokens: int = 1024,
         write_fanout: int = 1,
         track_changes: bool = True,
+        delta_compression: str | None = None,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -218,6 +219,12 @@ class LocalSnapshotSink(SnapshotSink):
         # rewrite) as a changes sidecar so read_changes stays exact.  MoR
         # needs nothing: its delta files ARE the change set.
         self.track_changes = track_changes
+        # leveled compression (the RocksDB shape): delta files are
+        # TRANSIENT (folded away at the next compaction), so they can
+        # trade bytes for write/read CPU with a lighter codec while
+        # compacted base files keep the session default (zstd).  None =
+        # session codec everywhere.
+        self.delta_compression = delta_compression
         # MoR default: skip the within-batch dedup shuffle.  The
         # max-(ts,_seq) reduction is associative and idempotent and ALREADY
         # runs at read/compaction time over overlapping deltas, so deduping
@@ -481,14 +488,16 @@ class LocalSnapshotSink(SnapshotSink):
         if fanout > 1:
             shuffle_keys.append(F.pmod(F.xxhash64(F.col(INTERNAL_SEQ)), F.lit(fanout)))
         with _observed_write_conf(df.sparkSession):
-            (
+            writer = (
                 self._align(df, schema)
                 .select(*out_cols)
                 .repartition(max(n_partitions, 1) * max(fanout, 1), *shuffle_keys)
                 .write.partitionBy(_BUCKET)
                 .mode("overwrite")
-                .parquet(snap_dir)
             )
+            if self.delta_compression:
+                writer = writer.option("compression", self.delta_compression)
+            writer.parquet(snap_dir)
         out: dict[str, list[str]] = {}
         for entry in os.scandir(snap_dir):
             if entry.is_dir() and entry.name.startswith(f"{_BUCKET}="):
@@ -549,9 +558,12 @@ class LocalSnapshotSink(SnapshotSink):
         """Write rows as flat files under a snapshot-unique dir (no
         clustering; AQE decides the file count); return the file list."""
         snap_dir = os.path.join(self.table_dir, "data", sid)
-        self._align(df, schema).select(*[f.name for f in schema.fields]).write.mode(
-            "overwrite"
-        ).parquet(snap_dir)
+        writer = self._align(df, schema).select(
+            *[f.name for f in schema.fields]
+        ).write.mode("overwrite")
+        if self.delta_compression:
+            writer = writer.option("compression", self.delta_compression)
+        writer.parquet(snap_dir)
         return [
             os.path.join(snap_dir, fn)
             for fn in sorted(os.listdir(snap_dir))

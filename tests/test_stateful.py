@@ -93,3 +93,52 @@ def test_windowed_turn_counts_streaming_with_watermark(spark, tmp_path):
     assert {f.name for f in spark.table("sessions").schema.fields} >= {
         "session_start", "session_end", "conv_id", "n_events"
     }
+
+
+def test_stateful_query_runs_on_rocksdb_state_store(spark, tmp_path):
+    """Production state backend: Spark's bundled RocksDB state store
+    (spill-to-disk, bounded JVM heap -- the backend a 10^10-event stream
+    with millions of live conversation states needs; the default HDFS-
+    backed store keeps all state on-heap).  Same operator, same results:
+    only the provider conf changes."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        write_change_log(SPEC, str(tmp_path / "log"), num_chunks=3)
+        stream = (
+            spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "log"))
+        )
+        q = (
+            conversation_progress(stream)
+            .writeStream.format("memory")
+            .queryName("conv_progress_rocks")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.sql(
+            "SELECT conv_id, max(n_events) AS n FROM conv_progress_rocks GROUP BY conv_id"
+        ).collect()
+        got = {r["conv_id"]: r["n"] for r in rows}
+        log = generate_change_log(SPEC)
+        expected = {c: int(g["seq"].size) for c, g in log.groupby("conv_id")}
+        assert got == expected
+        # the checkpoint really used RocksDB (sst/log layout under state/)
+        import glob
+
+        assert glob.glob(str(tmp_path / "ckpt" / "state" / "**" / "*.zip"), recursive=True) or glob.glob(
+            str(tmp_path / "ckpt" / "state" / "**" / "*.sst"), recursive=True
+        ) or glob.glob(str(tmp_path / "ckpt" / "state" / "**" / "*.changelog"), recursive=True)
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
