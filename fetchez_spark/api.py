@@ -75,9 +75,15 @@ def tail(
     transforms: list | None = None,
     lineage_dir: str | None = None,
     available_now: bool = False,
+    token_prefix: str = "",
 ):
     """Tail the source continuously (or drain it once with
-    ``available_now=True``); returns the StreamingQuery."""
+    ``available_now=True``); returns the StreamingQuery.
+
+    To run N tails into ONE sink table, give each a distinct
+    ``token_prefix`` (and checkpoint dir) -- batch tokens are namespaced
+    per stream and the sink's commit protocol interleaves the commits
+    safely (see streaming/engine.py:run_stream)."""
     source, sink = _build(source, sink, spark)
     return run_stream(
         spark,
@@ -89,6 +95,7 @@ def tail(
         lineage=LineageLog(lineage_dir) if lineage_dir else None,
         transforms=build_chain(transforms or []),
         available_now=available_now,
+        token_prefix=token_prefix,
     )
 
 
@@ -117,6 +124,33 @@ def snapshots(
     from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
     return LocalSnapshotSink(table_dir).search(eq=eq, ranges=ranges)
+
+
+def ingest_index(
+    table_dir: str,
+    source_file: str,
+    field_map: dict[str, str] | None = None,
+    wipe: bool = False,
+) -> dict[str, Any]:
+    """Import an external CSV/JSON inventory into a table's catalog (the
+    FRED ``ingest`` analog, fred.py:256-356); records become searchable
+    via :func:`search_index`."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).ingest_index(
+        source_file, field_map=field_map, wipe=wipe
+    )
+
+
+def search_index(
+    table_dir: str,
+    eq: dict[str, Any] | None = None,
+    ranges: dict[str, tuple[Any, Any]] | None = None,
+) -> list[dict[str, Any]]:
+    """Attribute search over a table's ingested catalog index records."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).search_index(eq=eq, ranges=ranges)
 
 
 def changes(

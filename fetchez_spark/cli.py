@@ -138,6 +138,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--range", action="append", default=[], dest="ranges",
                    help="range filter key=lo:hi ('' leaves a bound open)")
     p = sub.add_parser(
+        "maintain",
+        help="table maintenance: compaction / vacuum / snapshot expiry / rollback",
+    )
+    p.add_argument("table_dir")
+    p.add_argument("--compact", action="store_true", help="major compaction (fold deltas into bases)")
+    p.add_argument("--minor", action="store_true", help="minor compaction (consolidate delta files only)")
+    p.add_argument("--vacuum", action="store_true", help="delete orphaned data dirs (crashed commits)")
+    p.add_argument("--expire", type=int, default=None, metavar="KEEP_LAST",
+                   help="expire all but the newest N snapshots (GCs data + list blobs)")
+    p.add_argument("--rollback", default=None, metavar="SNAPSHOT_ID",
+                   help="move the table pointer back to a snapshot")
+    p.add_argument("--cores", type=int, default=4)
+    p = sub.add_parser(
         "changes", help="incremental scan: rows merged after a snapshot"
     )
     p.add_argument("table_dir")
@@ -246,6 +259,34 @@ def main(argv: list[str] | None = None) -> int:
         )
         for rec in recs:
             print(json.dumps(rec, default=str))
+        return 0
+    if args.cmd == "maintain":
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        sink = LocalSnapshotSink(args.table_dir)
+        out: dict = {}
+        if args.rollback:
+            sink.rollback(args.rollback)
+            out["rolled_back_to"] = args.rollback
+        if args.compact or args.minor:
+            from fetchez_spark.session import get_spark
+
+            spark = get_spark(
+                app_name="fetchez-maintain", master=f"local[{args.cores}]"
+            )
+            if args.minor:
+                out["minor_compact"] = sink.compact(spark, minor=True)
+            if args.compact:
+                out["compact"] = sink.compact(spark)
+        if args.expire is not None:
+            out["expired_data_dirs"] = sink.expire_snapshots(keep_last=args.expire)
+        if args.vacuum:
+            out["vacuumed_orphans"] = sink.vacuum_orphans()
+        if not out:
+            print("nothing to do: pass --compact/--minor/--vacuum/--expire/--rollback",
+                  file=sys.stderr)
+            return 1
+        print(json.dumps(out, default=str))
         return 0
     if args.cmd == "changes":
         from fetchez_spark import api

@@ -87,3 +87,25 @@ def test_selection_predicate_pushes_down(spark, tmp_path):
     src = ParquetLogSource(str(tmp_path / "log"), selection=Selection.parse("key:conv_00000000/conv_00000010"))
     plan = _plan(src.read(spark))
     assert "PushedFilters: [" in plan and "conv_id" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_capped_band_joins_stay_equi_joins(spark):
+    """The round-3 bucket-size caps must not change the join SHAPE: the
+    candidate join stays an equi-join on the band key (hash-partitionable
+    at any scale), and the cap's bucket-count filter joins on the same
+    key -- no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    for name in ("minhash_lsh_capped", "embedding_neardup_capped"):
+        df = entry_mod.queries()[name](spark, SF)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_simhash64_hamming_band_join_is_equi(spark):
+    df = entry_mod.queries()["simhash_hamming_pairs"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the verify predicate (bit_count of XOR) must be post-join, not the
+    # join condition itself -- the join key is the 16-bit band value
+    assert "bit_count" in plan

@@ -217,3 +217,60 @@ def test_concurrent_sid_claims_never_collide(tmp_path):
     assert a != b
     assert os.path.isdir(os.path.join(str(tmp_path / "t"), "data", a))
     assert os.path.isdir(os.path.join(str(tmp_path / "t"), "data", b))
+
+
+def test_two_live_tails_ingest_arriving_files(spark, tmp_path):
+    """Soak: TWO continuous (processingTime) tails into one table, with a
+    new file arriving on each log AFTER both queries started -- the
+    production multi-stream topology end-to-end: prefixed tokens,
+    interleaved commits, no lost batches."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec_a = ChangeLogSpec(num_events=400, num_convs=8, seed=41)
+    spec_b = ChangeLogSpec(num_events=400, num_convs=8, seed=42)
+    write_change_log(spec_a, str(tmp_path / "log_a"), num_chunks=1)
+    write_change_log(spec_b, str(tmp_path / "log_b"), num_chunks=1)
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    mark = [
+        lambda df: df.withColumn("conv_id", F.concat(F.lit("B"), "conv_id"))
+    ]
+    qa = run_stream(spark, str(tmp_path / "log_a"), sink, str(tmp_path / "ck_a"),
+                    max_files_per_trigger=2, available_now=False, token_prefix="a")
+    qb = run_stream(spark, str(tmp_path / "log_b"), sink, str(tmp_path / "ck_b"),
+                    max_files_per_trigger=2, available_now=False, token_prefix="b",
+                    transforms=mark)
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            toks = set(sink.manifest()["committed_batches"])
+            if any(t.startswith("a-") for t in toks) and any(
+                t.startswith("b-") for t in toks
+            ):
+                break
+            _time.sleep(1)
+        assert sink.read(spark).filter("conv_id like 'B%'").count() > 0
+        assert sink.read(spark).filter("conv_id not like 'B%'").count() > 0
+        # late files on BOTH logs while both queries are live
+        for log, seed, tag in (("log_a", 51, "lateA_"), ("log_b", 52, "lateB_")):
+            late = generate_change_log(ChangeLogSpec(num_events=150, num_convs=5, seed=seed))
+            late["conv_id"] = tag + late["conv_id"]
+            late["seq"] = late["seq"] + 50_000
+            pq.write_table(
+                pa.Table.from_pandas(late, preserve_index=False),
+                str(tmp_path / log / "chunk-99999.parquet"),
+            )
+        deadline = _time.time() + 150
+        while _time.time() < deadline:
+            a = sink.read(spark).filter("conv_id like 'lateA_%'").count()
+            b = sink.read(spark).filter("conv_id like 'BlateB_%'").count()
+            if a > 0 and b > 0:
+                break
+            _time.sleep(2)
+        assert sink.read(spark).filter("conv_id like 'lateA_%'").count() > 0
+        assert sink.read(spark).filter("conv_id like 'BlateB_%'").count() > 0
+    finally:
+        qa.stop()
+        qb.stop()

@@ -339,3 +339,34 @@ def test_delta_compression_knob_writes_codec(spark, tmp_path):
     bases = [f for fs in sink.file_lists().values() for f in fs]
     assert bases and all(".lz4" not in f for f in bases)
     assert sink.read(spark).count() == 1
+
+
+def test_cli_maintain_command(spark, tmp_path, capsys):
+    """CLI maintenance surface: compact + vacuum + expire + rollback in
+    one dispatch (the table-upkeep analog of the reference's cleanup
+    utilities), JSON result on stdout."""
+    import datetime as dt
+    import json as _json
+
+    from fetchez_spark.cli import main
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    t = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2, compact_every=10**9)
+    for i in range(2):
+        sink.merge(
+            spark.createDataFrame(
+                [(f"c{i}", 0, "u", "x", None, t, "upsert", i)],
+                "conv_id string, turn_idx int, role string, text string, tool string, "
+                "ts timestamp, op string, seq long",
+            ),
+            f"m-{i}",
+        )
+    rc = main(["maintain", str(tmp_path / "t"), "--compact", "--vacuum", "--cores", "2"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["compact"]["compacted_buckets"] >= 1
+    assert "vacuumed_orphans" in out
+    assert sink.read(spark).count() == 2
+    # no-op invocation is a loud usage error
+    assert main(["maintain", str(tmp_path / "t")]) == 1
