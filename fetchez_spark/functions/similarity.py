@@ -148,16 +148,7 @@ class IVFIndex:
         import os
         import uuid
 
-        if self.centroids is None:
-            raise ValueError("fit() before save()")
-        payload = {
-            "index_version": self.INDEX_VERSION,
-            "kind": "ivf-cosine",
-            "k": self.k,
-            "seed": self.seed,
-            "vec_col": self.vec_col,
-            "centroids": self.centroids,
-        }
+        payload = self._payload()
         tmp = path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(payload, f)
@@ -170,6 +161,10 @@ class IVFIndex:
 
         with open(path) as f:
             payload = json.load(f)
+        return cls._from_payload(payload)
+
+    @classmethod
+    def _from_payload(cls, payload: dict) -> "IVFIndex":
         if payload.get("index_version") != cls.INDEX_VERSION:
             raise ValueError(
                 f"unsupported index_version {payload.get('index_version')!r}"
@@ -177,6 +172,50 @@ class IVFIndex:
         idx = cls(k=payload["k"], seed=payload["seed"], vec_col=payload["vec_col"])
         idx.centroids = [list(map(float, c)) for c in payload["centroids"]]
         return idx
+
+    def _payload(self) -> dict:
+        if self.centroids is None:
+            raise ValueError("fit() before save")
+        return {
+            "index_version": self.INDEX_VERSION,
+            "kind": "ivf-cosine",
+            "k": self.k,
+            "seed": self.seed,
+            "vec_col": self.vec_col,
+            "centroids": self.centroids,
+        }
+
+    def save_to_table(self, sink) -> str:
+        """Persist the index INTO the table's catalog: a content-addressed
+        blob + an ``ann_index`` manifest key, committed like any other
+        metadata-only snapshot (under the commit lock, so it interleaves
+        safely with writers).  A fresh session then serves probes straight
+        from the table it indexes -- no sidecar file to distribute."""
+        payload = self._payload()
+        with sink._commit_lock():
+            latest = sink.manifest()
+            sid = sink._claim_sid(latest)
+            manifest = {
+                **latest,
+                "snapshot_id": sid,
+                "parent": latest["snapshot_id"],
+                "ann_index": sink._pack_blob(payload),
+                "stats": {
+                    "delta_commits": int(
+                        latest.get("stats", {}).get("delta_commits", 0)
+                    ),
+                    "ann_index_updated": True,
+                },
+            }
+            sink._commit(manifest)
+        return sid
+
+    @classmethod
+    def load_from_table(cls, sink) -> "IVFIndex":
+        ref = sink.manifest().get("ann_index")
+        if not ref:
+            raise KeyError("table has no ann_index (IVFIndex.save_to_table first)")
+        return cls._from_payload(sink._resolve_blob(ref))
 
     def _cell_expr(self, vec_col: Column) -> Column:
         """Nearest centroid by cosine, as a pure expression (no UDF).

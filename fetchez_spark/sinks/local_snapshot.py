@@ -1044,7 +1044,7 @@ class LocalSnapshotSink(SnapshotSink):
                 "high_watermark": hwm_,
                 "offsets": offsets,
                 # catalog payloads ride along untouched
-                **({"index": base["index"]} if "index" in base else {}),
+                **{k: base[k] for k in ("index", "ann_index") if k in base},
                 # CoW precise change set (read_changes uses it over the
                 # base-file diff); MoR commits have none
                 **(
@@ -1424,7 +1424,8 @@ class LocalSnapshotSink(SnapshotSink):
         live_blobs: set[str] = set()
         for sid in keep:
             m = self.manifest(sid)
-            extras = [m[k] for k in ("change_files", "index") if m.get(k)]
+            catalog_refs = {m[k] for k in ("index", "ann_index") if m.get(k)}
+            extras = list(catalog_refs) + ([m["change_files"]] if m.get("change_files") else [])
             for files in (
                 list(m["files"].values())
                 + list(m.get("deltas", {}).values())
@@ -1432,8 +1433,8 @@ class LocalSnapshotSink(SnapshotSink):
             ):
                 if isinstance(files, str):
                     live_blobs.add(files[len("ref:"):])
-                if files == m.get("index"):
-                    continue  # catalog blob: not a data-file list
+                if files in catalog_refs:
+                    continue  # catalog blobs are not data-file lists
                 referenced.update(self._resolve_list(files))
         removed = 0
         data_root = os.path.join(self.table_dir, "data")

@@ -370,3 +370,41 @@ def test_cli_maintain_command(spark, tmp_path, capsys):
     assert sink.read(spark).count() == 2
     # no-op invocation is a loud usage error
     assert main(["maintain", str(tmp_path / "t")]) == 1
+
+
+def test_ivf_save_to_table_catalog_roundtrip(spark, tmp_path):
+    """Centroids persisted INTO the table's catalog (ann_index blob):
+    survive later merge commits AND snapshot expiry, load in a fresh
+    session object with identical assignments."""
+    import datetime as dt
+
+    from fetchez_spark.functions.similarity import IVFIndex
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IVFIndex(k=8, seed=42).fit(e)
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2, compact_every=10**9)
+    sid = idx.save_to_table(sink)
+    assert sink.manifest()["snapshot_id"] == sid
+    # a later data commit carries the index ref forward
+    t = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    sink.merge(
+        spark.createDataFrame(
+            [("c1", 0, "u", "x", None, t, "upsert", 1)],
+            "conv_id string, turn_idx int, role string, text string, tool string, "
+            "ts timestamp, op string, seq long",
+        ),
+        "m-0",
+    )
+    fresh = LocalSnapshotSink(str(tmp_path / "t"))
+    loaded = IVFIndex.load_from_table(fresh)
+    assert loaded.centroids == idx.centroids
+    # snapshot expiry keeps the ann_index blob alive
+    sink.expire_snapshots(keep_last=1)
+    assert IVFIndex.load_from_table(sink).centroids == idx.centroids
+
+    import pytest
+
+    empty = LocalSnapshotSink(str(tmp_path / "t2"), num_buckets=2)
+    with pytest.raises(KeyError, match="ann_index"):
+        IVFIndex.load_from_table(empty)
