@@ -318,12 +318,16 @@ def simhash_hamming_pairs(
 
 
 def simhash(col: Column | str, bits: int = 32, k: int = 5) -> Column:
-    """SimHash over shingle hashes, built from bitwise aggregates.
+    """SimHash over shingle hashes, built from bitwise aggregates (the
+    xxhash64 THROUGHPUT family; the oracle-checkable portable family is
+    :func:`simhash_portable`).
 
     For each bit position: sign of sum over shingles of (+1 if bit set
     else -1).  Expressed with F.aggregate over the shingle array -- stays
-    in codegen.  Default 32 bits keeps the generated expression tree sane;
-    near-dup pairs are rows with small hamming distance."""
+    in codegen.  Default 32 bits halves the generated expression tree;
+    pass ``bits=64`` for the Manku production width (pairs with
+    ``simhash_hamming_pairs``' 16-bit blocks) when fingerprint
+    discrimination at 10^9 docs matters more than hashing CPU."""
     sh = shingles(col, k=k)
     hashed = F.transform(sh, lambda s: F.xxhash64(s))
 

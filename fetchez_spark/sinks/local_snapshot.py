@@ -1433,8 +1433,8 @@ class LocalSnapshotSink(SnapshotSink):
             ):
                 if isinstance(files, str):
                     live_blobs.add(files[len("ref:"):])
-                if files in catalog_refs:
-                    continue  # catalog blobs are not data-file lists
+                    if files in catalog_refs:
+                        continue  # catalog blobs are not data-file lists
                 referenced.update(self._resolve_list(files))
         removed = 0
         data_root = os.path.join(self.table_dir, "data")
