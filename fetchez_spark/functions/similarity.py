@@ -207,6 +207,9 @@ class IVFIndex:
                     "ann_index_updated": True,
                 },
             }
+            # metadata-only commit: must not inherit the parent's CoW
+            # change sidecar (read_changes would double-emit that batch)
+            manifest.pop("change_files", None)
             sink._commit(manifest)
         return sid
 

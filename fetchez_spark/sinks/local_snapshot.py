@@ -141,7 +141,14 @@ def _filter_records(
         ok = True
         for k, (lo, hi) in (ranges or {}).items():
             v = rec.get(k)
-            if v is None or (lo is not None and v < lo) or (hi is not None and v > hi):
+            try:
+                if v is None or (lo is not None and v < lo) or (hi is not None and v > hi):
+                    ok = False
+                    break
+            except TypeError:
+                # mixed-type column (e.g. ingested CSV with '123' and
+                # 'unknown'): an incomparable value fails the filter
+                # instead of failing the whole search
                 ok = False
                 break
         if ok:
@@ -203,6 +210,7 @@ class LocalSnapshotSink(SnapshotSink):
         write_fanout: int = 1,
         track_changes: bool = True,
         delta_compression: str | None = None,
+        monotonic_tokens: bool = True,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -225,6 +233,14 @@ class LocalSnapshotSink(SnapshotSink):
         # compacted base files keep the session default (zstd).  None =
         # session codec everywhere.
         self.delta_compression = delta_compression
+        # per-prefix token-sequence watermarks assume tokens sharing a
+        # numeric-suffix prefix commit in INCREASING order (true for
+        # stream batch ids and replay indices).  Set False when issuing
+        # custom non-monotone tokens (e.g. date-stamped backfills out of
+        # order), and note the operational corollary: deleting a stream's
+        # checkpoint restarts batch ids at 0, so an intentional reprocess
+        # needs a new token_prefix (or monotonic_tokens=False).
+        self.monotonic_tokens = monotonic_tokens
         # MoR default: skip the within-batch dedup shuffle.  The
         # max-(ts,_seq) reduction is associative and idempotent and ALREADY
         # runs at read/compaction time over overlapping deltas, so deduping
@@ -317,14 +333,13 @@ class LocalSnapshotSink(SnapshotSink):
     def _lists_dir(self) -> str:
         return os.path.join(self.table_dir, "manifests", "lists")
 
-    def _pack_list(self, files: list[str]):
-        """list -> 'ref:<blob>' (written once, content-addressed)."""
-        if not files:
-            return []
+    def _write_blob_body(self, body: str, prefix: str) -> str:
+        """Write-once content-addressed blob; returns the blob filename.
+        ONE implementation of the hash/tmp/os.replace protocol for both
+        file lists and catalog payloads."""
         import hashlib
 
-        body = json.dumps(sorted(files))
-        blob = f"list-{hashlib.sha1(body.encode()).hexdigest()[:20]}.json"
+        blob = f"{prefix}-{hashlib.sha1(body.encode()).hexdigest()[:20]}.json"
         path = os.path.join(self._lists_dir(), blob)
         if not os.path.exists(path):
             os.makedirs(self._lists_dir(), exist_ok=True)
@@ -332,6 +347,13 @@ class LocalSnapshotSink(SnapshotSink):
             with open(tmp, "w") as f:
                 f.write(body)
             os.replace(tmp, path)
+        return blob
+
+    def _pack_list(self, files: list[str]):
+        """list -> 'ref:<blob>' (written once, content-addressed)."""
+        if not files:
+            return []
+        blob = self._write_blob_body(json.dumps(sorted(files)), "list")
         # cache the CANONICAL (sorted) form -- the blob on disk is sorted,
         # so a cache hit and a disk read must return the same ordering
         # (and two orderings of one file set share a slot safely)
@@ -554,14 +576,23 @@ class LocalSnapshotSink(SnapshotSink):
                 ]
         return out
 
-    def _write_flat(self, df: DataFrame, sid: str, schema: T.StructType) -> list[str]:
+    def _write_flat(
+        self,
+        df: DataFrame,
+        sid: str,
+        schema: T.StructType,
+        use_delta_codec: bool = True,
+    ) -> list[str]:
         """Write rows as flat files under a snapshot-unique dir (no
-        clustering; AQE decides the file count); return the file list."""
+        clustering; AQE decides the file count); return the file list.
+        ``use_delta_codec=False`` keeps the session codec for files that
+        are NOT transient (CoW change sidecars live as long as the
+        snapshot; the delta_compression contract is transience)."""
         snap_dir = os.path.join(self.table_dir, "data", sid)
         writer = self._align(df, schema).select(
             *[f.name for f in schema.fields]
         ).write.mode("overwrite")
-        if self.delta_compression:
+        if use_delta_codec and self.delta_compression:
             writer = writer.option("compression", self.delta_compression)
         writer.parquet(snap_dir)
         return [
@@ -732,6 +763,8 @@ class LocalSnapshotSink(SnapshotSink):
         # ids and replay indices; merge() enforces nothing for custom
         # non-monotone tokens without trailing digits).
         tok_prefix, tok_seq = _token_parts(token)
+        if not self.monotonic_tokens:
+            tok_seq = None  # window-only exactly-once (custom token order)
         if tok_seq is not None and tok_seq <= int(
             cur.get("token_seq", {}).get(tok_prefix, -1)
         ):
@@ -862,7 +895,9 @@ class LocalSnapshotSink(SnapshotSink):
                 # sibling dir, NOT nested under data/<sid>: the bucket
                 # rewrite below writes data/<sid> with mode("overwrite"),
                 # which would clobber a nested sidecar
-                change_files = self._write_flat(rows, f"{sid}-changes", new_schema)
+                change_files = self._write_flat(
+                    rows, f"{sid}-changes", new_schema, use_delta_codec=False
+                )
                 rows_src = self._read_files(
                     spark, change_files, T.StructType(list(new_schema.fields))
                 )
@@ -1018,6 +1053,16 @@ class LocalSnapshotSink(SnapshotSink):
                     "delta_files": self._count_files(deltas_),
                     "delta_commits": int(base.get("stats", {}).get("delta_commits", 0)) + 1,
                 }
+                if self.collect_metrics:
+                    # contended commits must stay catalog-searchable by
+                    # their row stats, same as uncontended ones
+                    stats_.update(
+                        {
+                            k: metrics[k]
+                            for k in ("rows_in", "rows_upserted", "rows_deleted")
+                            if k in metrics
+                        }
+                    )
                 ours = max_ts.isoformat(sep=" ") if max_ts is not None else None
                 hwm_ = max(
                     (x for x in (base.get("high_watermark"), ours) if x is not None),
@@ -1080,7 +1125,13 @@ class LocalSnapshotSink(SnapshotSink):
             self.mode == "mor"
             and manifest["stats"].get("delta_commits", 0) >= self.compact_every
         ):
-            metrics["compacted"] = self.compact(spark)["snapshot_id"]
+            try:
+                metrics["compacted"] = self.compact(spark)["snapshot_id"]
+            except ConcurrentWriteConflict:
+                # another writer's fold won the race; delta_commits stays
+                # >= threshold, so a later commit retries -- a maintenance
+                # race must never kill the streaming query that tripped it
+                metrics["compact_skipped"] = "concurrent"
 
         metrics["seconds"] = time.monotonic() - t0
         return metrics
@@ -1150,6 +1201,9 @@ class LocalSnapshotSink(SnapshotSink):
                         "minor_compacted_files": len(delta_files),
                     },
                 }
+                # maintenance commits carry no change set (read_changes
+                # skips them anyway; keep the manifest honest)
+                manifest.pop("change_files", None)
                 self._commit(manifest)
             return {"snapshot_id": sid, "compacted_buckets": len(written), "minor": True}
         has_flat = bool(delta_map.get(_FLAT))
@@ -1214,6 +1268,7 @@ class LocalSnapshotSink(SnapshotSink):
                 "deltas": self._pack_map(new_deltas),
                 "stats": {"compacted_buckets": len(written), "delta_commits": dc},
             }
+            manifest.pop("change_files", None)
             self._commit(manifest)
         return {"snapshot_id": sid, "compacted_buckets": len(written)}
 
@@ -1334,6 +1389,10 @@ class LocalSnapshotSink(SnapshotSink):
                     "ingested_records": len(records),
                 },
             }
+            # a metadata-only commit has NO change set: inheriting the
+            # parent's change_files would make read_changes re-emit the
+            # parent CoW batch a second time
+            manifest.pop("change_files", None)
             self._commit(manifest)
         return {
             "snapshot_id": sid,
@@ -1364,19 +1423,9 @@ class LocalSnapshotSink(SnapshotSink):
 
     def _pack_blob(self, obj) -> str:
         """Arbitrary JSON object -> content-addressed immutable blob ref
-        (the general form of :meth:`_pack_list`)."""
-        import hashlib
-
+        (same write-once primitive as :meth:`_pack_list`)."""
         body = json.dumps(obj, sort_keys=True, default=str)
-        blob = f"blob-{hashlib.sha1(body.encode()).hexdigest()[:20]}.json"
-        path = os.path.join(self._lists_dir(), blob)
-        if not os.path.exists(path):
-            os.makedirs(self._lists_dir(), exist_ok=True)
-            tmp = path + f".tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(body)
-            os.replace(tmp, path)
-        return f"ref:{blob}"
+        return "ref:" + self._write_blob_body(body, "blob")
 
     def _resolve_blob(self, ref: str):
         with open(os.path.join(self._lists_dir(), ref[len("ref:"):])) as f:
@@ -1395,10 +1444,17 @@ class LocalSnapshotSink(SnapshotSink):
             if fn.endswith(".json")
         )
 
-    def vacuum_orphans(self) -> int:
+    def vacuum_orphans(self, min_age_seconds: float = 3600) -> int:
         """Delete data directories referenced by NO manifest -- leftovers
         of commits that crashed between data write and manifest/pointer
-        swap (the crash window documented in the module docstring)."""
+        swap (the crash window documented in the module docstring).
+
+        ``min_age_seconds`` protects IN-FLIGHT commits: data files are
+        written OUTSIDE the commit lock (by design), so a concurrent
+        writer's claimed-but-uncommitted snapshot dir looks exactly like a
+        crash leftover.  Only unreferenced dirs older than the threshold
+        are removed; a live write finishes and commits long before the
+        default hour.  Pass 0 only when no writer can be running."""
         referenced: set[str] = set()
         for sid in self.snapshots():
             m = self.manifest(sid)
@@ -1407,17 +1463,30 @@ class LocalSnapshotSink(SnapshotSink):
             if m.get("change_files"):
                 referenced.update(self._resolve_list(m["change_files"]))
         removed = 0
+        now = time.time()
         data_root = os.path.join(self.table_dir, "data")
         for snap in os.listdir(data_root):
             snap_dir = os.path.join(data_root, snap)
-            if not any(f.startswith(snap_dir + os.sep) for f in referenced):
-                shutil.rmtree(snap_dir)
-                removed += 1
+            if any(f.startswith(snap_dir + os.sep) for f in referenced):
+                continue
+            try:
+                young = now - os.path.getmtime(snap_dir) < min_age_seconds
+            except OSError:
+                continue  # vanished under us (concurrent maintenance)
+            if young:
+                continue  # possibly an in-flight commit -- leave it
+            shutil.rmtree(snap_dir)
+            removed += 1
         return removed
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
-        """Delete data dirs not referenced by the newest ``keep_last`` manifests."""
-        keep = self.snapshots()[-keep_last:]
+    def expire_snapshots(self, keep_last: int = 1, min_age_seconds: float = 3600) -> int:
+        """Delete data dirs not referenced by the newest ``keep_last``
+        manifests.  Dirs referenced by NO manifest at all may belong to an
+        in-flight commit (written outside the lock), so they additionally
+        get the same ``min_age_seconds`` guard as :meth:`vacuum_orphans`;
+        dirs referenced only by expired manifests are old by construction
+        and are removed unconditionally."""
+        keep = self.snapshots()[-keep_last:] if keep_last > 0 else []
         if self.current_snapshot_id not in keep:
             keep.append(self.current_snapshot_id)
         referenced: set[str] = set()
@@ -1436,14 +1505,31 @@ class LocalSnapshotSink(SnapshotSink):
                     if files in catalog_refs:
                         continue  # catalog blobs are not data-file lists
                 referenced.update(self._resolve_list(files))
+        # dirs referenced by ANY manifest (incl. soon-to-expire ones) are
+        # definitely not in-flight; unreferenced dirs get the age guard
+        ever_referenced: set[str] = set()
+        for sid in self.snapshots():
+            m = self.manifest(sid)
+            for files in list(m["files"].values()) + list(m.get("deltas", {}).values()):
+                ever_referenced.update(self._resolve_list(files))
+            if m.get("change_files"):
+                ever_referenced.update(self._resolve_list(m["change_files"]))
         removed = 0
+        now = time.time()
         data_root = os.path.join(self.table_dir, "data")
         for snap in os.listdir(data_root):
             snap_dir = os.path.join(data_root, snap)
-            live = any(f.startswith(snap_dir + os.sep) for f in referenced)
-            if not live:
-                shutil.rmtree(snap_dir)
-                removed += 1
+            if any(f.startswith(snap_dir + os.sep) for f in referenced):
+                continue
+            known = any(f.startswith(snap_dir + os.sep) for f in ever_referenced)
+            if not known:
+                try:
+                    if now - os.path.getmtime(snap_dir) < min_age_seconds:
+                        continue  # possibly in-flight
+                except OSError:
+                    continue
+            shutil.rmtree(snap_dir)
+            removed += 1
         for sid in self.snapshots():
             if sid not in keep:
                 os.remove(self._manifest_path(sid))

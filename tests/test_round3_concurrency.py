@@ -274,3 +274,72 @@ def test_two_live_tails_ingest_arriving_files(spark, tmp_path):
     finally:
         qa.stop()
         qb.stop()
+
+
+# ------------------------------------------------ review-finding regressions
+def test_metadata_commits_do_not_inherit_cow_change_set(spark, tmp_path):
+    """A metadata-only commit (catalog ingest, ANN index save) must not
+    carry the parent CoW commit's change sidecar: read_changes would
+    re-emit that whole batch to a tailing consumer."""
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=1, mode="cow")
+    sink.merge(_batch(spark, [("c1", 0, "u", "one", None, _ts(9), "upsert", 1)]), "m-0")
+    s1 = sink.current_snapshot_id
+    sink.merge(_batch(spark, [("c2", 0, "u", "two", None, _ts(10), "upsert", 2)]), "m-1")
+    (tmp_path / "inv.csv").write_text("name,link\nx,/d/x\n")
+    sink.ingest_index(str(tmp_path / "inv.csv"))
+    assert "change_files" not in sink.manifest()
+    changed = [r["conv_id"] for r in sink.read_changes(spark, s1).collect()]
+    assert changed == ["c2"], "the m-1 batch must be emitted exactly once"
+
+
+def test_monotonic_tokens_false_allows_out_of_order_custom_tokens(spark, tmp_path):
+    """Custom non-monotone tokens (date-stamped backfills): the sequence
+    watermark must be defeatable, else an out-of-order backfill is
+    silently dropped."""
+    sink = LocalSnapshotSink(
+        str(tmp_path / "t"), num_buckets=2, monotonic_tokens=False
+    )
+    sink.merge(_batch(spark, [("c1", 0, "u", "new", None, _ts(9), "upsert", 2)]), "load-20260101")
+    m = sink.merge(
+        _batch(spark, [("c2", 0, "u", "backfill", None, _ts(8), "upsert", 1)]),
+        "load-20251231",
+    )
+    assert not m["skipped"]
+    rows = {r["conv_id"] for r in sink.read(spark).collect()}
+    assert rows == {"c1", "c2"}
+
+
+def test_auto_compact_conflict_does_not_kill_the_merge(spark, tmp_path):
+    """A racing fold during auto-compaction must degrade to a skipped
+    maintenance attempt, never an exception out of foreachBatch."""
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2, compact_every=1)
+    original = sink.compact
+    sink.compact = lambda *a, **k: (_ for _ in ()).throw(
+        ConcurrentWriteConflict("simulated racing fold")
+    )
+    m = sink.merge(_batch(spark, [("c1", 0, "u", "x", None, _ts(9), "upsert", 1)]), "a-0")
+    assert not m["skipped"] and m["compact_skipped"] == "concurrent"
+    sink.compact = original
+    assert sink.read(spark).count() == 1
+
+
+def test_reconciled_commit_keeps_row_stats(spark, tmp_path):
+    """Contended commits must stay catalog-searchable by row stats."""
+    table = str(tmp_path / "t")
+    racy = _RacySink(table, num_buckets=4)
+    other = LocalSnapshotSink(table, num_buckets=4)
+    racy.interloper_fn = lambda: other.merge(
+        _batch(spark, [("c2", 0, "u", "other", None, _ts(10), "upsert", 2)]), "b-0"
+    )
+    racy.merge(
+        _batch(spark, [("c3", 0, "u", "mine", None, _ts(11), "upsert", 3),
+                       ("c4", 0, "u", "more", None, _ts(11), "upsert", 4)]),
+        "a-0",
+    )
+    rec = next(
+        r for r in racy.snapshot_records()
+        if r["snapshot_id"] == racy.manifest()["committed_batches"]["a-0"]
+    )
+    assert rec["rows_in"] == 2 and rec["rows_upserted"] == 2
+    hits = {r["snapshot_id"] for r in racy.search(ranges={"rows_in": (2, None)})}
+    assert rec["snapshot_id"] in hits

@@ -408,3 +408,63 @@ def test_ivf_save_to_table_catalog_roundtrip(spark, tmp_path):
     empty = LocalSnapshotSink(str(tmp_path / "t2"), num_buckets=2)
     with pytest.raises(KeyError, match="ann_index"):
         IVFIndex.load_from_table(empty)
+
+
+def test_search_index_mixed_type_column_filters_not_crashes(tmp_path):
+    """CSV inventories routinely mix '123' and 'unknown' in one column;
+    a range filter must drop the incomparable record, not TypeError."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    f = tmp_path / "inv.csv"
+    f.write_text("name,link,size\nx,/d/x,123\ny,/d/y,unknown\n")
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2)
+    sink.ingest_index(str(f))
+    hits = sink.search_index(ranges={"size": (100, None)})
+    assert [h["name"] for h in hits] == ["x"]
+
+
+def test_expire_keep_last_zero_keeps_current_only(spark, tmp_path):
+    import datetime as dt
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    t = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2, compact_every=10**9)
+    for i in range(3):
+        sink.merge(
+            spark.createDataFrame(
+                [(f"c{i}", 0, "u", "x", None, t, "upsert", i)],
+                "conv_id string, turn_idx int, role string, text string, tool string, "
+                "ts timestamp, op string, seq long",
+            ),
+            f"m-{i}",
+        )
+    sink.expire_snapshots(keep_last=0)
+    assert sink.snapshots() == [sink.current_snapshot_id], (
+        "keep_last=0 keeps exactly the current pointer (was a silent no-op)"
+    )
+    assert sink.read(spark).count() == 3
+
+
+def test_cow_change_sidecar_ignores_delta_codec(spark, tmp_path):
+    """delta_compression's contract is TRANSIENCE; CoW change sidecars are
+    permanent (served by read_changes for the snapshot's lifetime), so
+    they must keep the session codec."""
+    import datetime as dt
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    t = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    sink = LocalSnapshotSink(
+        str(tmp_path / "t"), num_buckets=1, mode="cow", delta_compression="lz4"
+    )
+    sink.merge(
+        spark.createDataFrame(
+            [("c1", 0, "u", "x", None, t, "upsert", 1)],
+            "conv_id string, turn_idx int, role string, text string, tool string, "
+            "ts timestamp, op string, seq long",
+        ),
+        "m-0",
+    )
+    chg = sink._resolve_list(sink.manifest()["change_files"])
+    assert chg and all(".lz4" not in f for f in chg)

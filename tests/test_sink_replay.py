@@ -185,7 +185,14 @@ def test_vacuum_orphans_removes_only_unreferenced(spark, tmp_path):
     orphan = os.path.join(str(tmp_path / "table"), "data", "snap-9999999999")
     os.makedirs(orphan)
     open(os.path.join(orphan, "part-zzz.parquet"), "wb").write(b"junk")
-    removed = sink.vacuum_orphans()
+    # the default min_age guard protects IN-FLIGHT commits (data files
+    # are written outside the commit lock, so a fresh unreferenced dir is
+    # indistinguishable from one) -- the young orphan must survive...
+    assert sink.vacuum_orphans() == 0
+    assert os.path.exists(orphan)
+    # ...and an explicit age of 0 (operator knows no writer is running)
+    # removes it
+    removed = sink.vacuum_orphans(min_age_seconds=0)
     assert removed == 1
     assert not os.path.exists(orphan)
     assert sink.read(spark).count() == n  # live data untouched
