@@ -343,3 +343,42 @@ def test_reconciled_commit_keeps_row_stats(spark, tmp_path):
     assert rec["rows_in"] == 2 and rec["rows_upserted"] == 2
     hits = {r["snapshot_id"] for r in racy.search(ranges={"rows_in": (2, None)})}
     assert rec["snapshot_id"] in hits
+
+
+def test_recipe_stream_mode_multi_source(spark, tmp_path):
+    """Recipe `sources:[...]` + `run: {mode: stream}` starts N concurrent
+    streaming queries into one sink with per-source checkpoint subdirs and
+    token prefixes (round-2 verdict: stream mode raised on multi-source
+    and promised prefixes the engine could not supply)."""
+    from fetchez_spark.recipe import Recipe
+
+    write_change_log(
+        ChangeLogSpec(num_events=600, num_convs=12, seed=71), str(tmp_path / "log_a"), 2
+    )
+    write_change_log(
+        ChangeLogSpec(num_events=600, num_convs=12, seed=72), str(tmp_path / "log_b"), 2
+    )
+    cfg = {
+        "project": "multi-stream",
+        "sources": [
+            {"name": "parquet_log", "args": {"log_dir": str(tmp_path / "log_a")}},
+            {"name": "parquet_log", "args": {"log_dir": str(tmp_path / "log_b")}},
+        ],
+        "sink": {
+            "name": "local_snapshot",
+            "args": {"table_dir": str(tmp_path / "table"), "num_buckets": 4},
+        },
+        "run": {
+            "mode": "stream",
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "available_now": True,
+            "timeout_sec": 300,
+        },
+    }
+    result = Recipe(cfg).run(spark=spark)
+    assert result["mode"] == "stream" and len(result["query_ids"]) == 2
+    sink = LocalSnapshotSink(str(tmp_path / "table"))
+    toks = set(sink.manifest()["committed_batches"])
+    assert any(t.startswith("stream-s0-") for t in toks)
+    assert any(t.startswith("stream-s1-") for t in toks)
+    assert sink.read(spark).count() > 0
