@@ -75,15 +75,16 @@ def tail(
     transforms: list | None = None,
     lineage_dir: str | None = None,
     available_now: bool = False,
-    token_prefix: str = "",
+    token_prefix: str | None = None,
 ):
     """Tail the source continuously (or drain it once with
     ``available_now=True``); returns the StreamingQuery.
 
-    To run N tails into ONE sink table, give each a distinct
-    ``token_prefix`` (and checkpoint dir) -- batch tokens are namespaced
-    per stream and the sink's commit protocol interleaves the commits
-    safely (see streaming/engine.py:run_stream)."""
+    N tails into ONE sink table are safe by default: ``token_prefix``
+    defaults to a stable hash of the checkpoint dir (always distinct per
+    query), so batch tokens are namespaced per stream and the sink's
+    commit protocol interleaves the commits safely (see
+    streaming/engine.py:run_stream)."""
     source, sink = _build(source, sink, spark)
     return run_stream(
         spark,

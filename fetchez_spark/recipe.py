@@ -215,7 +215,10 @@ class Recipe:
             ckpt = self._resolve_path(run_cfg["checkpoint_dir"])
             queries = []
             for i, (source, transforms) in enumerate(units):
-                prefix = run_cfg.get("token_prefix", "")
+                # None -> run_stream derives a per-checkpoint-dir prefix,
+                # so even single-source recipes never share the empty
+                # watermark namespace with another writer of the table
+                prefix = run_cfg.get("token_prefix")
                 if len(units) > 1:
                     prefix = f"{prefix or 'stream'}-s{i}"
                 queries.append(

@@ -49,6 +49,17 @@ from fetchez_spark.sinks.base import SnapshotSink
 _TOKEN_PREFIX = "fetchez.committed."
 
 
+def _q(name: str) -> str:
+    """Backtick-quote one identifier (column, or one table-name part);
+    reserved words ('timestamp', 'order') and unusual names survive DDL."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
+def _qt(table: str) -> str:
+    """Quote a possibly multi-part table name (catalog.db.table)."""
+    return ".".join(_q(p) for p in table.split("."))
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
@@ -62,11 +73,14 @@ def create_table_sql(table: str, schema=None, num_buckets: int = 32, key: list[s
     the leading key (the Iceberg twin of LocalSnapshotSink's layout)."""
     schema = schema or TRANSCRIPT_SCHEMA
     key = key or KEY_COLUMNS
-    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
-    internal = f"{INTERNAL_SEQ} bigint, {INTERNAL_DELETED} boolean, {INTERNAL_SRC} int"
+    cols = ", ".join(f"{_q(f.name)} {f.dataType.simpleString()}" for f in schema.fields)
+    internal = (
+        f"{_q(INTERNAL_SEQ)} bigint, {_q(INTERNAL_DELETED)} boolean, "
+        f"{_q(INTERNAL_SRC)} int"
+    )
     return (
-        f"CREATE TABLE IF NOT EXISTS {table} ({cols}, {internal}) "
-        f"USING iceberg PARTITIONED BY (bucket({num_buckets}, {key[0]})) "
+        f"CREATE TABLE IF NOT EXISTS {_qt(table)} ({cols}, {internal}) "
+        f"USING iceberg PARTITIONED BY (bucket({num_buckets}, {_q(key[0])})) "
         f"TBLPROPERTIES ('format-version' = '2', "
         f"'write.delete.mode' = 'merge-on-read', "
         f"'write.update.mode' = 'merge-on-read', "
@@ -80,14 +94,14 @@ def alter_add_columns_sql(table: str, new_fields) -> str:
     LocalSnapshotSink's ``merge_schemas`` manifest update, and of the
     reference's entry extra-keys widening
     (/root/reference/src/fetchez/core.py:1128-1137)."""
-    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in new_fields)
-    return f"ALTER TABLE {table} ADD COLUMNS ({cols})"
+    cols = ", ".join(f"{_q(f.name)} {f.dataType.simpleString()}" for f in new_fields)
+    return f"ALTER TABLE {_qt(table)} ADD COLUMNS ({cols})"
 
 
 def alter_widen_column_sql(table: str, name: str, dtype) -> str:
     """Type-promotion DDL (int->long, float->double): metadata-only in
     Iceberg; old data files stay valid and upcast on read."""
-    return f"ALTER TABLE {table} ALTER COLUMN {name} TYPE {dtype.simpleString()}"
+    return f"ALTER TABLE {_qt(table)} ALTER COLUMN {_q(name)} TYPE {dtype.simpleString()}"
 
 
 def merge_sql(table: str, source_view: str, key: list[str], columns: list[str]) -> str:
@@ -96,16 +110,16 @@ def merge_sql(table: str, source_view: str, key: list[str], columns: list[str]) 
     and explicit lists survive target tables with extra columns) and
     struct() version comparison (row-constructor ``(a, b) > (c, d)`` is
     not valid Spark SQL)."""
-    on = " AND ".join(f"t.{k} = s.{k}" for k in key)
-    newer = f"struct(s.ts, s.{INTERNAL_SEQ}) > struct(t.ts, t.{INTERNAL_SEQ})"
-    sets = ", ".join(f"t.{c} = s.{c}" for c in columns)
-    ins_cols = ", ".join(columns)
-    ins_vals = ", ".join(f"s.{c}" for c in columns)
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key)
+    newer = f"struct(s.ts, s.{_q(INTERNAL_SEQ)}) > struct(t.ts, t.{_q(INTERNAL_SEQ)})"
+    sets = ", ".join(f"t.{_q(c)} = s.{_q(c)}" for c in columns)
+    ins_cols = ", ".join(_q(c) for c in columns)
+    ins_vals = ", ".join(f"s.{_q(c)}" for c in columns)
     # Tombstones are kept as rows (_deleted = true), mirroring the local
     # sink: a late pre-delete update must LOSE to the tombstone's version,
     # which physical DELETE cannot express.
     return (
-        f"MERGE INTO {table} t USING {source_view} s ON {on} "
+        f"MERGE INTO {_qt(table)} t USING {_q(source_view)} s ON {on} "
         f"WHEN MATCHED AND {newer} THEN UPDATE SET {sets} "
         f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )
@@ -138,7 +152,7 @@ class IcebergSink(SnapshotSink):
 
     # ------------------------------------------------------------- tokens
     def _properties(self) -> dict[str, str]:
-        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {_qt(self.table)}").collect()
         return {r[0]: r[1] for r in rows}
 
     def _committed_tokens(self) -> set[str]:
@@ -153,7 +167,7 @@ class IcebergSink(SnapshotSink):
 
     def _record_token(self, batch_token: str) -> None:
         self.spark.sql(
-            f"ALTER TABLE {self.table} SET TBLPROPERTIES "
+            f"ALTER TABLE {_qt(self.table)} SET TBLPROPERTIES "
             f"('{_TOKEN_PREFIX}{batch_token}' = '{time.time_ns()}')"
         )
         # bounded metadata: trim the oldest tokens past the window
@@ -167,14 +181,23 @@ class IcebergSink(SnapshotSink):
         excess = len(toks) - self.max_committed_tokens
         if excess > 0:
             drop = ", ".join(f"'{k}'" for _, k in toks[:excess])
-            self.spark.sql(f"ALTER TABLE {self.table} UNSET TBLPROPERTIES ({drop})")
+            self.spark.sql(f"ALTER TABLE {_qt(self.table)} UNSET TBLPROPERTIES ({drop})")
 
     # ------------------------------------------------------------- schema
     def _target_columns(self) -> list[str]:
         return self.spark.read.table(self.table).columns
 
     def _target_schema(self):
-        return self.spark.read.table(self.table).schema
+        """Target schema via the catalog, or ``None`` when the session
+        cannot read tables at all (the stubbed property-store spark in
+        tests exposes only ``sql``).  Returning None instead of raising
+        keeps the distinction explicit: a REAL read failure (analysis
+        error, missing table) propagates loudly from the caller rather
+        than silently downgrading widening to additive-only evolution."""
+        reader = getattr(self.spark, "read", None)
+        if reader is None:
+            return None
+        return reader.table(self.table).schema
 
     def _evolve_schema(self, rows: DataFrame) -> list[str]:
         """Schema evolution before the MERGE: any batch column the target
@@ -185,10 +208,11 @@ class IcebergSink(SnapshotSink):
         local sink's merge_schemas.  Returns the evolved column names."""
         from fetchez_spark.schema import _WIDENINGS
 
-        try:
-            target = {f.name: f.dataType for f in self._target_schema().fields}
+        target_schema = self._target_schema()
+        if target_schema is not None:
+            target = {f.name: f.dataType for f in target_schema.fields}
             existing = set(target)
-        except Exception:  # schema unavailable (stub/tests): additive only
+        else:  # schema-less stub store: additive-only (documented)
             target = None
             existing = set(self._target_columns())
         new_fields = [f for f in rows.schema.fields if f.name not in existing]

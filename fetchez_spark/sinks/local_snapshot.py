@@ -59,6 +59,7 @@ Scale design:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 import shutil
@@ -89,6 +90,8 @@ _FLAT = "*"
 INTERNAL_COLUMNS = (INTERNAL_SEQ, INTERNAL_DELETED, INTERNAL_SRC)
 
 _TOKEN_RE = re.compile(r"^(.*?)(\d+)$")
+
+_LOG = logging.getLogger("fetchez_spark.sink")
 
 
 def _token_parts(token: str) -> tuple[str, int | None]:
@@ -768,6 +771,22 @@ class LocalSnapshotSink(SnapshotSink):
         if tok_seq is not None and tok_seq <= int(
             cur.get("token_seq", {}).get(tok_prefix, -1)
         ):
+            # visible, not just a metrics-dict flag: if this token is a
+            # custom out-of-order token (date-stamped backfill) or follows
+            # a checkpoint reset with different batch boundaries, the batch
+            # is being DROPPED as a presumed replay -- the operator must be
+            # able to see that without instrumenting on_batch
+            _LOG.warning(
+                "merge of token %r skipped by the token-sequence watermark "
+                "(prefix %r watermark %s): treated as a replay of an "
+                "already-committed, window-evicted batch.  If this token is "
+                "intentionally out of order (custom backfill tokens, or a "
+                "checkpoint reset with new batch boundaries), pass "
+                "monotonic_tokens=False or a fresh token_prefix to merge it.",
+                token,
+                tok_prefix,
+                cur.get("token_seq", {}).get(tok_prefix),
+            )
             return {
                 "snapshot_id": cur["snapshot_id"],
                 "skipped": True,
@@ -1444,99 +1463,142 @@ class LocalSnapshotSink(SnapshotSink):
             if fn.endswith(".json")
         )
 
+    def _newest_mtime(self, path: str) -> float:
+        """Newest mtime anywhere under ``path`` (recursive).  The top-level
+        dir mtime alone is NOT a liveness signal: during a long Spark
+        write, new part files land inside ``_temporary/_bucket=...``
+        subtrees without touching the parent dir's mtime, so an in-flight
+        commit whose data write outlives ``min_age_seconds`` would look
+        idle to a flat check and get vacuumed mid-write."""
+        newest = os.path.getmtime(path)
+        for root, dirs, files in os.walk(path):
+            for name in dirs + files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+                except OSError:
+                    pass  # files vanish as writes finalize
+        return newest
+
     def vacuum_orphans(self, min_age_seconds: float = 3600) -> int:
         """Delete data directories referenced by NO manifest -- leftovers
         of commits that crashed between data write and manifest/pointer
         swap (the crash window documented in the module docstring).
 
-        ``min_age_seconds`` protects IN-FLIGHT commits: data files are
-        written OUTSIDE the commit lock (by design), so a concurrent
-        writer's claimed-but-uncommitted snapshot dir looks exactly like a
-        crash leftover.  Only unreferenced dirs older than the threshold
-        are removed; a live write finishes and commits long before the
-        default hour.  Pass 0 only when no writer can be running."""
-        referenced: set[str] = set()
-        for sid in self.snapshots():
-            m = self.manifest(sid)
-            for files in list(m["files"].values()) + list(m.get("deltas", {}).values()):
-                referenced.update(self._resolve_list(files))
-            if m.get("change_files"):
-                referenced.update(self._resolve_list(m["change_files"]))
-        removed = 0
-        now = time.time()
-        data_root = os.path.join(self.table_dir, "data")
-        for snap in os.listdir(data_root):
-            snap_dir = os.path.join(data_root, snap)
-            if any(f.startswith(snap_dir + os.sep) for f in referenced):
-                continue
-            try:
-                young = now - os.path.getmtime(snap_dir) < min_age_seconds
-            except OSError:
-                continue  # vanished under us (concurrent maintenance)
-            if young:
-                continue  # possibly an in-flight commit -- leave it
-            shutil.rmtree(snap_dir)
-            removed += 1
-        return removed
+        Runs entirely under the commit lock: the referenced-set and the
+        removal must see ONE consistent manifest listing, else a commit
+        landing between scan and rmtree would have its fresh data dir
+        destroyed (unreferenced at scan time, referenced by the time the
+        loop reaches it).  Maintenance commits are rare; serializing them
+        with writers is the correctness-first trade.
+
+        ``min_age_seconds`` additionally protects IN-FLIGHT commits: data
+        files are written OUTSIDE the commit lock (by design), so a
+        concurrent writer's claimed-but-uncommitted snapshot dir looks
+        exactly like a crash leftover.  Only unreferenced dirs whose
+        newest RECURSIVE mtime exceeds the threshold are removed (a live
+        write keeps touching files deep in the tree).  Pass 0 only when
+        no writer can be running."""
+        with self._commit_lock():
+            referenced: set[str] = set()
+            for sid in self.snapshots():
+                m = self.manifest(sid)
+                for files in list(m["files"].values()) + list(m.get("deltas", {}).values()):
+                    referenced.update(self._resolve_list(files))
+                if m.get("change_files"):
+                    referenced.update(self._resolve_list(m["change_files"]))
+            removed = 0
+            now = time.time()
+            data_root = os.path.join(self.table_dir, "data")
+            for snap in os.listdir(data_root):
+                snap_dir = os.path.join(data_root, snap)
+                if any(f.startswith(snap_dir + os.sep) for f in referenced):
+                    continue
+                try:
+                    young = now - self._newest_mtime(snap_dir) < min_age_seconds
+                except OSError:
+                    continue  # vanished under us (concurrent maintenance)
+                if young:
+                    continue  # possibly an in-flight commit -- leave it
+                shutil.rmtree(snap_dir)
+                removed += 1
+            return removed
 
     def expire_snapshots(self, keep_last: int = 1, min_age_seconds: float = 3600) -> int:
         """Delete data dirs not referenced by the newest ``keep_last``
         manifests.  Dirs referenced by NO manifest at all may belong to an
         in-flight commit (written outside the lock), so they additionally
-        get the same ``min_age_seconds`` guard as :meth:`vacuum_orphans`;
-        dirs referenced only by expired manifests are old by construction
-        and are removed unconditionally."""
-        keep = self.snapshots()[-keep_last:] if keep_last > 0 else []
-        if self.current_snapshot_id not in keep:
-            keep.append(self.current_snapshot_id)
-        referenced: set[str] = set()
-        live_blobs: set[str] = set()
-        for sid in keep:
-            m = self.manifest(sid)
-            catalog_refs = {m[k] for k in ("index", "ann_index") if m.get(k)}
-            extras = list(catalog_refs) + ([m["change_files"]] if m.get("change_files") else [])
-            for files in (
-                list(m["files"].values())
-                + list(m.get("deltas", {}).values())
-                + extras
-            ):
-                if isinstance(files, str):
-                    live_blobs.add(files[len("ref:"):])
-                    if files in catalog_refs:
-                        continue  # catalog blobs are not data-file lists
-                referenced.update(self._resolve_list(files))
-        # dirs referenced by ANY manifest (incl. soon-to-expire ones) are
-        # definitely not in-flight; unreferenced dirs get the age guard
-        ever_referenced: set[str] = set()
-        for sid in self.snapshots():
-            m = self.manifest(sid)
-            for files in list(m["files"].values()) + list(m.get("deltas", {}).values()):
-                ever_referenced.update(self._resolve_list(files))
-            if m.get("change_files"):
-                ever_referenced.update(self._resolve_list(m["change_files"]))
-        removed = 0
-        now = time.time()
-        data_root = os.path.join(self.table_dir, "data")
-        for snap in os.listdir(data_root):
-            snap_dir = os.path.join(data_root, snap)
-            if any(f.startswith(snap_dir + os.sep) for f in referenced):
-                continue
-            known = any(f.startswith(snap_dir + os.sep) for f in ever_referenced)
-            if not known:
-                try:
-                    if now - os.path.getmtime(snap_dir) < min_age_seconds:
-                        continue  # possibly in-flight
-                except OSError:
+        get the same ``min_age_seconds`` guard as :meth:`vacuum_orphans`
+        (newest RECURSIVE mtime); dirs referenced only by expired
+        manifests are old by construction and are removed unconditionally.
+
+        The ENTIRE operation holds the commit lock and works off ONE
+        manifest listing taken under it.  Without that, a commit landing
+        between the keep/referenced scan and the later phases is
+        destroyed: its data dir is in neither ``referenced`` nor
+        ``ever_referenced`` so it is rmtree'd, the re-listed manifest loop
+        deletes its manifest, and the blob GC deletes its fresh list
+        blobs -- leaving VERSION pointing at a missing manifest.
+        ``maintain --expire`` is explicitly supported beside live streams,
+        so the race is reachable; the lock removes it."""
+        with self._commit_lock():
+            sids = self.snapshots()  # the ONE listing this whole op works off
+            keep = sids[-keep_last:] if keep_last > 0 else []
+            if self.current_snapshot_id not in keep:
+                keep.append(self.current_snapshot_id)
+            referenced: set[str] = set()
+            live_blobs: set[str] = set()
+            for sid in keep:
+                m = self.manifest(sid)
+                catalog_refs = {m[k] for k in ("index", "ann_index") if m.get(k)}
+                extras = list(catalog_refs) + (
+                    [m["change_files"]] if m.get("change_files") else []
+                )
+                for files in (
+                    list(m["files"].values())
+                    + list(m.get("deltas", {}).values())
+                    + extras
+                ):
+                    if isinstance(files, str):
+                        live_blobs.add(files[len("ref:"):])
+                        if files in catalog_refs:
+                            continue  # catalog blobs are not data-file lists
+                    referenced.update(self._resolve_list(files))
+            # dirs referenced by ANY manifest in the listing (incl. soon-to-
+            # expire ones) are definitely not in-flight; unreferenced dirs
+            # get the age guard
+            ever_referenced: set[str] = set()
+            for sid in sids:
+                m = self.manifest(sid)
+                for files in list(m["files"].values()) + list(m.get("deltas", {}).values()):
+                    ever_referenced.update(self._resolve_list(files))
+                if m.get("change_files"):
+                    ever_referenced.update(self._resolve_list(m["change_files"]))
+            removed = 0
+            now = time.time()
+            data_root = os.path.join(self.table_dir, "data")
+            for snap in os.listdir(data_root):
+                snap_dir = os.path.join(data_root, snap)
+                if any(f.startswith(snap_dir + os.sep) for f in referenced):
                     continue
-            shutil.rmtree(snap_dir)
-            removed += 1
-        for sid in self.snapshots():
-            if sid not in keep:
-                os.remove(self._manifest_path(sid))
-        # gc file-list blobs referenced by no retained manifest
-        if os.path.isdir(self._lists_dir()):
-            for fn in os.listdir(self._lists_dir()):
-                if fn.endswith(".json") and fn not in live_blobs:
-                    os.remove(os.path.join(self._lists_dir(), fn))
-                    self._list_cache.pop(fn, None)
-        return removed
+                known = any(f.startswith(snap_dir + os.sep) for f in ever_referenced)
+                if not known:
+                    try:
+                        if now - self._newest_mtime(snap_dir) < min_age_seconds:
+                            continue  # possibly in-flight
+                    except OSError:
+                        continue
+                shutil.rmtree(snap_dir)
+                removed += 1
+            # only remove sids from the listing this op scanned: a manifest
+            # written after the listing (impossible under the lock, but the
+            # invariant is cheap to keep explicit) is never touched
+            for sid in sids:
+                if sid not in keep:
+                    os.remove(self._manifest_path(sid))
+            # gc file-list blobs referenced by no retained manifest
+            if os.path.isdir(self._lists_dir()):
+                for fn in os.listdir(self._lists_dir()):
+                    if fn.endswith(".json") and fn not in live_blobs:
+                        os.remove(os.path.join(self._lists_dir(), fn))
+                        self._list_cache.pop(fn, None)
+            return removed

@@ -35,6 +35,21 @@ def _apply_transforms(df: DataFrame, transforms: list[Transform] | None) -> Data
     return df
 
 
+def _default_token_prefix(checkpoint_dir: str) -> str:
+    """Stable per-query token prefix derived from the checkpoint dir.
+
+    Checkpoint dirs are one-per-streaming-query (Spark enforces this), so
+    hashing the absolute path gives every stream its own token namespace
+    and its own token-sequence watermark in the sink -- two tails into one
+    table can never silently skip each other's batch ids the way a shared
+    empty prefix would."""
+    import hashlib
+    import os
+
+    norm = os.path.abspath(checkpoint_dir)
+    return "cp" + hashlib.sha1(norm.encode()).hexdigest()[:10]
+
+
 def make_batch_fn(
     sink: SnapshotSink,
     lineage: LineageLog | None = None,
@@ -92,7 +107,7 @@ def run_stream(
     transforms: list[Transform] | None = None,
     on_batch: Callable[[int, dict], None] | None = None,
     available_now: bool = True,
-    token_prefix: str = "",
+    token_prefix: str | None = None,
 ):
     """Tail a parquet-backed change log with Structured Streaming.
 
@@ -103,7 +118,14 @@ def run_stream(
     each query gets its own checkpoint dir AND its own prefix, so batch
     tokens never collide and the sink's commit lock + MoR append
     reconciliation interleave their commits safely (exactly-once per
-    stream).
+    stream).  Default (``None``): a short stable hash of the checkpoint
+    dir -- checkpoint dirs are per-query by construction (Spark enforces
+    it), so distinct streams can NEVER share a token namespace or a
+    token-sequence watermark by accident (two streams sharing the empty
+    prefix would silently skip each other's batch ids as replays).  Pass
+    ``""`` explicitly to keep bare-numeric tokens (single-stream tables
+    created before this default; a table whose checkpoint moves paths
+    needs the old prefix passed explicitly to stay idempotent).
 
     ``schema=None`` infers the UNION schema of the files already in the
     log (mergeSchema batch read of the footers): a file stream cannot
@@ -114,6 +136,8 @@ def run_stream(
     restart with the wider schema (Structured Streaming limitation);
     ``replay_batches`` has no such restriction.
     """
+    if token_prefix is None:
+        token_prefix = _default_token_prefix(checkpoint_dir)
     if schema is None:
         try:
             schema = (

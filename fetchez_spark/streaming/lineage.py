@@ -82,6 +82,14 @@ class LineageLog:
             "rows_deleted": commit_metrics.get("rows_deleted"),
             "snapshot_id": commit_metrics.get("snapshot_id"),
             "skipped": commit_metrics.get("skipped", False),
+            # watermark-skip visibility (ADVICE r3): a skip that came from
+            # the token-sequence watermark rather than the committed-token
+            # window is the silent-drop scenario -- record it durably
+            **(
+                {"replayed_outside_window": True}
+                if commit_metrics.get("replayed_outside_window")
+                else {}
+            ),
             "seconds": secs,
             "events_per_sec": (rows_in / secs) if secs else None,
         }

@@ -38,7 +38,7 @@ def test_iceberg_sql_parses(spark):
     m = merge_sql("fz.db.transcripts", "_fz_batch", ["conv_id", "turn_idx"], cols)
     parser.parsePlan(m)
     assert "UPDATE SET *" not in m and "INSERT *" not in m
-    assert f"struct(s.ts, s.{INTERNAL_SEQ}) > struct(t.ts, t.{INTERNAL_SEQ})" in m
+    assert f"struct(s.ts, s.`{INTERNAL_SEQ}`) > struct(t.ts, t.`{INTERNAL_SEQ}`)" in m
 
 
 class _FakePropsSpark:
@@ -107,14 +107,15 @@ def test_iceberg_schema_evolution_sql_parses(spark):
     )
     parser.parsePlan(ddl)
     assert ddl == (
-        "ALTER TABLE fz.db.transcripts ADD COLUMNS (tool_meta string, score double)"
+        "ALTER TABLE `fz`.`db`.`transcripts` ADD COLUMNS "
+        "(`tool_meta` string, `score` double)"
     )
     m = merge_sql(
         "fz.db.transcripts", "_fz_batch", ["conv_id", "turn_idx"],
         ["conv_id", "turn_idx", "text", "tool_meta", "score"],
     )
     parser.parsePlan(m)
-    assert "t.tool_meta = s.tool_meta" in m
+    assert "t.`tool_meta` = s.`tool_meta`" in m
 
 
 def test_iceberg_evolve_schema_emits_ddl_only_for_new_columns(spark):
@@ -135,7 +136,7 @@ def test_iceberg_evolve_schema_emits_ddl_only_for_new_columns(spark):
     )
     added = sink._evolve_schema(rows)
     assert added == ["tool"]
-    assert issued == ["ALTER TABLE fz.db.t ADD COLUMNS (tool string)"]
+    assert issued == ["ALTER TABLE `fz`.`db`.`t` ADD COLUMNS (`tool` string)"]
     issued.clear()
     sink._target_columns = lambda: ["conv_id", "turn_idx", "text", "tool"]
     assert sink._evolve_schema(rows) == []

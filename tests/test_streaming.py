@@ -101,7 +101,11 @@ def test_stream_crash_resume_exactly_once(spark, tmp_path):
     q2.awaitTermination(300)
 
     # the batch committed-but-not-checkpointed was replayed and skipped
-    assert any(str(b) in committed_after_crash for b in skipped)
+    # (tokens are namespaced per checkpoint dir: "<prefix>-<batch_id>")
+    assert any(
+        any(t == str(b) or t.endswith(f"-{b}") for t in committed_after_crash)
+        for b in skipped
+    )
     # every batch token committed exactly once
     tokens = list(sink.manifest()["committed_batches"])
     assert len(tokens) == len(set(tokens))
