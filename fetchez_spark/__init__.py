@@ -24,7 +24,13 @@ from fetchez_spark.operators import dedup_latest, detect_hot_keys, merge_into  #
 from fetchez_spark.schema import CHANGE_EVENT_SCHEMA, TRANSCRIPT_SCHEMA  # noqa: F401
 from fetchez_spark.session import get_spark  # noqa: F401
 from fetchez_spark.sinks import LocalSnapshotSink, SnapshotSink  # noqa: F401
-from fetchez_spark.streaming import LineageLog, replay_batches, run_stream  # noqa: F401
+from fetchez_spark.streaming import (  # noqa: F401
+    LineageLog,
+    SchemaEvolvedError,
+    replay_batches,
+    run_stream,
+    run_stream_supervised,
+)
 
 # short aliases matching the reference's api surface (get/search)
 replay = replay_batches

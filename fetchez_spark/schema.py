@@ -104,11 +104,21 @@ def merge_schemas(base: T.StructType, extra: T.StructType) -> T.StructType:
     fields = list(base.fields)
     names = {f.name: i for i, f in enumerate(base.fields)}
     for f in extra.fields:
+        if isinstance(f.dataType, T.NullType):
+            # an all-null column (arrow/parquet writers emit it as the
+            # null type) carries NO type evidence: skipping it is lossless
+            # (its values are null either way) and avoids poisoning the
+            # union with a void type; the first file with real values
+            # establishes the type and triggers the evolution
+            continue
         i = names.get(f.name)
         if i is None:
             fields.append(T.StructField(f.name, f.dataType, True))
             continue
         cur = fields[i]
+        if isinstance(cur.dataType, T.NullType):
+            fields[i] = T.StructField(cur.name, f.dataType, True)
+            continue
         if cur.dataType == f.dataType:
             continue
         pair = (cur.dataType.simpleString(), f.dataType.simpleString())

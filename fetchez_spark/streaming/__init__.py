@@ -1,2 +1,7 @@
-from fetchez_spark.streaming.engine import replay_batches, run_stream  # noqa: F401
+from fetchez_spark.streaming.engine import (  # noqa: F401
+    SchemaEvolvedError,
+    replay_batches,
+    run_stream,
+    run_stream_supervised,
+)
 from fetchez_spark.streaming.lineage import LineageLog  # noqa: F401

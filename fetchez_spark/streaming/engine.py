@@ -22,17 +22,160 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from fetchez_spark.schema import CHANGE_EVENT_SCHEMA
+from fetchez_spark.schema import CHANGE_EVENT_SCHEMA, merge_schemas
 from fetchez_spark.sinks.base import SnapshotSink
 from fetchez_spark.streaming.lineage import LineageLog
 
 Transform = Callable[[DataFrame], DataFrame]
+
+# marker carried inside the StreamingQueryException message so the
+# supervisor can tell "stop: the log evolved" from a real failure
+_EVOLVED_MARKER = "FETCHEZ_SCHEMA_EVOLVED"
+
+
+class SchemaEvolvedError(RuntimeError):
+    """A micro-batch's files carry columns (or wider types) the running
+    stream schema lacks.  Raised BEFORE the merge, so the batch is neither
+    committed nor checkpointed -- after a restart with the widened schema
+    the SAME batch is re-offered and merges losslessly (this is what makes
+    supervised evolution exactly-once with zero repair machinery)."""
+
+    def __init__(self, wider_cols: list[str]):
+        super().__init__(f"{_EVOLVED_MARKER}: new columns/types {wider_cols}")
+        self.wider_cols = wider_cols
 
 
 def _apply_transforms(df: DataFrame, transforms: list[Transform] | None) -> DataFrame:
     for t in transforms or []:
         df = t(df)
     return df
+
+
+def _infer_log_schema(
+    spark: SparkSession, log_dir: str, sample_files: int | None = None
+):
+    """Union schema of the log's parquet files.
+
+    ``sample_files=None``: mergeSchema over the whole dir (exact, O(files)
+    footer reads -- fine up to ~10^4 files).  ``sample_files=N``: newest N
+    files' footers unioned with the core change-event shape -- O(N) driver
+    work at stream start on a huge log; correct whenever evolution is
+    append-ordered (new columns appear in new files), which is the additive
+    contract; the in-query watch_schema guard catches any stragglers
+    before they can be merged narrowly."""
+    import os
+
+    try:
+        if sample_files is None:
+            return spark.read.option("mergeSchema", "true").parquet(log_dir).schema
+        names = sorted(
+            (e.stat().st_mtime, e.path)
+            for e in os.scandir(log_dir)
+            if e.is_file() and e.name.endswith(".parquet")
+        )[-sample_files:]
+        if not names:
+            return CHANGE_EVENT_SCHEMA
+        sampled = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[p for _, p in names])
+            .schema
+        )
+        return merge_schemas(CHANGE_EVENT_SCHEMA, sampled)
+    except Exception:  # empty dir at start time: fall back to the core shape
+        return CHANGE_EVENT_SCHEMA
+
+
+def run_stream_supervised(
+    spark: SparkSession,
+    log_dir: str,
+    sink: SnapshotSink,
+    checkpoint_dir: str,
+    schema=None,
+    max_restarts: int = 16,
+    timeout_sec: float | None = None,
+    stop_event=None,
+    poll_sec: float = 2.0,
+    on_restart: Callable[[int, list[str]], None] | None = None,
+    **stream_kwargs,
+) -> dict[str, Any]:
+    """Self-healing tail: automatic MID-STREAM additive schema evolution.
+
+    Wraps :func:`run_stream` (``watch_schema=True``) in a supervision
+    loop.  When a micro-batch's files carry new columns (or widened
+    types), the batch fails BEFORE its merge commit (see
+    :class:`SchemaEvolvedError`), the query dies, and the supervisor
+    restarts it with the widened union schema -- the failed batch was
+    never checkpointed, so Spark re-offers it and it merges losslessly
+    under the wide schema.  Checkpoint + token idempotence make every
+    restart exactly-once; no repair or backfill pass is needed, and a
+    column first appearing in a file added WEEKS after stream start lands
+    in the table with no manual intervention.  (Reference analog: entry
+    extra keys accepted at any time, core.py:1128-1137.)
+
+    Blocking semantics: with ``available_now=True`` (default) returns
+    after the drain completes; for a live tail pass
+    ``available_now=False`` plus ``timeout_sec`` and/or ``stop_event``
+    (a ``threading.Event``) to bound the run.
+
+    Returns ``{"restarts", "schema", "evolved_columns"}``.
+    """
+    import time as _time
+
+    deadline = (_time.monotonic() + timeout_sec) if timeout_sec else None
+    if schema is None:
+        schema = _infer_log_schema(
+            spark, log_dir, stream_kwargs.pop("schema_sample_files", None)
+        )
+    restarts = 0
+    evolved: list[str] = []
+    available_now = stream_kwargs.get("available_now", True)
+    while True:
+        q = run_stream(
+            spark,
+            log_dir,
+            sink,
+            checkpoint_dir,
+            schema=schema,
+            watch_schema=True,
+            **stream_kwargs,
+        )
+        try:
+            while True:
+                budget = poll_sec
+                if deadline is not None:
+                    budget = min(budget, max(deadline - _time.monotonic(), 0.05))
+                if q.awaitTermination(budget):
+                    q.awaitTermination()  # surface a terminal failure, if any
+                    return {"restarts": restarts, "schema": schema, "evolved_columns": evolved}
+                if (stop_event is not None and stop_event.is_set()) or (
+                    deadline is not None and _time.monotonic() >= deadline
+                ):
+                    q.stop()
+                    q.awaitTermination(60)
+                    return {"restarts": restarts, "schema": schema, "evolved_columns": evolved}
+        except Exception as e:  # StreamingQueryException wraps the batch error
+            if _EVOLVED_MARKER not in str(e):
+                raise
+            if restarts >= max_restarts:
+                raise RuntimeError(
+                    f"schema evolved more than {max_restarts} times; giving up"
+                ) from e
+            restarts += 1
+            wider = _infer_log_schema(spark, log_dir, None)
+            new_schema = merge_schemas(schema, wider)
+            known = {f.name: f.dataType for f in schema.fields}
+            new_cols = [
+                f.name for f in new_schema.fields if known.get(f.name) != f.dataType
+            ]
+            evolved.extend(c for c in new_cols if c not in evolved)
+            schema = new_schema
+            if on_restart:
+                on_restart(restarts, new_cols)
+        # availableNow semantics across restarts: the restarted query
+        # re-lists available files, so the drain still covers everything
+        # present at (re)start time -- a bounded catch-up stays bounded.
+        if not available_now and deadline is not None and _time.monotonic() >= deadline:
+            return {"restarts": restarts, "schema": schema, "evolved_columns": evolved}
 
 
 def _default_token_prefix(checkpoint_dir: str) -> str:
@@ -50,12 +193,38 @@ def _default_token_prefix(checkpoint_dir: str) -> str:
     return "cp" + hashlib.sha1(norm.encode()).hexdigest()[:10]
 
 
+def _batch_source_files(checkpoint_dir: str, batch_id: int) -> list[str]:
+    """The file paths a file-source micro-batch reads, from the query's own
+    checkpoint (``sources/0/<batch_id>`` -- "v1" header then one JSON entry
+    per file).  Written by Spark BEFORE foreachBatch runs, so the running
+    batch can introspect exactly its own inputs -- O(batch files) driver
+    work, never O(log)."""
+    import json
+    import os
+
+    path = os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
+    out: list[str] = []
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        out.append(json.loads(line)["path"])
+                    except (ValueError, KeyError):
+                        continue
+    except OSError:
+        return []
+    return out
+
+
 def make_batch_fn(
     sink: SnapshotSink,
     lineage: LineageLog | None = None,
     transforms: list[Transform] | None = None,
     on_batch: Callable[[int, dict], None] | None = None,
     token_prefix: str = "",
+    watch_schema: tuple[str, Any] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch function: transform chain -> MERGE -> lineage.
 
@@ -63,7 +232,17 @@ def make_batch_fn(
     writing ONE table must each pass a distinct prefix, else their batch 0s
     collide and the later stream's first batch is silently skipped as
     already-committed.  (Each query also needs its own checkpoint dir --
-    that part Spark enforces.)"""
+    that part Spark enforces.)
+
+    ``watch_schema=(checkpoint_dir, stream_schema)`` arms the mid-stream
+    evolution guard: before merging, the batch's own source files (from
+    the checkpoint's source log) are footer-checked against the stream
+    schema, and any additive/widening drift raises
+    :class:`SchemaEvolvedError` BEFORE the commit -- a file stream cannot
+    change schema mid-query, so without this a column first appearing in
+    files added after stream start is silently read as absent.  Used by
+    :func:`run_stream_supervised`, which catches the failure, widens the
+    schema, and restarts the query (the failed batch re-runs wide)."""
 
     def _token(batch_id: int) -> str:
         return f"{token_prefix}-{batch_id}" if token_prefix else str(batch_id)
@@ -72,9 +251,30 @@ def make_batch_fn(
         if sink.is_committed(_token(batch_id)):
             # replayed batch after restart: offsets already folded into a
             # committed snapshot; exactly-once requires a no-op here.
+            # NOTE: committed before the guard -- a batch already merged
+            # (necessarily under its then-current schema) must never
+            # retrigger evolution, else restart would loop forever.
             if on_batch:
                 on_batch(batch_id, {"skipped": True})
             return
+        if watch_schema is not None:
+            ckpt_dir, stream_schema = watch_schema
+            files = _batch_source_files(ckpt_dir, batch_id)
+            if files:
+                actual = (
+                    batch.sparkSession.read.option("mergeSchema", "true")
+                    .parquet(*files)
+                    .schema
+                )
+                wider = merge_schemas(stream_schema, actual)
+                if wider != stream_schema:
+                    known = {f.name: f.dataType for f in stream_schema.fields}
+                    drift = [
+                        f.name
+                        for f in wider.fields
+                        if known.get(f.name) != f.dataType
+                    ]
+                    raise SchemaEvolvedError(drift)
         batch = _apply_transforms(batch, transforms)
         # Spark's checkpoint owns source offsets keyed by batch_id; the
         # sink records the same batch_id so {offsets, snapshot} commit as
@@ -108,6 +308,8 @@ def run_stream(
     on_batch: Callable[[int, dict], None] | None = None,
     available_now: bool = True,
     token_prefix: str | None = None,
+    watch_schema: bool = False,
+    schema_sample_files: int | None = None,
 ):
     """Tail a parquet-backed change log with Structured Streaming.
 
@@ -131,20 +333,20 @@ def run_stream(
     log (mergeSchema batch read of the footers): a file stream cannot
     change schema mid-query, so streaming over a mid-log additive
     evolution needs the superset up front -- inferring it prevents the
-    silent column drop a fixed default schema would cause.  Columns that
-    first appear in files added AFTER the stream starts still require a
-    restart with the wider schema (Structured Streaming limitation);
-    ``replay_batches`` has no such restriction.
+    silent column drop a fixed default schema would cause.
+    ``schema_sample_files=N`` bounds that startup inference to the newest
+    N files' footers (unioned with the core shape) -- O(N), not O(log),
+    on a huge log; exact-by-default stays None.  Columns that first
+    appear in files added AFTER the stream starts raise mid-query when
+    ``watch_schema=True`` (pre-commit, so nothing is lost) and are
+    handled automatically by :func:`run_stream_supervised`; with the
+    default ``watch_schema=False`` they require a manual restart with
+    the wider schema (Structured Streaming limitation).
     """
     if token_prefix is None:
         token_prefix = _default_token_prefix(checkpoint_dir)
     if schema is None:
-        try:
-            schema = (
-                spark.read.option("mergeSchema", "true").parquet(log_dir).schema
-            )
-        except Exception:  # empty dir at start time: fall back to the core shape
-            schema = CHANGE_EVENT_SCHEMA
+        schema = _infer_log_schema(spark, log_dir, schema_sample_files)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -158,6 +360,7 @@ def run_stream(
                 transforms=transforms,
                 on_batch=on_batch,
                 token_prefix=token_prefix,
+                watch_schema=(checkpoint_dir, schema) if watch_schema else None,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
