@@ -364,6 +364,51 @@ def _q_cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select("user_id", "event_type", "event_id", "value")
 
 
+def _q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPED change-data-feed through the real sink (r4): replay phase-0
+    events, snapshot, replay phases 1-2, then ``change_feed`` classifies
+    each key's net change against the pre-state as insert/update/delete
+    (the Iceberg/Delta CDF shape; reference analog: audit's per-entry
+    status transitions, hooks/builtins/metadata/audit.py:23-81).  The
+    oracle computes the same classification relationally in DuckDB."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-feed-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == 0), batch_token="replay-0")
+    pre_sid = sink.current_snapshot_id
+    for i in (1, 2):
+        sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_token=f"replay-{i}")
+    feed = sink.change_feed(spark, pre_sid)
+    return feed.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        F.col("_change_type").alias("change_type"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational operator surface (SURVEY.md 2.D)
 # ---------------------------------------------------------------------------
@@ -929,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": _q_cdc_final_state,
         "cdc_tombstone_counts": _q_cdc_tombstone_counts,
         "cdc_replay_snapshot": _q_cdc_replay_snapshot,
+        "cdc_change_feed": _q_cdc_change_feed,
         "dry_run": _q_dry_run,
         # relational surface
         "q1_pricing_summary": _q_q1_pricing_summary,
@@ -1011,6 +1057,36 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # typed change-data-feed: net change per key of phases 1-2 vs the
+        # live state after phase 0, classified insert/update/delete; a key
+        # both born and tombstoned inside the range nets to nothing
+        "cdc_change_feed": """
+            WITH env AS (
+              SELECT user_id, event_type, event_id, value, ts,
+                     event_id AS seq,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS del
+              FROM events),
+            pre AS (
+              SELECT user_id FROM (
+                SELECT user_id, del,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, seq DESC) AS rn
+                FROM env WHERE seq % 3 = 0)
+              WHERE rn = 1 AND del = 0),
+            net AS (
+              SELECT user_id, event_type, event_id, value, del FROM (
+                SELECT user_id, event_type, event_id, value, del,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, seq DESC) AS rn
+                FROM env WHERE seq % 3 <> 0)
+              WHERE rn = 1)
+            SELECT n.user_id, n.event_type, n.event_id, n.value,
+                   CASE WHEN n.del = 1 THEN 'delete'
+                        WHEN p.user_id IS NOT NULL THEN 'update'
+                        ELSE 'insert' END AS change_type
+            FROM net n LEFT JOIN pre p ON n.user_id = p.user_id
+            WHERE NOT (n.del = 1 AND p.user_id IS NULL)
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

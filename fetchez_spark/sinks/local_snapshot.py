@@ -676,9 +676,24 @@ class LocalSnapshotSink(SnapshotSink):
         fall back to the file-granular over-approximation.
         """
         to_snapshot = to_snapshot or self._version()
-        # walk the parent chain from `to` back to `from`, collecting files
-        # added by merge commits (deltas for MoR, base rewrites for CoW)
+        added, _buckets = self._added_change_files(from_snapshot, to_snapshot)
+        schema = T.StructType.fromJson(self.manifest(to_snapshot)["schema"])
+        df = self._read_files(spark, sorted(set(added)), schema)
+        if not include_internal:
+            df = df.filter(~F.col(INTERNAL_DELETED)).drop(*INTERNAL_COLUMNS)
+        return df
+
+    def _added_change_files(
+        self, from_snapshot: str, to_snapshot: str
+    ) -> tuple[list[str], list[int] | None]:
+        """Walk the parent chain from ``to`` back to ``from``, collecting
+        files added by merge commits (deltas for MoR, change sidecars or
+        base rewrites for CoW) and the BUCKETS those additions touched.
+        Returns (files, buckets) -- buckets is None when any addition's
+        bucket is unknown (flat deltas, CoW sidecars), meaning a pre-image
+        read cannot prune."""
         added: list[str] = []
+        buckets: set[int] | None = set()
         sid = to_snapshot
         chain_ok = False
         while sid is not None:
@@ -691,7 +706,9 @@ class LocalSnapshotSink(SnapshotSink):
             if not is_compaction:
                 if m.get("change_files"):
                     # CoW precise path: the commit's own change sidecar
+                    # (flat files -- bucket membership unknown)
                     added.extend(self._resolve_list(m["change_files"]))
+                    buckets = None
                 else:
                     parent = m.get("parent")
                     pfiles: set[str] = set()
@@ -699,21 +716,93 @@ class LocalSnapshotSink(SnapshotSink):
                         pm = self.manifest(parent)
                         for v in list(pm["files"].values()) + list(pm.get("deltas", {}).values()):
                             pfiles.update(self._resolve_list(v))
-                    for v in list(m["files"].values()) + list(m.get("deltas", {}).values()):
+                    for b, v in list(m["files"].items()) + list(m.get("deltas", {}).items()):
                         for f in self._resolve_list(v):
                             if f not in pfiles:
                                 added.append(f)
+                                if buckets is not None:
+                                    if b == _FLAT:
+                                        buckets = None
+                                    else:
+                                        buckets.add(int(b))
             sid = m.get("parent")
         if not chain_ok:
             raise ValueError(
                 f"{from_snapshot!r} is not an ancestor of {to_snapshot!r} "
                 "(expired or on an abandoned rollback branch)"
             )
+        return added, (sorted(buckets) if buckets is not None else None)
+
+    def change_feed(
+        self,
+        spark: SparkSession,
+        from_snapshot: str,
+        to_snapshot: str | None = None,
+        include_pre_image: bool = False,
+    ) -> DataFrame:
+        """TYPED change-data-feed: net change per key over the range with a
+        ``_change_type`` column ('insert' | 'update' | 'delete') -- the
+        Iceberg/Delta CDF shape a downstream CDC consumer expects, where
+        :meth:`read_changes` emits raw post-image rows only.  (Reference
+        analog: audit's per-entry status transitions,
+        hooks/builtins/metadata/audit.py:23-81.)
+
+        Semantics (net mode, deterministic):
+
+        * per key, the winning (max ts, _seq) row among the rows added in
+          ``(from_snapshot, to_snapshot]`` is the candidate change;
+        * 'insert'  -- key not live in ``from_snapshot``'s state;
+        * 'update'  -- key live before, winner not a tombstone
+          (``include_pre_image=True`` adds a ``_pre_image`` struct of the
+          prior payload);
+        * 'delete'  -- key live before, winner a tombstone (post-image
+          carries the tombstone row's payload);
+        * a key inserted AND deleted entirely inside the range nets to
+          no row (the consumer never saw it exist).
+
+        Cost: O(rows added in range) for the change side plus a
+        BUCKET-PRUNED read of the pre-state (only buckets the range
+        touched; MoR clustered deltas make the bucket set exact), joined
+        on the key -- never a full-table diff."""
+        to_snapshot = to_snapshot or self._version()
+        added, buckets = self._added_change_files(from_snapshot, to_snapshot)
         schema = T.StructType.fromJson(self.manifest(to_snapshot)["schema"])
-        df = self._read_files(spark, sorted(set(added)), schema)
-        if not include_internal:
-            df = df.filter(~F.col(INTERNAL_DELETED)).drop(*INTERNAL_COLUMNS)
-        return df
+        changes = self._read_files(spark, sorted(set(added)), schema)
+        net = dedup_latest(changes, key=self.key, order=["ts", INTERNAL_SEQ])
+        payload_cols = [f.name for f in schema.fields if f.name not in INTERNAL_COLUMNS]
+        pre = self.read(spark, snapshot_id=from_snapshot, buckets=buckets)
+        pre_sel = pre.select(
+            *[F.col(k) for k in self.key],
+            F.lit(True).alias("_pre_exists"),
+            *(
+                [
+                    F.struct(
+                        *[F.col(c) for c in pre.columns if c not in self.key]
+                    ).alias("_pre_image")
+                ]
+                if include_pre_image
+                else []
+            ),
+        )
+        j = net.join(pre_sel, on=self.key, how="left")
+        feed = (
+            j.withColumn(
+                "_change_type",
+                F.when(
+                    F.col(INTERNAL_DELETED) & F.col("_pre_exists").isNotNull(),
+                    F.lit("delete"),
+                )
+                .when(F.col(INTERNAL_DELETED), F.lit(None).cast("string"))
+                .when(F.col("_pre_exists").isNotNull(), F.lit("update"))
+                .otherwise(F.lit("insert")),
+            )
+            .filter(F.col("_change_type").isNotNull())
+            .drop("_pre_exists", *INTERNAL_COLUMNS)
+        )
+        order = payload_cols + ["_change_type"] + (
+            ["_pre_image"] if include_pre_image else []
+        )
+        return feed.select(*order)
 
     def create_view(self, spark: SparkSession, name: str = "transcripts") -> None:
         """Register the current table state as a temp view for spark.sql

@@ -428,3 +428,66 @@ def test_merge_schemas_ignores_null_type_columns():
     base2 = T.StructType([T.StructField("a", T.NullType())])
     extra2 = T.StructType([T.StructField("a", T.LongType())])
     assert isinstance(merge_schemas(base2, extra2).fields[0].dataType, T.LongType)
+
+
+# ------------------------------------------------------ 7. typed change feed
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_change_feed_types_and_net_semantics(spark, tmp_path, mode):
+    """change_feed classifies net changes as insert/update/delete against
+    the from-snapshot state; a key born AND tombstoned inside the range
+    nets to nothing; pre-images carry the prior payload (VERDICT r3 #2)."""
+    sink = LocalSnapshotSink(str(tmp_path / f"t_{mode}"), num_buckets=4, mode=mode)
+    sink.merge(
+        _batch(spark, [
+            ("keep", 0, "user", "old", None, _ts(1), "insert", 1),
+            ("gone", 0, "user", "bye", None, _ts(1), "insert", 2),
+            ("dead0", 0, "user", "x", None, _ts(1), "D", 3),  # tombstoned pre-range
+        ]),
+        "b-0",
+    )
+    from_sid = sink.current_snapshot_id
+    sink.merge(
+        _batch(spark, [
+            ("keep", 0, "user", "new", None, _ts(2), "update", 10),
+            ("fresh", 0, "user", "born", None, _ts(2), "insert", 11),
+            ("gone", 0, "user", None, None, _ts(2), "D", 12),
+            ("flash", 0, "user", "blip", None, _ts(2), "insert", 13),
+        ]),
+        "b-1",
+    )
+    sink.merge(
+        _batch(spark, [
+            ("flash", 0, "user", None, None, _ts(3), "D", 20),   # born+died in range
+            ("dead0", 0, "user", "back", None, _ts(3), "insert", 21),  # resurrect
+        ]),
+        "b-2",
+    )
+    feed = sink.change_feed(spark, from_sid).toPandas().set_index("conv_id")
+    assert feed.loc["keep", "_change_type"] == "update" and feed.loc["keep", "text"] == "new"
+    assert feed.loc["fresh", "_change_type"] == "insert"
+    assert feed.loc["gone", "_change_type"] == "delete"
+    # key tombstoned BEFORE the range was not live -> resurrection = insert
+    assert feed.loc["dead0", "_change_type"] == "insert"
+    assert "flash" not in feed.index, "insert+delete inside the range must net out"
+    assert len(feed) == 4
+
+    pre = sink.change_feed(spark, from_sid, include_pre_image=True).toPandas()
+    upd = pre[pre["_change_type"] == "update"].iloc[0]
+    assert upd["_pre_image"]["text"] == "old"
+    ins = pre[pre["conv_id"] == "fresh"].iloc[0]
+    assert ins["_pre_image"] is None or ins["_pre_image"].get("text") is None
+
+
+def test_change_feed_prunes_pre_state_buckets(spark, tmp_path):
+    """The pre-image read resolves only the buckets the range touched
+    (MoR clustered deltas make the set exact): feeding from a range that
+    touched one conversation must not scan every bucket's base files."""
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=8)
+    rows = [(f"c{i}", 0, "user", f"m{i}", None, _ts(1), "insert", i) for i in range(24)]
+    sink.merge(_batch(spark, rows), "b-0")
+    from_sid = sink.current_snapshot_id
+    sink.merge(_batch(spark, [("c1", 0, "user", "upd", None, _ts(2), "update", 100)]), "b-1")
+    _files, buckets = sink._added_change_files(from_sid, sink.current_snapshot_id)
+    assert buckets is not None and len(buckets) == 1
+    feed = sink.change_feed(spark, from_sid).toPandas()
+    assert len(feed) == 1 and feed.iloc[0]["_change_type"] == "update"
