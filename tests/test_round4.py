@@ -491,3 +491,35 @@ def test_change_feed_prunes_pre_state_buckets(spark, tmp_path):
     assert buckets is not None and len(buckets) == 1
     feed = sink.change_feed(spark, from_sid).toPandas()
     assert len(feed) == 1 and feed.iloc[0]["_change_type"] == "update"
+
+
+# ------------------------------- 8. connected components (large/small star)
+def test_connected_components_path_converges_logarithmically(spark):
+    """A planted 50-node path: large-star/small-star must converge in
+    O(log n) rounds (plain min-label propagation needs 49), and the final
+    plan must be shallow -- localCheckpoint truncates lineage per round,
+    so plan depth does not grow with round count (VERDICT r3 #4)."""
+    from fetchez_spark.functions.similarity import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "id_a long, id_b long"
+    )
+    labels, rounds = connected_components(pairs, max_rounds=20)
+    got = labels.toPandas()
+    assert len(got) == 50 and set(got["label"]) == {0}
+    assert rounds <= 7, f"path-50 took {rounds} rounds (O(n) behavior)"
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") <= 2, "plan depth grew with rounds"
+
+    # multiple components, arbitrary edge orientation
+    pairs2 = spark.createDataFrame(
+        [(101, 100), (102, 101), (7, 3), (3, 5)], "id_a long, id_b long"
+    )
+    labels2, _ = connected_components(pairs2)
+    m = {r["node"]: r["label"] for r in labels2.collect()}
+    assert m == {100: 100, 101: 100, 102: 100, 3: 3, 5: 3, 7: 3}
+
+    # empty graph: no rows, no crash
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    labels3, _ = connected_components(empty)
+    assert labels3.count() == 0
