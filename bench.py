@@ -110,6 +110,9 @@ def run_bench(cores: int, log_dir: str | None = None, json_out: str | None = Non
             # file serially on the driver, a fixed serial cost per batch
             # that caps multi-core scaling
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+            # status REST API for bytes-shuffled-per-event accounting (the
+            # engine default keeps the UI off; the bench wants the numbers)
+            "spark.ui.enabled": "true",
         },
     )
     work = _mk_work("fetchez-bench-")
@@ -156,12 +159,34 @@ def run_bench(cores: int, log_dir: str | None = None, json_out: str | None = Non
             delta_compression=os.environ.get("FETCHEZ_DELTA_CODEC") or None,
         )
         lineage = LineageLog(os.path.join(work, "lineage"))
+        from fetchez_spark.plans import ShuffleMetrics
+
+        sm = ShuffleMetrics(spark)
+        snap0 = sm.snapshot()
         t0 = time.monotonic()
         replay_batches(spark, chunks, sink, lineage=lineage)
         merge_loop_sec = time.monotonic() - t0  # merges + periodic compacts
+        snap1 = sm.snapshot()
         sink.compact(spark)  # no-op when the periodic compact just ran
         replay_sec = time.monotonic() - t0
+        snap2 = sm.snapshot()
         rate = n_events / replay_sec
+        # bytes moved per event: THE transferable scaling number -- on a
+        # real cluster shuffle bytes cross the network, so this is the
+        # term that dominates at 1000 executors (VERDICT r3 #5)
+        shuffle = {}
+        d_merge = ShuffleMetrics.delta(snap0, snap1)
+        d_total = ShuffleMetrics.delta(snap0, snap2)
+        if d_total:
+            shuffle = {
+                "merge_shuffle_write_bytes": d_merge["shuffleWriteBytes"],
+                "merge_input_bytes": d_merge["inputBytes"],
+                "total_shuffle_write_bytes": d_total["shuffleWriteBytes"],
+                "total_shuffle_read_bytes": d_total["shuffleReadBytes"],
+                "shuffle_write_bytes_per_event": round(
+                    d_total["shuffleWriteBytes"] / n_events, 2
+                ),
+            }
 
         # ---- headline queries against the sf tables ----------------------
         queries = entry_mod.queries()
@@ -187,6 +212,7 @@ def run_bench(cores: int, log_dir: str | None = None, json_out: str | None = Non
             "cores": cores,
             "events": n_events,
             "final_rows": sink.read(spark).count(),
+            **({"shuffle": shuffle} if shuffle else {}),
         }
         if json_out:
             with open(json_out, "w") as f:

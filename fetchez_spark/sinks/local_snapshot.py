@@ -214,6 +214,9 @@ class LocalSnapshotSink(SnapshotSink):
         track_changes: bool = True,
         delta_compression: str | None = None,
         monotonic_tokens: bool = True,
+        auto_compact_bytes: int | None = None,
+        compact_min_bucket_bytes: int | None = None,
+        target_file_bytes: int | None = None,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -268,6 +271,25 @@ class LocalSnapshotSink(SnapshotSink):
         # skew valve for the delta-write shuffle: split each bucket's
         # write across this many tasks (see _write_bucketed)
         self.write_fanout = write_fanout
+        # SIZE-AWARE compaction policy (the knob a 100 TB table actually
+        # operates by -- commit cadence alone compacts hot and cold
+        # buckets alike, shuffling the whole table each time):
+        # * auto_compact_bytes: when the table's accumulated delta BYTES
+        #   (tracked per bucket in the manifest, O(touched) upkeep) cross
+        #   this total, merge() triggers a compaction of ONLY the buckets
+        #   over compact_min_bucket_bytes -- cost proportional to the data
+        #   that actually needs folding, not the table;
+        # * compact_min_bucket_bytes: per-bucket delta-bytes threshold for
+        #   bucket selection (default: auto_compact_bytes / num_buckets);
+        # * target_file_bytes: compaction bin-packs each bucket's output
+        #   into ceil(bucket_bytes / target) files via a key-hash salt
+        #   (still ONE shuffle -- the salt is a key function, so the
+        #   grouped reduction stays exchange-free on top of it).
+        # All three default to None = round-3 behavior (cadence-only
+        # compaction, one file per bucket).
+        self.auto_compact_bytes = auto_compact_bytes
+        self.compact_min_bucket_bytes = compact_min_bucket_bytes
+        self.target_file_bytes = target_file_bytes
         # immutable content-addressed file-list blobs -> safe to cache
         self._list_cache: dict[str, list[str]] = {}
         os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
@@ -535,7 +557,12 @@ class LocalSnapshotSink(SnapshotSink):
         return out
 
     def _dedup_write_bucketed(
-        self, df: DataFrame, sid: str, n_partitions: int, schema: T.StructType
+        self,
+        df: DataFrame,
+        sid: str,
+        n_partitions: int,
+        schema: T.StructType,
+        fanout_map: dict[int, int] | None = None,
     ) -> dict[str, list[str]]:
         """ONE-shuffle dedup + clustered write (the compaction/CoW hot
         path).  ``df`` carries ``_bucket``.
@@ -557,11 +584,37 @@ class LocalSnapshotSink(SnapshotSink):
         order = ["ts", INTERNAL_SEQ]
         others = [f.name for f in schema.fields if f.name not in order]
         big = F.struct(*[F.col(c) for c in order], *[F.col(c) for c in others])
-        won = (
-            aligned.repartition(max(n_partitions, 1), F.col(_BUCKET))
-            .groupBy(F.col(_BUCKET), *[F.col(k) for k in self.key])
-            .agg(F.max(big).alias("_w"))
-        )
+        if fanout_map and any(k > 1 for k in fanout_map.values()):
+            # target-file-size bin packing: split each bucket's output
+            # into fanout_map[b] files via a KEY-HASH salt.  The salt is a
+            # pure function of the key, so grouping by (_bucket, _salt,
+            # key...) equals grouping by (_bucket, key...), and
+            # HashPartitioning(_bucket, _salt) still satisfies the
+            # grouped reduction -- ONE Exchange, exactly like the
+            # unsalted plan, just more (right-sized) output files.
+            kmap = F.create_map(
+                *[
+                    x
+                    for b, k in sorted(fanout_map.items())
+                    for x in (F.lit(int(b)), F.lit(int(k)))
+                ]
+            )
+            kcol = F.coalesce(kmap[F.col(_BUCKET)], F.lit(1))
+            salt = F.pmod(F.xxhash64(*[F.col(c) for c in self.key]), kcol)
+            aligned = aligned.withColumn("_salt", salt)
+            won = (
+                aligned.repartition(
+                    max(n_partitions, 1), F.col(_BUCKET), F.col("_salt")
+                )
+                .groupBy(F.col(_BUCKET), F.col("_salt"), *[F.col(k) for k in self.key])
+                .agg(F.max(big).alias("_w"))
+            )
+        else:
+            won = (
+                aligned.repartition(max(n_partitions, 1), F.col(_BUCKET))
+                .groupBy(F.col(_BUCKET), *[F.col(k) for k in self.key])
+                .agg(F.max(big).alias("_w"))
+            )
         rows = won.select(F.col(_BUCKET), F.col("_w.*")).select(
             *[f.name for f in schema.fields], _BUCKET
         )
@@ -961,6 +1014,12 @@ class LocalSnapshotSink(SnapshotSink):
 
         written: list[str] = []
         change_files: list[str] = []  # CoW-only changes sidecar
+        # per-bucket bytes this commit appended as deltas -- feeds the
+        # size-aware compaction policy; O(batch files) stat calls on the
+        # just-written files (at object-store scale these sizes come back
+        # from the writer, same O(batch) shape)
+        written_bytes: dict[str, int] = {}
+        touched: list[int] = []
         if self.mode == "mor":
             # 3a. append the batch as DELTA files -- O(batch) always.
             # Default (cluster_deltas): one repartition on the bucket key,
@@ -975,10 +1034,12 @@ class LocalSnapshotSink(SnapshotSink):
                 )
                 for b, fs in written_map.items():
                     new_deltas[b] = self._resolve_list(new_deltas.get(b, [])) + fs
+                    written_bytes[b] = sum(os.path.getsize(f) for f in fs)
                 written = [f for fs in written_map.values() for f in fs]
             else:
                 written = self._write_flat(rows, sid, new_schema)
                 new_deltas[_FLAT] = self._resolve_list(new_deltas.get(_FLAT, [])) + written
+                written_bytes[_FLAT] = sum(os.path.getsize(f) for f in written)
             stats = {
                 "delta_files": self._count_files(new_deltas),
                 "delta_commits": int(cur.get("stats", {}).get("delta_commits", 0)) + 1,
@@ -1184,6 +1245,15 @@ class LocalSnapshotSink(SnapshotSink):
             token_seq = dict(base.get("token_seq", {}))
             if tok_seq is not None:
                 token_seq[tok_prefix] = max(int(token_seq.get(tok_prefix, -1)), tok_seq)
+            # size-aware compaction bookkeeping: per-bucket accumulated
+            # delta bytes, O(touched) upkeep per commit (reconcile-safe:
+            # built on whatever base manifest wins the commit race)
+            delta_bytes = {k: int(v) for k, v in (base.get("delta_bytes") or {}).items()}
+            for b, n in written_bytes.items():
+                delta_bytes[b] = delta_bytes.get(b, 0) + int(n)
+            if self.mode == "cow":
+                for b in touched:
+                    delta_bytes[str(b)] = 0  # folded into the rewritten base
             return {
                 "snapshot_id": sid,
                 "parent": base["snapshot_id"],
@@ -1193,6 +1263,7 @@ class LocalSnapshotSink(SnapshotSink):
                 "deltas": self._pack_map(deltas_),
                 "committed_batches": committed,
                 "token_seq": token_seq,
+                "delta_bytes": delta_bytes,
                 "stats": stats_,
                 "high_watermark": hwm_,
                 "offsets": offsets,
@@ -1226,29 +1297,64 @@ class LocalSnapshotSink(SnapshotSink):
             self._commit(manifest)
         metrics["snapshot_id"] = sid
 
-        # auto-compaction counts delta COMMITS since the last compaction
-        # (file counts vary with AQE); a full compact folds deltas into
-        # bucketed base files and resets the counter
-        if (
-            self.mode == "mor"
-            and manifest["stats"].get("delta_commits", 0) >= self.compact_every
-        ):
-            try:
-                metrics["compacted"] = self.compact(spark)["snapshot_id"]
-            except ConcurrentWriteConflict:
-                # another writer's fold won the race; delta_commits stays
-                # >= threshold, so a later commit retries -- a maintenance
-                # race must never kill the streaming query that tripped it
-                metrics["compact_skipped"] = "concurrent"
+        # auto-compaction, two triggers:
+        # * SIZE (auto_compact_bytes set): when accumulated delta bytes
+        #   cross the threshold, fold ONLY the buckets over their
+        #   per-bucket threshold -- the 100 TB policy (a cadence compact
+        #   shuffles hot and cold buckets alike);
+        # * CADENCE (delta commits since last compaction): the simple
+        #   bound on read amplification; file counts vary with AQE.
+        if self.mode == "mor":
+            total_db = sum(int(v) for v in (manifest.get("delta_bytes") or {}).values())
+            size_trigger = (
+                self.auto_compact_bytes is not None
+                and total_db >= self.auto_compact_bytes
+            )
+            cadence_trigger = (
+                manifest["stats"].get("delta_commits", 0) >= self.compact_every
+            )
+            if size_trigger or cadence_trigger:
+                min_b = None
+                if size_trigger:
+                    min_b = self.compact_min_bucket_bytes
+                    if min_b is None:
+                        min_b = max(self.auto_compact_bytes // max(nb, 1), 1)
+                try:
+                    metrics["compacted"] = self.compact(
+                        spark, min_bucket_bytes=min_b
+                    )["snapshot_id"]
+                except ConcurrentWriteConflict:
+                    # another writer's fold won the race; the trigger state
+                    # persists, so a later commit retries -- a maintenance
+                    # race must never kill the streaming query that
+                    # tripped it
+                    metrics["compact_skipped"] = "concurrent"
 
         metrics["seconds"] = time.monotonic() - t0
         return metrics
+
+    @staticmethod
+    def _sizes_by_bucket(resolved_map: dict[str, list[str]]) -> dict[str, int]:
+        """Exact on-disk bytes per bucket for a resolved file map
+        (maintenance-path O(files) stat; vanished files count 0)."""
+        out: dict[str, int] = {}
+        for b, fs in resolved_map.items():
+            tot = 0
+            for f in fs:
+                try:
+                    tot += os.path.getsize(f)
+                except OSError:
+                    pass
+            out[b] = tot
+        return out
 
     def compact(
         self,
         spark: SparkSession,
         buckets: list[int] | None = None,
         minor: bool = False,
+        min_bucket_bytes: int | None = None,
+        target_file_bytes: int | None = None,
     ) -> dict[str, Any]:
         """Fold delta files into base files for the given (or all) buckets.
 
@@ -1262,6 +1368,14 @@ class LocalSnapshotSink(SnapshotSink):
         RocksDB/Iceberg leveled-maintenance shape).  Flat deltas are
         clustered into per-bucket deltas in the process (migration path
         for ``cluster_deltas=False`` tables).
+
+        ``min_bucket_bytes`` selects ONLY buckets whose accumulated delta
+        bytes (exact, from file sizes) reach the threshold -- the
+        size-aware policy: compaction cost scales with the data that
+        needs folding, not the table.  ``target_file_bytes`` bin-packs
+        each compacted bucket into ceil(bucket_bytes / target) output
+        files (key-hash salted, still one shuffle) so file sizes converge
+        to the target instead of one-ever-growing-file-per-bucket.
         """
         cur = self.manifest()
         schema = T.StructType.fromJson(cur["schema"])
@@ -1300,6 +1414,7 @@ class LocalSnapshotSink(SnapshotSink):
                     "snapshot_id": sid,
                     "parent": latest["snapshot_id"],
                     "deltas": self._pack_map(deltas_),
+                    "delta_bytes": self._sizes_by_bucket(deltas_),
                     # stats built from scratch: a minor compact is a pure
                     # maintenance commit, so it must NOT inherit the parent
                     # merge's rows_in/rows_upserted/rows_deleted (catalog
@@ -1320,6 +1435,15 @@ class LocalSnapshotSink(SnapshotSink):
             todo = sorted(set(cur["files"]) | (set(delta_map) - {_FLAT}))
             delta_files = [f for b, fs in delta_map.items() for f in fs]
         else:
+            if buckets is None and min_bucket_bytes is not None:
+                dsizes = self._sizes_by_bucket(delta_map)
+                buckets = [
+                    int(b)
+                    for b, n in dsizes.items()
+                    if b != _FLAT and n >= min_bucket_bytes
+                ]
+                if not buckets:
+                    return {"snapshot_id": cur["snapshot_id"], "compacted_buckets": 0}
             todo = (
                 [str(b) for b in buckets]
                 if buckets is not None
@@ -1331,13 +1455,25 @@ class LocalSnapshotSink(SnapshotSink):
             return {"snapshot_id": cur["snapshot_id"], "compacted_buckets": 0}
         files = [f for b in todo for f in base_map.get(b, [])] + delta_files
         sid = self._claim_sid(cur)
+        target = target_file_bytes or self.target_file_bytes
+        fanout_map: dict[int, int] | None = None
+        n_parts = max(len(todo), cur["num_buckets"] if has_flat else 1)
+        if target:
+            bsizes = self._sizes_by_bucket(
+                {b: base_map.get(b, []) + delta_map.get(b, []) for b in todo}
+            )
+            fanout_map = {
+                int(b): max(1, -(-int(n) // int(target))) for b, n in bsizes.items()
+            }
+            n_parts = max(n_parts, sum(fanout_map.values()))
         written = self._dedup_write_bucketed(
             self._read_files(spark, files, schema).withColumn(
                 _BUCKET, self._bucket_expr(cur["num_buckets"])
             ),
             sid,
-            max(len(todo), cur["num_buckets"] if has_flat else 1),
+            n_parts,
             schema,
+            fanout_map=fanout_map,
         )
         consumed = set(delta_files)
         with self._commit_lock():
@@ -1374,6 +1510,9 @@ class LocalSnapshotSink(SnapshotSink):
                 "parent": latest["snapshot_id"],
                 "files": self._pack_map(new_files),
                 "deltas": self._pack_map(new_deltas),
+                # refresh the size-policy bookkeeping from the exact
+                # remaining delta files (maintenance path is O(deltas))
+                "delta_bytes": self._sizes_by_bucket(new_deltas),
                 "stats": {"compacted_buckets": len(written), "delta_commits": dc},
             }
             manifest.pop("change_files", None)
