@@ -454,13 +454,26 @@ class LocalSnapshotSink(SnapshotSink):
         ]
         return f"snap-{(max(sids) if sids else 0) + 1:010d}"
 
+    def _snap_payload_dir(self, sid: str) -> str:
+        """Where a snapshot's data files actually go: a subdir UNDER the
+        claimed dir.  Spark's ``mode("overwrite")`` deletes its output
+        path at job start -- if that path were the claim dir itself, the
+        claim marker would vanish for the duration of the job's first
+        write and a concurrent writer could re-claim the SAME sid and
+        clobber the files mid-commit (found by the round-4 four-writer
+        soak).  Writing to ``<claim>/d`` means overwrite only ever
+        recreates ``d``; the claim dir persists from claim to expiry."""
+        return os.path.join(self.table_dir, "data", sid, "d")
+
     def _claim_sid(self, cur: dict) -> str:
         """Collision-free snapshot-id allocation for concurrent writers:
         claim the id by exclusively creating its data directory (atomic
         mkdir).  Two streaming queries appending to one table each get a
         distinct sid, so their data writes can never clobber each other;
         id order need not match commit order (the parent chain, not the
-        numbering, defines history -- same as Iceberg snapshot ids)."""
+        numbering, defines history -- same as Iceberg snapshot ids).
+        Data files land in :meth:`_snap_payload_dir`, NOT the claim dir
+        itself -- see that method for why."""
         sid = self._next_sid(cur)
         base = int(sid[5:])
         for i in range(10_000):
@@ -529,7 +542,7 @@ class LocalSnapshotSink(SnapshotSink):
         a Zipf-hot conversation whose bucket would otherwise serialize on
         one write task.  Costs up to ``fanout`` delta files per bucket per
         batch; compaction restores one file per bucket."""
-        snap_dir = os.path.join(self.table_dir, "data", sid)
+        snap_dir = self._snap_payload_dir(sid)
         out_cols = [f.name for f in schema.fields] + [_BUCKET]
         shuffle_keys = [F.col(_BUCKET)]
         if fanout > 1:
@@ -618,7 +631,7 @@ class LocalSnapshotSink(SnapshotSink):
         rows = won.select(F.col(_BUCKET), F.col("_w.*")).select(
             *[f.name for f in schema.fields], _BUCKET
         )
-        snap_dir = os.path.join(self.table_dir, "data", sid)
+        snap_dir = self._snap_payload_dir(sid)
         with _observed_write_conf(df.sparkSession):
             rows.write.partitionBy(_BUCKET).mode("overwrite").parquet(snap_dir)
         out: dict[str, list[str]] = {}
@@ -644,7 +657,7 @@ class LocalSnapshotSink(SnapshotSink):
         ``use_delta_codec=False`` keeps the session codec for files that
         are NOT transient (CoW change sidecars live as long as the
         snapshot; the delta_compression contract is transience)."""
-        snap_dir = os.path.join(self.table_dir, "data", sid)
+        snap_dir = self._snap_payload_dir(sid)
         writer = self._align(df, schema).select(
             *[f.name for f in schema.fields]
         ).write.mode("overwrite")
@@ -1752,8 +1765,11 @@ class LocalSnapshotSink(SnapshotSink):
             return removed
 
     def expire_snapshots(self, keep_last: int = 1, min_age_seconds: float = 3600) -> int:
-        """Delete data dirs not referenced by the newest ``keep_last``
-        manifests.  Dirs referenced by NO manifest at all may belong to an
+        """Delete manifests, data dirs, and list blobs not referenced by
+        the newest ``keep_last`` manifests NOR by any manifest younger
+        than ``min_age_seconds`` (the Iceberg ``older_than`` semantic --
+        young manifests may still be mid-read by a racing writer; see the
+        inline comment).  Dirs referenced by NO manifest at all may belong to an
         in-flight commit (written outside the lock), so they additionally
         get the same ``min_age_seconds`` guard as :meth:`vacuum_orphans`
         (newest RECURSIVE mtime); dirs referenced only by expired
@@ -1771,6 +1787,27 @@ class LocalSnapshotSink(SnapshotSink):
         with self._commit_lock():
             sids = self.snapshots()  # the ONE listing this whole op works off
             keep = sids[-keep_last:] if keep_last > 0 else []
+            # AGE grace on manifests themselves (the Iceberg older_than
+            # semantic): a writer's merge reads its base manifest and
+            # resolves its list blobs UNLOCKED (by design -- the data
+            # write must overlap), so a manifest committed moments ago
+            # may still be mid-read by a racing merge; expiring it (and
+            # GC-ing its blobs) would crash that writer.  Manifests
+            # younger than min_age_seconds are therefore retained this
+            # round regardless of keep_last; the next expire past the
+            # grace window removes them.  Pass min_age_seconds=0 only
+            # when no writer can be running (count-only expiry).
+            if min_age_seconds > 0:
+                now_m = time.time()
+                for sid in sids:
+                    if sid in keep:
+                        continue
+                    try:
+                        age = now_m - os.path.getmtime(self._manifest_path(sid))
+                    except OSError:
+                        continue
+                    if age < min_age_seconds:
+                        keep.append(sid)
             if self.current_snapshot_id not in keep:
                 keep.append(self.current_snapshot_id)
             referenced: set[str] = set()

@@ -382,7 +382,9 @@ def test_expire_gcs_list_blobs(spark, tmp_path):
     lists_dir = sink._lists_dir()
     before = len(_os.listdir(lists_dir))
     assert before >= 4
-    sink.expire_snapshots(keep_last=1)
+    # min_age_seconds=0: count-only expiry (no writers running here);
+    # the default hour-long age grace would retain these young manifests
+    sink.expire_snapshots(keep_last=1, min_age_seconds=0)
     after = len(_os.listdir(lists_dir))
     assert after < before, "unreferenced list blobs were garbage-collected"
     assert sink.read(spark).count() == 4, "current state intact"

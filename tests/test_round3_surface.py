@@ -290,7 +290,8 @@ def test_iceberg_widening_ddl(spark):
     parser = spark._jsparkSession.sessionState().sqlParser()
     ddl = alter_widen_column_sql("fz.db.t", "score", T.LongType())
     parser.parsePlan(ddl)
-    assert ddl == "ALTER TABLE fz.db.t ALTER COLUMN score TYPE bigint"
+    # identifiers are backtick-quoted since r4 (ADVICE r3: reserved words)
+    assert ddl == "ALTER TABLE `fz`.`db`.`t` ALTER COLUMN `score` TYPE bigint"
 
     sink = object.__new__(IcebergSink)
     issued: list[str] = []
@@ -308,8 +309,8 @@ def test_iceberg_widening_ddl(spark):
     evolved = sink._evolve_schema(rows)
     assert sorted(evolved) == ["note", "score"]
     assert issued == [
-        "ALTER TABLE fz.db.t ADD COLUMNS (note string)",
-        "ALTER TABLE fz.db.t ALTER COLUMN score TYPE bigint",
+        "ALTER TABLE `fz`.`db`.`t` ADD COLUMNS (`note` string)",
+        "ALTER TABLE `fz`.`db`.`t` ALTER COLUMN `score` TYPE bigint",
     ]
 
 
@@ -439,7 +440,7 @@ def test_expire_keep_last_zero_keeps_current_only(spark, tmp_path):
             ),
             f"m-{i}",
         )
-    sink.expire_snapshots(keep_last=0)
+    sink.expire_snapshots(keep_last=0, min_age_seconds=0)
     assert sink.snapshots() == [sink.current_snapshot_id], (
         "keep_last=0 keeps exactly the current pointer (was a silent no-op)"
     )
