@@ -17,7 +17,7 @@ Public facade (analog of fetchez's ``api.get`` /
 
 from __future__ import annotations
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 from fetchez_spark.changegen import ChangeLogSpec, generate_change_log, write_change_log  # noqa: F401
 from fetchez_spark.operators import dedup_latest, detect_hot_keys, merge_into  # noqa: F401

@@ -213,6 +213,51 @@ class Recipe:
             # reconciliation interleave their commits safely (the reference
             # unions N modules into one run, core.py:822-832).
             ckpt = self._resolve_path(run_cfg["checkpoint_dir"])
+            if run_cfg.get("supervised"):
+                # self-healing tails: automatic mid-stream additive schema
+                # evolution (run_stream_supervised restarts a query whose
+                # log grew new columns; exactly-once via checkpoint +
+                # tokens).  Each source supervises in its own thread so N
+                # sources still drain concurrently.
+                import threading
+
+                from fetchez_spark.streaming.engine import run_stream_supervised
+
+                results: list[dict] = [None] * len(units)  # type: ignore[list-item]
+                errs: list[BaseException] = []
+
+                def _supervise(i: int, source, transforms) -> None:
+                    prefix = run_cfg.get("token_prefix")
+                    if len(units) > 1:
+                        prefix = f"{prefix or 'stream'}-s{i}"
+                    try:
+                        results[i] = run_stream_supervised(
+                            spark,
+                            source.log_dir,
+                            sink,
+                            os.path.join(ckpt, f"s{i}") if len(units) > 1 else ckpt,
+                            schema=source.schema,
+                            max_files_per_trigger=source.max_files_per_trigger,
+                            lineage=lineage,
+                            transforms=transforms,
+                            available_now=run_cfg.get("available_now", True),
+                            token_prefix=prefix,
+                            timeout_sec=run_cfg.get("timeout_sec"),
+                        )
+                    except BaseException as e:  # surfaced to the caller
+                        errs.append(e)
+
+                threads = [
+                    threading.Thread(target=_supervise, args=(i, s, t), daemon=True)
+                    for i, (s, t) in enumerate(units)
+                ]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join(run_cfg.get("timeout_sec", 3600) + 60)
+                if errs:
+                    raise errs[0]
+                return {"mode": mode, "supervised": True, "runs": results}
             queries = []
             for i, (source, transforms) in enumerate(units):
                 # None -> run_stream derives a per-checkpoint-dir prefix,

@@ -637,3 +637,46 @@ def test_auto_compact_triggers_on_accumulated_bytes(spark, tmp_path):
     # after a size-policy fold the folded buckets' delta_bytes reset
     db = sink.manifest()["delta_bytes"]
     assert all(int(v) >= 0 for v in db.values())
+
+
+# ------------------------------------------------ 10. supervised recipe mode
+def test_recipe_supervised_stream_mode(spark, tmp_path):
+    """run: {mode: stream, supervised: true} drains through the
+    self-healing supervisor (per-source threads), returning per-source
+    restart/schema reports instead of raw query ids."""
+    from fetchez_spark.changegen import ChangeLogSpec, write_change_log
+    from fetchez_spark.recipe import Recipe
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink as Sink
+
+    write_change_log(
+        ChangeLogSpec(num_events=400, num_convs=10, seed=81), str(tmp_path / "log_a"), 2
+    )
+    write_change_log(
+        ChangeLogSpec(num_events=400, num_convs=10, seed=82), str(tmp_path / "log_b"), 2
+    )
+    cfg = {
+        "project": "supervised-stream",
+        "sources": [
+            {"name": "parquet_log", "args": {"log_dir": str(tmp_path / "log_a")}},
+            {"name": "parquet_log", "args": {"log_dir": str(tmp_path / "log_b")}},
+        ],
+        "sink": {
+            "name": "local_snapshot",
+            "args": {"table_dir": str(tmp_path / "table"), "num_buckets": 4},
+        },
+        "run": {
+            "mode": "stream",
+            "supervised": True,
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "available_now": True,
+            "timeout_sec": 300,
+        },
+    }
+    result = Recipe(cfg).run(spark=spark)
+    assert result["supervised"] and len(result["runs"]) == 2
+    assert all(r["restarts"] == 0 for r in result["runs"])  # no mid-drain evolution
+    sink = Sink(str(tmp_path / "table"))
+    toks = set(sink.manifest()["committed_batches"])
+    assert any(t.startswith("stream-s0-") for t in toks)
+    assert any(t.startswith("stream-s1-") for t in toks)
+    assert sink.read(spark).count() > 0
