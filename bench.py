@@ -113,6 +113,10 @@ def run_bench(cores: int, log_dir: str | None = None, json_out: str | None = Non
             # status REST API for bytes-shuffled-per-event accounting (the
             # engine default keeps the UI off; the bench wants the numbers)
             "spark.ui.enabled": "true",
+            # shuffle/IO codec knob: zstd halves shuffle bytes/event (the
+            # recommended CLUSTER setting -- network bytes are the scarce
+            # resource there); lz4 default keeps local numbers comparable
+            "spark.io.compression.codec": os.environ.get("FETCHEZ_IO_CODEC", "lz4"),
         },
     )
     work = _mk_work("fetchez-bench-")
