@@ -181,7 +181,7 @@ def run_bench(cores: int, log_dir: str | None = None, json_out: str | None = Non
         shuffle = {}
         d_merge = ShuffleMetrics.delta(snap0, snap1)
         d_total = ShuffleMetrics.delta(snap0, snap2)
-        if d_total:
+        if d_total and d_merge:
             shuffle = {
                 "merge_shuffle_write_bytes": d_merge["shuffleWriteBytes"],
                 "merge_input_bytes": d_merge["inputBytes"],

@@ -373,7 +373,12 @@ def connected_components(
             .distinct()
         )
         # re-symmetrize for the next large-star; truncate lineage NOW so
-        # round r+1's plan starts from a materialized RDD, not r joins
+        # round r+1's plan starts from a materialized RDD, not r joins.
+        # The PREVIOUS round's checkpoint blocks are released as soon as
+        # the new one has materialized (eager by default) -- without the
+        # unpersist, up to max_rounds copies of the edge set pile up in
+        # executor storage.
+        prev_edges = edges
         edges = (
             small.unionByName(
                 small.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -381,6 +386,7 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
+        prev_edges.unpersist()
         # order-insensitive multiset signature; bit_xor cannot overflow
         # (sum of hashes trips ANSI long-overflow on big edge sets)
         sig = edges.agg(

@@ -253,10 +253,23 @@ class Recipe:
                 ]
                 for t in threads:
                     t.start()
+                # timeout_sec may be absent (default 1h) or explicitly
+                # None (unbounded drain -- join forever); a finite value
+                # gets slack for the supervisor's own stop handshake, and
+                # a thread still alive after it is an ERROR, never a
+                # silent runs=[None] success
+                timeout = run_cfg.get("timeout_sec", 3600)
+                join_for = None if timeout is None else timeout + 60
                 for t in threads:
-                    t.join(run_cfg.get("timeout_sec", 3600) + 60)
+                    t.join(join_for)
                 if errs:
                     raise errs[0]
+                if any(t.is_alive() for t in threads):
+                    raise TimeoutError(
+                        f"supervised stream drain exceeded timeout_sec={timeout}; "
+                        "raise run.timeout_sec or pass timeout_sec: null for an "
+                        "unbounded drain"
+                    )
                 return {"mode": mode, "supervised": True, "runs": results}
             queries = []
             for i, (source, transforms) in enumerate(units):

@@ -1322,20 +1322,35 @@ class LocalSnapshotSink(SnapshotSink):
             size_trigger = (
                 self.auto_compact_bytes is not None
                 and total_db >= self.auto_compact_bytes
+                # damping: a size-triggered attempt that selected NOTHING
+                # (bytes spread below every per-bucket threshold) must not
+                # re-pay its O(delta files) stat scan on every subsequent
+                # commit -- wait for meaningfully more bytes first
+                and total_db >= getattr(self, "_size_compact_floor", 0)
             )
             cadence_trigger = (
                 manifest["stats"].get("delta_commits", 0) >= self.compact_every
             )
             if size_trigger or cadence_trigger:
+                # CADENCE always means a FULL fold -- it is the bound on
+                # read amplification for buckets the size policy never
+                # selects; only a pure size trigger compacts selectively
                 min_b = None
-                if size_trigger:
+                if size_trigger and not cadence_trigger:
                     min_b = self.compact_min_bucket_bytes
                     if min_b is None:
                         min_b = max(self.auto_compact_bytes // max(nb, 1), 1)
                 try:
-                    metrics["compacted"] = self.compact(
-                        spark, min_bucket_bytes=min_b
-                    )["snapshot_id"]
+                    res = self.compact(spark, min_bucket_bytes=min_b)
+                    if res.get("compacted_buckets"):
+                        metrics["compacted"] = res["snapshot_id"]
+                        self._size_compact_floor = 0
+                    else:
+                        # selection matched nothing: report honestly and
+                        # damp the next attempt
+                        metrics["compact_noop"] = True
+                        if size_trigger:
+                            self._size_compact_floor = int(total_db * 1.5)
                 except ConcurrentWriteConflict:
                     # another writer's fold won the race; the trigger state
                     # persists, so a later commit retries -- a maintenance
@@ -1511,12 +1526,20 @@ class LocalSnapshotSink(SnapshotSink):
                 new_files[b] = []
             new_files.update(written)
             # delta commits that landed AFTER this fold started are still
-            # pending; everything up to `cur` was folded
-            dc = max(
-                0,
-                int(latest.get("stats", {}).get("delta_commits", 0))
-                - int(cur.get("stats", {}).get("delta_commits", 0)),
-            )
+            # pending; everything up to `cur` was folded.  A PARTIAL fold
+            # (bucket-filtered by the caller or the size policy) keeps the
+            # cadence counter untouched -- it did NOT fold the buckets the
+            # cadence backstop exists to protect, so zeroing the counter
+            # would defer their full fold indefinitely.
+            partial = set(todo) != {b for b, fs in delta_map.items() if fs and b != _FLAT}
+            if partial:
+                dc = int(latest.get("stats", {}).get("delta_commits", 0))
+            else:
+                dc = max(
+                    0,
+                    int(latest.get("stats", {}).get("delta_commits", 0))
+                    - int(cur.get("stats", {}).get("delta_commits", 0)),
+                )
             manifest = {
                 **latest,
                 "snapshot_id": sid,

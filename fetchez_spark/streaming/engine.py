@@ -122,10 +122,9 @@ def run_stream_supervised(
     import time as _time
 
     deadline = (_time.monotonic() + timeout_sec) if timeout_sec else None
+    sample_files = stream_kwargs.pop("schema_sample_files", None)
     if schema is None:
-        schema = _infer_log_schema(
-            spark, log_dir, stream_kwargs.pop("schema_sample_files", None)
-        )
+        schema = _infer_log_schema(spark, log_dir, sample_files)
     restarts = 0
     evolved: list[str] = []
     available_now = stream_kwargs.get("available_now", True)
@@ -161,8 +160,16 @@ def run_stream_supervised(
                     f"schema evolved more than {max_restarts} times; giving up"
                 ) from e
             restarts += 1
-            wider = _infer_log_schema(spark, log_dir, None)
+            # honor the sampling bound on restart too (the whole point of
+            # schema_sample_files is avoiding O(log) footer reads); the
+            # evolved file is new, so it IS in the newest-N sample -- but
+            # if sampling somehow finds nothing wider, fall back to the
+            # exact full inference rather than restart-looping
+            wider = _infer_log_schema(spark, log_dir, sample_files)
             new_schema = merge_schemas(schema, wider)
+            if sample_files is not None and new_schema == schema:
+                wider = _infer_log_schema(spark, log_dir, None)
+                new_schema = merge_schemas(schema, wider)
             known = {f.name: f.dataType for f in schema.fields}
             new_cols = [
                 f.name for f in new_schema.fields if known.get(f.name) != f.dataType
@@ -198,24 +205,38 @@ def _batch_source_files(checkpoint_dir: str, batch_id: int) -> list[str]:
     checkpoint (``sources/0/<batch_id>`` -- "v1" header then one JSON entry
     per file).  Written by Spark BEFORE foreachBatch runs, so the running
     batch can introspect exactly its own inputs -- O(batch files) driver
-    work, never O(log)."""
+    work, never O(log).
+
+    Every ``compactInterval``-th (default 10th) metadata batch is written
+    as ``<batch_id>.compact`` holding ALL entries so far -- missing that
+    spelling would silently skip the schema guard on exactly those
+    batches (a narrow commit, i.e. the data loss the guard exists to
+    prevent).  Entries carry their own ``batchId``, so the compact file
+    filters down to this batch's files exactly."""
     import json
     import os
 
-    path = os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
     out: list[str] = []
-    try:
-        with open(path) as f:
-            for line in f:
-                line = line.strip()
-                if line.startswith("{"):
-                    try:
-                        out.append(json.loads(line)["path"])
-                    except (ValueError, KeyError):
+    for name in (str(batch_id), f"{batch_id}.compact"):
+        path = os.path.join(checkpoint_dir, "sources", "0", name)
+        try:
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line.startswith("{"):
                         continue
-    except OSError:
-        return []
-    return out
+                    try:
+                        entry = json.loads(line)
+                    except ValueError:
+                        continue
+                    # plain files list only this batch; .compact lists
+                    # history -- filter either way (entries self-describe)
+                    if entry.get("batchId", batch_id) == batch_id and "path" in entry:
+                        out.append(entry["path"])
+            return out
+        except OSError:
+            continue
+    return []
 
 
 def make_batch_fn(

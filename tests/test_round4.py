@@ -680,3 +680,146 @@ def test_recipe_supervised_stream_mode(spark, tmp_path):
     assert any(t.startswith("stream-s0-") for t in toks)
     assert any(t.startswith("stream-s1-") for t in toks)
     assert sink.read(spark).count() > 0
+
+
+# ----------------------------------- 11. self-review fixes (round-4 diff)
+def test_batch_source_files_reads_compact_metadata(tmp_path):
+    """Every compactInterval-th file-source metadata batch is written as
+    <id>.compact holding ALL history; the guard must find the batch's
+    files there (filtered by batchId) or evolution silently skips on
+    exactly those batches."""
+    from fetchez_spark.streaming.engine import _batch_source_files
+
+    src = tmp_path / "ck" / "sources" / "0"
+    src.mkdir(parents=True)
+    (src / "2").write_text('v1\n{"path":"file:///a2.parquet","timestamp":1,"batchId":2}\n')
+    (src / "3.compact").write_text(
+        "v1\n"
+        '{"path":"file:///a0.parquet","timestamp":1,"batchId":0}\n'
+        '{"path":"file:///a2.parquet","timestamp":1,"batchId":2}\n'
+        '{"path":"file:///a3.parquet","timestamp":1,"batchId":3}\n'
+    )
+    assert _batch_source_files(str(tmp_path / "ck"), 2) == ["file:///a2.parquet"]
+    assert _batch_source_files(str(tmp_path / "ck"), 3) == ["file:///a3.parquet"]
+    assert _batch_source_files(str(tmp_path / "ck"), 7) == []
+
+
+def test_supervised_evolution_on_compact_metadata_batch(spark, tmp_path):
+    """End-to-end: the evolving file lands on a .compact metadata batch
+    (compactInterval=2 -> odd batch ids) and must still trigger the
+    restart instead of committing narrow."""
+    from fetchez_spark.streaming.engine import run_stream_supervised
+
+    log = tmp_path / "log"
+    log.mkdir()
+    for i in range(3):
+        _write_chunk(
+            _event_pdf([("I", f"b{i}", 0, "user", "x", None, "2025-01-01T00:00:00", i + 1, 0)]),
+            log / f"chunk-{i:05d}.parquet",
+        )
+    sink = LocalSnapshotSink(str(tmp_path / "table"), num_buckets=4)
+    stop = threading.Event()
+    result: dict = {}
+    errors: list[BaseException] = []
+    old = spark.conf.get("spark.sql.streaming.fileSource.log.compactInterval", None)
+    spark.conf.set("spark.sql.streaming.fileSource.log.compactInterval", "2")
+    try:
+        def run():
+            try:
+                result.update(run_stream_supervised(
+                    spark, str(log), sink, str(tmp_path / "ck"),
+                    available_now=False, stop_event=stop, poll_sec=0.5,
+                    max_files_per_trigger=1,
+                ))
+            except BaseException as e:  # pragma: no cover
+                errors.append(e)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        deadline = time.time() + 120
+        while time.time() < deadline and sink.read(spark).count() < 3:
+            time.sleep(1)
+        assert sink.read(spark).count() == 3
+        # batch ids 0..2 consumed; the NEXT batch (3, odd -> .compact) is
+        # the evolving file
+        _write_chunk(
+            _event_pdf(
+                [("I", "bE", 0, "user", "new", None, "2025-01-01T01:00:00", 99, 0, "m-4")],
+                with_model=True,
+            ),
+            log / "chunk-99999.parquet",
+        )
+        landed = False
+        deadline = time.time() + 120
+        while time.time() < deadline and not landed:
+            if "model" in [f.name for f in sink.schema().fields]:
+                landed = sink.read(spark).filter("model = 'm-4'").count() == 1
+            if not landed:
+                time.sleep(1)
+        assert landed, "evolution on a .compact metadata batch was dropped"
+    finally:
+        stop.set()
+        t.join(120)
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.fileSource.log.compactInterval")
+        else:
+            spark.conf.set("spark.sql.streaming.fileSource.log.compactInterval", old)
+    assert not errors, f"supervisor crashed: {errors[0]!r}"
+    assert result.get("restarts") == 1
+
+
+def test_cadence_trigger_always_folds_fully(spark, tmp_path):
+    """When the cadence trigger fires, the fold is FULL even if the size
+    trigger is simultaneously true with a per-bucket threshold no bucket
+    meets -- the cadence bound on read amplification must survive the
+    size policy (self-review #3); and a no-op selective attempt reports
+    compact_noop, never a fake 'compacted' snapshot id (self-review #7)."""
+    sink = LocalSnapshotSink(
+        str(tmp_path / "t"), num_buckets=4, compact_every=3,
+        auto_compact_bytes=1,            # size trigger permanently true
+        compact_min_bucket_bytes=10**12,  # but no bucket ever qualifies
+    )
+    merges = [
+        sink.merge(
+            _batch(spark, [(f"c{i}", 0, "user", "x" * 50, None, _ts(i + 1), "insert", i)]),
+            f"b-{i}",
+        )
+        for i in range(5)
+    ]
+    # size-only attempts (no bucket qualifies) report compact_noop, never
+    # a fake 'compacted' id; damping then suppresses repeat stat scans
+    assert any(m.get("compact_noop") for m in merges)
+    # the cadence trigger (every 3 commits) produced a FULL fold despite
+    # the impossible per-bucket threshold
+    assert any("compacted" in m for m in merges), merges
+    folded = sum(len(fs) for fs in sink.file_lists().values())
+    assert folded > 0, "cadence full fold never happened"
+    assert sink.read(spark).count() == 5
+
+
+def test_partial_compact_keeps_cadence_counter(spark, tmp_path):
+    """A bucket-filtered fold must NOT zero delta_commits: it did not
+    fold the buckets the cadence backstop protects (self-review #4)."""
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4, compact_every=10**9)
+    ids = [f"c{i:02d}" for i in range(40)]
+    b_of = _bucket_of(spark, ids, 4)
+    hot_bucket = b_of[ids[0]]
+    hot = [i for i in ids if b_of[i] == hot_bucket]
+    cold = [i for i in ids if b_of[i] != hot_bucket][:2]
+    sink.merge(
+        _batch(spark, [(c, 0, "user", "h" * 100, None, _ts(1), "insert", k) for k, c in enumerate(hot)]),
+        "b-0",
+    )
+    sink.merge(
+        _batch(spark, [(c, 0, "user", "c", None, _ts(2), "insert", 1000 + k) for k, c in enumerate(cold)]),
+        "b-1",
+    )
+    before = int(sink.manifest()["stats"].get("delta_commits", 0))
+    assert before == 2
+    res = sink.compact(spark, buckets=[hot_bucket])  # partial
+    assert res["compacted_buckets"] == 1
+    after = int(sink.manifest()["stats"].get("delta_commits", 0))
+    assert after == before, "partial fold must not reset the cadence counter"
+    res_full = sink.compact(spark)  # full fold of the rest
+    assert res_full["compacted_buckets"] >= 1
+    assert int(sink.manifest()["stats"].get("delta_commits", 0)) == 0
