@@ -87,20 +87,37 @@ def ann_lsh_topk(
     k: int = 10,
     dim: int | None = None,
     n_planes: int = 8,
+    probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: only score vectors in the query's LSH bucket.
+    """Approximate top-k: only score vectors in the query's LSH bucket(s).
+
+    ``probes > 1`` enables MULTI-PROBE LSH (Lv et al., VLDB'07 shape):
+    besides the query's own bucket, probe the buckets reached by flipping
+    the sign bits whose hyperplane margins |<q, plane>| are smallest --
+    the planes the query sits closest to, hence the buckets its true
+    neighbors most likely fell into.  Recall rises steeply with a few
+    extra probes while cost stays ~probes/2^n_planes of the table (vs
+    doubling recall by halving n_planes, which doubles EVERY bucket).
 
     At cluster scale the bucket column is precomputed/partitioned-on, so
     the probe is a partition-pruned scan instead of a full pass."""
     dim = dim or len(query_vec)
     planes = _random_hyperplanes(dim, n_planes)
+    dots = [sum(a * b for a, b in zip(query_vec, p)) for p in planes]
     qbits = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vec, p)) > 0:
+    for i, d in enumerate(dots):
+        if d > 0:
             qbits |= 1 << i
+    # probe buckets: the query's, then single-bit flips of the
+    # smallest-margin planes (closest decision boundaries first)
+    by_margin = sorted(range(len(dots)), key=lambda i: abs(dots[i]))
+    buckets = [qbits] + [qbits ^ (1 << i) for i in by_margin[: max(probes - 1, 0)]]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    candidates = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes)).filter(
-        F.col("_bucket") == F.lit(qbits)
+    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
+    candidates = (
+        bucketed.filter(F.col("_bucket") == F.lit(qbits))
+        if len(buckets) == 1
+        else bucketed.filter(F.col("_bucket").isin(buckets))
     )
     scored = candidates.select(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
@@ -221,19 +238,24 @@ class IVFIndex:
         return cls._from_payload(sink._resolve_blob(ref))
 
     def _cell_expr(self, vec_col: Column) -> Column:
-        """Nearest centroid by cosine, as a pure expression (no UDF).
+        """Nearest centroid by cosine, as a pure expression (no UDF):
+        array of per-centroid sims, then argmax via
+        ``array_position(sims, array_max(sims))`` (first occurrence =
+        deterministic lowest-cell tie-break, same as the old chained-when
+        semantics).
 
-        Expression size is O(k * dim) literals -- great codegen for small
-        k, pathological beyond ~16 centroids; :meth:`assign` switches to
-        the broadcast-join path above that."""
-        best_cell = F.lit(0)
-        best_sim = F.lit(-2.0)
-        for i, c in enumerate(self.centroids):
-            cent = F.array(*[F.lit(x) for x in c])
-            sim = cosine(vec_col, cent)
-            best_cell = F.when(sim > best_sim, F.lit(i)).otherwise(best_cell)
-            best_sim = F.when(sim > best_sim, sim).otherwise(best_sim)
-        return best_cell
+        Expression size is genuinely O(k * dim) literals.  The previous
+        chained-when formulation referenced the running ``best_sim``
+        TWICE per level (condition + otherwise), so the unexpanded tree
+        was O(2^k) -- it OOM'd the driver at exactly the documented
+        EXPR_PATH_MAX_K=16 (found by tools/ann_recall.py)."""
+        sims = F.array(
+            *[
+                cosine(vec_col, F.array(*[F.lit(x) for x in c]))
+                for c in self.centroids
+            ]
+        )
+        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
     # beyond this k, the chained-when expression tree stops being viable
     # (codegen size grows O(k^2 * dim) with the accumulated conditions)
