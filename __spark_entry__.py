@@ -158,6 +158,42 @@ def _ann_lsh_sql(dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 10) 
     """
 
 
+def _ann_lsh_multiprobe_sql(
+    dim: int = 64, n_planes: int = 4, probes: int = 4, seed: int = 42, k: int = 10
+) -> str:
+    """Multi-probe LSH twin: probe the query's bucket plus the buckets
+    reached by flipping the ``probes-1`` smallest-|margin| sign bits --
+    the margin ranking (ORDER BY abs(dot) ASC, plane ASC) matches the
+    engine's stable python sort exactly."""
+    from fetchez_spark.functions.similarity import _random_hyperplanes
+
+    planes = _random_hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_sql(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    dot_case = " ".join(
+        f"WHEN {i} THEN list_dot_product(qe, {_plane_sql(p)})"
+        for i, p in enumerate(planes)
+    )
+    idx_vals = ", ".join(f"({i})" for i in range(n_planes))
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings),
+        q AS (SELECT bucket AS qb, embedding::DOUBLE[] AS qe FROM b WHERE vec_id = 0),
+        m AS (SELECT t.i, abs(CASE t.i {dot_case} END) AS mg
+              FROM q CROSS JOIN (VALUES {idx_vals}) t(i)),
+        flips AS (SELECT i FROM m ORDER BY mg ASC, i ASC LIMIT {probes - 1}),
+        pb AS (SELECT qb AS p FROM q
+               UNION SELECT xor(qb, 1 << i) FROM flips CROSS JOIN q)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS cos_sim
+        FROM b CROSS JOIN q
+        WHERE bucket IN (SELECT p FROM pb)
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
+    """
+
+
 def _neardup_clusters_sql(**neardup_kwargs) -> str:
     """Connected components over the near-dup pairs via recursive-CTE
     reachability: label = min id reachable through the edge set."""
@@ -916,6 +952,17 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(e, qv, k=10, dim=64, n_planes=8)
 
 
+def _q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (r4), ORACLE-CHECKED including the margin-ranked
+    bit flips: recall-tuning must not change which buckets a probe set
+    denotes (BENCH/ann_recall.json holds the measured recall ladder)."""
+    from fetchez_spark.functions.similarity import ann_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ann_lsh_topk(e, qv, k=10, dim=64, n_planes=4, probes=4)
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a PARTITION-INTEGRITY GATE.  KMeans centroids aren't
     SQL-expressible, so the oracle checks the structural contract: a
@@ -1015,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_norm_buckets": _q_embedding_norm_buckets,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "ivf_topk": _q_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_capped": _q_embedding_neardup_capped,
@@ -1304,6 +1352,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_hamming_pairs": _simhash_hamming_sql(max_hamming=3, bits=64, n_bands=4),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=8, seed=42, k=10),
+        "ann_lsh_multiprobe": _ann_lsh_multiprobe_sql(
+            dim=64, n_planes=4, probes=4, seed=42, k=10
+        ),
         # recall gate: exact top-10; the Spark side semi-joins it on the
         # IVF probe's ids, so green == recall 1.0 (see _q_ivf_topk)
         "ivf_topk": """
