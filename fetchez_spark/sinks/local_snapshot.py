@@ -870,6 +870,50 @@ class LocalSnapshotSink(SnapshotSink):
         )
         return feed.select(*order)
 
+    def follow_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot: str | None = None,
+        poll_seconds: float = 2.0,
+        stop_event=None,
+        timeout_seconds: float | None = None,
+        typed: bool = False,
+    ):
+        """Generator tailing the table's COMMITS: yields one
+        ``{"from", "to", "changes"}`` dict per observed snapshot advance,
+        where ``changes`` is the range's :meth:`read_changes` DataFrame
+        (or the typed :meth:`change_feed` with ``typed=True``) -- the
+        downstream-consumer face of CDC: a subscriber processes each
+        yield exactly once in commit order without ever re-reading the
+        table.  Maintenance-only advances (compaction/expiry) yield
+        nothing new inside the range and are skipped for free by the
+        change walk.
+
+        ``from_snapshot=None`` starts at the CURRENT snapshot (new
+        changes only).  Stop via ``stop_event`` (threading.Event) or
+        ``timeout_seconds``; polling is driver-side metadata only
+        (VERSION read per poll -- O(1))."""
+        last = from_snapshot or self._version()
+        deadline = (
+            (time.monotonic() + timeout_seconds) if timeout_seconds else None
+        )
+        while True:
+            if stop_event is not None and stop_event.is_set():
+                return
+            if deadline is not None and time.monotonic() >= deadline:
+                return
+            cur = self._version()
+            if cur != last:
+                df = (
+                    self.change_feed(spark, last, cur)
+                    if typed
+                    else self.read_changes(spark, last, cur)
+                )
+                yield {"from": last, "to": cur, "changes": df}
+                last = cur
+            else:
+                time.sleep(poll_seconds)
+
     def create_view(self, spark: SparkSession, name: str = "transcripts") -> None:
         """Register the current table state as a temp view for spark.sql
         (the SQL face of the engine: SELECT ... FROM transcripts)."""

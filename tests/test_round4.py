@@ -879,3 +879,47 @@ def test_ivf_expr_path_linear_at_max_k(spark):
     cells = assigned.groupBy("_cell").count().collect()
     assert 1 <= len(cells) <= 16
     assert sum(r["count"] for r in cells) == emb.count()
+
+
+# ----------------------------------------------- 13. follow_changes tailing
+def test_follow_changes_yields_each_commit_exactly_once(spark, tmp_path):
+    """A subscriber tailing follow_changes sees every committed row
+    exactly once, in commit order, including typed feeds."""
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4, compact_every=10**9)
+    sink.merge(_batch(spark, [("seed", 0, "user", "s", None, _ts(1), "insert", 0)]), "b-seed")
+    stop = threading.Event()
+    seen: list[str] = []
+    errors: list[BaseException] = []
+
+    def consume():
+        try:
+            for ev in sink.follow_changes(
+                spark, poll_seconds=0.2, stop_event=stop, timeout_seconds=90
+            ):
+                seen.extend(r["conv_id"] for r in ev["changes"].collect())
+        except BaseException as e:  # pragma: no cover
+            errors.append(e)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    for i in range(4):
+        sink.merge(
+            _batch(spark, [(f"c{i}", 0, "user", f"v{i}", None, _ts(i + 2), "insert", i + 1)]),
+            f"b-{i}",
+        )
+        time.sleep(0.5)
+    deadline = time.time() + 60
+    while time.time() < deadline and len(seen) < 4:
+        time.sleep(0.5)
+    stop.set()
+    t.join(60)
+    assert not errors, errors
+    assert sorted(seen) == ["c0", "c1", "c2", "c3"], seen  # once each, no seed
+
+    # typed variant classifies against each range's pre-state
+    pre = sink.current_snapshot_id
+    sink.merge(_batch(spark, [("c0", 0, "user", "upd", None, _ts(9), "update", 99)]), "b-u")
+    ev = next(sink.follow_changes(spark, from_snapshot=pre, poll_seconds=0.1,
+                                  timeout_seconds=30, typed=True))
+    rows = ev["changes"].collect()
+    assert len(rows) == 1 and rows[0]["_change_type"] == "update"
