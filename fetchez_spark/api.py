@@ -168,3 +168,20 @@ def changes(
     return LocalSnapshotSink(table_dir).read_changes(
         spark, from_snapshot, to_snapshot, include_internal=include_internal
     )
+
+
+def change_feed(
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot: str,
+    to_snapshot: str | None = None,
+    include_pre_image: bool = False,
+):
+    """Typed change-data-feed facade: net insert/update/delete per key
+    over the range (see LocalSnapshotSink.change_feed -- the
+    Iceberg/Delta CDF analog)."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).change_feed(
+        spark, from_snapshot, to_snapshot, include_pre_image=include_pre_image
+    )

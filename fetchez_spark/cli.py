@@ -149,6 +149,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="expire all but the newest N snapshots (GCs data + list blobs)")
     p.add_argument("--rollback", default=None, metavar="SNAPSHOT_ID",
                    help="move the table pointer back to a snapshot")
+    p.add_argument("--min-bucket-bytes", type=int, default=None,
+                   help="size-aware compaction: fold only buckets whose "
+                        "delta bytes reach this threshold")
+    p.add_argument("--target-file-bytes", type=int, default=None,
+                   help="bin-pack compacted buckets toward this file size")
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
         "changes", help="incremental scan: rows merged after a snapshot"
@@ -156,6 +161,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("table_dir")
     p.add_argument("from_snapshot")
     p.add_argument("--to", default=None)
+    p.add_argument("--typed", action="store_true",
+                   help="typed change feed: net insert/update/delete per key")
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--cores", type=int, default=4)
 
@@ -277,7 +284,11 @@ def main(argv: list[str] | None = None) -> int:
             if args.minor:
                 out["minor_compact"] = sink.compact(spark, minor=True)
             if args.compact:
-                out["compact"] = sink.compact(spark)
+                out["compact"] = sink.compact(
+                    spark,
+                    min_bucket_bytes=args.min_bucket_bytes,
+                    target_file_bytes=args.target_file_bytes,
+                )
         if args.expire is not None:
             out["expired_data_dirs"] = sink.expire_snapshots(keep_last=args.expire)
         if args.vacuum:
@@ -295,7 +306,11 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(
             app_name="fetchez-changes", master=f"local[{args.cores}]"
         )
-        df = api.changes(spark, args.table_dir, args.from_snapshot, args.to)
+        df = (
+            api.change_feed(spark, args.table_dir, args.from_snapshot, args.to)
+            if args.typed
+            else api.changes(spark, args.table_dir, args.from_snapshot, args.to)
+        )
         n = df.count()
         for row in df.limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))

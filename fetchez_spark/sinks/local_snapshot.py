@@ -340,9 +340,23 @@ class LocalSnapshotSink(SnapshotSink):
         os.replace(tmp, path)
 
     def manifest(self, snapshot_id: str | None = None) -> dict:
-        sid = snapshot_id or self._version()
-        with open(self._manifest_path(sid)) as f:
-            return json.load(f)
+        if snapshot_id is not None:
+            with open(self._manifest_path(snapshot_id)) as f:
+                return json.load(f)
+        # current-manifest reads retry through the expire race: between
+        # reading VERSION and opening the file, an expire (count-only
+        # mode) may remove that manifest as a NEWER commit supersedes it
+        # -- the fresh VERSION always names a live manifest, so re-read
+        last_err: FileNotFoundError | None = None
+        for _ in range(5):
+            sid = self._version()
+            try:
+                with open(self._manifest_path(sid)) as f:
+                    return json.load(f)
+            except FileNotFoundError as e:
+                last_err = e
+                time.sleep(0.05)
+        raise last_err
 
     # ------------------------------------------------- file-list blob refs
     # Per-bucket file lists are content-addressed blobs under

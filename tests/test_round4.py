@@ -923,3 +923,53 @@ def test_follow_changes_yields_each_commit_exactly_once(spark, tmp_path):
                                   timeout_seconds=30, typed=True))
     rows = ev["changes"].collect()
     assert len(rows) == 1 and rows[0]["_change_type"] == "update"
+
+
+# ------------------------------------------ 14. CLI/api surface + manifest retry
+def test_cli_changes_typed_and_maintain_size_flags(spark, tmp_path, capsys):
+    import json as _json
+
+    from fetchez_spark.cli import main as cli_main
+
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    sink.merge(_batch(spark, [("k", 0, "user", "old", None, _ts(1), "insert", 1)]), "b-0")
+    pre = sink.current_snapshot_id
+    sink.merge(_batch(spark, [("k", 0, "user", "new", None, _ts(2), "update", 2),
+                              ("j", 0, "user", "born", None, _ts(2), "insert", 3)]), "b-1")
+    rc = cli_main(["changes", str(tmp_path / "t"), pre, "--typed", "--cores", "4"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    rows = [_json.loads(l) for l in lines if "_change_type" in l]
+    types = {r["conv_id"]: r["_change_type"] for r in rows}
+    assert types == {"k": "update", "j": "insert"}
+
+    rc = cli_main([
+        "maintain", str(tmp_path / "t"), "--compact",
+        "--min-bucket-bytes", "1", "--target-file-bytes", "100000",
+        "--cores", "4",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "compact" in out
+    assert sink.read(spark).count() == 2
+
+
+def test_manifest_read_retries_through_expire_race(spark, tmp_path, monkeypatch):
+    """Current-manifest reads survive VERSION pointing briefly at a
+    just-expired manifest: the retry re-reads VERSION (which always
+    names a live manifest after any commit)."""
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2)
+    sink.merge(_batch(spark, [("a", 0, "u", "x", None, _ts(1), "I", 1)]), "b-0")
+    good = sink.current_snapshot_id
+    calls = {"n": 0}
+    real = sink._version
+
+    def flaky_version():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return "snap-0000009999"  # expired/vanished manifest
+        return real()
+
+    monkeypatch.setattr(sink, "_version", flaky_version)
+    m = sink.manifest()
+    assert m["snapshot_id"] == good and calls["n"] >= 2
