@@ -973,3 +973,75 @@ def test_manifest_read_retries_through_expire_race(spark, tmp_path, monkeypatch)
     monkeypatch.setattr(sink, "_version", flaky_version)
     m = sink.manifest()
     assert m["snapshot_id"] == good and calls["n"] >= 2
+
+
+# -------------------------------- 15. table-as-stream Python data source
+def test_change_stream_data_source_incremental_and_exactly_once(spark, tmp_path):
+    """`spark.readStream.format("fetchez_changes")` tails the table's
+    commits with SNAPSHOT-ID offsets: a consumer drains once, restarts
+    from its own checkpoint, and picks up only the NEW commit range --
+    the Delta/Iceberg table-as-stream analog via the Python DataSource
+    API.  Tombstones are dropped (upserts-only) unless include_deletes."""
+    from fetchez_spark.sources.change_stream import register
+
+    register(spark)
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    first = sink.current_snapshot_id
+    sink.merge(_batch(spark, [("a", 0, "u", "x", None, _ts(1), "I", 1)]), "b-0")
+    sink.merge(_batch(spark, [
+        ("b", 0, "u", "y", None, _ts(2), "I", 2),
+        ("a", 0, "u", None, None, _ts(3), "D", 3),   # tombstone
+    ]), "b-1")
+
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        feed = (
+            spark.readStream.format("fetchez_changes")
+            .option("table_dir", str(tmp_path / "t"))
+            .option("from_snapshot", first)
+            .load()
+        )
+        q = (
+            feed.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    got = spark.read.parquet(out_dir)
+    assert {r["conv_id"] for r in got.select("conv_id").collect()} == {"a", "b"}
+    assert got.count() == 2, "tombstone row must be dropped from the feed"
+
+    # new commits between drains: the restarted consumer (same
+    # checkpoint) sees ONLY the new range -- no re-emission
+    sink.merge(_batch(spark, [("c", 0, "u", "z", None, _ts(4), "I", 4)]), "b-2")
+    sink.compact(spark)  # maintenance commit contributes nothing
+    drain()
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == 3, "exactly-once: old ranges must not re-emit"
+    assert {r["conv_id"] for r in got2.select("conv_id").collect()} == {"a", "b", "c"}
+
+    # include_deletes exposes tombstones with _deleted
+    feed = (
+        spark.readStream.format("fetchez_changes")
+        .option("table_dir", str(tmp_path / "t"))
+        .option("from_snapshot", first)
+        .option("include_deletes", "true")
+        .load()
+    )
+    assert "_deleted" in feed.columns
+    q = (
+        feed.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out2"))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got3 = spark.read.parquet(str(tmp_path / "out2"))
+    assert got3.filter("_deleted").count() == 1
+    assert got3.count() == 4
