@@ -1011,6 +1011,119 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data curation: decontamination / repetition / PII (round 4)
+# ---------------------------------------------------------------------------
+
+def _q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    3-gram with a held-out benchmark set (here: ``doc_id % 19 == 0``),
+    the standard n-gram-overlap decontamination a pretraining pipeline
+    runs before training.  Shape at 100 TB: gram explode is linear in
+    corpus tokens, the benchmark gram set is corpus-tiny and BROADCAST,
+    so the plan is scan -> explode -> BroadcastHashJoin -> partial-agg
+    count -- no shuffle of the corpus side at all."""
+    from fetchez_spark.functions.text import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("g")
+    )
+    is_bench = F.pmod(F.col("doc_id"), F.lit(19)) == 0
+    bench = g.filter(is_bench).select("g").distinct()
+    return (
+        g.filter(~is_bench)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: top-bigram
+    mass fraction + distinct-token ratio (Rae et al. 2021 repetition
+    filters).  Explode + two hash aggregates, all map-side combinable;
+    the per-doc ratio join is on the doc key both sides so AQE keeps it
+    local after the first shuffle."""
+    from fetchez_spark.functions.text import tokens, word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+            6,
+        ).alias("distinct_token_ratio"),
+    )
+    bg = d.select("doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("bg"))
+    cnt = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    rep = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_n")
+    )
+    return rep.join(base, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("top_n").cast("double") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+        "distinct_token_ratio",
+    )
+
+
+def _q_pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: redact digit runs from the raw event payload
+    and count redactions -- JVM-side ``regexp_replace`` /
+    ``regexp_extract_all`` (whole-stage codegen; the scrub a 100 TB
+    ingest applies inline with the scan, zero extra passes)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.size(F.regexp_extract_all("props", F.lit(r"[0-9]+"), 0)).alias("n_digit_runs"),
+        F.regexp_replace("props", r"[0-9]+", "<NUM>").alias("redacted"),
+    )
+
+
+def _q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel through the real sink, ORACLE-CHECKED: merge
+    the even-id half of the changelog (snapshot A), then the odd half,
+    then read AS OF snapshot A -- the Iceberg ``VERSION AS OF`` analog.
+    The oracle is last-writer-wins over ONLY the even-id events, so a
+    time-travel read that leaked any post-A state hash-mismatches."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-tt-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    first = sink.merge(
+        env.filter(F.pmod(F.col("seq"), F.lit(2)) == 0), batch_token="tt-0"
+    )
+    sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(2)) == 1), batch_token="tt-1")
+    return sink.read(spark, snapshot_id=first["snapshot_id"]).select(
+        "user_id", "event_type", "event_id", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1022,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tombstone_counts": _q_cdc_tombstone_counts,
         "cdc_replay_snapshot": _q_cdc_replay_snapshot,
         "cdc_change_feed": _q_cdc_change_feed,
+        "time_travel_read": _q_time_travel_read,
         "dry_run": _q_dry_run,
         # relational surface
         "q1_pricing_summary": _q_q1_pricing_summary,
@@ -1050,6 +1164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": _q_lang_id_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "doc_fingerprint_dups": _q_doc_fingerprint_dups,
+        "decontaminate_ngrams": _q_decontaminate_ngrams,
+        "repetition_stats": _q_repetition_stats,
+        "pii_redact_stats": _q_pii_redact_stats,
         "multimodal_binary_meta": _q_multimodal_binary_meta,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "minhash_portable": _q_minhash_portable,
@@ -1307,6 +1424,57 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint_dups": """
             SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id
             FROM documents GROUP BY 1
+        """,
+        "decontaminate_ngrams": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+              FROM (SELECT doc_id, w,
+                           unnest(range(1, greatest(len(w) - 1, 1))) AS i
+                    FROM toks)),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 19 = 0)
+            SELECT doc_id, count(*) AS n_contaminated
+            FROM grams JOIN bench USING (g)
+            WHERE doc_id % 19 <> 0
+            GROUP BY 1
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+              FROM documents),
+            bg AS (
+              SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
+              FROM (SELECT doc_id, w,
+                           unnest(range(1, greatest(len(w), 1))) AS i
+                    FROM toks)),
+            cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+            rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                           max(c) AS top_n
+                    FROM cnt GROUP BY 1),
+            base AS (SELECT doc_id,
+                            round(len(list_distinct(w))::DOUBLE
+                                  / greatest(len(w), 1), 6) AS distinct_token_ratio
+                     FROM toks)
+            SELECT r.doc_id, r.n_bigrams,
+                   round(r.top_n::DOUBLE / r.n_bigrams, 6) AS top_bigram_frac,
+                   b.distinct_token_ratio
+            FROM rep r JOIN base b USING (doc_id)
+        """,
+        "pii_redact_stats": """
+            SELECT event_id,
+                   len(regexp_extract_all(props, '[0-9]+')) AS n_digit_runs,
+                   regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted
+            FROM events
+        """,
+        "time_travel_read": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id % 2 = 0)
+            WHERE rn = 1 AND event_type <> 'error'
         """,
         "multimodal_binary_meta": """
             SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum

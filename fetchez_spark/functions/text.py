@@ -78,3 +78,19 @@ def shingles(col: Column | str, k: int = 5) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(k - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(k))))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram list (space-joined, NOT distinct; order preserved).
+
+    Pure codegen expressions -- sequence/transform/slice stay JVM-side,
+    so the shingling scan scales with bytes read, never Python.  Docs
+    with fewer than ``n`` tokens yield an empty list (``F.sequence``
+    would DESCEND for start > stop, so the short-doc case is guarded
+    explicitly rather than clamped)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
