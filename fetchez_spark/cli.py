@@ -154,6 +154,10 @@ def main(argv: list[str] | None = None) -> int:
                         "delta bytes reach this threshold")
     p.add_argument("--target-file-bytes", type=int, default=None,
                    help="bin-pack compacted buckets toward this file size")
+    p.add_argument("--sort", action="store_true",
+                   help="range-cluster compacted buckets on the table key and "
+                        "record per-file key-range stats (file-skipping point "
+                        "lookups; the Iceberg sort-order analog)")
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
         "changes", help="incremental scan: rows merged after a snapshot"
@@ -288,6 +292,7 @@ def main(argv: list[str] | None = None) -> int:
                     spark,
                     min_bucket_bytes=args.min_bucket_bytes,
                     target_file_bytes=args.target_file_bytes,
+                    sort=args.sort or None,
                 )
         if args.expire is not None:
             out["expired_data_dirs"] = sink.expire_snapshots(keep_last=args.expire)

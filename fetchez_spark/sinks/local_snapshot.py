@@ -217,6 +217,7 @@ class LocalSnapshotSink(SnapshotSink):
         auto_compact_bytes: int | None = None,
         compact_min_bucket_bytes: int | None = None,
         target_file_bytes: int | None = None,
+        sort_on_compact: bool = False,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -290,6 +291,17 @@ class LocalSnapshotSink(SnapshotSink):
         self.auto_compact_bytes = auto_compact_bytes
         self.compact_min_bucket_bytes = compact_min_bucket_bytes
         self.target_file_bytes = target_file_bytes
+        # sort_on_compact: major compaction range-clusters each bucket's
+        # output on the table key (the Iceberg sort-order analog) and
+        # records per-file min/max of the leading key in the manifest, so
+        # point lookups prune FILES (not just buckets) and parquet
+        # row-group min/max stats get tight.  Stats are keyed by file
+        # path and files are immutable, so carried-forward stats can
+        # never be WRONG -- only absent (absent files are simply not
+        # pruned).  Costs one sampling pass at compaction time
+        # (repartitionByRange) -- the same price Iceberg's sorted
+        # rewrite pays.
+        self.sort_on_compact = sort_on_compact
         # immutable content-addressed file-list blobs -> safe to cache
         self._list_cache: dict[str, list[str]] = {}
         os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
@@ -590,9 +602,21 @@ class LocalSnapshotSink(SnapshotSink):
         n_partitions: int,
         schema: T.StructType,
         fanout_map: dict[int, int] | None = None,
+        sort_output: bool = False,
     ) -> dict[str, list[str]]:
         """ONE-shuffle dedup + clustered write (the compaction/CoW hot
         path).  ``df`` carries ``_bucket``.
+
+        ``sort_output=True`` swaps the hash Exchange for a RANGE Exchange
+        on (_bucket, key...) -- still exactly ONE shuffle, because
+        RangePartitioning on the grouping columns satisfies the grouped
+        reduction's ClusteredDistribution -- then locally sorts the
+        winners before the write.  Result: within a bucket, output files
+        cover DISJOINT key ranges (file-level skipping for point lookups)
+        and rows inside each file are key-ordered (tight parquet
+        row-group min/max => row-group skipping).  File sizing emerges
+        from the range sampler's size-balanced splits, so the key-hash
+        salt path is not used.
 
         Plan shape: a single Exchange on ``_bucket``, then the
         max-(ts,_seq) reduction grouped by (_bucket, key...) runs
@@ -611,7 +635,17 @@ class LocalSnapshotSink(SnapshotSink):
         order = ["ts", INTERNAL_SEQ]
         others = [f.name for f in schema.fields if f.name not in order]
         big = F.struct(*[F.col(c) for c in order], *[F.col(c) for c in others])
-        if fanout_map and any(k > 1 for k in fanout_map.values()):
+        if sort_output:
+            key_cols = [F.col(k) for k in self.key]
+            won = (
+                aligned.repartitionByRange(
+                    max(n_partitions, 1), F.col(_BUCKET), *key_cols
+                )
+                .groupBy(F.col(_BUCKET), *key_cols)
+                .agg(F.max(big).alias("_w"))
+                .sortWithinPartitions(F.col(_BUCKET), *key_cols)
+            )
+        elif fanout_map and any(k > 1 for k in fanout_map.values()):
             # target-file-size bin packing: split each bucket's output
             # into fanout_map[b] files via a KEY-HASH salt.  The salt is a
             # pure function of the key, so grouping by (_bucket, _salt,
@@ -688,6 +722,86 @@ class LocalSnapshotSink(SnapshotSink):
         self._write_manifest(manifest)
         self._set_version(manifest["snapshot_id"])  # <- the atomic commit point
 
+    # ------------------------------------------------- file key-range stats
+    # {file_path: [min_leading_key, max_leading_key]} recorded by sorted
+    # compaction (sort_on_compact / compact(sort=True)).  Files are
+    # immutable, so an entry can never go stale-WRONG: a file that was
+    # rewritten simply stops being referenced and its entry is trimmed at
+    # the next sorted compact.  Entries ride manifests inline when small,
+    # else as a content-addressed blob (same primitive as file lists).
+    _KEY_STATS_INLINE_MAX = 16
+
+    def _pack_key_stats(self, stats: dict[str, list]) -> dict | str:
+        if len(stats) <= self._KEY_STATS_INLINE_MAX:
+            return stats
+        return self._pack_blob(stats)
+
+    def key_stats(self, manifest: dict | None = None) -> dict[str, list]:
+        """Resolved per-file [min,max] leading-key ranges (empty when no
+        sorted compaction has run)."""
+        m = manifest or self.manifest()
+        val = m.get("key_stats")
+        if not val:
+            return {}
+        return val if isinstance(val, dict) else self._resolve_blob(val)
+
+    def _collect_key_stats(self, spark: SparkSession, files: list[str]) -> dict[str, list]:
+        """One column-pruned job over just-written files: per-file min/max
+        of the leading key.  O(files) driver memory -- bounded metadata,
+        the same shape as the lineage stats job.  Only JSON-safe key
+        types are recorded (string/integral/floating); others skip stats
+        rather than corrupt the manifest."""
+        if not files:
+            return {}
+        k0 = self.key[0]
+        df = spark.read.parquet(*files).select(
+            F.input_file_name().alias("_f"), F.col(k0)
+        )
+        dt = df.schema[k0].dataType
+        if not isinstance(
+            dt, (T.StringType, T.IntegerType, T.LongType, T.ShortType,
+                 T.ByteType, T.DoubleType, T.FloatType)
+        ):
+            return {}
+        from urllib.parse import unquote, urlparse
+
+        out: dict[str, list] = {}
+        for r in df.groupBy("_f").agg(
+            F.min(k0).alias("lo"), F.max(k0).alias("hi")
+        ).collect():
+            p = r["_f"]
+            if "://" in p:
+                p = unquote(urlparse(p).path)
+            out[p] = [r["lo"], r["hi"]]
+        return out
+
+    @staticmethod
+    def _range_excludes(rng, value) -> bool:
+        """True iff ``value`` provably lies outside [lo, hi].  Type
+        mismatches (or null bounds) keep the file -- pruning must be
+        safe-by-construction."""
+        try:
+            lo, hi = rng
+            if lo is None or hi is None:
+                return False
+            return bool(value < lo) or bool(value > hi)
+        except TypeError:
+            return False
+
+    def _prune_by_key_stats(
+        self, m: dict, files: list[str], value
+    ) -> list[str]:
+        """Drop files whose recorded leading-key range excludes ``value``.
+        Files with no recorded range are always kept (MoR deltas, unsorted
+        bases)."""
+        stats = self.key_stats(m)
+        if not stats:
+            return files
+        return [
+            f for f in files
+            if f not in stats or not self._range_excludes(stats[f], value)
+        ]
+
     # -------------------------------------------------------------- reading
     def read(
         self,
@@ -695,7 +809,13 @@ class LocalSnapshotSink(SnapshotSink):
         snapshot_id: str | None = None,
         include_internal: bool = False,
         buckets: list[int] | None = None,
+        key_eq=None,
     ) -> DataFrame:
+        """``key_eq``: leading-key point-read hint.  Base files whose
+        recorded key range (see :meth:`key_stats`) excludes the value are
+        skipped BEFORE the scan -- file-level pruning on top of bucket
+        pruning -- and the equality filter is applied to the result.
+        Safe on any table: files without stats are always read."""
         m = self.manifest(snapshot_id)
         schema = T.StructType.fromJson(m["schema"])
         base_map, delta_map = m["files"], m.get("deltas", {})
@@ -713,7 +833,18 @@ class LocalSnapshotSink(SnapshotSink):
         # flat deltas are unclustered: always in scope (bucket-pruned reads
         # post-filter them through the reduction)
         deltas += self._resolve_list(delta_map.get(_FLAT, []))
+        if key_eq is not None:
+            # point-read file skipping: correctness holds because the MoR
+            # reduction is per-key and a range-excluded file provably
+            # holds no row of this key
+            base = self._prune_by_key_stats(m, base, key_eq)
+            deltas = self._prune_by_key_stats(m, deltas, key_eq)
         df = self._read_files(spark, base + deltas, schema)
+        if key_eq is not None:
+            # before the MoR reduction: the predicate is on a grouping key,
+            # so it reaches the parquet scan (PushedFilters) and the
+            # sorted files' row-group min/max skip everything else
+            df = df.filter(F.col(self.key[0]) == F.lit(key_eq))
         if delta_map.get(_FLAT) and buckets is not None:
             # flat delta files are unclustered; a bucket-pruned read must
             # post-filter them to the requested buckets
@@ -933,11 +1064,13 @@ class LocalSnapshotSink(SnapshotSink):
         (the SQL face of the engine: SELECT ... FROM transcripts)."""
         self.read(spark).createOrReplaceTempView(name)
 
-    def lookup(self, spark: SparkSession, key_value: str) -> DataFrame:
+    def lookup(self, spark: SparkSession, key_value) -> DataFrame:
         """Point lookup by the leading key (conv_id): manifest-level bucket
         pruning means only ONE bucket's files (plus any not-yet-compacted
-        flat deltas) reach the scan -- O(table/num_buckets) IO, the read
-        path a 100 TB table depends on."""
+        flat deltas) reach the scan -- O(table/num_buckets) IO -- and on
+        sorted tables (``sort_on_compact``) the per-file key-range stats
+        prune within the bucket too, so IO approaches O(one file's
+        row-group).  The read path a 100 TB table depends on."""
         m = self.manifest()
         # python-side Murmur3 match is not worth reimplementing; compute the
         # bucket with a 1-row Spark job (cheap, no scan)
@@ -946,14 +1079,15 @@ class LocalSnapshotSink(SnapshotSink):
             .select(F.pmod(F.hash(F.lit(key_value)), F.lit(m["num_buckets"])).alias("b"))
             .first()["b"]
         )
-        return self.read(spark, buckets=[int(b)]).filter(F.col(self.key[0]) == key_value)
+        return self.read(spark, buckets=[int(b)], key_eq=key_value)
 
     # -------------------------------------------------------------- merging
-    # NOTE concurrency: this sink assumes a SINGLE writer (one streaming
-    # query / replay driver per table), which is the CDC topology.  The
-    # VERSION pointer swap is atomic but last-writer-wins; concurrent
-    # writers would need optimistic CAS on the pointer (compare parent
-    # snapshot before replace) the way Iceberg catalogs do.
+    # Concurrency: commits use atomic-mkdir snapshot-id claims plus an
+    # inter-process commit lock held for the O(touched) manifest swap;
+    # MoR appends/compactions reconcile against the latest manifest and
+    # CoW conflicts raise ConcurrentWriteConflict -- N writers into one
+    # table is supported (see tests/test_round3_concurrency.py and the
+    # round-4 soak).
     def merge(
         self,
         batch: DataFrame,
@@ -1338,8 +1472,15 @@ class LocalSnapshotSink(SnapshotSink):
                 "stats": stats_,
                 "high_watermark": hwm_,
                 "offsets": offsets,
-                # catalog payloads ride along untouched
-                **{k: base[k] for k in ("index", "ann_index") if k in base},
+                # catalog payloads + file key-range stats ride along
+                # untouched (stats are keyed by immutable file paths, so
+                # a merge -- even a CoW bucket rewrite -- can only leave
+                # entries DANGLING, never wrong; sorted compaction trims)
+                **{
+                    k: base[k]
+                    for k in ("index", "ann_index", "key_stats")
+                    if k in base
+                },
                 # CoW precise change set (read_changes uses it over the
                 # base-file diff); MoR commits have none
                 **(
@@ -1441,6 +1582,7 @@ class LocalSnapshotSink(SnapshotSink):
         minor: bool = False,
         min_bucket_bytes: int | None = None,
         target_file_bytes: int | None = None,
+        sort: bool | None = None,
     ) -> dict[str, Any]:
         """Fold delta files into base files for the given (or all) buckets.
 
@@ -1462,6 +1604,13 @@ class LocalSnapshotSink(SnapshotSink):
         each compacted bucket into ceil(bucket_bytes / target) output
         files (key-hash salted, still one shuffle) so file sizes converge
         to the target instead of one-ever-growing-file-per-bucket.
+
+        ``sort`` (default: the sink's ``sort_on_compact``) range-clusters
+        each compacted bucket's output on the table key and records
+        per-file min/max leading-key stats in the manifest -- point
+        lookups then skip files, not just buckets, and row groups carry
+        tight min/max.  Sorted mode sizes files via the range sampler
+        (the key-hash salt bin-packing applies to hash mode only).
         """
         cur = self.manifest()
         schema = T.StructType.fromJson(cur["schema"])
@@ -1541,6 +1690,7 @@ class LocalSnapshotSink(SnapshotSink):
             return {"snapshot_id": cur["snapshot_id"], "compacted_buckets": 0}
         files = [f for b in todo for f in base_map.get(b, [])] + delta_files
         sid = self._claim_sid(cur)
+        sort_eff = self.sort_on_compact if sort is None else sort
         target = target_file_bytes or self.target_file_bytes
         fanout_map: dict[int, int] | None = None
         n_parts = max(len(todo), cur["num_buckets"] if has_flat else 1)
@@ -1560,6 +1710,17 @@ class LocalSnapshotSink(SnapshotSink):
             n_parts,
             schema,
             fanout_map=fanout_map,
+            sort_output=sort_eff,
+        )
+        # per-file key ranges for the files this fold produced (one
+        # column-pruned O(written) job); entries for the files this fold
+        # REPLACES are trimmed below under the lock
+        new_key_stats = (
+            self._collect_key_stats(
+                spark, [f for fs in written.values() for f in fs]
+            )
+            if sort_eff
+            else {}
         )
         consumed = set(delta_files)
         with self._commit_lock():
@@ -1598,6 +1759,14 @@ class LocalSnapshotSink(SnapshotSink):
                     int(latest.get("stats", {}).get("delta_commits", 0))
                     - int(cur.get("stats", {}).get("delta_commits", 0)),
                 )
+            # key-range stats: drop entries for files this fold replaced
+            # (immutable files => remaining entries stay valid verbatim),
+            # add this fold's sorted outputs
+            ks = dict(self.key_stats(latest))
+            if ks or new_key_stats:
+                replaced = {f for b in todo for f in base_map.get(b, [])} | consumed
+                ks = {f: v for f, v in ks.items() if f not in replaced}
+                ks.update(new_key_stats)
             manifest = {
                 **latest,
                 "snapshot_id": sid,
@@ -1609,6 +1778,10 @@ class LocalSnapshotSink(SnapshotSink):
                 "delta_bytes": self._sizes_by_bucket(new_deltas),
                 "stats": {"compacted_buckets": len(written), "delta_commits": dc},
             }
+            if ks:
+                manifest["key_stats"] = self._pack_key_stats(ks)
+            else:
+                manifest.pop("key_stats", None)
             manifest.pop("change_files", None)
             self._commit(manifest)
         return {"snapshot_id": sid, "compacted_buckets": len(written)}
@@ -1895,7 +2068,11 @@ class LocalSnapshotSink(SnapshotSink):
             live_blobs: set[str] = set()
             for sid in keep:
                 m = self.manifest(sid)
-                catalog_refs = {m[k] for k in ("index", "ann_index") if m.get(k)}
+                catalog_refs = {
+                    m[k]
+                    for k in ("index", "ann_index", "key_stats")
+                    if isinstance(m.get(k), str)
+                }
                 extras = list(catalog_refs) + (
                     [m["change_files"]] if m.get("change_files") else []
                 )
