@@ -160,6 +160,20 @@ def main(argv: list[str] | None = None) -> int:
                         "lookups; the Iceberg sort-order analog)")
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
+        "branch", help="WAP branches: create / publish / drop / list"
+    )
+    p.add_argument("table_dir")
+    p.add_argument("--create", default=None, metavar="NAME",
+                   help="create a branch at the current main head")
+    p.add_argument("--from-snapshot", default=None, metavar="SNAPSHOT_ID",
+                   help="fork point for --create (default: main head)")
+    p.add_argument("--publish", default=None, metavar="NAME",
+                   help="fast-forward main to the branch head (atomic)")
+    p.add_argument("--keep", action="store_true",
+                   help="keep the branch pointer after --publish")
+    p.add_argument("--drop", default=None, metavar="NAME")
+    p.add_argument("--list", action="store_true", dest="list_branches")
+    p = sub.add_parser(
         "changes", help="incremental scan: rows merged after a snapshot"
     )
     p.add_argument("table_dir")
@@ -270,6 +284,25 @@ def main(argv: list[str] | None = None) -> int:
         )
         for rec in recs:
             print(json.dumps(rec, default=str))
+        return 0
+    if args.cmd == "branch":
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        sink = LocalSnapshotSink(args.table_dir)
+        out = {}
+        if args.create:
+            out["created"] = {
+                "branch": args.create,
+                "head": sink.create_branch(args.create, args.from_snapshot),
+            }
+        if args.publish:
+            out["publish"] = sink.publish(args.publish, drop=not args.keep)
+        if args.drop:
+            sink.drop_branch(args.drop)
+            out["dropped"] = args.drop
+        if args.list_branches or not out:
+            out["branches"] = sink.branches()
+        print(json.dumps(out, default=str))
         return 0
     if args.cmd == "maintain":
         from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink

@@ -218,9 +218,20 @@ class LocalSnapshotSink(SnapshotSink):
         compact_min_bucket_bytes: int | None = None,
         target_file_bytes: int | None = None,
         sort_on_compact: bool = False,
+        branch: str = "main",
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", branch):
+            raise ValueError(f"invalid branch name {branch!r}")
+        # branch: the Iceberg WAP (write-audit-publish) ref this sink
+        # commits to and reads from.  Branches share the table's snapshot
+        # space (manifests, data dirs, sid claims are global and
+        # collision-free); only the head POINTER differs, so creating a
+        # branch costs one file and publishing is one atomic pointer
+        # fast-forward.  A non-main branch auto-forks from the current
+        # main head on first use.
+        self.branch = branch
         self.table_dir = table_dir
         self.key = key or KEY_COLUMNS
         self.dedup_salt = dedup_salt
@@ -306,7 +317,7 @@ class LocalSnapshotSink(SnapshotSink):
         self._list_cache: dict[str, list[str]] = {}
         os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
-        if self._version() is None:
+        if self._version("main") is None:
             schema = T.StructType(
                 list((base_schema or TRANSCRIPT_SCHEMA).fields) + _internal_fields()
             )
@@ -322,24 +333,34 @@ class LocalSnapshotSink(SnapshotSink):
                 "offsets": None,
             }
             self._write_manifest(root)
-            self._set_version(root["snapshot_id"])
+            self._set_version(root["snapshot_id"], "main")
+        if self.branch != "main" and self._version() is None:
+            # auto-fork: the branch starts at the current main head (one
+            # pointer file; racing creators write the same-or-newer head,
+            # both valid fork points)
+            with self._commit_lock():
+                if self._version() is None:
+                    self._set_version(self._version("main"))
 
     # ---------------------------------------------------------- manifest io
-    def _version_path(self) -> str:
-        return os.path.join(self.table_dir, "VERSION")
+    def _version_path(self, branch: str | None = None) -> str:
+        b = self.branch if branch is None else branch
+        name = "VERSION" if b == "main" else f"VERSION-{b}"
+        return os.path.join(self.table_dir, name)
 
-    def _version(self) -> str | None:
+    def _version(self, branch: str | None = None) -> str | None:
         try:
-            with open(self._version_path()) as f:
+            with open(self._version_path(branch)) as f:
                 return f.read().strip()
         except FileNotFoundError:
             return None
 
-    def _set_version(self, snapshot_id: str) -> None:
-        tmp = self._version_path() + f".tmp.{uuid.uuid4().hex}"
+    def _set_version(self, snapshot_id: str, branch: str | None = None) -> None:
+        path = self._version_path(branch)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(snapshot_id)
-        os.replace(tmp, self._version_path())
+        os.replace(tmp, path)
 
     def _manifest_path(self, snapshot_id: str) -> str:
         return os.path.join(self.table_dir, "manifests", f"{snapshot_id}.json")
@@ -1947,9 +1968,94 @@ class LocalSnapshotSink(SnapshotSink):
 
     # ------------------------------------------------------------- maintain
     def rollback(self, snapshot_id: str) -> None:
-        # Validate it exists before moving the pointer.
+        # Validate it exists before moving the pointer (branch-local:
+        # rolls back the branch THIS sink is on).
         self.manifest(snapshot_id)
         self._set_version(snapshot_id)
+
+    # ------------------------------------------------------------- branches
+    # Iceberg WAP (write-audit-publish): stage commits on a branch, audit
+    # the staged state with ordinary reads, then PUBLISH -- one atomic
+    # fast-forward of the main pointer.  Branches share the table's
+    # snapshot space (sid claims are globally collision-free), so a
+    # branch is exactly one pointer file; snapshot expiry protects every
+    # branch head's reachable data.
+    def branches(self) -> dict[str, str]:
+        """{branch_name: head_snapshot_id}, main included."""
+        out: dict[str, str] = {}
+        main = self._version("main")
+        if main:
+            out["main"] = main
+        for fn in sorted(os.listdir(self.table_dir)):
+            if fn.startswith("VERSION-") and ".tmp." not in fn:
+                name = fn[len("VERSION-"):]
+                head = self._version(name)
+                if head:
+                    out[name] = head
+        return out
+
+    def create_branch(self, name: str, from_snapshot: str | None = None) -> str:
+        """Create branch ``name`` at ``from_snapshot`` (default: current
+        main head).  Errors if it already exists."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or name == "main":
+            raise ValueError(f"invalid branch name {name!r}")
+        if self._version(name) is not None:
+            raise ValueError(f"branch {name!r} already exists")
+        head = from_snapshot or self._version("main")
+        self.manifest(head)  # must exist
+        self._set_version(head, name)
+        return head
+
+    def drop_branch(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop main")
+        try:
+            os.remove(self._version_path(name))
+        except FileNotFoundError:
+            pass
+
+    def _is_ancestor(self, ancestor: str, head: str) -> bool:
+        """Walk ``head``'s parent chain looking for ``ancestor``.  A chain
+        broken by an expired manifest returns False (publish then refuses
+        rather than guessing -- keep unpublished branches younger than
+        the expiry window, or raise keep_last)."""
+        sid: str | None = head
+        while sid is not None:
+            if sid == ancestor:
+                return True
+            try:
+                sid = self.manifest(sid).get("parent")
+            except FileNotFoundError:
+                return False
+        return False
+
+    def publish(self, name: str | None = None, drop: bool = True) -> dict[str, Any]:
+        """Fast-forward main to a branch head (the WAP publish step).
+        Atomic: downstream readers see either the old main or every
+        staged commit at once.  Refuses (ConcurrentWriteConflict) when
+        main advanced past the fork point since -- rebase by replaying
+        the branch's batches onto a fresh branch (token idempotence makes
+        the replay exactly-once) rather than silently dropping main's
+        commits."""
+        name = name or self.branch
+        if name == "main":
+            raise ValueError("publish needs a non-main branch")
+        with self._commit_lock():
+            bh = self._version(name)
+            if bh is None:
+                raise FileNotFoundError(f"branch {name!r} does not exist")
+            mh = self._version("main")
+            if bh != mh:
+                if not self._is_ancestor(mh, bh):
+                    raise ConcurrentWriteConflict(
+                        f"branch {name!r} is not a fast-forward of main "
+                        f"({mh} is not an ancestor of {bh}): main advanced "
+                        "since the fork; replay the branch onto a fresh fork"
+                    )
+                self._set_version(bh, "main")
+            if drop:
+                self.drop_branch(name)
+        return {"published": bh, "branch": name, "previous_main": mh}
 
     def snapshots(self) -> list[str]:
         return sorted(
@@ -2062,8 +2168,31 @@ class LocalSnapshotSink(SnapshotSink):
                         continue
                     if age < min_age_seconds:
                         keep.append(sid)
-            if self.current_snapshot_id not in keep:
-                keep.append(self.current_snapshot_id)
+            # every branch head (main included) is reachable state: its
+            # manifest, data, and blobs must survive expiry regardless of
+            # keep_last, or an unpublished WAP branch loses its staged
+            # commits to maintenance.  For non-main branches the parent
+            # CHAIN down to the main head is retained too, so publish's
+            # fast-forward ancestry check keeps working after expiry --
+            # an active branch pins its reachable history (the Iceberg
+            # ref-retention semantic); drop branches you abandon.
+            heads = self.branches()
+            main_head = heads.get("main")
+            for name, head in heads.items():
+                if head not in keep:
+                    keep.append(head)
+                if name == "main":
+                    continue  # main's history is covered by keep_last
+                sid: str | None = head
+                walked: set[str] = set()
+                while sid is not None and sid != main_head and sid not in walked:
+                    walked.add(sid)
+                    if sid not in keep:
+                        keep.append(sid)
+                    try:
+                        sid = self.manifest(sid).get("parent")
+                    except FileNotFoundError:
+                        break
             referenced: set[str] = set()
             live_blobs: set[str] = set()
             for sid in keep:
