@@ -445,6 +445,68 @@ def _q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance through the real engine,
+    ORACLE-CHECKED: replay the events changelog into the snapshot sink in
+    three micro-batches and REFRESH a grouped-aggregate view after EVERY
+    batch -- each refresh consumes only that range's typed change feed
+    (O(changes), insert/update/delete deltas incl. group-moves and
+    min/max-contributor deletes) and upserts only affected groups.  The
+    oracle is DuckDB's full re-aggregation of the final LWW state: three
+    rounds of delta maintenance must be indistinguishable from recompute.
+    (Reference analog: fetch-only-updates incremental re-fetch,
+    /root/reference/src/fetchez/core.py:557-562, lifted to a derived
+    table.)"""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.operators.matview import MaterializedAggregate
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-mv-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    mv = MaterializedAggregate(
+        sink,
+        os.path.join(work, "mv"),
+        group_by=["event_type"],
+        aggs={
+            "n_keys": ("count", None),
+            "total_value": ("sum", "value"),
+            "avg_value": ("avg", "value"),
+            "min_event": ("min", "event_id"),
+            "max_event": ("max", "event_id"),
+        },
+    )
+    for i in range(3):
+        sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_token=f"replay-{i}")
+        mv.refresh(spark)
+    return mv.read_view(spark).select(
+        "event_type",
+        "n_keys",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+        "min_event",
+        "max_event",
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational operator surface (SURVEY.md 2.D)
 # ---------------------------------------------------------------------------
@@ -1135,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tombstone_counts": _q_cdc_tombstone_counts,
         "cdc_replay_snapshot": _q_cdc_replay_snapshot,
         "cdc_change_feed": _q_cdc_change_feed,
+        "incremental_matview": _q_incremental_matview,
         "time_travel_read": _q_time_travel_read,
         "dry_run": _q_dry_run,
         # relational surface
@@ -1233,25 +1296,43 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS del
               FROM events),
             pre AS (
-              SELECT user_id FROM (
-                SELECT user_id, del,
+              SELECT user_id, ts, seq, del FROM (
+                SELECT user_id, ts, seq, del,
                        row_number() OVER (PARTITION BY user_id
                                           ORDER BY ts DESC, seq DESC) AS rn
                 FROM env WHERE seq % 3 = 0)
-              WHERE rn = 1 AND del = 0),
+              WHERE rn = 1),
             net AS (
-              SELECT user_id, event_type, event_id, value, del FROM (
-                SELECT user_id, event_type, event_id, value, del,
+              SELECT user_id, event_type, event_id, value, ts, seq, del FROM (
+                SELECT user_id, event_type, event_id, value, ts, seq, del,
                        row_number() OVER (PARTITION BY user_id
                                           ORDER BY ts DESC, seq DESC) AS rn
                 FROM env WHERE seq % 3 <> 0)
               WHERE rn = 1)
             SELECT n.user_id, n.event_type, n.event_id, n.value,
                    CASE WHEN n.del = 1 THEN 'delete'
-                        WHEN p.user_id IS NOT NULL THEN 'update'
+                        WHEN p.user_id IS NOT NULL AND p.del = 0 THEN 'update'
                         ELSE 'insert' END AS change_type
             FROM net n LEFT JOIN pre p ON n.user_id = p.user_id
-            WHERE NOT (n.del = 1 AND p.user_id IS NULL)
+            WHERE (p.user_id IS NULL
+                   OR n.ts > p.ts OR (n.ts = p.ts AND n.seq > p.seq))
+              AND NOT (n.del = 1 AND (p.user_id IS NULL OR p.del = 1))
+        """,
+        "incremental_matview": """
+            SELECT event_type,
+                   count(*) AS n_keys,
+                   round(sum(value), 2) AS total_value,
+                   round(avg(value), 4) AS avg_value,
+                   min(event_id) AS min_event,
+                   max(event_id) AS max_event
+            FROM (
+              SELECT user_id, event_type, event_id, value FROM (
+                SELECT user_id, event_type, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+              WHERE rn = 1 AND event_type <> 'error')
+            GROUP BY event_type
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

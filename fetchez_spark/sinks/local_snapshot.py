@@ -831,12 +831,17 @@ class LocalSnapshotSink(SnapshotSink):
         include_internal: bool = False,
         buckets: list[int] | None = None,
         key_eq=None,
+        include_deleted: bool = False,
     ) -> DataFrame:
         """``key_eq``: leading-key point-read hint.  Base files whose
         recorded key range (see :meth:`key_stats`) excludes the value are
         skipped BEFORE the scan -- file-level pruning on top of bucket
         pruning -- and the equality filter is applied to the result.
-        Safe on any table: files without stats are always read."""
+        Safe on any table: files without stats are always read.
+
+        ``include_deleted=True`` keeps tombstone rows in the result (the
+        per-key LWW winner may BE a tombstone) -- for consumers that need
+        the full key state, e.g. the change feed's pre-state comparison."""
         m = self.manifest(snapshot_id)
         schema = T.StructType.fromJson(m["schema"])
         base_map, delta_map = m["files"], m.get("deltas", {})
@@ -874,7 +879,8 @@ class LocalSnapshotSink(SnapshotSink):
             # merge-on-read: the same max-(ts,_seq) reduction the writer
             # would have applied at compaction time
             df = dedup_latest(df, key=self.key, order=["ts", INTERNAL_SEQ])
-        df = df.filter(~F.col(INTERNAL_DELETED))
+        if not include_deleted:
+            df = df.filter(~F.col(INTERNAL_DELETED))
         if not include_internal:
             df = df.drop(*INTERNAL_COLUMNS)
         return df
@@ -979,14 +985,21 @@ class LocalSnapshotSink(SnapshotSink):
         analog: audit's per-entry status transitions,
         hooks/builtins/metadata/audit.py:23-81.)
 
-        Semantics (net mode, deterministic):
+        Semantics (net mode, deterministic): only ACTUAL state transitions
+        are emitted -- the feed is exactly the row-level diff between the
+        two snapshots' LWW states.
 
         * per key, the winning (max ts, _seq) row among the rows added in
           ``(from_snapshot, to_snapshot]`` is the candidate change;
-        * 'insert'  -- key not live in ``from_snapshot``'s state;
+        * the candidate must BEAT the key's pre-state winner (tombstones
+          included) under the same (ts, _seq) order -- a late replay that
+          loses cross-batch last-writer-wins changed nothing and emits
+          nothing (likewise an "insert" arriving under a newer tombstone);
+        * 'insert'  -- key not live in ``from_snapshot``'s state (absent
+          or tombstoned);
         * 'update'  -- key live before, winner not a tombstone
           (``include_pre_image=True`` adds a ``_pre_image`` struct of the
-          prior payload);
+          prior payload, NULL unless the key was live);
         * 'delete'  -- key live before, winner a tombstone (post-image
           carries the tombstone row's payload);
         * a key inserted AND deleted entirely inside the range nets to
@@ -1002,14 +1015,22 @@ class LocalSnapshotSink(SnapshotSink):
         changes = self._read_files(spark, sorted(set(added)), schema)
         net = dedup_latest(changes, key=self.key, order=["ts", INTERNAL_SEQ])
         payload_cols = [f.name for f in schema.fields if f.name not in INTERNAL_COLUMNS]
-        pre = self.read(spark, snapshot_id=from_snapshot, buckets=buckets)
+        pre = self.read(
+            spark,
+            snapshot_id=from_snapshot,
+            buckets=buckets,
+            include_internal=True,
+            include_deleted=True,
+        )
         pre_sel = pre.select(
             *[F.col(k) for k in self.key],
-            F.lit(True).alias("_pre_exists"),
+            F.col("ts").alias("_pre_ts"),
+            F.col(INTERNAL_SEQ).alias("_pre_seq"),
+            (~F.col(INTERNAL_DELETED)).alias("_pre_live"),
             *(
                 [
                     F.struct(
-                        *[F.col(c) for c in pre.columns if c not in self.key]
+                        *[F.col(c) for c in payload_cols if c not in self.key]
                     ).alias("_pre_image")
                 ]
                 if include_pre_image
@@ -1017,20 +1038,32 @@ class LocalSnapshotSink(SnapshotSink):
             ),
         )
         j = net.join(pre_sel, on=self.key, how="left")
+        beats = (
+            F.col("_pre_ts").isNull()
+            | (F.col("ts") > F.col("_pre_ts"))
+            | (
+                (F.col("ts") == F.col("_pre_ts"))
+                & (F.col(INTERNAL_SEQ) > F.col("_pre_seq"))
+            )
+        )
+        pre_live = F.coalesce(F.col("_pre_live"), F.lit(False))
         feed = (
-            j.withColumn(
+            j.filter(beats)
+            .withColumn(
                 "_change_type",
-                F.when(
-                    F.col(INTERNAL_DELETED) & F.col("_pre_exists").isNotNull(),
-                    F.lit("delete"),
-                )
+                F.when(F.col(INTERNAL_DELETED) & pre_live, F.lit("delete"))
                 .when(F.col(INTERNAL_DELETED), F.lit(None).cast("string"))
-                .when(F.col("_pre_exists").isNotNull(), F.lit("update"))
+                .when(pre_live, F.lit("update"))
                 .otherwise(F.lit("insert")),
             )
             .filter(F.col("_change_type").isNotNull())
-            .drop("_pre_exists", *INTERNAL_COLUMNS)
         )
+        if include_pre_image:
+            # a tombstoned pre-state is not a prior VISIBLE payload
+            feed = feed.withColumn(
+                "_pre_image", F.when(pre_live, F.col("_pre_image"))
+            )
+        feed = feed.drop("_pre_ts", "_pre_seq", "_pre_live", *INTERNAL_COLUMNS)
         order = payload_cols + ["_change_type"] + (
             ["_pre_image"] if include_pre_image else []
         )
