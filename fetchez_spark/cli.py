@@ -158,6 +158,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="range-cluster compacted buckets on the table key and "
                         "record per-file key-range stats (file-skipping point "
                         "lookups; the Iceberg sort-order analog)")
+    p.add_argument("--rebucket", type=int, default=None, metavar="NUM_BUCKETS",
+                   help="rewrite the table into this many hash buckets (online "
+                        "layout evolution; concurrent writers reconcile)")
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
         "branch", help="WAP branches: create / publish / drop / list"
@@ -312,12 +315,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.rollback:
             sink.rollback(args.rollback)
             out["rolled_back_to"] = args.rollback
-        if args.compact or args.minor:
+        if args.compact or args.minor or args.rebucket is not None:
             from fetchez_spark.session import get_spark
 
             spark = get_spark(
                 app_name="fetchez-maintain", master=f"local[{args.cores}]"
             )
+            if args.rebucket is not None:
+                out["rebucket"] = sink.rebucket(
+                    spark, args.rebucket, sort=args.sort or None
+                )
             if args.minor:
                 out["minor_compact"] = sink.compact(spark, minor=True)
             if args.compact:
@@ -332,7 +339,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.vacuum:
             out["vacuumed_orphans"] = sink.vacuum_orphans()
         if not out:
-            print("nothing to do: pass --compact/--minor/--vacuum/--expire/--rollback",
+            print("nothing to do: pass --compact/--minor/--rebucket/--vacuum/"
+                  "--expire/--rollback",
                   file=sys.stderr)
             return 1
         print(json.dumps(out, default=str))

@@ -934,13 +934,19 @@ class LocalSnapshotSink(SnapshotSink):
         buckets: set[int] | None = set()
         sid = to_snapshot
         chain_ok = False
+        nbs: set[int] = set()
         while sid is not None:
             if sid == from_snapshot:
                 chain_ok = True
                 break
             m = self.manifest(sid)
+            nbs.add(int(m["num_buckets"]))
             stats = m.get("stats", {})
-            is_compaction = "compacted_buckets" in stats or "minor_compacted_files" in stats
+            is_compaction = (
+                "compacted_buckets" in stats
+                or "minor_compacted_files" in stats
+                or "rebucketed_from" in stats
+            )
             if not is_compaction:
                 if m.get("change_files"):
                     # CoW precise path: the commit's own change sidecar
@@ -969,6 +975,12 @@ class LocalSnapshotSink(SnapshotSink):
                 f"{from_snapshot!r} is not an ancestor of {to_snapshot!r} "
                 "(expired or on an abandoned rollback branch)"
             )
+        if buckets is not None and nbs:
+            # a rebucket inside the range renumbers buckets: ids collected
+            # under the NEW layout must not prune the OLD-layout pre-state
+            nbs.add(int(self.manifest(from_snapshot)["num_buckets"]))
+            if len(nbs) > 1:
+                buckets = None
         return added, (sorted(buckets) if buckets is not None else None)
 
     def change_feed(
@@ -1469,7 +1481,14 @@ class LocalSnapshotSink(SnapshotSink):
             else:
                 files_ = dict(base["files"])
                 deltas_ = dict(base.get("deltas", {}))
-                if self.cluster_deltas:
+                if int(base.get("num_buckets", nb)) != nb:
+                    # a rebucket() committed mid-merge: our delta files are
+                    # clustered by the OLD bucketing, so their per-bucket
+                    # labels would lie under the new layout.  Attach them to
+                    # the FLAT list instead -- always in scope, post-filtered
+                    # by the new bucket expr, re-clustered at next compaction.
+                    deltas_[_FLAT] = self._resolve_list(deltas_.get(_FLAT, [])) + written
+                elif self.cluster_deltas:
                     for b, fs in written_map.items():
                         deltas_[b] = self._resolve_list(deltas_.get(b, [])) + fs
                 else:
@@ -1509,7 +1528,10 @@ class LocalSnapshotSink(SnapshotSink):
             # built on whatever base manifest wins the commit race)
             delta_bytes = {k: int(v) for k, v in (base.get("delta_bytes") or {}).items()}
             for b, n in written_bytes.items():
-                delta_bytes[b] = delta_bytes.get(b, 0) + int(n)
+                # under a mid-merge rebucket the files went to the FLAT
+                # list; account their bytes there too
+                k = b if int(base.get("num_buckets", nb)) == nb else _FLAT
+                delta_bytes[k] = delta_bytes.get(k, 0) + int(n)
             if self.mode == "cow":
                 for b in touched:
                     delta_bytes[str(b)] = 0  # folded into the rewritten base
@@ -1517,7 +1539,7 @@ class LocalSnapshotSink(SnapshotSink):
                 "snapshot_id": sid,
                 "parent": base["snapshot_id"],
                 "schema": schema_.jsonValue(),
-                "num_buckets": nb,
+                "num_buckets": int(base.get("num_buckets", nb)),
                 "files": self._pack_map(files_),
                 "deltas": self._pack_map(deltas_),
                 "committed_batches": committed,
@@ -1696,8 +1718,17 @@ class LocalSnapshotSink(SnapshotSink):
                     b: [f for f in self._resolve_list(v) if f not in consumed]
                     for b, v in latest.get("deltas", {}).items()
                 }
-                for b, fs in written.items():
-                    deltas_[b] = deltas_.get(b, []) + list(fs)
+                if int(latest.get("num_buckets", cur["num_buckets"])) != int(
+                    cur["num_buckets"]
+                ):
+                    # a rebucket() landed mid-consolidation: our outputs are
+                    # clustered by the OLD bucketing -- flat-list them
+                    deltas_[_FLAT] = deltas_.get(_FLAT, []) + [
+                        f for fs in written.values() for f in fs
+                    ]
+                else:
+                    for b, fs in written.items():
+                        deltas_[b] = deltas_.get(b, []) + list(fs)
                 manifest = {
                     **latest,
                     "snapshot_id": sid,
@@ -1784,6 +1815,13 @@ class LocalSnapshotSink(SnapshotSink):
                 # their delta files); a racing BASE rewrite of a bucket we
                 # rewrote does not -- both folds started from the same base
                 # and would fork history
+                if int(latest.get("num_buckets", cur["num_buckets"])) != int(
+                    cur["num_buckets"]
+                ):
+                    raise ConcurrentWriteConflict(
+                        "table was rebucketed during compaction; retry against "
+                        "the new layout"
+                    )
                 for b in todo:
                     if latest["files"].get(b) != cur["files"].get(b):
                         raise ConcurrentWriteConflict(
@@ -1839,6 +1877,123 @@ class LocalSnapshotSink(SnapshotSink):
             manifest.pop("change_files", None)
             self._commit(manifest)
         return {"snapshot_id": sid, "compacted_buckets": len(written)}
+
+    def rebucket(
+        self,
+        spark: SparkSession,
+        new_num_buckets: int,
+        sort: bool | None = None,
+    ) -> dict[str, Any]:
+        """ONLINE bucket-count evolution (the Iceberg partition-evolution
+        analog): rewrite the table's state into ``new_num_buckets``
+        hash buckets in one maintenance commit, concurrent writers
+        untouched.  The operational knob a growing table needs -- a layout
+        chosen at 1 TB (32 buckets) throttles bucket-pruned reads and
+        compaction parallelism at 100 TB (want 1024); conversely a shrunk
+        table wants fewer, bigger buckets.
+
+        Concurrency contract (same shape as :meth:`compact`):
+
+        * the O(table) rewrite runs UNLOCKED; the commit reconciles under
+          the commit lock;
+        * MoR delta files appended while we rewrote are clustered by the
+          OLD layout, so they are demoted to the FLAT delta list (always
+          in scope, post-filtered by the new bucket expr, re-clustered at
+          the next compaction) -- correctness never depends on a stale
+          bucket label;
+        * in-flight merges/minor-compactions that commit AFTER us detect
+          the num_buckets change when they reconcile and flat-list their
+          own outputs (see ``_manifest_for``); a racing BASE rewrite
+          (another compact/rebucket) conflicts;
+        * time travel holds: every manifest pins its own ``num_buckets``,
+          so pre-rebucket snapshots read with the old layout;
+        * ``read_changes``/``change_feed`` skip the rebucket commit (pure
+          maintenance, ``rebucketed_from`` stats marker) and disable
+          pre-state bucket pruning across a layout change.
+
+        ``sort`` (default ``sort_on_compact``) range-clusters the new
+        buckets and records per-file key stats, like a sorted compaction.
+        """
+        if int(new_num_buckets) < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        cur = self.manifest()
+        old_nb = int(cur["num_buckets"])
+        if int(new_num_buckets) == old_nb:
+            return {"snapshot_id": cur["snapshot_id"], "rebucketed": False}
+        schema = T.StructType.fromJson(cur["schema"])
+        base_map = self._resolve_map(cur["files"])
+        delta_map = self._resolve_map(cur.get("deltas", {}))
+        all_files = [f for fs in base_map.values() for f in fs] + [
+            f for fs in delta_map.values() for f in fs
+        ]
+        sid = self._claim_sid(cur)
+        sort_eff = self.sort_on_compact if sort is None else sort
+        written: dict[str, list[str]] = {}
+        if all_files:
+            written = self._dedup_write_bucketed(
+                self._read_files(spark, all_files, schema).withColumn(
+                    _BUCKET, self._bucket_expr(int(new_num_buckets))
+                ),
+                sid,
+                int(new_num_buckets),
+                schema,
+                sort_output=sort_eff,
+            )
+        new_key_stats = (
+            self._collect_key_stats(
+                spark, [f for fs in written.values() for f in fs]
+            )
+            if sort_eff and written
+            else {}
+        )
+        consumed = set(all_files)
+        with self._commit_lock():
+            latest = self.manifest()
+            if latest["snapshot_id"] != cur["snapshot_id"]:
+                if int(latest.get("num_buckets", old_nb)) != old_nb:
+                    raise ConcurrentWriteConflict(
+                        "another rebucket committed concurrently; retry "
+                        "against the new layout"
+                    )
+                for b in set(cur["files"]) | set(latest["files"]):
+                    if latest["files"].get(b) != cur["files"].get(b):
+                        raise ConcurrentWriteConflict(
+                            "racing base rewrite during rebucket; run one "
+                            "maintenance job per table"
+                        )
+            survivors = [
+                f
+                for v in latest.get("deltas", {}).values()
+                for f in self._resolve_list(v)
+                if f not in consumed
+            ]
+            new_deltas = {_FLAT: survivors} if survivors else {}
+            manifest = {
+                **latest,
+                "snapshot_id": sid,
+                "parent": latest["snapshot_id"],
+                "num_buckets": int(new_num_buckets),
+                "files": self._pack_map(written),
+                "deltas": self._pack_map(new_deltas),
+                "delta_bytes": self._sizes_by_bucket(new_deltas),
+                # maintenance stats: state unchanged, change scans skip it;
+                # cadence counter restarts under the new layout
+                "stats": {"rebucketed_from": old_nb, "delta_commits": 0},
+            }
+            # every pre-rebucket file was replaced: old key stats are all
+            # dangling; keep only this rewrite's sorted outputs
+            if new_key_stats:
+                manifest["key_stats"] = self._pack_key_stats(new_key_stats)
+            else:
+                manifest.pop("key_stats", None)
+            manifest.pop("change_files", None)
+            self._commit(manifest)
+        return {
+            "snapshot_id": sid,
+            "rebucketed": True,
+            "num_buckets": int(new_num_buckets),
+            "flat_deltas": len(survivors),
+        }
 
     # -------------------------------------------------------------- search
     def snapshot_records(self) -> list[dict[str, Any]]:
