@@ -161,6 +161,10 @@ def run_bench(cores: int, log_dir: str | None = None, json_out: str | None = Non
             collect_metrics=True,
             compact_every=max(len(chunks) // 2, 2),
             delta_compression=os.environ.get("FETCHEZ_DELTA_CODEC") or None,
+            # FETCHEZ_CLUSTER_DELTAS=0: zero-shuffle fast-append (flat
+            # deltas; compaction does the clustering) -- the scaling
+            # experiment knob for the other half of the bytes/event budget
+            cluster_deltas=os.environ.get("FETCHEZ_CLUSTER_DELTAS", "1") != "0",
         )
         lineage = LineageLog(os.path.join(work, "lineage"))
         from fetchez_spark.plans import ShuffleMetrics

@@ -177,6 +177,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drop", default=None, metavar="NAME")
     p.add_argument("--list", action="store_true", dest="list_branches")
     p = sub.add_parser(
+        "matview",
+        help="incremental materialized aggregate views: define once "
+        "(--create), then refresh/follow/show from the view dir alone "
+        "(the definition persists in the view's catalog)",
+    )
+    p.add_argument("view_dir")
+    p.add_argument("--create", default=None, metavar="TABLE_DIR",
+                   help="define a view over a snapshot table")
+    p.add_argument("--group", default=None,
+                   help="comma-separated group columns (with --create)")
+    p.add_argument("--agg", action="append", default=[], dest="aggs",
+                   help="aggregate as name=fn:col, fn in "
+                        "count|sum|avg|min|max (count takes no col)")
+    p.add_argument("--refresh", action="store_true",
+                   help="advance the view to the source's current snapshot")
+    p.add_argument("--follow", type=float, default=None, metavar="SECONDS",
+                   help="poll the source and refresh on every commit")
+    p.add_argument("--timeout", type=float, default=None,
+                   help="stop --follow after this many seconds")
+    p.add_argument("--show", action="store_true", help="print the view contents")
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--cores", type=int, default=4)
+    p = sub.add_parser(
         "changes", help="incremental scan: rows merged after a snapshot"
     )
     p.add_argument("table_dir")
@@ -343,6 +366,48 @@ def main(argv: list[str] | None = None) -> int:
                   "--expire/--rollback",
                   file=sys.stderr)
             return 1
+        print(json.dumps(out, default=str))
+        return 0
+    if args.cmd == "matview":
+        from fetchez_spark.operators.matview import MaterializedAggregate
+        from fetchez_spark.session import get_spark
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        spark = get_spark(app_name="fetchez-matview", master=f"local[{args.cores}]")
+        if args.create:
+            if not args.group or not args.aggs:
+                print("--create needs --group and at least one --agg", file=sys.stderr)
+                return 1
+            aggs: dict = {}
+            for spec in args.aggs:
+                name, _, fc = spec.partition("=")
+                fn, _, col = fc.partition(":")
+                aggs[name] = (fn, col or None)
+            mv = MaterializedAggregate(
+                LocalSnapshotSink(args.create),
+                args.view_dir,
+                group_by=args.group.split(","),
+                aggs=aggs,
+            )
+        else:
+            mv = MaterializedAggregate.load(args.view_dir)
+        out: dict = {"view": args.view_dir, "upstream": mv.source.table_dir}
+        if args.follow is not None:
+            refreshed = [
+                m
+                for m in mv.follow(
+                    spark, poll_seconds=args.follow, timeout_seconds=args.timeout or 60
+                )
+            ]
+            out["refreshes"] = refreshed
+        elif args.refresh or args.create:
+            out["refresh"] = mv.refresh(spark)
+        if args.show:
+            df = mv.read_view(spark)
+            out["rows"] = df.count()
+            for row in df.limit(args.limit).collect():
+                print(json.dumps(row.asDict(), default=str))
+        out["applied"] = mv.last_applied()
         print(json.dumps(out, default=str))
         return 0
     if args.cmd == "changes":

@@ -27,15 +27,26 @@ Design:
 * distributive aggregates (``count``, ``sum``, ``avg`` = sum+count
   partials) are maintained purely from deltas; ``min``/``max`` are
   monotone under inserts (``least``/``greatest`` against the stored
-  value) but NOT under deletes -- a group whose min/max contributor may
-  have been removed is recomputed from the source table's state at the
-  target snapshot (one column-pruned scan semi-joined to the affected
-  groups; only runs when a delete/update actually touched such a group).
+  value) but NOT under deletes -- the classic IVM hard case.  Two-level
+  defense: (1) a group is only recomputed when a REMOVED value
+  ties-or-beats the stored extremum (the removed row may actually have
+  BEEN the contributor -- random deletes almost never are), and (2) the
+  recompute reads a GROUP-CLUSTERED PROJECTION INDEX, not the source: a
+  second snapshot table keyed ``(group..., source key...)`` holding
+  just the min/max columns, maintained append-only (O(changes) MoR
+  deltas derived from the same feed -- the index never reads its own
+  prior state).  Because the index's leading key is the group, the
+  truth read is bucket-pruned to the threatened groups' buckets --
+  O(bucket), never O(table).  ``minmax_index=False`` falls back to a
+  source rescan restricted to threatened groups.
 
-Scale: refresh cost is O(changes) + O(affected groups) + (min/max only,
-delete-touched groups only) one pushed-filter scan of the source.  The
-state upsert shuffles O(affected groups) rows into the view's buckets.
-Nothing is ever O(view) or O(table) on the steady-state path.
+Scale: refresh cost is O(changes) shuffles + O(affected groups), plus
+(min/max only, extremum-threatened groups only) a bucket-pruned index
+read.  The state upsert shuffles O(affected groups) rows into the
+view's buckets.  The small feed/delta/upsert frames are eagerly
+``localCheckpoint``-ed so the change-feed scan runs exactly once no
+matter how many passes the downstream merge makes.  Nothing is ever
+O(view) or O(table) on the steady-state path.
 
 Retention contract (same as any CDC consumer, e.g. Iceberg incremental
 reads): refreshes must run more often than the source expires snapshots.
@@ -81,6 +92,8 @@ class MaterializedAggregate:
         group_by: list[str],
         aggs: dict[str, tuple[str, str | None]],
         num_buckets: int = 8,
+        minmax_index: bool = True,
+        index_buckets: int | None = None,
     ) -> None:
         if not group_by:
             raise ValueError("group_by must name at least one column")
@@ -141,6 +154,44 @@ class MaterializedAggregate:
             key=list(group_by),
             base_schema=base,
         )
+        # min/max specs that can need a recompute on delete (a min/max
+        # over a GROUP column is the group value itself -- constant while
+        # the group lives, no maintenance needed)
+        self._mm_rspecs = [
+            (n, fn, c)
+            for n, (fn, c) in self.aggs.items()
+            if fn in ("min", "max") and c not in group_by
+        ]
+        # group-clustered projection index for extremum recomputes: a
+        # second snapshot table keyed (group..., source key...) holding
+        # just the min/max columns, maintained APPEND-ONLY (O(changes)
+        # MoR deltas, no state read) from the same change feed.  A
+        # threatened group's true min/max is then a bucket-pruned read of
+        # that group's buckets -- O(bucket), never O(source table).
+        self._aux_sink: LocalSnapshotSink | None = None
+        if self._mm_rspecs and minmax_index:
+            names: list[str] = list(group_by)
+            for k in source.key:
+                if k not in names:
+                    names.append(k)
+            for _, _, c in self._mm_rspecs:
+                if c not in names:
+                    names.append(c)
+            if "ts" not in names:
+                names.append("ts")
+            self._aux_names = names
+            self._aux_key = list(group_by) + [
+                k for k in source.key if k not in group_by
+            ]
+            self._aux_sink = LocalSnapshotSink(
+                f"{store_dir}__mmidx",
+                num_buckets=index_buckets or num_buckets,
+                key=self._aux_key,
+                base_schema=T.StructType([src_schema[x] for x in names]),
+                # group is the leading key: sorted compaction gives the
+                # truth read per-file group-range stats + row-group skips
+                sort_on_compact=True,
+            )
 
     # ------------------------------------------------------------- position
     def last_applied(self) -> str:
@@ -156,8 +207,18 @@ class MaterializedAggregate:
         to = self.source.current_snapshot_id
         if frm == to:
             return {"from": frm, "to": to, "skipped": True}
+        if frm == _ROOT_SNAPSHOT:
+            # initial build: the delta path would dedup + diff every row
+            # against an empty pre-state; one straight aggregate is the
+            # same answer at a fraction of the cost
+            return self._full_rebuild(spark, to, frm=frm)
         try:
-            deltas = self._group_deltas(spark, frm, to)
+            feed = self._feed(spark, frm, to)
+            self._apply_aux(spark, feed, frm, to)
+            # eager checkpoint: deltas is O(affected groups) rows -- the
+            # touched-bucket collect, the min/max broadcast, and the
+            # sink-merge's own passes would each re-run its lineage
+            deltas = self._group_deltas_from_feed(feed).localCheckpoint(eager=True)
         except FileNotFoundError:
             # the last-applied snapshot was expired out from under us:
             # retention was outlived, rebuild from current state
@@ -169,16 +230,184 @@ class MaterializedAggregate:
             )
             return self._full_rebuild(spark, to)
         rows = self._combined_rows(spark, deltas, to)
+        # same truncation for the assembled upsert rows (O(affected
+        # groups)): their lineage can hold the min/max index read
+        rows = rows.localCheckpoint(eager=True)
         return self._commit(rows, frm, to)
+
+    def _feed(self, spark: SparkSession, frm: str, to: str) -> DataFrame:
+        """The typed change feed for the range, eagerly materialized: it
+        is O(changed keys) rows but its lineage holds the range scan +
+        pre-state join, and it is read several times (aux index rows,
+        pro/anti delta union)."""
+        feed = self.source.change_feed(spark, frm, to, include_pre_image=True)
+        return feed.localCheckpoint(eager=True)
+
+    # ------------------------------------------------------ min/max index
+    def _aux_last_applied(self) -> str:
+        off = self._aux_sink.manifest().get("offsets") or {}
+        return off.get("upstream", _ROOT_SNAPSHOT)
+
+    def _apply_aux(self, spark: SparkSession, feed: DataFrame, frm: str, to: str) -> None:
+        """Advance the min/max projection index to ``to``: O(changes)
+        append-only MoR merge derived from the shared feed -- the index
+        never reads its own prior state on the steady-state path."""
+        if self._aux_sink is None:
+            return
+        aux_frm = self._aux_last_applied()
+        if aux_frm == to:
+            return
+        if aux_frm != frm:
+            # divergence (crash between the index commit and the view
+            # commit, or an externally-rebuilt view): catch up over the
+            # index's OWN range with its own feed
+            try:
+                feed = self._feed(spark, aux_frm, to)
+            except FileNotFoundError:
+                self._rebuild_aux(spark, to)
+                return
+        n_to = _snap_num(to)
+
+        def _vals(pre: bool):
+            cols = []
+            for x in self._aux_names:
+                if pre and x in self.group_by:
+                    cols.append(self._pre_col(feed, x).alias(x))
+                elif pre and x not in self._aux_key and x != "ts":
+                    # tombstone payload: the min/max values are irrelevant
+                    cols.append(F.lit(None).cast(feed.schema[x].dataType).alias(x))
+                else:
+                    # source-key columns are pre==post; ts stays the POST
+                    # row's ts so the tombstone wins LWW at the old key
+                    cols.append(F.col(x))
+            return cols
+
+        pro = feed.filter(F.col("_change_type") != "delete").select(
+            F.lit("U").alias("op"), *_vals(pre=False), F.lit(n_to).cast("long").alias("seq")
+        )
+        moved = F.lit(False)
+        for g in self.group_by:
+            moved = moved | ~self._pre_col(feed, g).eqNullSafe(F.col(g))
+        anti = feed.filter(
+            (F.col("_change_type") == "delete")
+            | ((F.col("_change_type") == "update") & moved)
+        ).select(
+            F.lit("D").alias("op"), *_vals(pre=True), F.lit(n_to).cast("long").alias("seq")
+        )
+        self._aux_sink.merge(
+            pro.unionByName(anti),
+            batch_token=f"mv-{n_to}",
+            offsets={"upstream": to},
+        )
+
+    def _rebuild_aux(self, spark: SparkSession, to: str) -> None:
+        if self._aux_sink is None:
+            return
+        n_to = _snap_num(to)
+        src = self.source.read(spark, snapshot_id=to)
+        fresh = src.select(
+            F.lit("U").alias("op"),
+            *[F.col(x) for x in self._aux_names],
+            F.lit(n_to).cast("long").alias("seq"),
+        )
+        if _snap_num(self._aux_sink.current_snapshot_id) > 0:
+            # stale index rows must be tombstoned -- but only when the
+            # store HAS prior state; the initial build skips the
+            # O(table) key-dedup shuffle the anti-join would cost
+            old = self._aux_sink.read(spark)
+            fresh_k = src.select(
+                *[F.col(k).alias(f"__fk_{k}") for k in self._aux_key]
+            ).dropDuplicates()
+            cond = None
+            for k in self._aux_key:
+                c = old[k].eqNullSafe(fresh_k[f"__fk_{k}"])
+                cond = c if cond is None else (cond & c)
+            gone = old.join(fresh_k, cond, "left_anti").select(
+                F.lit("D").alias("op"),
+                *[F.col(x) for x in self._aux_names],
+                F.lit(n_to).cast("long").alias("seq"),
+            )
+            fresh = fresh.unionByName(gone)
+        self._aux_sink.merge(
+            fresh,
+            batch_token=f"mv-{n_to}",
+            offsets={"upstream": to},
+        )
 
     def _commit(self, rows: DataFrame, frm: str, to: str) -> dict[str, Any]:
         n = _snap_num(to)
         res = self.store.merge(
             rows, batch_token=f"mv-{n}", offsets={"upstream": to}
         )
+        self._ensure_definition()
         return {"from": frm, "to": to, "skipped": bool(res.get("skipped")), **{
             k: res[k] for k in ("snapshot_id",) if k in res
         }}
+
+    # ----------------------------------------------------- definition
+    def _definition(self) -> dict[str, Any]:
+        return {
+            "source_dir": self.source.table_dir,
+            "group_by": self.group_by,
+            # an ordered LIST of triples: the blob writer canonicalizes
+            # with sort_keys, and agg DECLARATION order is part of the
+            # definition (it fixes the view's column order)
+            "aggs": [[n, fn, c] for n, (fn, c) in self.aggs.items()],
+            "num_buckets": self.store.manifest()["num_buckets"],
+            "minmax_index": self._aux_sink is not None,
+            "index_buckets": (
+                self._aux_sink.manifest()["num_buckets"] if self._aux_sink else None
+            ),
+        }
+
+    def _ensure_definition(self) -> None:
+        """Persist the view definition INTO the view store's catalog (one
+        metadata-only commit whose blob every later merge carries forward
+        and expiry keeps alive) so a fresh session -- or the CLI -- can
+        reconstruct the view from the store dir alone (:meth:`load`)."""
+        sink = self.store
+        if sink.manifest().get("matview_def"):
+            return
+        with sink._commit_lock():
+            latest = sink.manifest()
+            if latest.get("matview_def"):
+                return
+            sid = sink._claim_sid(latest)
+            manifest = {
+                **latest,
+                "snapshot_id": sid,
+                "parent": latest["snapshot_id"],
+                "matview_def": sink._pack_blob(self._definition()),
+                "stats": {
+                    "delta_commits": int(
+                        latest.get("stats", {}).get("delta_commits", 0)
+                    ),
+                    "matview_def_updated": True,
+                },
+            }
+            # metadata-only commit: must not inherit the parent's CoW
+            # change sidecar (read_changes would double-emit that batch)
+            manifest.pop("change_files", None)
+            sink._commit(manifest)
+
+    @classmethod
+    def load(cls, store_dir: str) -> "MaterializedAggregate":
+        """Reconstruct a view from its store dir alone via the persisted
+        definition (written by the first refresh)."""
+        store = LocalSnapshotSink(store_dir)
+        ref = store.manifest().get("matview_def")
+        if not ref:
+            raise KeyError(f"{store_dir} has no persisted matview definition")
+        d = store._resolve_blob(ref)
+        return cls(
+            LocalSnapshotSink(d["source_dir"]),
+            store_dir,
+            group_by=list(d["group_by"]),
+            aggs={n: (fn, c) for n, fn, c in d["aggs"]},
+            num_buckets=int(d["num_buckets"]),
+            minmax_index=bool(d.get("minmax_index", True)),
+            index_buckets=d.get("index_buckets"),
+        )
 
     # --------------------------------------------------------- delta build
     def _pre_col(self, feed: DataFrame, c: str):
@@ -189,7 +418,9 @@ class MaterializedAggregate:
         return F.col("_pre_image").getField(c)
 
     def _group_deltas(self, spark: SparkSession, frm: str, to: str) -> DataFrame:
-        feed = self.source.change_feed(spark, frm, to, include_pre_image=True)
+        return self._group_deltas_from_feed(self._feed(spark, frm, to))
+
+    def _group_deltas_from_feed(self, feed: DataFrame) -> DataFrame:
         sum_specs = [
             (n, fn, c) for n, (fn, c) in self.aggs.items() if fn in ("sum", "avg")
         ]
@@ -209,13 +440,20 @@ class MaterializedAggregate:
                 cols.append(nn(c).alias(f"__{n}_cnt" if fn == "avg" else f"__{n}_nn"))
             for n, fn, c in mm_specs:
                 # pro rows carry the inserted value (min/max are monotone
-                # under inserts); anti rows carry null + a recompute flag
+                # under inserts); anti rows carry the REMOVED value so the
+                # combine step can tell whether the stored extremum could
+                # have been the removed row (only then is a source
+                # recompute needed)
                 cols.append(
                     (F.lit(None).cast(partial_types[n]) if pre else val(c)).alias(
                         f"__mm_{n}"
                     )
                 )
-            cols.append(F.lit(1 if pre else 0).alias("__recompute"))
+                cols.append(
+                    (val(c) if pre else F.lit(None).cast(partial_types[n])).alias(
+                        f"__mm_anti_{n}"
+                    )
+                )
             return cols
 
         pro = feed.filter(F.col("_change_type") != "delete").select(
@@ -235,13 +473,11 @@ class MaterializedAggregate:
                 agg_cols.append(F.sum(n).alias(n))
                 agg_cols.append(F.sum(f"__{n}_nn").alias(f"__{n}_nn"))
         for n, fn, c in mm_specs:
-            agg_cols.append(
-                (F.min(f"__mm_{n}") if fn == "min" else F.max(f"__mm_{n}")).alias(
-                    f"__mm_{n}"
-                )
-            )
-        flag = F.max("__recompute") if self.has_minmax else F.lit(0)
-        agg_cols.append(flag.alias("__recompute"))
+            comb = F.min if fn == "min" else F.max
+            agg_cols.append(comb(f"__mm_{n}").alias(f"__mm_{n}"))
+            # the most threatening removed value: the smallest for a min
+            # aggregate, the largest for a max aggregate
+            agg_cols.append(comb(f"__mm_anti_{n}").alias(f"__mm_anti_{n}"))
         return d.groupBy(*self.group_by).agg(*agg_cols)
 
     # ------------------------------------------------------ combine + write
@@ -301,13 +537,24 @@ class MaterializedAggregate:
             else:  # min / max: monotone combine; recompute overrides later
                 comb = F.least if fn == "min" else F.greatest
                 out_cols.append(comb(F.col(f"__old_{n}"), F.col(f"__mm_{n}")).alias(n))
+        # a group needs a source-side min/max recompute ONLY if some
+        # removed (anti) value could have BEEN the stored extremum -- i.e.
+        # the most threatening removed value ties-or-beats the stored one
+        # (or the stored state is unexpectedly absent).  Random deletes
+        # almost never hit the extremum, so this keeps the steady-state
+        # refresh free of any O(table) scan.
+        threat = F.lit(False)
+        for n, fn, c in self._mm_rspecs:
+            anti, old = F.col(f"__mm_anti_{n}"), F.col(f"__old_{n}")
+            cmp = (anti <= old) if fn == "min" else (anti >= old)
+            threat = threat | (anti.isNotNull() & (old.isNull() | cmp))
         n_to = _snap_num(to)
         rows = j.select(
             *out_cols,
             live.alias("__live"),
-            F.col("__recompute").alias("__recompute"),
+            F.when(threat, F.lit(1)).otherwise(F.lit(0)).alias("__recompute"),
         )
-        if self.has_minmax:
+        if self._mm_rspecs:
             rows = self._override_minmax(rows, to)
         ts = F.timestamp_seconds(F.lit(n_to))
         return rows.select(
@@ -319,21 +566,53 @@ class MaterializedAggregate:
         )
 
     def _override_minmax(self, rows: DataFrame, to: str) -> DataFrame:
-        """Groups a delete/update anti-row touched cannot trust the stored
-        min/max (the removed row may have been the extremum): recompute
-        them from the source state at ``to``, restricted to exactly those
-        groups (broadcast semi-join -- the group list is O(changes))."""
+        """Groups where a removed value tied-or-beat the stored extremum
+        cannot trust the stored min/max (the removed row may have BEEN
+        the extremum): recompute them from the source state at ``to``,
+        restricted to exactly those groups (broadcast semi-join -- the
+        group list is a small subset of the changed groups)."""
         spark = rows.sparkSession
-        mm_specs = [(n, fn, c) for n, (fn, c) in self.aggs.items() if fn in ("min", "max")]
-        need = rows.filter((F.col("__recompute") == 1) & (F.col("__live") > 0)).select(
+        mm_specs = self._mm_rspecs
+        # the threatened-group list is small (a subset of the changed
+        # groups) and was headed for a broadcast anyway: collect it so an
+        # EMPTY set skips the source scan entirely -- the common case,
+        # since random deletes rarely remove an extremum contributor
+        need_rows = (
+            rows.filter((F.col("__recompute") == 1) & (F.col("__live") > 0))
+            .select(*self.group_by)
+            .dropDuplicates()
+            .collect()
+        )
+        if not need_rows:
+            return rows
+        g_schema = T.StructType([rows.schema[g] for g in self.group_by])
+        need_df = spark.createDataFrame(need_rows, schema=g_schema)
+        need = need_df.select(
             *[F.col(g).alias(f"__rg_{g}") for g in self.group_by]
         )
-        src = self.source.read(spark, snapshot_id=to)
+        if self._aux_sink is not None:
+            # group-clustered index: read ONLY the threatened groups'
+            # buckets (the index is keyed on the group columns first, so
+            # bucket pruning is by group) -- O(bucket), never O(table)
+            nb = self._aux_sink.manifest()["num_buckets"]
+            bl = sorted(
+                {
+                    int(r["b"])
+                    for r in need_df.select(
+                        F.pmod(F.hash(F.col(self.group_by[0])), F.lit(nb)).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                }
+            )
+            src = self._aux_sink.read(spark, buckets=bl)
+        else:
+            src = self.source.read(spark, snapshot_id=to)
         cond = None
         for g in self.group_by:
             c = src[g].eqNullSafe(need[f"__rg_{g}"])
             cond = c if cond is None else (cond & c)
-        member = src.join(F.broadcast(need.dropDuplicates()), cond, "inner")
+        member = src.join(F.broadcast(need), cond, "inner")
         truth = member.groupBy(*[F.col(g) for g in self.group_by]).agg(
             *[
                 (F.min(c) if fn == "min" else F.max(c)).alias(f"__true_{n}")
@@ -363,7 +642,11 @@ class MaterializedAggregate:
         )
 
     # ------------------------------------------------------------- rebuild
-    def _full_rebuild(self, spark: SparkSession, to: str) -> dict[str, Any]:
+    def _full_rebuild(
+        self, spark: SparkSession, to: str, frm: str = "<rebuild>"
+    ) -> dict[str, Any]:
+        if self._aux_sink is not None and self._aux_last_applied() != to:
+            self._rebuild_aux(spark, to)
         src = self.source.read(spark, snapshot_id=to)
         agg_cols = []
         for n, (fn, c) in self.aggs.items():
@@ -388,6 +671,8 @@ class MaterializedAggregate:
             F.lit("U").alias("op"),
             F.lit(n_to).cast("long").alias("seq"),
         )
+        if _snap_num(self.store.current_snapshot_id) == 0:
+            return self._commit(live_rows, frm, to) | {"rebuild": True}
         # groups that vanished since the last build must be tombstoned
         # (null-SAFE anti join: a null-valued group must match itself, or
         # it would be tombstoned AND re-upserted with a tied LWW order)
@@ -406,7 +691,39 @@ class MaterializedAggregate:
             F.lit("D").alias("op"),
             F.lit(n_to).cast("long").alias("seq"),
         )
-        return self._commit(live_rows.unionByName(gone), "<rebuild>", to)
+        res = self._commit(live_rows.unionByName(gone), frm, to)
+        res["rebuild"] = True
+        return res
+
+    # ------------------------------------------------------------- follow
+    def follow(
+        self,
+        spark: SparkSession,
+        poll_seconds: float = 2.0,
+        stop_event=None,
+        timeout_seconds: float | None = None,
+    ):
+        """Generator keeping the view CONTINUOUSLY current: polls the
+        source's commit pointer (O(1) driver-side VERSION read, same as
+        ``follow_changes``) and refreshes on every observed advance,
+        yielding each refresh's metrics dict.  Multiple commits between
+        polls coalesce into one refresh over the combined range -- the
+        view is eventually consistent with commit-level granularity.
+        Stop via ``stop_event`` (threading.Event) or ``timeout_seconds``."""
+        import time as _time
+
+        deadline = (
+            (_time.monotonic() + timeout_seconds) if timeout_seconds else None
+        )
+        while True:
+            if stop_event is not None and stop_event.is_set():
+                return
+            if deadline is not None and _time.monotonic() >= deadline:
+                return
+            if self.source.current_snapshot_id != self.last_applied():
+                yield self.refresh(spark)
+            else:
+                _time.sleep(poll_seconds)
 
     # ---------------------------------------------------------------- read
     def read_view(self, spark: SparkSession) -> DataFrame:

@@ -88,6 +88,9 @@ _BUCKET = "_bucket"
 # manifest "deltas" key for unclustered (flat) delta files
 _FLAT = "*"
 INTERNAL_COLUMNS = (INTERNAL_SEQ, INTERNAL_DELETED, INTERNAL_SRC)
+# manifest keys whose (blob-ref) payloads every merge carries forward and
+# snapshot expiry keeps alive: table-resident catalog state
+CATALOG_KEYS = ("index", "ann_index", "key_stats", "matview_def")
 
 _TOKEN_RE = re.compile(r"^(.*?)(\d+)$")
 
@@ -325,6 +328,7 @@ class LocalSnapshotSink(SnapshotSink):
                 "snapshot_id": "snap-0000000000",
                 "parent": None,
                 "schema": schema.jsonValue(),
+                "key": list(self.key),
                 "num_buckets": num_buckets,
                 "files": {},
                 "deltas": {},
@@ -341,6 +345,21 @@ class LocalSnapshotSink(SnapshotSink):
             with self._commit_lock():
                 if self._version() is None:
                     self._set_version(self._version("main"))
+        # the table's key is PART OF ITS METADATA (like Iceberg's identifier
+        # fields): a fresh-session open (CLI, matview load, a reader that
+        # only knows the dir) adopts the recorded key instead of guessing
+        # the default -- and an explicit CONFLICTING key is a loud error,
+        # because a mis-keyed writer would corrupt the LWW reduction.
+        # Tables created before the key was recorded keep constructor
+        # behavior (nothing recorded -> nothing to adopt).
+        recorded = self.manifest().get("key")
+        if recorded:
+            if key and list(key) != list(recorded):
+                raise ValueError(
+                    f"table {table_dir} is keyed {list(recorded)!r}; "
+                    f"constructor key={list(key)!r} conflicts"
+                )
+            self.key = list(recorded)
 
     # ---------------------------------------------------------- manifest io
     def _version_path(self, branch: str | None = None) -> str:
@@ -832,6 +851,7 @@ class LocalSnapshotSink(SnapshotSink):
         buckets: list[int] | None = None,
         key_eq=None,
         include_deleted: bool = False,
+        key_in: DataFrame | None = None,
     ) -> DataFrame:
         """``key_eq``: leading-key point-read hint.  Base files whose
         recorded key range (see :meth:`key_stats`) excludes the value are
@@ -841,7 +861,13 @@ class LocalSnapshotSink(SnapshotSink):
 
         ``include_deleted=True`` keeps tombstone rows in the result (the
         per-key LWW winner may BE a tombstone) -- for consumers that need
-        the full key state, e.g. the change feed's pre-state comparison."""
+        the full key state, e.g. the change feed's pre-state comparison.
+
+        ``key_in``: a DataFrame of key columns restricting the read to
+        those keys via a broadcast semi-join applied BEFORE the MoR
+        reduction (correct because the per-key LWW winner is computed
+        from that key's rows alone).  Turns a point-set read into a scan
+        + broadcast filter instead of a full-table dedup shuffle."""
         m = self.manifest(snapshot_id)
         schema = T.StructType.fromJson(m["schema"])
         base_map, delta_map = m["files"], m.get("deltas", {})
@@ -875,6 +901,12 @@ class LocalSnapshotSink(SnapshotSink):
             # flat delta files are unclustered; a bucket-pruned read must
             # post-filter them to the requested buckets
             df = df.filter(self._bucket_expr(m["num_buckets"]).isin([int(b) for b in keys]))
+        if key_in is not None:
+            df = df.join(
+                F.broadcast(key_in.select(*self.key).dropDuplicates()),
+                on=self.key,
+                how="left_semi",
+            )
         if deltas:
             # merge-on-read: the same max-(ts,_seq) reduction the writer
             # would have applied at compaction time
@@ -1019,8 +1051,11 @@ class LocalSnapshotSink(SnapshotSink):
 
         Cost: O(rows added in range) for the change side plus a
         BUCKET-PRUNED read of the pre-state (only buckets the range
-        touched; MoR clustered deltas make the bucket set exact), joined
-        on the key -- never a full-table diff."""
+        touched; MoR clustered deltas make the bucket set exact) that is
+        further key-restricted BEFORE its LWW reduction (broadcast
+        semi-join on the changed keys -- the pre-state dedup shuffles
+        O(changed keys) rows, not the touched buckets' full state),
+        joined on the key -- never a full-table diff."""
         to_snapshot = to_snapshot or self._version()
         added, buckets = self._added_change_files(from_snapshot, to_snapshot)
         schema = T.StructType.fromJson(self.manifest(to_snapshot)["schema"])
@@ -1033,6 +1068,10 @@ class LocalSnapshotSink(SnapshotSink):
             buckets=buckets,
             include_internal=True,
             include_deleted=True,
+            # restrict the pre-state to the keys the range actually
+            # changed BEFORE its LWW reduction: the dedup then shuffles
+            # O(changed keys) rows, not the touched buckets' whole state
+            key_in=net.select(*self.key),
         )
         pre_sel = pre.select(
             *[F.col(k) for k in self.key],
@@ -1539,6 +1578,7 @@ class LocalSnapshotSink(SnapshotSink):
                 "snapshot_id": sid,
                 "parent": base["snapshot_id"],
                 "schema": schema_.jsonValue(),
+                "key": base.get("key", list(self.key)),
                 "num_buckets": int(base.get("num_buckets", nb)),
                 "files": self._pack_map(files_),
                 "deltas": self._pack_map(deltas_),
@@ -1554,7 +1594,7 @@ class LocalSnapshotSink(SnapshotSink):
                 # entries DANGLING, never wrong; sorted compaction trims)
                 **{
                     k: base[k]
-                    for k in ("index", "ann_index", "key_stats")
+                    for k in CATALOG_KEYS
                     if k in base
                 },
                 # CoW precise change set (read_changes uses it over the
@@ -2387,7 +2427,7 @@ class LocalSnapshotSink(SnapshotSink):
                 m = self.manifest(sid)
                 catalog_refs = {
                     m[k]
-                    for k in ("index", "ann_index", "key_stats")
+                    for k in CATALOG_KEYS
                     if isinstance(m.get(k), str)
                 }
                 extras = list(catalog_refs) + (

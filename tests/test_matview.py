@@ -214,6 +214,82 @@ def test_matview_view_is_itself_a_snapshot_table(spark, tmp_path):
     assert old.collect()[0]["n_rows"] == 1
 
 
+def test_matview_minmax_recompute_only_on_extremum_threat(spark, tmp_path):
+    """The min/max source rescan is restricted to groups where a REMOVED
+    value tied the stored extremum: deleting a mid-range row must not put
+    its group in the recompute set (steady-state refreshes stay free of
+    any O(table) scan), while deleting the actual min contributor must."""
+    sink = _sink(spark, tmp_path / "t")
+    mv = MaterializedAggregate(sink, str(tmp_path / "mv"), ["grp"], AGGS)
+    _merge(spark, sink, [
+        ("U", 1, "a", "x", 1.0, 1, _ts(0), 1),
+        ("U", 2, "a", "x", 2.0, 5, _ts(0), 2),
+        ("U", 3, "a", "x", 3.0, 9, _ts(0), 3),
+        ("U", 4, "b", "y", 4.0, 2, _ts(0), 4),
+        ("U", 5, "b", "y", 5.0, 4, _ts(0), 5),
+    ], "b1")
+    mv.refresh(spark)
+
+    captured: list[str] = []
+    orig = mv._override_minmax
+
+    def spy(rows, to):
+        captured.extend(
+            r["grp"]
+            for r in rows.filter(F.col("__recompute") == 1).select("grp").collect()
+        )
+        return orig(rows, to)
+
+    mv._override_minmax = spy
+    # delete a's MID row (n=5: neither lo=1 nor hi=9) and b's MIN row (n=2)
+    _merge(spark, sink, [
+        ("D", 2, "a", "x", 0.0, 0, _ts(1), 6),
+        ("D", 4, "b", "y", 0.0, 0, _ts(1), 7),
+    ], "b2")
+    mv.refresh(spark)
+    assert captured == ["b"], f"recompute set should be exactly b, got {captured}"
+    assert _got(mv, spark) == _expected(sink, spark, ["grp"])
+
+
+def test_matview_follow_keeps_view_current(spark, tmp_path):
+    """follow() refreshes on every observed source commit (coalescing
+    commits between polls) until stopped."""
+    import threading
+
+    sink = _sink(spark, tmp_path / "t")
+    mv = MaterializedAggregate(sink, str(tmp_path / "mv"), ["grp"], {"n_rows": ("count", None)})
+    stop = threading.Event()
+    seen: list[dict] = []
+
+    def run():
+        for m in mv.follow(spark, poll_seconds=0.2, stop_event=stop, timeout_seconds=60):
+            seen.append(m)
+
+    t = threading.Thread(target=run)
+    t.start()
+    try:
+        _merge(spark, sink, [("U", 1, "a", "x", 1.0, 1, _ts(0), 1)], "b1")
+        deadline = dt.datetime.now() + dt.timedelta(seconds=50)
+        while mv.last_applied() != sink.current_snapshot_id:
+            assert dt.datetime.now() < deadline, "follower never caught up"
+            stop.wait(0.2)
+        _merge(spark, sink, [("D", 1, "a", "x", 0.0, 0, _ts(1), 2),
+                             ("U", 2, "b", "y", 2.0, 2, _ts(1), 3)], "b2")
+        while mv.last_applied() != sink.current_snapshot_id:
+            assert dt.datetime.now() < deadline, "follower never caught up (2)"
+            stop.wait(0.2)
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not t.is_alive()
+    assert len(seen) >= 2
+    exp = {
+        tuple(r)
+        for r in sink.read(spark).groupBy("grp").agg(F.count(F.lit(1)).alias("n_rows")).collect()
+    }
+    assert _got(mv, spark) == exp == {("b", 1)}
+
+
 # ------------------------- change_feed state-transition fix (regression)
 def test_change_feed_late_lww_loser_emits_nothing(spark, tmp_path):
     """A row added in the range that LOSES cross-batch last-writer-wins
@@ -271,3 +347,85 @@ def test_change_feed_insert_under_newer_tombstone_emits_nothing(spark, tmp_path)
     )
     assert sink.change_feed(spark, frm).count() == 0
     assert sink.read(spark).filter(F.col("conv_id") == "c1").count() == 0
+
+
+def test_matview_load_from_persisted_definition(spark, tmp_path):
+    """The first refresh persists the view definition into the store's
+    catalog (carried forward by merges, kept alive by expiry); a FRESH
+    MaterializedAggregate.load(store_dir) must reconstruct the view --
+    source, groups, aggs, min/max index -- and keep refreshing it."""
+    sink = _sink(spark, tmp_path / "t")
+    mv = MaterializedAggregate(sink, str(tmp_path / "mv"), ["grp"], AGGS)
+    _merge(spark, sink, [
+        ("U", 1, "a", "x", 1.0, 1, _ts(0), 1),
+        ("U", 2, "b", "y", 2.0, 2, _ts(0), 2),
+    ], "b1")
+    mv.refresh(spark)
+
+    mv2 = MaterializedAggregate.load(str(tmp_path / "mv"))
+    assert mv2.source.table_dir == sink.table_dir
+    assert mv2.group_by == ["grp"]
+    assert mv2.aggs == mv.aggs
+    assert (mv2._aux_sink is None) == (mv._aux_sink is None)
+    # the loaded view continues incremental maintenance (incl. a
+    # min-contributor delete routed through the projection index)
+    _merge(spark, sink, [
+        ("D", 1, "a", "x", 0.0, 0, _ts(1), 3),
+        ("U", 3, "b", "y", 3.0, 0, _ts(1), 4),
+    ], "b2")
+    res = mv2.refresh(spark)
+    assert not res.get("rebuild"), "loaded view must refresh incrementally"
+    assert _got(mv2, spark) == _expected(sink, spark, ["grp"])
+    # load on a store with no definition is a loud error
+    with pytest.raises(KeyError):
+        MaterializedAggregate.load(str(tmp_path / "t"))
+
+
+def test_cli_matview_create_refresh_show(spark, tmp_path, capsys):
+    """CLI drive: --create defines + builds the view, a later bare
+    --refresh reconstructs it from the persisted definition alone."""
+    import json as _json
+
+    from fetchez_spark.cli import main
+
+    sink = _sink(spark, tmp_path / "t")
+    _merge(spark, sink, [
+        ("U", 1, "a", "x", 1.0, 1, _ts(0), 1),
+        ("U", 2, "a", "x", 2.0, 5, _ts(0), 2),
+        ("U", 3, "b", "y", 3.0, 9, _ts(0), 3),
+    ], "b1")
+    rc = main([
+        "matview", str(tmp_path / "mv"), "--create", str(tmp_path / "t"),
+        "--group", "grp",
+        "--agg", "n_rows=count",
+        "--agg", "hi=max:n",
+        "--show",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 2
+    # second batch, then a bare refresh with NO --create: definition
+    # comes from the view catalog
+    _merge(spark, sink, [("D", 3, "b", "y", 0.0, 0, _ts(1), 4)], "b2")
+    rc = main(["matview", str(tmp_path / "mv"), "--refresh", "--show"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 1
+    assert out["applied"] == sink.current_snapshot_id
+
+
+def test_table_key_recorded_and_adopted(spark, tmp_path):
+    """The table key is part of its metadata: recorded at bootstrap,
+    carried by every commit, adopted by a fresh-session open that names
+    only the dir, and a CONFLICTING explicit key is a loud error (a
+    mis-keyed writer would corrupt the LWW reduction)."""
+    sink = _sink(spark, tmp_path / "t")  # key=["uid"], non-default
+    _merge(spark, sink, [("U", 1, "a", "x", 1.0, 1, _ts(0), 1)], "b1")
+    assert sink.manifest().get("key") == ["uid"]
+
+    fresh = LocalSnapshotSink(str(tmp_path / "t"))
+    assert fresh.key == ["uid"]
+    assert fresh.read(spark).count() == 1
+
+    with pytest.raises(ValueError, match="keyed"):
+        LocalSnapshotSink(str(tmp_path / "t"), key=["grp"])
