@@ -200,6 +200,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
+        "mirror",
+        help="table-to-table CDC replication: keep a replica current by "
+        "shipping the source's commit ranges (define once with --create, "
+        "then sync/follow from the target dir alone)",
+    )
+    p.add_argument("target_dir")
+    p.add_argument("--create", default=None, metavar="SOURCE_DIR",
+                   help="define a mirror of a source snapshot table")
+    p.add_argument("--sync", action="store_true",
+                   help="apply one commit range (snapshot copy on first sync)")
+    p.add_argument("--follow", type=float, default=None, metavar="SECONDS",
+                   help="poll the source and sync on every commit")
+    p.add_argument("--timeout", type=float, default=None,
+                   help="stop --follow after this many seconds")
+    p.add_argument("--cores", type=int, default=4)
+    p = sub.add_parser(
         "changes", help="incremental scan: rows merged after a snapshot"
     )
     p.add_argument("table_dir")
@@ -408,6 +424,28 @@ def main(argv: list[str] | None = None) -> int:
             for row in df.limit(args.limit).collect():
                 print(json.dumps(row.asDict(), default=str))
         out["applied"] = mv.last_applied()
+        print(json.dumps(out, default=str))
+        return 0
+    if args.cmd == "mirror":
+        from fetchez_spark.operators.mirror import TableMirror
+        from fetchez_spark.session import get_spark
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        spark = get_spark(app_name="fetchez-mirror", master=f"local[{args.cores}]")
+        if args.create:
+            mirror = TableMirror(LocalSnapshotSink(args.create), args.target_dir)
+        else:
+            mirror = TableMirror.load(args.target_dir)
+        out = {"target": args.target_dir, "source": mirror.source.table_dir}
+        if args.follow is not None:
+            out["syncs"] = list(
+                mirror.follow(
+                    spark, poll_seconds=args.follow, timeout_seconds=args.timeout or 60
+                )
+            )
+        elif args.sync or args.create:
+            out["sync"] = mirror.sync_once(spark)
+        out["applied"] = mirror.last_applied()
         print(json.dumps(out, default=str))
         return 0
     if args.cmd == "changes":

@@ -90,7 +90,7 @@ _FLAT = "*"
 INTERNAL_COLUMNS = (INTERNAL_SEQ, INTERNAL_DELETED, INTERNAL_SRC)
 # manifest keys whose (blob-ref) payloads every merge carries forward and
 # snapshot expiry keeps alive: table-resident catalog state
-CATALOG_KEYS = ("index", "ann_index", "key_stats", "matview_def")
+CATALOG_KEYS = ("index", "ann_index", "key_stats", "matview_def", "mirror_def")
 
 _TOKEN_RE = re.compile(r"^(.*?)(\d+)$")
 
@@ -1587,7 +1587,13 @@ class LocalSnapshotSink(SnapshotSink):
                 "delta_bytes": delta_bytes,
                 "stats": stats_,
                 "high_watermark": hwm_,
-                "offsets": offsets,
+                # offsets carry FORWARD dict-merged: each consumer
+                # (stream engine, matview, mirror) owns its key, and a
+                # commit that doesn't speak for a key must not clobber
+                # another consumer's position (a drift merge or
+                # maintenance commit between mirror syncs would
+                # otherwise reset last_applied to the root)
+                "offsets": {**(base.get("offsets") or {}), **(offsets or {})} or None,
                 # catalog payloads + file key-range stats ride along
                 # untouched (stats are keyed by immutable file paths, so
                 # a merge -- even a CoW bucket rewrite -- can only leave

@@ -204,6 +204,20 @@ def test_sql_view_and_offsets_in_manifest(spark, tmp_path):
     replay_batches(spark, chunks, sink)
     # offsets recorded per commit (self-contained resume bookkeeping)
     assert sink.manifest()["offsets"]["files"] == [chunks[1]]
+    # ... and carried FORWARD dict-merged: a commit that doesn't speak for
+    # a key must not clobber another consumer's position (mirror/matview
+    # positions survive unrelated merges and maintenance commits)
+    df = sink.read(spark, include_internal=True).limit(0)
+    sink.merge(
+        df.selectExpr(
+            "'U' AS op", "conv_id", "turn_idx", "role", "text", "tool",
+            "ts", "_seq AS seq", "0 AS src_partition"
+        ),
+        "other-writer-1",
+        offsets={"upstream": "snap-42"},
+    )
+    off = sink.manifest()["offsets"]
+    assert off["files"] == [chunks[1]] and off["upstream"] == "snap-42"
     sink.create_view(spark, "transcripts")
     n = spark.sql("SELECT count(*) AS n FROM transcripts").collect()[0]["n"]
     assert n == sink.read(spark).count()
