@@ -53,12 +53,24 @@ def _oracle(rows):
     split=st.integers(1, 15),
     compact_mid=st.booleans(),
     mode=st.sampled_from(["mor", "cow"]),
+    clustered=st.booleans(),
 )
-def test_sink_matches_oracle_any_batching_any_mode(spark, tmp_path_factory, events, split, compact_mid, mode):
+def test_sink_matches_oracle_any_batching_any_mode(
+    spark, tmp_path_factory, events, split, compact_mid, mode, clustered
+):
     rows = _rows(events)
     cut = min(split, len(rows))
     table = tmp_path_factory.mktemp("sinkprop")
-    sink = LocalSnapshotSink(str(table), num_buckets=4, mode=mode, compact_every=10**9)
+    sink = LocalSnapshotSink(
+        str(table),
+        num_buckets=4,
+        mode=mode,
+        compact_every=10**9,
+        # clustered=False exercises the zero-shuffle flat-delta append
+        # (the fast-append scaling configuration): reads must post-filter
+        # flat files and compaction must converge them into buckets
+        cluster_deltas=clustered,
+    )
     b1 = spark.createDataFrame(rows[:cut], CHANGE_EVENT_SCHEMA)
     sink.merge(b1, "b1")
     if compact_mid:

@@ -67,7 +67,10 @@ cores = int(sys.argv[1])
 spark = get_spark(app_name=f"sha2-{cores}", master=f"local[{cores}]",
                   shuffle_partitions=2*cores)
 spark.range(10_000).selectExpr("sum(id)").collect()  # warm
-n = 6_000_000
+# 30M rows: the 8-core run must stay >=10s or the measurement is
+# overhead-dominated and reads BELOW the engine (the discarded 6M-row
+# first attempt measured 0.549 vs 0.850 at 30M -- BENCH/scaling_r4.json)
+n = 30_000_000
 t0 = time.monotonic()
 spark.range(n).selectExpr(
     "sha2(concat(sha2(cast(id as string),256),sha2(cast(id+1 as string),256)),256) h"
