@@ -400,6 +400,52 @@ def _q_cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select("user_id", "event_type", "event_id", "value")
 
 
+def _q_cdc_mirror_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-to-table CDC replication, ORACLE-CHECKED end to end: replay
+    the ``events`` changelog into a SOURCE table in two stages, mirroring
+    after each (first sync = snapshot copy, second = incremental range
+    ship over read_changes), and read back the REPLICA.  The replica must
+    reproduce the same last-writer-wins reduction DuckDB computes directly
+    -- i.e. replication through raw-change-row shipping loses/keeps
+    cross-stage late events exactly as the source does.  (Reference
+    analog: the fetch-only-updates incremental re-fetch loop,
+    /root/reference/src/fetchez/core.py.)"""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.operators.mirror import TableMirror
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-mirror-", dir=fast)
+    source = LocalSnapshotSink(
+        os.path.join(work, "src"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    mirror = TableMirror(source, os.path.join(work, "replica"))
+    # stage 1 (2 of 3 interleaved batches) -> snapshot copy; stage 2 (the
+    # last batch, which contains cross-stage late events) -> incremental
+    for i in range(2):
+        source.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_token=f"replay-{i}")
+    mirror.sync_once(spark)
+    source.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == 2), batch_token="replay-2")
+    mirror.sync_once(spark)
+    return mirror.read_replica(spark).select("user_id", "event_type", "event_id", "value")
+
+
 def _q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TYPED change-data-feed through the real sink (r4): replay phase-0
     events, snapshot, replay phases 1-2, then ``change_feed`` classifies
@@ -1196,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": _q_cdc_final_state,
         "cdc_tombstone_counts": _q_cdc_tombstone_counts,
         "cdc_replay_snapshot": _q_cdc_replay_snapshot,
+        "cdc_mirror_replica": _q_cdc_mirror_replica,
         "cdc_change_feed": _q_cdc_change_feed,
         "incremental_matview": _q_incremental_matview,
         "time_travel_read": _q_time_travel_read,
@@ -1280,6 +1327,16 @@ def oracle_sql() -> dict[str, str]:
         # engine end-to-end: the sink's replay of the events changelog must
         # equal the plain last-writer-wins reduction (tombstones excluded)
         "cdc_replay_snapshot": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # replication: the replica's final state is the same LWW reduction
+        # (shipping raw change rows preserves the (ts, seq) order, so the
+        # replica reduces to exactly the source's state)
+        "cdc_mirror_replica": """
             SELECT user_id, event_type, event_id, value FROM (
               SELECT user_id, event_type, event_id, value,
                      row_number() OVER (PARTITION BY user_id
