@@ -165,6 +165,10 @@ def run_bench(cores: int, log_dir: str | None = None, json_out: str | None = Non
             # deltas; compaction does the clustering) -- the scaling
             # experiment knob for the other half of the bytes/event budget
             cluster_deltas=os.environ.get("FETCHEZ_CLUSTER_DELTAS", "1") != "0",
+            # FETCHEZ_LOCAL_COMPACT=1: exchange-free bucket-local major
+            # folds (flat deltas minor-clustered first) -- steady-state
+            # shuffle drops to one pass per event's bytes
+            compact_bucket_local=os.environ.get("FETCHEZ_LOCAL_COMPACT", "0") == "1",
         )
         lineage = LineageLog(os.path.join(work, "lineage"))
         from fetchez_spark.plans import ShuffleMetrics

@@ -221,6 +221,7 @@ class LocalSnapshotSink(SnapshotSink):
         compact_min_bucket_bytes: int | None = None,
         target_file_bytes: int | None = None,
         sort_on_compact: bool = False,
+        compact_bucket_local: bool = False,
         branch: str = "main",
     ) -> None:
         if mode not in ("mor", "cow"):
@@ -316,6 +317,16 @@ class LocalSnapshotSink(SnapshotSink):
         # (repartitionByRange) -- the same price Iceberg's sorted
         # rewrite pays.
         self.sort_on_compact = sort_on_compact
+        # compact_bucket_local: major compaction folds each bucket's
+        # already-clustered files EXCHANGE-FREE (per-branch coalesce +
+        # partition-local sort + Arrow streaming keep-last) instead of
+        # re-shuffling the whole table through one Exchange.  On a real
+        # cluster this removes a full-table network pass per fold --
+        # steady-state bytes-shuffled-per-event drops to O(event bytes)
+        # (each event's bytes cross the wire once, when its flat/delta
+        # file is first clustered) independent of table size.  See
+        # _bucket_local_fold_frame.
+        self.compact_bucket_local = compact_bucket_local
         # immutable content-addressed file-list blobs -> safe to cache
         self._list_cache: dict[str, list[str]] = {}
         os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
@@ -722,6 +733,10 @@ class LocalSnapshotSink(SnapshotSink):
         snap_dir = self._snap_payload_dir(sid)
         with _observed_write_conf(df.sparkSession):
             rows.write.partitionBy(_BUCKET).mode("overwrite").parquet(snap_dir)
+        return self._scan_partitioned_output(snap_dir)
+
+    @staticmethod
+    def _scan_partitioned_output(snap_dir: str) -> dict[str, list[str]]:
         out: dict[str, list[str]] = {}
         for entry in os.scandir(snap_dir):
             if entry.is_dir() and entry.name.startswith(f"{_BUCKET}="):
@@ -732,6 +747,125 @@ class LocalSnapshotSink(SnapshotSink):
                     if fn.endswith(".parquet")
                 ]
         return out
+
+    def _bucket_local_fold_frame(
+        self,
+        spark: SparkSession,
+        groups: dict[str, list[str]],
+        schema: T.StructType,
+        num_buckets: int,
+        max_branches: int = 128,
+    ) -> DataFrame:
+        """EXCHANGE-FREE fold of already-bucket-clustered file groups --
+        the plan behind ``compact(local=True)``.
+
+        The Iceberg/Delta rewrite actions run compaction as independent
+        per-file-group tasks precisely because the input is already
+        partition-clustered: re-shuffling rows that are already grouped
+        is pure waste, and on a 1000-executor cluster that waste is a
+        full-table pass over the NETWORK per fold.  Spark's DataFrame
+        groupBy can't see that pre-clustering (no bucketed-table
+        metadata), so the grouped reduction here is expressed
+        partition-locally instead:
+
+        * each branch reads one (or several) buckets' base+delta files
+          and ``coalesce(1)``-es them into ONE partition -- a narrow
+          dependency, not a shuffle; buckets are bin-packed onto
+          ``max_branches`` branches by bytes (greedy LPT) so stragglers
+          don't serialize the job;
+        * ``sortWithinPartitions`` (key..., ts, _seq, payload) is a
+          partition-local spillable sort -- key runs become contiguous,
+          and the trailing payload columns make the order TOTAL so ties
+          on (ts, _seq) break exactly like the hash path's
+          ``max(struct(ts, _seq, payload...))`` (Spark orders struct
+          fields left-to-right with null-first, same as this sort);
+        * an Arrow-batched ``mapInPandas`` keeps the LAST row per key in
+          one streaming pass (O(batch) memory: only the current key's
+          winner carries across batch boundaries) -- the sanctioned
+          vectorized escape hatch, chosen here because it replaces a
+          full-table Exchange with zero data movement;
+        * the ``partitionBy(_bucket)`` write needs no repartition: every
+          task already holds whole buckets.
+
+        Plan: Scan -> Coalesce -> Sort -> MapInPandas per branch, Union
+        on top -- ZERO Exchange nodes (asserted by
+        tests/test_round4_localcompact.py).  Output rows are key-sorted
+        within each file as a side effect, so sorted-compaction stats
+        cost nothing extra.
+        """
+        key = list(self.key)
+        order = ["ts", INTERNAL_SEQ]
+        others = [f.name for f in schema.fields if f.name not in order]
+        sort_cols = [*key, *order, *[c for c in others if c not in key]]
+        out_schema = T.StructType(
+            list(schema.fields) + [T.StructField(_BUCKET, T.IntegerType(), True)]
+        )
+
+        def fold(batches):
+            import pandas as pd
+
+            carry = None
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                if carry is not None:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                winners = pdf.drop_duplicates(subset=key, keep="last")
+                # the last key's run may continue in the next batch: hold
+                # its current winner back; everything before it is final
+                carry = winners.tail(1)
+                winners = winners.iloc[:-1]
+                if len(winners):
+                    yield winners
+            if carry is not None:
+                yield carry
+
+        # greedy LPT bin-packing of buckets onto branches by input bytes:
+        # one branch = one task = one partition; balance beats bucket
+        # count (a 1024-bucket table doesn't need a 1024-way union plan)
+        sizes = self._sizes_by_bucket(groups)
+        n_branches = max(1, min(len(groups), max_branches))
+        branches: list[list[str]] = [[] for _ in range(n_branches)]
+        loads = [0] * n_branches
+        for b in sorted(groups, key=lambda b: -sizes.get(b, 0)):
+            i = loads.index(min(loads))
+            branches[i].append(b)
+            loads[i] += sizes.get(b, 0)
+        parts = []
+        for bs in branches:
+            files = [f for b in bs for f in groups[b]]
+            if not files:
+                continue
+            df = self._align(self._read_files(spark, files, schema), schema)
+            parts.append(
+                df.withColumn(_BUCKET, self._bucket_expr(num_buckets))
+                .coalesce(1)
+                .sortWithinPartitions(*sort_cols)
+                .mapInPandas(fold, out_schema)
+            )
+        if not parts:
+            return spark.createDataFrame([], out_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _fold_bucket_local(
+        self,
+        spark: SparkSession,
+        groups: dict[str, list[str]],
+        sid: str,
+        schema: T.StructType,
+        num_buckets: int,
+    ) -> dict[str, list[str]]:
+        """Write side of the exchange-free fold: one file per bucket per
+        branch task, written straight from the task's partition."""
+        rows = self._bucket_local_fold_frame(spark, groups, schema, num_buckets)
+        snap_dir = self._snap_payload_dir(sid)
+        rows.select(*[f.name for f in schema.fields], _BUCKET).write.partitionBy(
+            _BUCKET
+        ).mode("overwrite").parquet(snap_dir)
+        return self._scan_partitioned_output(snap_dir)
 
     def _write_flat(
         self,
@@ -1705,6 +1839,7 @@ class LocalSnapshotSink(SnapshotSink):
         min_bucket_bytes: int | None = None,
         target_file_bytes: int | None = None,
         sort: bool | None = None,
+        local: bool | None = None,
     ) -> dict[str, Any]:
         """Fold delta files into base files for the given (or all) buckets.
 
@@ -1733,6 +1868,16 @@ class LocalSnapshotSink(SnapshotSink):
         lookups then skip files, not just buckets, and row groups carry
         tight min/max.  Sorted mode sizes files via the range sampler
         (the key-hash salt bin-packing applies to hash mode only).
+
+        ``local`` (default: the sink's ``compact_bucket_local``) folds
+        each bucket's already-clustered files EXCHANGE-FREE (see
+        :meth:`_bucket_local_fold_frame`): flat deltas are first
+        clustered by a minor consolidation (shuffle = O(delta bytes)),
+        then the major fold moves ZERO bytes through shuffle.  Output is
+        key-sorted per file as a side effect, so ``sort`` stats come at
+        no extra shuffle.  Falls back to the single-Exchange path when
+        ``target_file_bytes`` bin-packing is requested (file splitting
+        needs the salted repartition).
         """
         cur = self.manifest()
         schema = T.StructType.fromJson(cur["schema"])
@@ -1795,6 +1940,19 @@ class LocalSnapshotSink(SnapshotSink):
                 manifest.pop("change_files", None)
                 self._commit(manifest)
             return {"snapshot_id": sid, "compacted_buckets": len(written), "minor": True}
+        local_eff = self.compact_bucket_local if local is None else local
+        use_local = local_eff and not (target_file_bytes or self.target_file_bytes)
+        if use_local and delta_map.get(_FLAT):
+            # flat deltas are unclustered: cluster them FIRST with a minor
+            # consolidation (shuffle = O(delta bytes) -- the ONLY shuffle
+            # these events' bytes ever see), then fold exchange-free
+            self.compact(spark, minor=True)
+            cur = self.manifest()
+            schema = T.StructType.fromJson(cur["schema"])
+            delta_map = self._resolve_map(cur.get("deltas", {}))
+            base_map = self._resolve_map(cur["files"])
+            if delta_map.get(_FLAT):
+                use_local = False  # rebucket raced the consolidation
         has_flat = bool(delta_map.get(_FLAT))
         if has_flat:
             # flat deltas are unclustered -> fold everything (full compact)
@@ -1822,27 +1980,36 @@ class LocalSnapshotSink(SnapshotSink):
         files = [f for b in todo for f in base_map.get(b, [])] + delta_files
         sid = self._claim_sid(cur)
         sort_eff = self.sort_on_compact if sort is None else sort
-        target = target_file_bytes or self.target_file_bytes
-        fanout_map: dict[int, int] | None = None
-        n_parts = max(len(todo), cur["num_buckets"] if has_flat else 1)
-        if target:
-            bsizes = self._sizes_by_bucket(
-                {b: base_map.get(b, []) + delta_map.get(b, []) for b in todo}
+        if use_local:
+            written = self._fold_bucket_local(
+                spark,
+                {b: base_map.get(b, []) + delta_map.get(b, []) for b in todo},
+                sid,
+                schema,
+                int(cur["num_buckets"]),
             )
-            fanout_map = {
-                int(b): max(1, -(-int(n) // int(target))) for b, n in bsizes.items()
-            }
-            n_parts = max(n_parts, sum(fanout_map.values()))
-        written = self._dedup_write_bucketed(
-            self._read_files(spark, files, schema).withColumn(
-                _BUCKET, self._bucket_expr(cur["num_buckets"])
-            ),
-            sid,
-            n_parts,
-            schema,
-            fanout_map=fanout_map,
-            sort_output=sort_eff,
-        )
+        else:
+            target = target_file_bytes or self.target_file_bytes
+            fanout_map: dict[int, int] | None = None
+            n_parts = max(len(todo), cur["num_buckets"] if has_flat else 1)
+            if target:
+                bsizes = self._sizes_by_bucket(
+                    {b: base_map.get(b, []) + delta_map.get(b, []) for b in todo}
+                )
+                fanout_map = {
+                    int(b): max(1, -(-int(n) // int(target))) for b, n in bsizes.items()
+                }
+                n_parts = max(n_parts, sum(fanout_map.values()))
+            written = self._dedup_write_bucketed(
+                self._read_files(spark, files, schema).withColumn(
+                    _BUCKET, self._bucket_expr(cur["num_buckets"])
+                ),
+                sid,
+                n_parts,
+                schema,
+                fanout_map=fanout_map,
+                sort_output=sort_eff,
+            )
         # per-file key ranges for the files this fold produced (one
         # column-pruned O(written) job); entries for the files this fold
         # REPLACES are trimmed below under the lock

@@ -54,9 +54,10 @@ def _oracle(rows):
     compact_mid=st.booleans(),
     mode=st.sampled_from(["mor", "cow"]),
     clustered=st.booleans(),
+    local_fold=st.booleans(),
 )
 def test_sink_matches_oracle_any_batching_any_mode(
-    spark, tmp_path_factory, events, split, compact_mid, mode, clustered
+    spark, tmp_path_factory, events, split, compact_mid, mode, clustered, local_fold
 ):
     rows = _rows(events)
     cut = min(split, len(rows))
@@ -74,7 +75,10 @@ def test_sink_matches_oracle_any_batching_any_mode(
     b1 = spark.createDataFrame(rows[:cut], CHANGE_EVENT_SCHEMA)
     sink.merge(b1, "b1")
     if compact_mid:
-        sink.compact(spark)
+        # local_fold=True takes the exchange-free bucket-local fold
+        # (minor-first when flat deltas exist); both paths must be
+        # state-identical under any batching/mode/layout combination
+        sink.compact(spark, local=local_fold)
     if rows[cut:]:
         sink.merge(spark.createDataFrame(rows[cut:], CHANGE_EVENT_SCHEMA), "b2")
     got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in sink.read(spark).collect()}
