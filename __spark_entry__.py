@@ -491,6 +491,94 @@ def _q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_delete_where_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style predicate erasure through the real sink, ORACLE-CHECKED:
+    replay the events changelog, tombstone every key whose CURRENT winner
+    matches the predicate (``delete_where`` -- one merge commit of
+    synthesized delete events that beat each winner's (ts,_seq)), then
+    physically purge all tombstones past a future horizon
+    (``purge_tombstones``: parquet-footer-stats bucket selection + major
+    fold with the GC filter).  The final visible state must equal DuckDB's
+    LWW reduction minus the matching winners -- i.e. tombstone-then-purge
+    is indistinguishable from never having had the keys.  (Reference
+    analog: entry invalidation + re-fetch,
+    /root/reference/src/fetchez/core.py:557-562, lifted to change-log
+    deletes.)"""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-purge-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    for i in range(2):
+        sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(2)) == i), batch_token=f"replay-{i}")
+    sink.delete_where(spark, "event_type = 'signup'")
+    sink.compact(spark)
+    sink.purge_tombstones(spark, before="2031-01-01 00:00:00")
+    return sink.read(spark).select("user_id", "event_type", "event_id", "value")
+
+
+def _q_cdc_changes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-windowed incremental scan through the real sink,
+    ORACLE-CHECKED: replay the events changelog in three commits, then
+    ``read_changes`` over the full commit range restricted to a ten-day
+    event-time window -- parquet-footer ts stats skip whole files before
+    the scan, and the residual filter is pushed to parquet for the rest.
+    The result must equal DuckDB's direct window scan of the log (upserts
+    only; tombstones are excluded by the default projection).  (Reference
+    analog: fetch-only-updates incremental re-fetch restricted in time,
+    /root/reference/src/fetchez/core.py:557-562.)"""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-window-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"],
+        base_schema=payload, compact_every=10**9,
+    )
+    base = sink.current_snapshot_id
+    for i in range(3):
+        sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_token=f"replay-{i}")
+    return sink.read_changes(
+        spark, base, ts_min="2024-01-10 00:00:00", ts_max="2024-01-20 00:00:00"
+    ).select("user_id", "event_type", "event_id", "value")
+
+
 def _q_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance through the real engine,
     ORACLE-CHECKED: replay the events changelog into the snapshot sink in
@@ -1244,6 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_snapshot": _q_cdc_replay_snapshot,
         "cdc_mirror_replica": _q_cdc_mirror_replica,
         "cdc_change_feed": _q_cdc_change_feed,
+        "delete_where_purge": _q_delete_where_purge,
+        "cdc_changes_window": _q_cdc_changes_window,
         "incremental_matview": _q_incremental_matview,
         "time_travel_read": _q_time_travel_read,
         "dry_run": _q_dry_run,
@@ -1342,6 +1432,26 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # predicate erasure: tombstone-then-physically-purge must equal
+        # the LWW reduction minus the keys whose winner matched the
+        # predicate (and minus error-winners, which were CDC deletes)
+        "delete_where_purge": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1 AND event_type NOT IN ('error', 'signup')
+        """,
+        # event-time-windowed incremental scan: every non-tombstone change
+        # row in the window, exactly once (footer file skipping is a pure
+        # optimization; rows are identical to a direct window scan)
+        "cdc_changes_window": """
+            SELECT user_id, event_type, event_id, value
+            FROM events
+            WHERE event_type <> 'error'
+              AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-20 00:00:00'
         """,
         # typed change-data-feed: net change per key of phases 1-2 vs the
         # live state after phase 0, classified insert/update/delete; a key

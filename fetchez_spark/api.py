@@ -160,13 +160,22 @@ def changes(
     from_snapshot: str,
     to_snapshot: str | None = None,
     include_internal: bool = False,
+    ts_min=None,
+    ts_max=None,
 ):
     """Incremental scan facade: rows merged after ``from_snapshot`` (see
-    LocalSnapshotSink.read_changes -- the Iceberg incremental-read analog)."""
+    LocalSnapshotSink.read_changes -- the Iceberg incremental-read analog).
+    ``ts_min``/``ts_max`` restrict to an event-time window with
+    footer-stats file skipping."""
     from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
     return LocalSnapshotSink(table_dir).read_changes(
-        spark, from_snapshot, to_snapshot, include_internal=include_internal
+        spark,
+        from_snapshot,
+        to_snapshot,
+        include_internal=include_internal,
+        ts_min=ts_min,
+        ts_max=ts_max,
     )
 
 

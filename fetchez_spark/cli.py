@@ -161,6 +161,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--rebucket", type=int, default=None, metavar="NUM_BUCKETS",
                    help="rewrite the table into this many hash buckets (online "
                         "layout evolution; concurrent writers reconcile)")
+    p.add_argument("--delete-where", default=None, metavar="SQL_PREDICATE",
+                   help="tombstone every visible key whose winner row matches "
+                        "the predicate (one merge commit; GDPR erasure step 1)")
+    p.add_argument("--purge-tombstones", default=None, metavar="BEFORE",
+                   help="physically drop tombstones older than this ISO "
+                        "timestamp; buckets selected by parquet footer stats "
+                        "(GDPR erasure step 2 / the VACUUM-of-deletes analog)")
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
         "branch", help="WAP branches: create / publish / drop / list"
@@ -223,6 +230,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--to", default=None)
     p.add_argument("--typed", action="store_true",
                    help="typed change feed: net insert/update/delete per key")
+    p.add_argument("--since", default=None, metavar="TS",
+                   help="event-time window lower bound (ISO; footer-stats "
+                        "file skipping)")
+    p.add_argument("--until", default=None, metavar="TS",
+                   help="event-time window upper bound (ISO)")
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--cores", type=int, default=4)
 
@@ -354,7 +366,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.rollback:
             sink.rollback(args.rollback)
             out["rolled_back_to"] = args.rollback
-        if args.compact or args.minor or args.rebucket is not None:
+        needs_spark = (
+            args.compact
+            or args.minor
+            or args.rebucket is not None
+            or args.delete_where
+            or args.purge_tombstones
+        )
+        if needs_spark:
             from fetchez_spark.session import get_spark
 
             spark = get_spark(
@@ -364,6 +383,8 @@ def main(argv: list[str] | None = None) -> int:
                 out["rebucket"] = sink.rebucket(
                     spark, args.rebucket, sort=args.sort or None
                 )
+            if args.delete_where:
+                out["delete_where"] = sink.delete_where(spark, args.delete_where)
             if args.minor:
                 out["minor_compact"] = sink.compact(spark, minor=True)
             if args.compact:
@@ -372,6 +393,10 @@ def main(argv: list[str] | None = None) -> int:
                     min_bucket_bytes=args.min_bucket_bytes,
                     target_file_bytes=args.target_file_bytes,
                     sort=args.sort or None,
+                )
+            if args.purge_tombstones:
+                out["purge_tombstones"] = sink.purge_tombstones(
+                    spark, before=args.purge_tombstones
                 )
         if args.expire is not None:
             out["expired_data_dirs"] = sink.expire_snapshots(keep_last=args.expire)
@@ -455,10 +480,21 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(
             app_name="fetchez-changes", master=f"local[{args.cores}]"
         )
+        if args.typed and (args.since or args.until):
+            print("--since/--until apply to the raw feed only (not --typed)",
+                  file=sys.stderr)
+            return 1
         df = (
             api.change_feed(spark, args.table_dir, args.from_snapshot, args.to)
             if args.typed
-            else api.changes(spark, args.table_dir, args.from_snapshot, args.to)
+            else api.changes(
+                spark,
+                args.table_dir,
+                args.from_snapshot,
+                args.to,
+                ts_min=args.since,
+                ts_max=args.until,
+            )
         )
         n = df.count()
         for row in df.limit(args.limit).collect():

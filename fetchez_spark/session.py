@@ -36,6 +36,13 @@ def get_spark(
         # normalize naive parquet timestamps to TimestampType (UTC) instead
         # of NTZ so schema evolution unions stay type-stable
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # INT64 micros, not the INT96 legacy default: INT96 min/max footer
+        # statistics are invalid per the parquet spec (readers must ignore
+        # them), which disables BOTH the engine's footer-stats file
+        # skipping (ts-window reads, tombstone-GC bucket selection) and
+        # parquet row-group skipping on ts predicates.  Micros is also the
+        # Iceberg/modern-ecosystem timestamp encoding.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # TypedImperativeAggregates (max_by etc.) fall back to sort-based
         # aggregation after 128 distinct keys per partition by default,
         # which kills multi-core scaling on high-cardinality groupBys

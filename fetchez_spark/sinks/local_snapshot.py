@@ -223,6 +223,7 @@ class LocalSnapshotSink(SnapshotSink):
         sort_on_compact: bool = False,
         compact_bucket_local: bool = False,
         branch: str = "main",
+        tombstone_retention_seconds: float | None = None,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -327,6 +328,17 @@ class LocalSnapshotSink(SnapshotSink):
         # file is first clustered) independent of table size.  See
         # _bucket_local_fold_frame.
         self.compact_bucket_local = compact_bucket_local
+        # tombstone_retention_seconds: EVENT-TIME horizon for physical
+        # tombstone removal at major compaction -- tombstones with
+        # ts < (high_watermark - retention) are dropped from the fold
+        # output (the Cassandra gc_grace / Delta VACUUM-of-deletes
+        # analog).  The contract: a late event for a purged key older
+        # than the purged tombstone would resurrect it, so set the
+        # retention to at least the source's maximum replay/lateness
+        # window (late_tolerance_seconds bounds it when configured).
+        # None = keep tombstones forever (default; time travel and
+        # change feeds see them regardless via their own snapshots).
+        self.tombstone_retention_seconds = tombstone_retention_seconds
         # immutable content-addressed file-list blobs -> safe to cache
         self._list_cache: dict[str, list[str]] = {}
         os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
@@ -654,9 +666,16 @@ class LocalSnapshotSink(SnapshotSink):
         schema: T.StructType,
         fanout_map: dict[int, int] | None = None,
         sort_output: bool = False,
+        purge_before: str | None = None,
     ) -> dict[str, list[str]]:
         """ONE-shuffle dedup + clustered write (the compaction/CoW hot
         path).  ``df`` carries ``_bucket``.
+
+        ``purge_before``: tombstone-GC horizon (ISO timestamp) -- WINNER
+        rows that are tombstones older than the horizon are dropped from
+        the output.  Only valid when the fold covers EVERY file that can
+        hold the key (major compaction): dropping a tombstone while an
+        older row of its key survives elsewhere would resurrect the key.
 
         ``sort_output=True`` swaps the hash Exchange for a RANGE Exchange
         on (_bucket, key...) -- still exactly ONE shuffle, because
@@ -730,6 +749,8 @@ class LocalSnapshotSink(SnapshotSink):
         rows = won.select(F.col(_BUCKET), F.col("_w.*")).select(
             *[f.name for f in schema.fields], _BUCKET
         )
+        if purge_before is not None:
+            rows = rows.filter(self._tombstone_keep_cond(purge_before))
         snap_dir = self._snap_payload_dir(sid)
         with _observed_write_conf(df.sparkSession):
             rows.write.partitionBy(_BUCKET).mode("overwrite").parquet(snap_dir)
@@ -850,6 +871,43 @@ class LocalSnapshotSink(SnapshotSink):
             out = out.unionByName(p)
         return out
 
+    @staticmethod
+    def _tombstone_keep_cond(purge_before: str):
+        """Keep condition for tombstone GC: drop rows that are tombstones
+        AND older than the horizon.  Null-safe both ways (a null ts or
+        null _deleted is never purged -- GC must be conservative)."""
+        is_dead = F.coalesce(F.col(INTERNAL_DELETED), F.lit(False))
+        is_old = F.coalesce(
+            F.col("ts") < F.lit(purge_before).cast("timestamp"), F.lit(False)
+        )
+        return ~(is_dead & is_old)
+
+    def _purge_horizon(self, cur: dict, explicit) -> str | None:
+        """Resolve the effective tombstone-GC horizon for a major fold:
+        the explicit ``purge_tombstones_before`` argument (datetime or ISO
+        string) wins; else ``tombstone_retention_seconds`` against the
+        manifest's event-time high watermark; else None (no purge)."""
+        if explicit is not None:
+            return (
+                explicit.isoformat(sep=" ")
+                if hasattr(explicit, "isoformat")
+                else str(explicit)
+            )
+        if self.tombstone_retention_seconds is None:
+            return None
+        hwm = cur.get("high_watermark")
+        if not hwm:
+            return None
+        from datetime import datetime, timedelta
+
+        try:
+            t = datetime.fromisoformat(hwm)
+        except ValueError:
+            return None
+        return (t - timedelta(seconds=self.tombstone_retention_seconds)).isoformat(
+            sep=" "
+        )
+
     def _fold_bucket_local(
         self,
         spark: SparkSession,
@@ -857,10 +915,16 @@ class LocalSnapshotSink(SnapshotSink):
         sid: str,
         schema: T.StructType,
         num_buckets: int,
+        purge_before: str | None = None,
     ) -> dict[str, list[str]]:
         """Write side of the exchange-free fold: one file per bucket per
-        branch task, written straight from the task's partition."""
+        branch task, written straight from the task's partition.  The
+        tombstone-GC filter (``purge_before``, see _dedup_write_bucketed)
+        is a narrow dependency on top of the fold -- still zero
+        Exchanges."""
         rows = self._bucket_local_fold_frame(spark, groups, schema, num_buckets)
+        if purge_before is not None:
+            rows = rows.filter(self._tombstone_keep_cond(purge_before))
         snap_dir = self._snap_payload_dir(sid)
         rows.select(*[f.name for f in schema.fields], _BUCKET).write.partitionBy(
             _BUCKET
@@ -1057,11 +1121,23 @@ class LocalSnapshotSink(SnapshotSink):
         from_snapshot: str,
         to_snapshot: str | None = None,
         include_internal: bool = False,
+        ts_min=None,
+        ts_max=None,
     ) -> DataFrame:
         """Incremental scan: the change rows appended AFTER ``from_snapshot``
         up to ``to_snapshot`` (default: current) -- the Iceberg
         incremental-read analog, so downstream consumers can tail the
         table instead of re-reading it.
+
+        ``ts_min``/``ts_max`` (datetime or ISO string, inclusive) restrict
+        the scan to an EVENT-TIME window: files whose parquet-footer ts
+        range provably misses the window are skipped before the scan (one
+        ranged footer read per candidate file, driver-side -- same
+        asymptotic cost as the file listing already in hand; change files
+        are near-disjoint in event time, so a narrow window touches few
+        files), and the residual row filter is pushed to the parquet scan
+        for the files that remain.  Files without footer stats are always
+        read -- pruning is safe-by-construction.
 
         Implementation: set-difference of the two snapshots' file lists,
         restricted to files written by MERGE commits (compaction snapshots
@@ -1081,8 +1157,16 @@ class LocalSnapshotSink(SnapshotSink):
         """
         to_snapshot = to_snapshot or self._version()
         added, _buckets = self._added_change_files(from_snapshot, to_snapshot)
+        files = sorted(set(added))
+        if ts_min is not None or ts_max is not None:
+            lo, hi = self._ts_bound(ts_min), self._ts_bound(ts_max)
+            files = [f for f in files if self._file_ts_overlaps(f, lo, hi)]
         schema = T.StructType.fromJson(self.manifest(to_snapshot)["schema"])
-        df = self._read_files(spark, sorted(set(added)), schema)
+        df = self._read_files(spark, files, schema)
+        if ts_min is not None:
+            df = df.filter(F.col("ts") >= F.lit(str(ts_min)).cast("timestamp"))
+        if ts_max is not None:
+            df = df.filter(F.col("ts") <= F.lit(str(ts_max)).cast("timestamp"))
         if not include_internal:
             df = df.filter(~F.col(INTERNAL_DELETED)).drop(*INTERNAL_COLUMNS)
         return df
@@ -1319,6 +1403,209 @@ class LocalSnapshotSink(SnapshotSink):
             .first()["b"]
         )
         return self.read(spark, buckets=[int(b)], key_eq=key_value)
+
+    # ------------------------------------------------------------- deleting
+    # Predicate/key deletes write TOMBSTONES through the ordinary merge
+    # path (one commit, reconcile-safe beside concurrent streams); the
+    # physical rows disappear later when major compaction purges
+    # tombstones older than the retention horizon.  This is the
+    # Delta/Iceberg DELETE-then-VACUUM shape, and the GDPR erasure
+    # primitive a transcript table needs: tombstone now (key invisible
+    # immediately), purge at the next maintenance window.
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        batch_token: str | None = None,
+    ) -> dict[str, Any]:
+        """Tombstone every CURRENTLY VISIBLE key whose winner row matches
+        ``condition`` (a SQL string or Column over the payload columns).
+
+        Cost: one MoR read (full reduction -- the predicate may touch any
+        payload column, so the per-key winner must be computed) plus one
+        O(matching keys) merge commit.  For key-valued deletes use
+        :meth:`delete_keys`, which restricts the scan before the
+        reduction.  Late events older than the deleted winner still lose
+        to the tombstone (LWW); events NEWER than the winner's (ts,_seq)
+        legitimately resurrect the key -- delete is a change event, not a
+        barrier.  (Reference analog: entry invalidation/re-fetch,
+        /root/reference/src/fetchez/core.py:557-562 -- lifted to
+        change-log semantics.)"""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        victims = self.read(spark, include_internal=True).filter(cond)
+        return self._delete_rows(victims, batch_token)
+
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        keys,
+        batch_token: str | None = None,
+    ) -> dict[str, Any]:
+        """Tombstone an explicit key set (a DataFrame of key columns, or a
+        python list of scalars/tuples).  The read is key-restricted via a
+        broadcast semi-join BEFORE the MoR reduction (``read(key_in=)``),
+        so the scan shuffles O(matching rows), not the table."""
+        if isinstance(keys, DataFrame):
+            keys_df = keys
+        else:
+            schema = T.StructType.fromJson(self.manifest()["schema"])
+            kschema = T.StructType([schema[k] for k in self.key])
+            rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+            keys_df = spark.createDataFrame(rows, kschema)
+        victims = self.read(spark, include_internal=True, key_in=keys_df)
+        return self._delete_rows(victims, batch_token)
+
+    def _delete_rows(self, victims: DataFrame, batch_token: str | None) -> dict[str, Any]:
+        """Winner rows -> delete events: same key, the winner's own ts
+        (event time untouched) and ``_seq + 1`` so the tombstone beats the
+        winner under the max-(ts,_seq) reduction deterministically, while
+        any genuinely newer event still beats the tombstone."""
+        batch = victims.select(
+            F.lit("D").alias("op"),
+            *[F.col(k) for k in self.key],
+            F.col("ts"),
+            (F.col(INTERNAL_SEQ) + F.lit(1)).alias("seq"),
+        )
+        # trailing non-digit keeps this one-shot token out of the
+        # per-prefix watermark map (it would otherwise grow unbounded
+        # with single-use uuid prefixes)
+        token = batch_token or f"delete-where-{uuid.uuid4().hex}x"
+        return self.merge(batch, batch_token=token)
+
+    def purge_tombstones(self, spark: SparkSession, before=None) -> dict[str, Any]:
+        """Targeted tombstone GC: rewrite ONLY the buckets whose files can
+        hold a tombstone older than the horizon (``before`` or the sink's
+        retention against the high watermark), selected from PARQUET
+        FOOTER statistics -- max(_deleted) and min(ts) per file, read
+        driver-side with pyarrow, no Spark job and no data scan.  A
+        100 TB table with a handful of purged conversations rewrites a
+        handful of buckets, not the table.  Missing footer stats keep the
+        file as a candidate (selection must over-approximate, never
+        miss)."""
+        cur = self.manifest()
+        horizon = self._purge_horizon(cur, before)
+        if horizon is None:
+            return {
+                "snapshot_id": cur["snapshot_id"],
+                "compacted_buckets": 0,
+                "purge_candidate_buckets": 0,
+            }
+        base_map = self._resolve_map(cur["files"])
+        delta_map = self._resolve_map(cur.get("deltas", {}))
+        todo = sorted(
+            {
+                b
+                for m in (base_map, delta_map)
+                for b, fs in m.items()
+                if b != _FLAT
+                and any(self._file_may_hold_old_tombstone(f, horizon) for f in fs)
+            },
+            key=int,
+        ) or None
+        if todo is None and delta_map.get(_FLAT):
+            if any(
+                self._file_may_hold_old_tombstone(f, horizon)
+                for f in delta_map[_FLAT]
+            ):
+                todo = []  # full fold below (flat deltas widen it anyway)
+        if todo is None:
+            return {
+                "snapshot_id": cur["snapshot_id"],
+                "compacted_buckets": 0,
+                "purge_candidate_buckets": 0,
+            }
+        res = self.compact(
+            spark, buckets=todo or None, purge_tombstones_before=horizon
+        )
+        res["purge_candidate_buckets"] = len(todo) or len(base_map)
+        return res
+
+    @staticmethod
+    def _ts_bound(v):
+        """User-supplied window bound -> naive local datetime (None passes
+        through).  Footer statistics are normalized the same way, so the
+        two compare in one frame."""
+        from datetime import datetime
+
+        if v is None:
+            return None
+        t = datetime.fromisoformat(v) if isinstance(v, str) else v
+        if t.tzinfo is not None:
+            t = t.astimezone(tz=None).replace(tzinfo=None)
+        return t
+
+    @staticmethod
+    def _footer_ts_dead(path: str):
+        """One footer read -> (ts_min, ts_max, may_have_tombstones) with
+        None meaning unknown.  Timestamps come back naive-local; boolean
+        and timestamp parquet statistics are never truncated, so these
+        bounds are exact when present."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            di, ti = names.get(INTERNAL_DELETED), names.get("ts")
+            ts_min = ts_max = None
+            may_dead = True if di is None else False
+            ts_known = ti is not None
+            for rg in range(md.num_row_groups):
+                if di is not None and not may_dead:
+                    st = md.row_group(rg).column(di).statistics
+                    if st is None or st.max is None or st.max:
+                        may_dead = True
+                if ts_known:
+                    st = md.row_group(rg).column(ti).statistics
+                    if st is None or st.min is None or st.max is None:
+                        ts_known = False
+                    else:
+                        mn, mx = st.min, st.max
+                        if mn.tzinfo is not None:
+                            mn = mn.astimezone(tz=None).replace(tzinfo=None)
+                        if mx.tzinfo is not None:
+                            mx = mx.astimezone(tz=None).replace(tzinfo=None)
+                        ts_min = mn if ts_min is None else min(ts_min, mn)
+                        ts_max = mx if ts_max is None else max(ts_max, mx)
+            if not ts_known:
+                ts_min = ts_max = None
+            return ts_min, ts_max, may_dead
+        except Exception:
+            return None, None, True
+
+    @classmethod
+    def _file_may_hold_old_tombstone(cls, path: str, horizon: str) -> bool:
+        """Footer-stats check: can ``path`` contain a row with
+        _deleted=true AND ts < horizon?  Conservative: any missing or
+        unreadable statistic answers yes."""
+        try:
+            h = cls._ts_bound(horizon)
+        except ValueError:
+            return True
+        ts_min, _ts_max, may_dead = cls._footer_ts_dead(path)
+        if not may_dead:
+            return False
+        if ts_min is None or h is None:
+            return True
+        try:
+            return ts_min < h
+        except TypeError:
+            return True
+
+    @classmethod
+    def _file_ts_overlaps(cls, path: str, lo, hi) -> bool:
+        """Can ``path`` hold a row with lo <= ts <= hi?  Unknown stats
+        keep the file."""
+        ts_min, ts_max, _ = cls._footer_ts_dead(path)
+        if ts_min is None or ts_max is None:
+            return True
+        try:
+            if hi is not None and ts_min > hi:
+                return False
+            if lo is not None and ts_max < lo:
+                return False
+        except TypeError:
+            return True
+        return True
 
     # -------------------------------------------------------------- merging
     # Concurrency: commits use atomic-mkdir snapshot-id claims plus an
@@ -1840,8 +2127,20 @@ class LocalSnapshotSink(SnapshotSink):
         target_file_bytes: int | None = None,
         sort: bool | None = None,
         local: bool | None = None,
+        purge_tombstones_before=None,
     ) -> dict[str, Any]:
         """Fold delta files into base files for the given (or all) buckets.
+
+        ``purge_tombstones_before`` (datetime or ISO string; default: the
+        sink's ``tombstone_retention_seconds`` against the event-time high
+        watermark) physically drops tombstone winners older than the
+        horizon from major-fold output -- the DELETE-then-VACUUM second
+        half.  Minor consolidation never purges: it folds only deltas, so
+        an older row of the key may survive in the base and would
+        resurrect.  Visible state is unchanged by construction (tombstone
+        winners are filtered from every read); the one semantic edge is a
+        late event older than a PURGED tombstone, which resurrects the
+        key -- bound it with a retention >= the source's lateness window.
 
         A pure maintenance commit: final table state is unchanged (the
         reduction applied here is exactly the one readers were applying).
@@ -1973,13 +2272,27 @@ class LocalSnapshotSink(SnapshotSink):
                 if buckets is not None
                 else [b for b, fs in delta_map.items() if fs]
             )
-            todo = [b for b in todo if delta_map.get(b)]
+            # an EXPLICIT bucket list under a purge request may name
+            # delta-less buckets (purge_tombstones targets base files by
+            # footer stats); everything else folds delta-bearing buckets
+            if not (buckets is not None and purge_tombstones_before is not None):
+                todo = [b for b in todo if delta_map.get(b)]
+            todo = [b for b in todo if delta_map.get(b) or base_map.get(b)]
             delta_files = [f for b in todo for f in delta_map.get(b, [])]
-        if not delta_files:
+        if not delta_files and not (
+            purge_tombstones_before is not None and todo
+        ):
             return {"snapshot_id": cur["snapshot_id"], "compacted_buckets": 0}
         files = [f for b in todo for f in base_map.get(b, [])] + delta_files
         sid = self._claim_sid(cur)
         sort_eff = self.sort_on_compact if sort is None else sort
+        # tombstone GC: valid on every major-fold shape because each
+        # selected bucket's fold covers EVERY file that can hold its keys
+        # (base + all its deltas; keys never cross buckets, and when flat
+        # deltas exist has_flat widens the fold to the whole table).  A
+        # rebucket racing this fold is aborted by the num_buckets check at
+        # commit time before the purged files could be referenced.
+        purge = self._purge_horizon(cur, purge_tombstones_before)
         if use_local:
             written = self._fold_bucket_local(
                 spark,
@@ -1987,6 +2300,7 @@ class LocalSnapshotSink(SnapshotSink):
                 sid,
                 schema,
                 int(cur["num_buckets"]),
+                purge_before=purge,
             )
         else:
             target = target_file_bytes or self.target_file_bytes
@@ -2009,6 +2323,7 @@ class LocalSnapshotSink(SnapshotSink):
                 schema,
                 fanout_map=fanout_map,
                 sort_output=sort_eff,
+                purge_before=purge,
             )
         # per-file key ranges for the files this fold produced (one
         # column-pruned O(written) job); entries for the files this fold
@@ -2055,7 +2370,9 @@ class LocalSnapshotSink(SnapshotSink):
             # cadence counter untouched -- it did NOT fold the buckets the
             # cadence backstop exists to protect, so zeroing the counter
             # would defer their full fold indefinitely.
-            partial = set(todo) != {b for b, fs in delta_map.items() if fs and b != _FLAT}
+            partial = not set(todo) >= {
+                b for b, fs in delta_map.items() if fs and b != _FLAT
+            }
             if partial:
                 dc = int(latest.get("stats", {}).get("delta_commits", 0))
             else:
