@@ -161,10 +161,17 @@ def run_bench(cores: int, log_dir: str | None = None, json_out: str | None = Non
             collect_metrics=True,
             compact_every=max(len(chunks) // 2, 2),
             delta_compression=os.environ.get("FETCHEZ_DELTA_CODEC") or None,
-            # FETCHEZ_CLUSTER_DELTAS=0: zero-shuffle fast-append (flat
-            # deltas; compaction does the clustering) -- the scaling
-            # experiment knob for the other half of the bytes/event budget
-            cluster_deltas=os.environ.get("FETCHEZ_CLUSTER_DELTAS", "1") != "0",
+            # r4b default: FAST-APPEND ingest (flat deltas, ZERO shuffle on
+            # the append path; periodic compaction does the clustering --
+            # the Iceberg fast-append + scheduled-rewrite shape).  Measured
+            # same-window vs clustered append (BENCH/scaling_flatdelta_r4
+            # .json): 28.7 vs 54.9 shuffle B/event (-48%), faster at BOTH
+            # core counts (199k vs 177k ev/s at 2 cores, 500k vs 380k at
+            # 8) and better 2->8 scaling (0.63 vs 0.54 raw).  Clustered
+            # append (FETCHEZ_CLUSTER_DELTAS=1) remains right for
+            # read-heavy tails: bucket-pruned reads between compactions
+            # never touch flat deltas.
+            cluster_deltas=os.environ.get("FETCHEZ_CLUSTER_DELTAS", "0") != "0",
             # FETCHEZ_LOCAL_COMPACT=1: exchange-free bucket-local major
             # folds (flat deltas minor-clustered first) -- steady-state
             # shuffle drops to one pass per event's bytes

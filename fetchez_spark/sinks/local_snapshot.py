@@ -1156,11 +1156,22 @@ class LocalSnapshotSink(SnapshotSink):
         fall back to the file-granular over-approximation.
         """
         to_snapshot = to_snapshot or self._version()
-        added, _buckets = self._added_change_files(from_snapshot, to_snapshot)
+        added, _buckets, chain_stats = self._added_change_files(
+            from_snapshot, to_snapshot
+        )
         files = sorted(set(added))
         if ts_min is not None or ts_max is not None:
             lo, hi = self._ts_bound(ts_min), self._ts_bound(ts_max)
-            files = [f for f in files if self._file_ts_overlaps(f, lo, hi)]
+            # manifest-recorded per-commit stats first (zero extra IO --
+            # they ride the manifests the chain walk already loaded);
+            # footer read only for files with no recorded entry
+            def _keep(f: str) -> bool:
+                entry = chain_stats.get(f)
+                if entry is not None:
+                    return self._entry_ts_overlaps(entry, lo, hi)
+                return self._file_ts_overlaps(f, lo, hi)
+
+            files = [f for f in files if _keep(f)]
         schema = T.StructType.fromJson(self.manifest(to_snapshot)["schema"])
         df = self._read_files(spark, files, schema)
         if ts_min is not None:
@@ -1173,15 +1184,21 @@ class LocalSnapshotSink(SnapshotSink):
 
     def _added_change_files(
         self, from_snapshot: str, to_snapshot: str
-    ) -> tuple[list[str], list[int] | None]:
+    ) -> tuple[list[str], list[int] | None, dict[str, list]]:
         """Walk the parent chain from ``to`` back to ``from``, collecting
         files added by merge commits (deltas for MoR, change sidecars or
         base rewrites for CoW) and the BUCKETS those additions touched.
-        Returns (files, buckets) -- buckets is None when any addition's
-        bucket is unknown (flat deltas, CoW sidecars), meaning a pre-image
-        read cannot prune."""
+        Returns (files, buckets, ts_stats) -- buckets is None when any
+        addition's bucket is unknown (flat deltas, CoW sidecars), meaning
+        a pre-image read cannot prune; ts_stats maps file paths to the
+        [iso_min_ts, iso_max_ts, has_tombstones] each MERGE commit
+        recorded for its own files at write time (``ts_stats_new``) --
+        immutable per-commit metadata, so a windowed read prunes from the
+        SAME manifests this walk already loads, no extra IO (the Iceberg
+        per-manifest column-stats shape)."""
         added: list[str] = []
         buckets: set[int] | None = set()
+        ts_stats: dict[str, list] = {}
         sid = to_snapshot
         chain_ok = False
         nbs: set[int] = set()
@@ -1191,6 +1208,11 @@ class LocalSnapshotSink(SnapshotSink):
                 break
             m = self.manifest(sid)
             nbs.add(int(m["num_buckets"]))
+            tsn = m.get("ts_stats_new")
+            if tsn:
+                ts_stats.update(
+                    tsn if isinstance(tsn, dict) else self._resolve_blob(tsn)
+                )
             stats = m.get("stats", {})
             is_compaction = (
                 "compacted_buckets" in stats
@@ -1231,7 +1253,7 @@ class LocalSnapshotSink(SnapshotSink):
             nbs.add(int(self.manifest(from_snapshot)["num_buckets"]))
             if len(nbs) > 1:
                 buckets = None
-        return added, (sorted(buckets) if buckets is not None else None)
+        return added, (sorted(buckets) if buckets is not None else None), ts_stats
 
     def change_feed(
         self,
@@ -1275,7 +1297,7 @@ class LocalSnapshotSink(SnapshotSink):
         O(changed keys) rows, not the touched buckets' full state),
         joined on the key -- never a full-table diff."""
         to_snapshot = to_snapshot or self._version()
-        added, buckets = self._added_change_files(from_snapshot, to_snapshot)
+        added, buckets, _tss = self._added_change_files(from_snapshot, to_snapshot)
         schema = T.StructType.fromJson(self.manifest(to_snapshot)["schema"])
         changes = self._read_files(spark, sorted(set(added)), schema)
         net = dedup_latest(changes, key=self.key, order=["ts", INTERNAL_SEQ])
@@ -1590,6 +1612,37 @@ class LocalSnapshotSink(SnapshotSink):
             return ts_min < h
         except TypeError:
             return True
+
+    @classmethod
+    def _entry_ts_overlaps(cls, entry: list, lo, hi) -> bool:
+        """Overlap test against a manifest-recorded [iso_min, iso_max,
+        dead] entry; malformed entries keep the file."""
+        try:
+            ts_min, ts_max = cls._ts_bound(entry[0]), cls._ts_bound(entry[1])
+            if hi is not None and ts_min > hi:
+                return False
+            if lo is not None and ts_max < lo:
+                return False
+            return True
+        except (TypeError, ValueError, IndexError):
+            return True
+
+    @classmethod
+    def _harvest_ts_stats(cls, files: list[str]) -> dict[str, list]:
+        """Per-file [iso_min_ts, iso_max_ts, has_tombstones] from the
+        just-written files' parquet footers -- O(batch files) driver-side
+        footer reads at commit time (at object-store scale these stats
+        come back from the writer, same O(batch) shape as the size
+        bookkeeping).  Files whose footers lack ts statistics simply get
+        no entry (readers fall back to a footer probe, then to keeping
+        the file)."""
+        out: dict[str, list] = {}
+        for f in files:
+            mn, mx, dead = cls._footer_ts_dead(f)
+            if mn is None or mx is None:
+                continue
+            out[f] = [mn.isoformat(sep=" "), mx.isoformat(sep=" "), bool(dead)]
+        return out
 
     @classmethod
     def _file_ts_overlaps(cls, path: str, lo, hi) -> bool:
@@ -1934,6 +1987,10 @@ class LocalSnapshotSink(SnapshotSink):
         # a racing compaction cannot have folded files it never saw
         # listed).  CoW rewrites base files computed FROM `cur`, which a
         # concurrent commit invalidates -> ConcurrentWriteConflict.
+        # Event-time stats for the just-written change files (footer
+        # reads, OUTSIDE the lock -- pure metadata harvesting).
+        ts_stats_new = self._harvest_ts_stats(change_files or written)
+
         def _manifest_for(base: dict) -> dict:
             if base["snapshot_id"] == cur["snapshot_id"]:
                 files_, deltas_ = new_files, new_deltas
@@ -2029,6 +2086,16 @@ class LocalSnapshotSink(SnapshotSink):
                 **(
                     {"change_files": self._pack_list(change_files)}
                     if change_files
+                    else {}
+                ),
+                # per-commit event-time stats for THIS commit's change
+                # files: immutable metadata the windowed incremental read
+                # prunes from without re-opening footers (Iceberg
+                # per-manifest column-stats analog); never carried
+                # forward, so manifests stay O(commit)
+                **(
+                    {"ts_stats_new": self._pack_key_stats(ts_stats_new)}
+                    if ts_stats_new
                     else {}
                 ),
             }
@@ -2237,6 +2304,7 @@ class LocalSnapshotSink(SnapshotSink):
                 # maintenance commits carry no change set (read_changes
                 # skips them anyway; keep the manifest honest)
                 manifest.pop("change_files", None)
+                manifest.pop("ts_stats_new", None)
                 self._commit(manifest)
             return {"snapshot_id": sid, "compacted_buckets": len(written), "minor": True}
         local_eff = self.compact_bucket_local if local is None else local
@@ -2405,6 +2473,7 @@ class LocalSnapshotSink(SnapshotSink):
             else:
                 manifest.pop("key_stats", None)
             manifest.pop("change_files", None)
+            manifest.pop("ts_stats_new", None)
             self._commit(manifest)
         return {"snapshot_id": sid, "compacted_buckets": len(written)}
 
@@ -2517,6 +2586,7 @@ class LocalSnapshotSink(SnapshotSink):
             else:
                 manifest.pop("key_stats", None)
             manifest.pop("change_files", None)
+            manifest.pop("ts_stats_new", None)
             self._commit(manifest)
         return {
             "snapshot_id": sid,
@@ -2646,6 +2716,7 @@ class LocalSnapshotSink(SnapshotSink):
             # parent's change_files would make read_changes re-emit the
             # parent CoW batch a second time
             manifest.pop("change_files", None)
+            manifest.pop("ts_stats_new", None)
             self._commit(manifest)
         return {
             "snapshot_id": sid,
@@ -2920,6 +2991,10 @@ class LocalSnapshotSink(SnapshotSink):
                     for k in CATALOG_KEYS
                     if isinstance(m.get(k), str)
                 }
+                # per-commit ts-stats blobs are metadata, not data-file
+                # lists: keep them alive with their manifest
+                if isinstance(m.get("ts_stats_new"), str):
+                    catalog_refs.add(m["ts_stats_new"])
                 extras = list(catalog_refs) + (
                     [m["change_files"]] if m.get("change_files") else []
                 )

@@ -124,7 +124,7 @@ class _ChangesStreamReader(SimpleDataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        files, _buckets = sink._added_change_files(from_sid, to_sid)
+        files, _buckets, _tss = sink._added_change_files(from_sid, to_sid)
         out: list[tuple] = []
         for path in sorted(set(files)):
             if not os.path.exists(path):  # expired under us mid-iteration

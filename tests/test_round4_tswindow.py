@@ -114,3 +114,62 @@ def test_cli_changes_window(spark, tmp_path, capsys):
         main(["changes", str(tmp_path / "t"), base, "--typed", "--since", "2025-01-02"])
         == 1
     )
+
+
+def test_window_pruning_uses_manifest_stats_not_footers(spark, tmp_path, monkeypatch):
+    """Merge commits record per-file ts stats in their OWN manifest
+    (``ts_stats_new``); a windowed read prunes from those without opening
+    a single footer -- the metadata shape that avoids one ranged GET per
+    candidate file on an object store."""
+    sink, base = _seed_days(spark, tmp_path)
+
+    def _boom(path):
+        raise AssertionError(f"footer opened for {path}")
+
+    monkeypatch.setattr(LocalSnapshotSink, "_footer_ts_dead", staticmethod(_boom))
+    df = sink.read_changes(spark, base, ts_min=_ts(2), ts_max=_ts(2, 23))
+    files = df.inputFiles()
+    assert {r["conv_id"] for r in df.collect()} == {"c2"}
+    all_files = sink.read_changes(spark, base).inputFiles()
+    assert len(files) < len(all_files)
+
+
+def test_ts_stats_survive_expiry_blob_gc(spark, tmp_path):
+    """ts_stats_new blobs (large commits spill to content-addressed
+    blobs) must survive snapshot expiry while their manifest is retained."""
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=32, compact_every=10**9)
+    base = sink.current_snapshot_id
+    # clustered delta writes emit one file per touched bucket: 40 distinct
+    # keys over 32 buckets touch >16 of them, forcing the blob encoding
+    # (inline max is 16)
+    rows = [
+        (f"c{i}", 0, "user", "x", None, _ts(1 + i % 3), "I", i) for i in range(40)
+    ]
+    sink.merge(_batch(spark, rows), "big-0")
+    m = sink.manifest()
+    assert isinstance(m.get("ts_stats_new"), str)  # blob ref
+    sink.merge(_batch(spark, [("z", 0, "u", "y", None, _ts(2), "I", 99)]), "b-1")
+    sink.expire_snapshots(keep_last=10, min_age_seconds=0)
+    # the windowed read over the whole range still resolves the blob
+    df = sink.read_changes(spark, base, ts_min=_ts(1), ts_max=_ts(3))
+    assert df.count() == 41
+
+
+def test_cow_sidecar_ts_stats_recorded(spark, tmp_path):
+    """CoW commits harvest stats for their change SIDECAR files (the ones
+    read_changes actually scans), not the rewritten bases."""
+    sink = LocalSnapshotSink(
+        str(tmp_path / "t"), num_buckets=4, mode="cow", compact_every=10**9
+    )
+    base = sink.current_snapshot_id
+    sink.merge(
+        _batch(spark, [("c1", 0, "user", "x", None, _ts(1), "I", 1)]), "b-0"
+    )
+    m = sink.manifest()
+    tsn = m.get("ts_stats_new")
+    assert tsn
+    entries = tsn if isinstance(tsn, dict) else {}
+    side = set(sink._resolve_list(m["change_files"]))
+    assert set(entries) == side
+    df = sink.read_changes(spark, base, ts_min=_ts(1), ts_max=_ts(1, 23))
+    assert df.count() == 1
