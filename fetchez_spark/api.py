@@ -194,3 +194,21 @@ def change_feed(
     return LocalSnapshotSink(table_dir).change_feed(
         spark, from_snapshot, to_snapshot, include_pre_image=include_pre_image
     )
+
+
+def delete_where(spark: SparkSession, table_dir: str, condition) -> dict[str, Any]:
+    """Predicate-delete facade (GDPR erasure step 1): tombstone every
+    visible key whose winner row matches ``condition`` in one merge
+    commit (see LocalSnapshotSink.delete_where)."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).delete_where(spark, condition)
+
+
+def purge_tombstones(spark: SparkSession, table_dir: str, before=None) -> dict[str, Any]:
+    """Physical tombstone GC facade (GDPR erasure step 2): rewrite only
+    the buckets whose parquet footer stats admit a tombstone older than
+    ``before`` (see LocalSnapshotSink.purge_tombstones)."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).purge_tombstones(spark, before=before)
