@@ -579,6 +579,53 @@ def _q_cdc_changes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type", "event_id", "value")
 
 
+def _q_zorder_slab_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering through the real sink, ORACLE-CHECKED: replay
+    the events changelog, major-compact with ``cluster_by=["ts",
+    "value"]`` (quantile-cell Morton interleave, per-file min/max footer
+    stats into the manifest), then read a two-dimensional slab via
+    ``read(range_hints=...)`` -- files whose recorded ranges exclude the
+    slab are skipped BEFORE the scan (multi-column file skipping, the
+    Delta OPTIMIZE ZORDER / Iceberg sort-order shape).  The oracle is
+    DuckDB's last-writer-wins reduction filtered by the same slab, so
+    the pruned read must be value-identical to the unpruned plan.
+    (Reference analog: server-side parameterized region cuts,
+    /root/reference/src/fetchez/modules/gmrt.py -- the engine-side
+    equivalent is layout-aware slab pruning.)"""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-zorder-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"],
+        base_schema=payload, compact_every=10**9,
+    )
+    for i in range(3):
+        sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_token=f"replay-{i}")
+    sink.compact(spark, cluster_by=["ts", "value"])
+    return sink.read(
+        spark,
+        range_hints={"ts": ("2024-01-02 00:00:00", None), "value": (2.0, 9.0)},
+    ).select("user_id", "event_type", "event_id", "value")
+
+
 def _q_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance through the real engine,
     ORACLE-CHECKED: replay the events changelog into the snapshot sink in
@@ -1334,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_change_feed": _q_cdc_change_feed,
         "delete_where_purge": _q_delete_where_purge,
         "cdc_changes_window": _q_cdc_changes_window,
+        "zorder_slab_read": _q_zorder_slab_read,
         "incremental_matview": _q_incremental_matview,
         "time_travel_read": _q_time_travel_read,
         "dry_run": _q_dry_run,
@@ -1452,6 +1500,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type <> 'error'
               AND ts >= TIMESTAMP '2024-01-10 00:00:00'
               AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        # z-order slab read: LWW final state (tombstones out) restricted to
+        # the same two-dimensional slab the pruned engine read applies
+        "zorder_slab_read": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value, ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn = 1 AND event_type <> 'error'
+              AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+              AND value >= 2.0 AND value <= 9.0
         """,
         # typed change-data-feed: net change per key of phases 1-2 vs the
         # live state after phase 0, classified insert/update/delete; a key

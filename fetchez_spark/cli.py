@@ -158,6 +158,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="range-cluster compacted buckets on the table key and "
                         "record per-file key-range stats (file-skipping point "
                         "lookups; the Iceberg sort-order analog)")
+    p.add_argument("--cluster-by", default=None, metavar="COL[,COL...]",
+                   help="Z-ORDER compacted buckets on these numeric/timestamp "
+                        "columns and record per-file min/max stats (multi-"
+                        "column slab skipping; the Delta OPTIMIZE ZORDER "
+                        "analog; mutually exclusive with --sort)")
     p.add_argument("--rebucket", type=int, default=None, metavar="NUM_BUCKETS",
                    help="rewrite the table into this many hash buckets (online "
                         "layout evolution; concurrent writers reconcile)")
@@ -393,6 +398,9 @@ def main(argv: list[str] | None = None) -> int:
                     min_bucket_bytes=args.min_bucket_bytes,
                     target_file_bytes=args.target_file_bytes,
                     sort=args.sort or None,
+                    cluster_by=(
+                        args.cluster_by.split(",") if args.cluster_by else None
+                    ),
                 )
             if args.purge_tombstones:
                 out["purge_tombstones"] = sink.purge_tombstones(

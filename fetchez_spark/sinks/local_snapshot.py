@@ -90,7 +90,9 @@ _FLAT = "*"
 INTERNAL_COLUMNS = (INTERNAL_SEQ, INTERNAL_DELETED, INTERNAL_SRC)
 # manifest keys whose (blob-ref) payloads every merge carries forward and
 # snapshot expiry keeps alive: table-resident catalog state
-CATALOG_KEYS = ("index", "ann_index", "key_stats", "matview_def", "mirror_def")
+CATALOG_KEYS = (
+    "index", "ann_index", "key_stats", "col_stats", "matview_def", "mirror_def"
+)
 
 _TOKEN_RE = re.compile(r"^(.*?)(\d+)$")
 
@@ -667,9 +669,21 @@ class LocalSnapshotSink(SnapshotSink):
         fanout_map: dict[int, int] | None = None,
         sort_output: bool = False,
         purge_before: str | None = None,
+        cluster_expr=None,
     ) -> dict[str, list[str]]:
         """ONE-shuffle dedup + clustered write (the compaction/CoW hot
         path).  ``df`` carries ``_bucket``.
+
+        ``cluster_expr`` (a Column over the payload schema, e.g. a Morton
+        key from :mod:`fetchez_spark.plans.zorder`): after the fold, the
+        winners take a SECOND range Exchange on (_bucket, cluster_expr)
+        and a local sort, so each bucket's output files cover disjoint
+        slabs of the clustered space.  Two Exchanges total -- one more
+        than plain compaction, the same shape as Delta OPTIMIZE ZORDER;
+        the expression cannot join the fold's grouping (it is a function
+        of the payload, grouping by it would break LWW), so the second
+        pass is inherent, and it moves only the WINNERS (post-LWW rows),
+        not the raw log.
 
         ``purge_before``: tombstone-GC horizon (ISO timestamp) -- WINNER
         rows that are tombstones older than the horizon are dropped from
@@ -751,6 +765,10 @@ class LocalSnapshotSink(SnapshotSink):
         )
         if purge_before is not None:
             rows = rows.filter(self._tombstone_keep_cond(purge_before))
+        if cluster_expr is not None:
+            rows = rows.repartitionByRange(
+                max(n_partitions, 1), F.col(_BUCKET), cluster_expr
+            ).sortWithinPartitions(F.col(_BUCKET), cluster_expr)
         snap_dir = self._snap_payload_dir(sid)
         with _observed_write_conf(df.sparkSession):
             rows.write.partitionBy(_BUCKET).mode("overwrite").parquet(snap_dir)
@@ -1040,6 +1058,103 @@ class LocalSnapshotSink(SnapshotSink):
             if f not in stats or not self._range_excludes(stats[f], value)
         ]
 
+    # ----------------------------------------- multi-column file stats
+    # {file: {col: [min, max]}} recorded by z-order clustering
+    # (compact(cluster_by=[...])).  Same lifecycle as key_stats: files
+    # are immutable so entries can never go stale-wrong; entries for
+    # replaced files are trimmed at the next fold.  Values are parquet
+    # FOOTER statistics (exact for numeric/temporal columns -- the only
+    # types cluster_by accepts), harvested driver-side in O(files)
+    # footer reads, no Spark job.
+    def col_stats(self, manifest: dict | None = None) -> dict[str, dict]:
+        """Resolved per-file {col: [min, max]} ranges for cluster columns
+        (empty when no z-order compaction has run)."""
+        m = manifest or self.manifest()
+        val = m.get("col_stats")
+        if not val:
+            return {}
+        return val if isinstance(val, dict) else self._resolve_blob(val)
+
+    @classmethod
+    def _harvest_col_stats(
+        cls, files: list[str], cols: list[str]
+    ) -> dict[str, dict]:
+        """Per-file min/max for ``cols`` from parquet footers.  Temporal
+        stats serialize as ISO strings (the ts_stats convention); a column
+        whose statistics are missing in ANY row group gets no entry for
+        that file (readers keep files with unknown stats)."""
+        from datetime import date, datetime
+
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for f in files:
+            try:
+                md = pq.ParquetFile(f).metadata
+            except Exception:
+                continue
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            entry: dict[str, list] = {}
+            for c in cols:
+                ci = names.get(c)
+                if ci is None:
+                    continue
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or st.min is None or st.max is None:
+                        ok = False
+                        break
+                    mn, mx = st.min, st.max
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                if not ok or lo is None:
+                    continue
+                if isinstance(lo, datetime):
+                    if lo.tzinfo is not None:
+                        lo = lo.astimezone(tz=None).replace(tzinfo=None)
+                        hi = hi.astimezone(tz=None).replace(tzinfo=None)
+                    entry[c] = [lo.isoformat(sep=" "), hi.isoformat(sep=" ")]
+                elif isinstance(lo, date):
+                    entry[c] = [lo.isoformat(), hi.isoformat()]
+                else:
+                    entry[c] = [lo, hi]
+            if entry:
+                out[f] = entry
+        return out
+
+    @classmethod
+    def _col_range_overlaps(cls, rng: list, lo, hi) -> bool:
+        """Can a file whose recorded [min, max] is ``rng`` hold a value in
+        [lo, hi]?  Unknown/mismatched types keep the file (pruning is
+        safe-by-construction).  ISO-string stats compare as timestamps."""
+        try:
+            mn, mx = rng
+            if mn is None or mx is None:
+                return True
+            if isinstance(mn, str):
+                mn, mx = cls._ts_bound(mn), cls._ts_bound(mx)
+                lo, hi = cls._ts_bound(lo), cls._ts_bound(hi)
+            if hi is not None and mn > hi:
+                return False
+            if lo is not None and mx < lo:
+                return False
+            return True
+        except (TypeError, ValueError):
+            return True
+
+    def _file_hints_overlap(self, entry: dict | None, hints: dict) -> bool:
+        """True unless some hinted column's recorded range provably
+        excludes the whole query slab."""
+        if not entry:
+            return True
+        for c, (lo, hi) in hints.items():
+            rng = entry.get(c)
+            if rng is not None and not self._col_range_overlaps(rng, lo, hi):
+                return False
+        return True
+
     # -------------------------------------------------------------- reading
     def read(
         self,
@@ -1050,12 +1165,27 @@ class LocalSnapshotSink(SnapshotSink):
         key_eq=None,
         include_deleted: bool = False,
         key_in: DataFrame | None = None,
+        range_hints: dict | None = None,
     ) -> DataFrame:
         """``key_eq``: leading-key point-read hint.  Base files whose
         recorded key range (see :meth:`key_stats`) excludes the value are
         skipped BEFORE the scan -- file-level pruning on top of bucket
         pruning -- and the equality filter is applied to the result.
         Safe on any table: files without stats are always read.
+
+        ``range_hints``: {col: (lo, hi)} slab predicate over PAYLOAD
+        columns (inclusive bounds, None = open end; timestamp bounds as
+        datetime or ISO string).  The predicate is applied to the FINAL
+        state (post-LWW-reduction, so a key whose winner falls outside
+        the slab never resurfaces via a stale in-slab row), and base
+        files whose recorded column ranges (see :meth:`col_stats`, from
+        ``compact(cluster_by=...)``) exclude the slab are skipped before
+        the scan.  File pruning on non-key columns is only sound when no
+        other file can hold a row of the same key, so it applies
+        per-bucket ONLY to buckets with zero pending deltas (a fully
+        compacted bucket's base holds exactly one row per key); buckets
+        with deltas are read in full and filtered -- correct either way,
+        fast after compaction.
 
         ``include_deleted=True`` keeps tombstone rows in the result (the
         per-key LWW winner may BE a tombstone) -- for consumers that need
@@ -1078,11 +1208,24 @@ class LocalSnapshotSink(SnapshotSink):
         # O(selected) metadata, not O(table)
         rbase = self._resolve_map(base_map, keys)
         rdelta = self._resolve_map(delta_map, [k for k in keys if k != _FLAT])
-        base = [f for b in keys for f in rbase.get(b, [])]
-        deltas = [f for b in keys for f in rdelta.get(b, [])]
         # flat deltas are unclustered: always in scope (bucket-pruned reads
         # post-filter them through the reduction)
-        deltas += self._resolve_list(delta_map.get(_FLAT, []))
+        flat_deltas = self._resolve_list(delta_map.get(_FLAT, []))
+        cstats = self.col_stats(m) if range_hints else {}
+        base = []
+        for b in keys:
+            bfiles = rbase.get(b, [])
+            if cstats and not rdelta.get(b) and not flat_deltas:
+                # slab pruning: sound only for delta-less buckets (base
+                # holds one row per key, so skipping a range-excluded
+                # file cannot split a key across kept/skipped files)
+                bfiles = [
+                    f for f in bfiles
+                    if self._file_hints_overlap(cstats.get(f), range_hints)
+                ]
+            base.extend(bfiles)
+        deltas = [f for b in keys for f in rdelta.get(b, [])]
+        deltas += flat_deltas
         if key_eq is not None:
             # point-read file skipping: correctness holds because the MoR
             # reduction is per-key and a range-excluded file provably
@@ -1111,6 +1254,22 @@ class LocalSnapshotSink(SnapshotSink):
             df = dedup_latest(df, key=self.key, order=["ts", INTERNAL_SEQ])
         if not include_deleted:
             df = df.filter(~F.col(INTERNAL_DELETED))
+        if range_hints:
+            # residual slab filter on the FINAL state; on a compacted
+            # table there is no reduction above the scan, so these
+            # predicates push to the parquet scan and the z-ordered
+            # files' tight row-group min/max skip within kept files too
+            for c, (lo, hi) in range_hints.items():
+                dt = schema[c].dataType if c in schema.names else None
+                coerce = (
+                    self._ts_bound
+                    if isinstance(dt, (T.TimestampType, T.TimestampNTZType))
+                    else (lambda v: v)
+                )
+                if lo is not None:
+                    df = df.filter(F.col(c) >= F.lit(coerce(lo)))
+                if hi is not None:
+                    df = df.filter(F.col(c) <= F.lit(coerce(hi)))
         if not include_internal:
             df = df.drop(*INTERNAL_COLUMNS)
         return df
@@ -2195,8 +2354,24 @@ class LocalSnapshotSink(SnapshotSink):
         sort: bool | None = None,
         local: bool | None = None,
         purge_tombstones_before=None,
+        cluster_by: list[str] | None = None,
     ) -> dict[str, Any]:
         """Fold delta files into base files for the given (or all) buckets.
+
+        ``cluster_by`` ([numeric/timestamp/date payload columns]):
+        Z-ORDER the fold output -- each column is quantile-bucketed into
+        256 cells (boundaries sampled in one column-pruned scan, no
+        shuffle), the cells bit-interleave into a Morton key, and each
+        bucket's winners are range-clustered + locally sorted on it, so
+        output files cover disjoint HYPER-RECTANGLES of the clustered
+        space.  Per-file min/max for the cluster columns (exact parquet
+        footer stats, O(files) driver reads) land in the manifest; slab
+        reads (``read(range_hints=...)``) then skip files on EVERY
+        clustered dimension, not just the leading key.  Costs one extra
+        Exchange over plain compaction (the winners-only range pass --
+        the Delta OPTIMIZE ZORDER shape) and is mutually exclusive with
+        ``sort`` (one physical order per file).  Falls back from the
+        exchange-free local fold (the range pass needs the shuffle).
 
         ``purge_tombstones_before`` (datetime or ISO string; default: the
         sink's ``tombstone_retention_seconds`` against the event-time high
@@ -2307,8 +2482,20 @@ class LocalSnapshotSink(SnapshotSink):
                 manifest.pop("ts_stats_new", None)
                 self._commit(manifest)
             return {"snapshot_id": sid, "compacted_buckets": len(written), "minor": True}
+        if cluster_by:
+            if sort:
+                raise ValueError(
+                    "cluster_by and sort are mutually exclusive: a file has "
+                    "one physical order (z-order for slab reads vs key order "
+                    "for point lookups)"
+                )
+            from fetchez_spark.plans.zorder import check_cluster_types
+
+            check_cluster_types(schema, list(cluster_by))
         local_eff = self.compact_bucket_local if local is None else local
-        use_local = local_eff and not (target_file_bytes or self.target_file_bytes)
+        use_local = local_eff and not (
+            target_file_bytes or self.target_file_bytes or cluster_by
+        )
         if use_local and delta_map.get(_FLAT):
             # flat deltas are unclustered: cluster them FIRST with a minor
             # consolidation (shuffle = O(delta bytes) -- the ONLY shuffle
@@ -2353,7 +2540,22 @@ class LocalSnapshotSink(SnapshotSink):
             return {"snapshot_id": cur["snapshot_id"], "compacted_buckets": 0}
         files = [f for b in todo for f in base_map.get(b, [])] + delta_files
         sid = self._claim_sid(cur)
-        sort_eff = self.sort_on_compact if sort is None else sort
+        sort_eff = (self.sort_on_compact if sort is None else sort) and not cluster_by
+        cluster_expr = None
+        if cluster_by:
+            from fetchez_spark.plans.zorder import (
+                quantile_boundaries,
+                zorder_column,
+            )
+
+            # boundaries from the RAW fold input (stale rows included):
+            # they only shape the cells -- correctness comes from the
+            # written files' own footer stats, never from the sample
+            boundaries = quantile_boundaries(
+                self._read_files(spark, files, schema).select(*cluster_by),
+                list(cluster_by),
+            )
+            cluster_expr = zorder_column(schema, boundaries, list(cluster_by))
         # tombstone GC: valid on every major-fold shape because each
         # selected bucket's fold covers EVERY file that can hold its keys
         # (base + all its deltas; keys never cross buckets, and when flat
@@ -2382,6 +2584,10 @@ class LocalSnapshotSink(SnapshotSink):
                     int(b): max(1, -(-int(n) // int(target))) for b, n in bsizes.items()
                 }
                 n_parts = max(n_parts, sum(fanout_map.values()))
+            if cluster_expr is not None:
+                # file sizing comes from the range sampler: keep the
+                # target-derived n_parts (file grain) but not the hash salt
+                fanout_map = None
             written = self._dedup_write_bucketed(
                 self._read_files(spark, files, schema).withColumn(
                     _BUCKET, self._bucket_expr(cur["num_buckets"])
@@ -2392,6 +2598,7 @@ class LocalSnapshotSink(SnapshotSink):
                 fanout_map=fanout_map,
                 sort_output=sort_eff,
                 purge_before=purge,
+                cluster_expr=cluster_expr,
             )
         # per-file key ranges for the files this fold produced (one
         # column-pruned O(written) job); entries for the files this fold
@@ -2401,6 +2608,15 @@ class LocalSnapshotSink(SnapshotSink):
                 spark, [f for fs in written.values() for f in fs]
             )
             if sort_eff
+            else {}
+        )
+        # per-file cluster-column ranges from the written files' footers
+        # (driver-side, O(written) footer reads, no job)
+        new_col_stats = (
+            self._harvest_col_stats(
+                [f for fs in written.values() for f in fs], list(cluster_by)
+            )
+            if cluster_by
             else {}
         )
         consumed = set(delta_files)
@@ -2452,11 +2668,15 @@ class LocalSnapshotSink(SnapshotSink):
             # key-range stats: drop entries for files this fold replaced
             # (immutable files => remaining entries stay valid verbatim),
             # add this fold's sorted outputs
+            replaced = {f for b in todo for f in base_map.get(b, [])} | consumed
             ks = dict(self.key_stats(latest))
             if ks or new_key_stats:
-                replaced = {f for b in todo for f in base_map.get(b, [])} | consumed
                 ks = {f: v for f, v in ks.items() if f not in replaced}
                 ks.update(new_key_stats)
+            cs = dict(self.col_stats(latest))
+            if cs or new_col_stats:
+                cs = {f: v for f, v in cs.items() if f not in replaced}
+                cs.update(new_col_stats)
             manifest = {
                 **latest,
                 "snapshot_id": sid,
@@ -2472,6 +2692,10 @@ class LocalSnapshotSink(SnapshotSink):
                 manifest["key_stats"] = self._pack_key_stats(ks)
             else:
                 manifest.pop("key_stats", None)
+            if cs:
+                manifest["col_stats"] = self._pack_key_stats(cs)
+            else:
+                manifest.pop("col_stats", None)
             manifest.pop("change_files", None)
             manifest.pop("ts_stats_new", None)
             self._commit(manifest)
@@ -2585,6 +2809,7 @@ class LocalSnapshotSink(SnapshotSink):
                 manifest["key_stats"] = self._pack_key_stats(new_key_stats)
             else:
                 manifest.pop("key_stats", None)
+            manifest.pop("col_stats", None)  # rewrite output is not z-ordered
             manifest.pop("change_files", None)
             manifest.pop("ts_stats_new", None)
             self._commit(manifest)

@@ -176,7 +176,7 @@ def test_change_feed_across_rebucket(spark, tmp_path):
         ]),
         "b-2",
     )
-    added, buckets = sink._added_change_files(frm, sink.current_snapshot_id)
+    added, buckets, _tss = sink._added_change_files(frm, sink.current_snapshot_id)
     assert buckets is None, "pruning must be disabled across a layout change"
     feed = sink.change_feed(spark, frm).toPandas().set_index("conv_id")
     assert len(feed) == 3

@@ -487,7 +487,7 @@ def test_change_feed_prunes_pre_state_buckets(spark, tmp_path):
     sink.merge(_batch(spark, rows), "b-0")
     from_sid = sink.current_snapshot_id
     sink.merge(_batch(spark, [("c1", 0, "user", "upd", None, _ts(2), "update", 100)]), "b-1")
-    _files, buckets = sink._added_change_files(from_sid, sink.current_snapshot_id)
+    _files, buckets, _tss = sink._added_change_files(from_sid, sink.current_snapshot_id)
     assert buckets is not None and len(buckets) == 1
     feed = sink.change_feed(spark, from_sid).toPandas()
     assert len(feed) == 1 and feed.iloc[0]["_change_type"] == "update"
