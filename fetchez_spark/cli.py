@@ -158,6 +158,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="range-cluster compacted buckets on the table key and "
                         "record per-file key-range stats (file-skipping point "
                         "lookups; the Iceberg sort-order analog)")
+    p.add_argument("--bloom", action="store_true",
+                   help="record per-file key blooms for this compaction's "
+                        "output (point-lookup file skipping on files sorting "
+                        "never covers: consolidated deltas, hash-mode bases)")
     p.add_argument("--cluster-by", default=None, metavar="COL[,COL...]",
                    help="Z-ORDER compacted buckets on these numeric/timestamp "
                         "columns and record per-file min/max stats (multi-"
@@ -391,7 +395,9 @@ def main(argv: list[str] | None = None) -> int:
             if args.delete_where:
                 out["delete_where"] = sink.delete_where(spark, args.delete_where)
             if args.minor:
-                out["minor_compact"] = sink.compact(spark, minor=True)
+                out["minor_compact"] = sink.compact(
+                    spark, minor=True, bloom=args.bloom
+                )
             if args.compact:
                 out["compact"] = sink.compact(
                     spark,
@@ -401,6 +407,7 @@ def main(argv: list[str] | None = None) -> int:
                     cluster_by=(
                         args.cluster_by.split(",") if args.cluster_by else None
                     ),
+                    bloom=args.bloom,
                 )
             if args.purge_tombstones:
                 out["purge_tombstones"] = sink.purge_tombstones(

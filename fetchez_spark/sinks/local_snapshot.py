@@ -91,7 +91,8 @@ INTERNAL_COLUMNS = (INTERNAL_SEQ, INTERNAL_DELETED, INTERNAL_SRC)
 # manifest keys whose (blob-ref) payloads every merge carries forward and
 # snapshot expiry keeps alive: table-resident catalog state
 CATALOG_KEYS = (
-    "index", "ann_index", "key_stats", "col_stats", "matview_def", "mirror_def"
+    "index", "ann_index", "key_stats", "col_stats", "key_blooms",
+    "matview_def", "mirror_def",
 )
 
 _TOKEN_RE = re.compile(r"^(.*?)(\d+)$")
@@ -1155,6 +1156,137 @@ class LocalSnapshotSink(SnapshotSink):
                 return False
         return True
 
+    # ------------------------------------------------- key bloom sidecars
+    # {file: {"m": bits, "k": probes, "b64": bitmap}} built by
+    # compact(bloom=True) for its output files.  Key ranges (key_stats)
+    # need SORTED files; blooms give point-lookup file skipping on the
+    # files sorting never touches -- consolidated MoR deltas and
+    # hash-mode bases.  No false negatives by construction (a pruned
+    # file provably holds no row of the key, so the per-key LWW
+    # reduction is unaffected); false positives only cost a read.
+    # Hashing is Spark's own xxhash64 on BOTH sides (build: a column
+    # expression over the file's rows; probe: the same expression over a
+    # one-row frame), so build/probe consistency is by construction, not
+    # by reimplementation.
+    def key_blooms(self, manifest: dict | None = None) -> dict[str, dict]:
+        m = manifest or self.manifest()
+        val = m.get("key_blooms")
+        if not val:
+            return {}
+        return val if isinstance(val, dict) else self._resolve_blob(val)
+
+    _BLOOM_K = 7
+    _BLOOM_BITS_PER_KEY = 16  # fp ~= 0.1% at k=7
+    _BLOOM_MAX_ROWS = 65536  # bigger files: bitmap cost beats the skip
+
+    def _collect_key_blooms(
+        self, spark: SparkSession, files: list[str]
+    ) -> dict[str, dict]:
+        """One column-pruned pass over just-written files: per-file bloom
+        of the leading key.  Bit positions are computed JVM-side
+        (``pmod``-free raw ``xxhash64(key, i)`` longs); the bitmap OR is
+        a vectorized numpy fold in ``mapInPandas`` (bounded: the files
+        are O(commit) and each is capped at ``_BLOOM_MAX_ROWS`` rows via
+        its footer row count, read driver-side for free)."""
+        import base64
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        k = self._BLOOM_K
+        msizes: dict[str, int] = {}
+        for f in files:
+            try:
+                n = pq.ParquetFile(f).metadata.num_rows
+            except Exception:
+                continue
+            if 0 < n <= self._BLOOM_MAX_ROWS:
+                msizes[f] = 1 << max(10, (self._BLOOM_BITS_PER_KEY * n - 1).bit_length())
+        if not msizes:
+            return {}
+        k0 = self.key[0]
+        df = spark.read.parquet(*sorted(msizes)).select(
+            F.input_file_name().alias("_f"),
+            *[F.xxhash64(F.col(k0), F.lit(i)).alias(f"_h{i}") for i in range(k)],
+        )
+        from urllib.parse import unquote, urlparse
+
+        def build(batches):
+            for pdf in batches:
+                for fname, grp in pdf.groupby("_f"):
+                    p = fname
+                    if "://" in p:
+                        p = unquote(urlparse(p).path)
+                    m_bits = msizes.get(p)
+                    if m_bits is None:
+                        continue
+                    bm = np.zeros(m_bits // 8, dtype=np.uint8)
+                    for i in range(k):
+                        pos = grp[f"_h{i}"].to_numpy(dtype=np.int64) % m_bits
+                        np.bitwise_or.at(
+                            bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+                        )
+                    yield pd.DataFrame({"f": [p], "bits": [bm.tobytes()]})
+
+        agg: dict[str, Any] = {}
+        for r in df.mapInPandas(build, schema="f string, bits binary").collect():
+            cur = np.frombuffer(r["bits"], dtype=np.uint8)
+            prev = agg.get(r["f"])
+            agg[r["f"]] = cur if prev is None else (prev | cur)
+        return {
+            f: {
+                "m": msizes[f],
+                "k": k,
+                "b64": base64.b64encode(bm.tobytes()).decode(),
+            }
+            for f, bm in agg.items()
+        }
+
+    def _bloom_hashes(self, spark: SparkSession, value, k: int) -> list[int]:
+        """The probe side of the bloom: the SAME xxhash64 expressions the
+        build ran, over a one-row frame of the lookup value (a tiny
+        driver-local job, guaranteed bit-identical to the build)."""
+        k0 = self.key[0]
+        field = next(f for f in self.schema(include_internal=True).fields if f.name == k0)
+        one = spark.createDataFrame([(value,)], T.StructType([field]))
+        row = one.select(
+            *[F.xxhash64(F.col(k0), F.lit(i)).alias(f"h{i}") for i in range(k)]
+        ).collect()[0]
+        return [row[f"h{i}"] for i in range(k)]
+
+    def _prune_by_blooms(
+        self, spark: SparkSession, m: dict, files: list[str], value
+    ) -> list[str]:
+        """Drop files whose bloom provably excludes ``value``.  Files
+        without a bloom are always kept."""
+        import base64
+
+        blooms = self.key_blooms(m)
+        if not blooms or not any(f in blooms for f in files):
+            return files
+        hcache: dict[int, list[int]] = {}
+        keep = []
+        for f in files:
+            e = blooms.get(f)
+            if not e:
+                keep.append(f)
+                continue
+            try:
+                k, m_bits = int(e["k"]), int(e["m"])
+                if k not in hcache:
+                    hcache[k] = self._bloom_hashes(spark, value, k)
+                bits = base64.b64decode(e["b64"])
+                hit = all(
+                    bits[(h % m_bits) >> 3] & (1 << ((h % m_bits) & 7))
+                    for h in hcache[k]
+                )
+            except Exception:
+                hit = True  # malformed entry: keep the file
+            if hit:
+                keep.append(f)
+        return keep
+
     # -------------------------------------------------------------- reading
     def read(
         self,
@@ -1232,6 +1364,10 @@ class LocalSnapshotSink(SnapshotSink):
             # holds no row of this key
             base = self._prune_by_key_stats(m, base, key_eq)
             deltas = self._prune_by_key_stats(m, deltas, key_eq)
+            # bloom sidecars cover what sorting does not: consolidated
+            # deltas and hash-mode bases (compact(bloom=True))
+            base = self._prune_by_blooms(spark, m, base, key_eq)
+            deltas = self._prune_by_blooms(spark, m, deltas, key_eq)
         df = self._read_files(spark, base + deltas, schema)
         if key_eq is not None:
             # before the MoR reduction: the predicate is on a grouping key,
@@ -2355,8 +2491,18 @@ class LocalSnapshotSink(SnapshotSink):
         local: bool | None = None,
         purge_tombstones_before=None,
         cluster_by: list[str] | None = None,
+        bloom: bool = False,
     ) -> dict[str, Any]:
         """Fold delta files into base files for the given (or all) buckets.
+
+        ``bloom=True`` records a per-file bloom of the leading key for
+        this fold's output files (see :meth:`key_blooms`): point lookups
+        (``read(key_eq=...)`` / :meth:`lookup`) then skip files the key
+        provably is not in -- covering the files key-range stats cannot
+        (minor-consolidated deltas and unsorted hash-mode bases).  Cost:
+        one extra column-pruned pass over the output + a bitmap blob per
+        file (~2 bytes/key); files above 65536 rows are skipped (their
+        bitmap cost outweighs the skip -- sort them instead).
 
         ``cluster_by`` ([numeric/timestamp/date payload columns]):
         Z-ORDER the fold output -- each column is quantile-bucketed into
@@ -2439,6 +2585,13 @@ class LocalSnapshotSink(SnapshotSink):
                 cur["num_buckets"],
                 schema,
             )
+            new_blooms = (
+                self._collect_key_blooms(
+                    spark, [f for fs in written.values() for f in fs]
+                )
+                if bloom
+                else {}
+            )
             # commit via consumed-file subtraction against the LATEST
             # manifest: delta files appended by concurrent streams during
             # this consolidation survive untouched (MoR maintenance
@@ -2476,6 +2629,17 @@ class LocalSnapshotSink(SnapshotSink):
                         "minor_compacted_files": len(delta_files),
                     },
                 }
+                # blooms: trim the consumed files' entries, add this
+                # consolidation's outputs (files are immutable, surviving
+                # entries stay valid verbatim)
+                bl = dict(self.key_blooms(latest))
+                if bl or new_blooms:
+                    bl = {f: v for f, v in bl.items() if f not in consumed}
+                    bl.update(new_blooms)
+                if bl:
+                    manifest["key_blooms"] = self._pack_blob(bl)
+                else:
+                    manifest.pop("key_blooms", None)
                 # maintenance commits carry no change set (read_changes
                 # skips them anyway; keep the manifest honest)
                 manifest.pop("change_files", None)
@@ -2619,6 +2783,13 @@ class LocalSnapshotSink(SnapshotSink):
             if cluster_by
             else {}
         )
+        new_blooms = (
+            self._collect_key_blooms(
+                spark, [f for fs in written.values() for f in fs]
+            )
+            if bloom
+            else {}
+        )
         consumed = set(delta_files)
         with self._commit_lock():
             latest = self.manifest()
@@ -2677,6 +2848,10 @@ class LocalSnapshotSink(SnapshotSink):
             if cs or new_col_stats:
                 cs = {f: v for f, v in cs.items() if f not in replaced}
                 cs.update(new_col_stats)
+            bl = dict(self.key_blooms(latest))
+            if bl or new_blooms:
+                bl = {f: v for f, v in bl.items() if f not in replaced}
+                bl.update(new_blooms)
             manifest = {
                 **latest,
                 "snapshot_id": sid,
@@ -2696,6 +2871,10 @@ class LocalSnapshotSink(SnapshotSink):
                 manifest["col_stats"] = self._pack_key_stats(cs)
             else:
                 manifest.pop("col_stats", None)
+            if bl:
+                manifest["key_blooms"] = self._pack_blob(bl)
+            else:
+                manifest.pop("key_blooms", None)
             manifest.pop("change_files", None)
             manifest.pop("ts_stats_new", None)
             self._commit(manifest)
@@ -2810,6 +2989,7 @@ class LocalSnapshotSink(SnapshotSink):
             else:
                 manifest.pop("key_stats", None)
             manifest.pop("col_stats", None)  # rewrite output is not z-ordered
+            manifest.pop("key_blooms", None)  # every bloom'd file was replaced
             manifest.pop("change_files", None)
             manifest.pop("ts_stats_new", None)
             self._commit(manifest)
