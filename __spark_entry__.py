@@ -626,6 +626,48 @@ def _q_zorder_slab_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type", "event_id", "value")
 
 
+def _q_metadata_count_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only count(*) through the real sink, ORACLE-CHECKED:
+    replay the events changelog, major-compact, then answer the live row
+    count from manifest statistics alone -- ``count_rows()`` is called
+    with NO SparkSession, so a scan is impossible by construction (the
+    Iceberg count-from-manifests shape: per-bucket footer row counts
+    minus recorded tombstone winners, validated by a file-list
+    signature).  The oracle is DuckDB's count of the last-writer-wins
+    non-deleted state.  (Reference analog: inventory/list counts,
+    /root/reference/src/fetchez/hooks/builtins/inventory.py.)"""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-count-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"],
+        base_schema=payload, compact_every=10**9,
+    )
+    for i in range(3):
+        sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_token=f"replay-{i}")
+    sink.compact(spark)
+    n = sink.count_rows()  # spark=None: manifest-only, no job possible
+    return spark.createDataFrame([(n,)], "n_live bigint")
+
+
 def _q_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance through the real engine,
     ORACLE-CHECKED: replay the events changelog into the snapshot sink in
@@ -1382,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where_purge": _q_delete_where_purge,
         "cdc_changes_window": _q_cdc_changes_window,
         "zorder_slab_read": _q_zorder_slab_read,
+        "metadata_count_read": _q_metadata_count_read,
         "incremental_matview": _q_incremental_matview,
         "time_travel_read": _q_time_travel_read,
         "dry_run": _q_dry_run,
@@ -1512,6 +1555,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 AND event_type <> 'error'
               AND ts >= TIMESTAMP '2024-01-02 00:00:00'
               AND value >= 2.0 AND value <= 9.0
+        """,
+        # metadata-only count: live keys = LWW winners that are not deletes
+        "metadata_count_read": """
+            SELECT count(*) AS n_live FROM (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn = 1 AND event_type <> 'error'
         """,
         # typed change-data-feed: net change per key of phases 1-2 vs the
         # live state after phase 0, classified insert/update/delete; a key

@@ -212,3 +212,17 @@ def purge_tombstones(spark: SparkSession, table_dir: str, before=None) -> dict[s
     from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
     return LocalSnapshotSink(table_dir).purge_tombstones(spark, before=before)
+
+
+def count_rows(
+    table_dir: str,
+    spark: SparkSession | None = None,
+    snapshot_id: str | None = None,
+) -> int:
+    """Live row count, metadata-only where possible (see
+    LocalSnapshotSink.count_rows): a fully compacted table answers from
+    manifest statistics with NO Spark job; buckets with pending deltas
+    fall back to a bucket-pruned scan (requires ``spark``)."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).count_rows(spark, snapshot_id=snapshot_id)

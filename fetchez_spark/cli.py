@@ -232,6 +232,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="stop --follow after this many seconds")
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
+        "count", help="live row count (metadata-only on a compacted table)"
+    )
+    p.add_argument("table_dir")
+    p.add_argument("--snapshot", default=None, help="count as of this snapshot")
+    p.add_argument("--scan", action="store_true",
+                   help="allow a bucket-pruned scan fallback for buckets "
+                        "that are not metadata-answerable (starts Spark)")
+    p.add_argument("--cores", type=int, default=4)
+    p = sub.add_parser(
         "changes", help="incremental scan: rows merged after a snapshot"
     )
     p.add_argument("table_dir")
@@ -487,6 +496,22 @@ def main(argv: list[str] | None = None) -> int:
             out["sync"] = mirror.sync_once(spark)
         out["applied"] = mirror.last_applied()
         print(json.dumps(out, default=str))
+        return 0
+    if args.cmd == "count":
+        from fetchez_spark import api
+
+        try:
+            n = api.count_rows(args.table_dir, snapshot_id=args.snapshot)
+            print(json.dumps({"rows": n, "metadata_only": True}))
+            return 0
+        except ValueError:
+            if not args.scan:
+                raise
+        from fetchez_spark.session import get_spark
+
+        spark = get_spark(app_name="fetchez-count", master=f"local[{args.cores}]")
+        n = api.count_rows(args.table_dir, spark, snapshot_id=args.snapshot)
+        print(json.dumps({"rows": n, "metadata_only": False}))
         return 0
     if args.cmd == "changes":
         from fetchez_spark import api

@@ -92,7 +92,7 @@ INTERNAL_COLUMNS = (INTERNAL_SEQ, INTERNAL_DELETED, INTERNAL_SRC)
 # snapshot expiry keeps alive: table-resident catalog state
 CATALOG_KEYS = (
     "index", "ann_index", "key_stats", "col_stats", "key_blooms",
-    "matview_def", "mirror_def",
+    "bucket_rows", "matview_def", "mirror_def",
 )
 
 _TOKEN_RE = re.compile(r"^(.*?)(\d+)$")
@@ -1254,6 +1254,117 @@ class LocalSnapshotSink(SnapshotSink):
             *[F.xxhash64(F.col(k0), F.lit(i)).alias(f"h{i}") for i in range(k)]
         ).collect()[0]
         return [row[f"h{i}"] for i in range(k)]
+
+    # ------------------------------------------------ metadata row counts
+    # manifest["bucket_rows"] = {bucket: {"rows", "dead", "sig"}} recorded
+    # by major compaction for the buckets it folds.  "sig" fingerprints
+    # the bucket's base file list, so an entry self-invalidates the
+    # moment ANY rewrite (CoW merge, rebucket, another fold) changes the
+    # bucket -- no writer-side invalidation protocol needed.  A bucket's
+    # entry answers count() when the bucket has no pending deltas (its
+    # base then holds exactly the per-key winners): live = rows - dead.
+    # The Iceberg "SELECT count(*) from manifests" shape.
+    @staticmethod
+    def _bucket_sig(files: list[str]) -> str:
+        import hashlib
+
+        names = "\n".join(sorted(os.path.basename(f) for f in files))
+        return hashlib.sha256(names.encode()).hexdigest()[:16]
+
+    def _collect_bucket_rows(
+        self, spark: SparkSession, written: dict[str, list[str]]
+    ) -> dict[str, dict]:
+        """Per-bucket {rows, dead, sig} for just-written base files.  Row
+        counts come from parquet footers (driver-side, free); tombstone
+        counts need ONE boolean-pruned job, run only over files whose
+        footer says they MAY hold tombstones (usually none)."""
+        import pyarrow.parquet as pq
+
+        rows_by_bucket: dict[str, int] = {}
+        may_dead: list[str] = []
+        file_bucket: dict[str, str] = {}
+        for b, fs in written.items():
+            total = 0
+            for f in fs:
+                try:
+                    md = pq.ParquetFile(f).metadata
+                except Exception:
+                    total = -1
+                    break
+                total += md.num_rows
+                file_bucket[f] = b
+                if self._footer_ts_dead(f)[2]:
+                    may_dead.append(f)
+            if total >= 0:
+                rows_by_bucket[b] = total
+        dead_by_bucket: dict[str, int] = {}
+        may_dead = [f for f in may_dead if file_bucket[f] in rows_by_bucket]
+        if may_dead:
+            from urllib.parse import unquote, urlparse
+
+            counts = (
+                spark.read.parquet(*may_dead)
+                .filter(F.col(INTERNAL_DELETED))
+                .groupBy(F.input_file_name().alias("_f"))
+                .count()
+                .collect()
+            )
+            for r in counts:
+                p = r["_f"]
+                if "://" in p:
+                    p = unquote(urlparse(p).path)
+                b = file_bucket.get(p)
+                if b is not None:
+                    dead_by_bucket[b] = dead_by_bucket.get(b, 0) + int(r["count"])
+        return {
+            b: {
+                "rows": n,
+                "dead": dead_by_bucket.get(b, 0),
+                "sig": self._bucket_sig(written.get(b, [])),
+            }
+            for b, n in rows_by_bucket.items()
+        }
+
+    def count_rows(
+        self, spark: SparkSession | None = None, snapshot_id: str | None = None
+    ) -> int:
+        """Live row count (non-tombstone winners -- exactly
+        ``read(spark).count()``), answered from manifest statistics where
+        possible.  A bucket counts from metadata when it has no pending
+        deltas AND its recorded stats signature matches its current file
+        list; remaining buckets fall back to a bucket-pruned scan.  With
+        ``spark=None`` the count must be FULLY metadata-answerable (the
+        normal state of a compacted table) or ValueError names the
+        buckets that are not."""
+        m = self.manifest(snapshot_id)
+        base_map, delta_map = m["files"], m.get("deltas", {})
+        br = m.get("bucket_rows", {})
+        flat = self._resolve_list(delta_map.get(_FLAT, []))
+        buckets = sorted(set(base_map) | set(delta_map) - {_FLAT})
+        total = 0
+        scan: list[int] = []
+        for b in buckets:
+            entry = br.get(b)
+            bfiles = self._resolve_list(base_map.get(b, []))
+            deltas = self._resolve_list(delta_map.get(b, []))
+            if (
+                not flat
+                and not deltas
+                and entry
+                and entry.get("sig") == self._bucket_sig(bfiles)
+            ):
+                total += int(entry["rows"]) - int(entry["dead"])
+            else:
+                scan.append(int(b))
+        if scan:
+            if spark is None:
+                raise ValueError(
+                    f"count is not metadata-answerable for buckets {scan[:8]}"
+                    f"{'...' if len(scan) > 8 else ''} (pending deltas or no "
+                    "stats); pass a SparkSession to scan them, or compact"
+                )
+            total += self.read(spark, snapshot_id=snapshot_id, buckets=scan).count()
+        return total
 
     def _prune_by_blooms(
         self, spark: SparkSession, m: dict, files: list[str], value
@@ -2790,6 +2901,10 @@ class LocalSnapshotSink(SnapshotSink):
             if bloom
             else {}
         )
+        # per-bucket row/tombstone counts for metadata-only count():
+        # footer rows are free, the tombstone job runs only over files
+        # whose footer admits tombstones
+        new_bucket_rows = self._collect_bucket_rows(spark, written)
         consumed = set(delta_files)
         with self._commit_lock():
             latest = self.manifest()
@@ -2852,6 +2967,10 @@ class LocalSnapshotSink(SnapshotSink):
             if bl or new_blooms:
                 bl = {f: v for f, v in bl.items() if f not in replaced}
                 bl.update(new_blooms)
+            brm = dict(latest.get("bucket_rows") or {})
+            for b in todo:
+                brm.pop(b, None)
+            brm.update(new_bucket_rows)
             manifest = {
                 **latest,
                 "snapshot_id": sid,
@@ -2875,6 +2994,10 @@ class LocalSnapshotSink(SnapshotSink):
                 manifest["key_blooms"] = self._pack_blob(bl)
             else:
                 manifest.pop("key_blooms", None)
+            if brm:
+                manifest["bucket_rows"] = brm
+            else:
+                manifest.pop("bucket_rows", None)
             manifest.pop("change_files", None)
             manifest.pop("ts_stats_new", None)
             self._commit(manifest)
@@ -2990,6 +3113,7 @@ class LocalSnapshotSink(SnapshotSink):
                 manifest.pop("key_stats", None)
             manifest.pop("col_stats", None)  # rewrite output is not z-ordered
             manifest.pop("key_blooms", None)  # every bloom'd file was replaced
+            manifest.pop("bucket_rows", None)  # bucket ids renumbered
             manifest.pop("change_files", None)
             manifest.pop("ts_stats_new", None)
             self._commit(manifest)
