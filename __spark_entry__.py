@@ -536,6 +536,136 @@ def _q_delete_where_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select("user_id", "event_type", "event_id", "value")
 
 
+def _q_update_where_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level predicate UPDATE through the real sink, ORACLE-CHECKED:
+    replay two-thirds of the events changelog, patch every visible
+    'click' winner (``update_where`` -- one merge commit of synthesized
+    upsert events carrying the winner's payload with the SET assignments
+    applied, at the winner's ts with ``_seq + 1``), then replay the LAST
+    third so genuinely newer change events beat the patch where they
+    exist.  The oracle replays the identical algebra relationally: LWW
+    over phases 0-1, derive the patch rows, union with the full log, LWW
+    again -- an UPDATE is a change event, not a barrier.  (Reference
+    analog: entry re-fetch with rewritten metadata,
+    /root/reference/src/fetchez/core.py:557-562.)"""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-update-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    for i in (0, 1):
+        sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_token=f"replay-{i}")
+    sink.update_where(spark, "event_type = 'click'", {"value": "value * 2 + 1"})
+    sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == 2), batch_token="replay-2")
+    return sink.read(spark).select("user_id", "event_type", "event_id", "value")
+
+
+def _q_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time expectations through the real sink, ORACLE-CHECKED: a
+    drop-action expectation (``value <= 100``) gates the merge, so
+    violating CHANGE EVENTS never enter the table -- the final state is
+    the LWW reduction of the FILTERED log (a clean older event stays
+    visible when a later violating event is rejected; the oracle filters
+    the log first, then reduces).  The Delta-Live-Tables-shaped quality
+    gate at the commit boundary.  (Reference analog: per-entry status
+    validation in the audit hook, hooks/builtins/metadata/audit.py:23-81.)"""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-expect-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"),
+        num_buckets=8,
+        key=["user_id"],
+        base_schema=payload,
+        expectations=[("value_cap", "value <= 100", "drop")],
+    )
+    for i in range(2):
+        sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(2)) == i), batch_token=f"replay-{i}")
+    return sink.read(spark).select("user_id", "event_type", "event_id", "value")
+
+
+def _q_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column rename mid-replay, ORACLE-CHECKED: merge the
+    even-seq half of the changelog, ``rename_column("value", "amount")``
+    (one manifest commit, zero data movement -- old files keep the
+    physical name), then merge the odd half speaking the NEW name.  The
+    final state must equal the plain LWW reduction of the WHOLE log with
+    the column aliased -- i.e. the rename is invisible to the data.
+    (Reference analog: the rename hook,
+    /root/reference/src/fetchez/hooks/builtins/strip/rename.py, lifted
+    from per-fetch field rewriting to table-level schema evolution.)"""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-rename-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(2)) == 0), batch_token="replay-0")
+    sink.rename_column("value", "amount")
+    sink.merge(
+        env.filter(F.pmod(F.col("seq"), F.lit(2)) == 1).withColumnRenamed(
+            "value", "amount"
+        ),
+        batch_token="replay-1",
+    )
+    return sink.read(spark).select("user_id", "event_type", "event_id", "amount")
+
+
 def _q_cdc_changes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time-windowed incremental scan through the real sink,
     ORACLE-CHECKED: replay the events changelog in three commits, then
@@ -1369,6 +1499,43 @@ def _q_pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (the step between curation and the
+    trainer): hash-shard documents, order by id within the shard, and bin
+    by exclusive cumulative token count / budget -- streaming first-fit,
+    deterministic, ONE shuffle (the shard window).  At 100 TB the shard
+    count scales out horizontally (each window is shard-local; no global
+    sort); the oracle mirrors the identical SUM-OVER window algebra."""
+    from fetchez_spark.functions.text import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(d, "doc_id", "text", budget=200, num_shards=16)
+    return packed.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("pack").cast("long").alias("pack"),
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (per-language rates: 'en'
+    kept at 50%, the rest at 20%): keep a row iff the first 4 hex chars
+    of md5(doc_id) sort below the stratum's rate threshold.  Pure codegen
+    filter -- no shuffle, no RNG state, reproducible across runs and
+    cluster sizes, and engine-portable (the oracle applies the identical
+    md5-hex comparison)."""
+    from fetchez_spark.functions.text import rate_threshold, sample_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    th = F.when(
+        F.col("lang") == "en", F.lit(rate_threshold(0.5))
+    ).otherwise(F.lit(rate_threshold(0.2)))
+    return d.filter(sample_bucket(F.col("doc_id")) < th).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def _q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel through the real sink, ORACLE-CHECKED: merge
     the even-id half of the changelog (snapshot A), then the odd half,
@@ -1422,6 +1589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mirror_replica": _q_cdc_mirror_replica,
         "cdc_change_feed": _q_cdc_change_feed,
         "delete_where_purge": _q_delete_where_purge,
+        "update_where_patch": _q_update_where_patch,
+        "expectations_gate": _q_expectations_gate,
+        "rename_evolution": _q_rename_evolution,
         "cdc_changes_window": _q_cdc_changes_window,
         "zorder_slab_read": _q_zorder_slab_read,
         "metadata_count_read": _q_metadata_count_read,
@@ -1458,6 +1628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngrams": _q_decontaminate_ngrams,
         "repetition_stats": _q_repetition_stats,
         "pii_redact_stats": _q_pii_redact_stats,
+        "sequence_packing": _q_sequence_packing,
+        "stratified_sample": _q_stratified_sample,
         "multimodal_binary_meta": _q_multimodal_binary_meta,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "minhash_portable": _q_minhash_portable,
@@ -1533,6 +1705,58 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) WHERE rn = 1 AND event_type NOT IN ('error', 'signup')
+        """,
+        # predicate update: the engine's tombstone-free patch path -- LWW
+        # over phases 0-1, patch matching winners at (ts, seq+1), union
+        # with the FULL log, LWW again; newer phase-2 events beat the
+        # patch, older ones lose to it
+        "update_where_patch": """
+            WITH env AS (
+              SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS del,
+                     user_id, event_type, event_id, value, ts,
+                     event_id AS seq
+              FROM events),
+            w01 AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts DESC, seq DESC) AS rn
+                FROM env WHERE seq % 3 < 2)
+              WHERE rn = 1 AND del = 0),
+            patch AS (
+              SELECT 0 AS del, user_id, event_type, event_id,
+                     value * 2 + 1 AS value, ts, seq + 1 AS seq
+              FROM w01 WHERE event_type = 'click'),
+            allv AS (
+              SELECT del, user_id, event_type, event_id, value, ts, seq FROM env
+              UNION ALL
+              SELECT del, user_id, event_type, event_id, value, ts, seq FROM patch)
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, seq DESC) AS rn
+              FROM allv)
+            WHERE rn = 1 AND del = 0
+        """,
+        # metadata-only rename mid-replay: invisible to the data -- final
+        # state is the LWW reduction of the whole log, column aliased
+        "rename_evolution": """
+            SELECT user_id, event_type, event_id, amount FROM (
+              SELECT user_id, event_type, event_id, value AS amount,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # write-time expectations: violating CHANGE EVENTS never enter the
+        # table, so the final state is the LWW reduction of the filtered
+        # log (filter FIRST, then reduce -- a dropped later event leaves
+        # the clean older winner visible)
+        "expectations_gate": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE value <= 100)
+            WHERE rn = 1 AND event_type <> 'error'
         """,
         # event-time-windowed incremental scan: every non-tombstone change
         # row in the window, exactly once (footer file skipping is a pure
@@ -1827,6 +2051,30 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(props, '[0-9]+')) AS n_digit_runs,
                    regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted
             FROM events
+        """,
+        # sequence packing: identical SUM-OVER window algebra -- exclusive
+        # cumulative token count within the (shard, doc_id) order, binned
+        # by the token budget
+        "sequence_packing": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(doc_id % 16 AS INTEGER) AS shard,
+                     CAST(len(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents)
+            SELECT doc_id, shard, n_tokens,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                          PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) / 200) AS BIGINT) AS pack
+            FROM t
+        """,
+        # stratified sampling: the identical md5-hex threshold comparison
+        # ('en' kept below '8000' = 50%, the rest below '3333' = 20%)
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE WHEN lang = 'en' THEN '8000' ELSE '3333' END
         """,
         "time_travel_read": """
             SELECT user_id, event_type, event_id, value FROM (

@@ -205,6 +205,17 @@ def delete_where(spark: SparkSession, table_dir: str, condition) -> dict[str, An
     return LocalSnapshotSink(table_dir).delete_where(spark, condition)
 
 
+def update_where(
+    spark: SparkSession, table_dir: str, condition, set: dict[str, Any]
+) -> dict[str, Any]:
+    """Predicate-update facade: patch every visible key whose winner row
+    matches ``condition`` with the ``set`` assignments ({col: SQL expr})
+    in one merge commit (see LocalSnapshotSink.update_where)."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).update_where(spark, condition, set)
+
+
 def purge_tombstones(spark: SparkSession, table_dir: str, before=None) -> dict[str, Any]:
     """Physical tombstone GC facade (GDPR erasure step 2): rewrite only
     the buckets whose parquet footer stats admit a tombstone older than
@@ -212,6 +223,22 @@ def purge_tombstones(spark: SparkSession, table_dir: str, before=None) -> dict[s
     from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
     return LocalSnapshotSink(table_dir).purge_tombstones(spark, before=before)
+
+
+def rename_column(table_dir: str, old: str, new: str) -> dict[str, Any]:
+    """Metadata-only column rename (zero data movement; see
+    LocalSnapshotSink.rename_column)."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).rename_column(old, new)
+
+
+def read_quarantine(spark: SparkSession, table_dir: str):
+    """Rows quarantined by write-time expectations, with ``_violations``
+    and ``_batch_token`` (see LocalSnapshotSink.read_quarantine)."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).read_quarantine(spark)
 
 
 def count_rows(

@@ -177,6 +177,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="physically drop tombstones older than this ISO "
                         "timestamp; buckets selected by parquet footer stats "
                         "(GDPR erasure step 2 / the VACUUM-of-deletes analog)")
+    p.add_argument("--update-where", default=None, metavar="SQL_PREDICATE",
+                   help="patch every visible key whose winner row matches the "
+                        "predicate with the --set assignments (one merge "
+                        "commit; row-level UPDATE as a change event)")
+    p.add_argument("--set", action="append", default=[], metavar="COL=SQL_EXPR",
+                   dest="set_assignments",
+                   help="assignment for --update-where (repeatable); the "
+                        "expression is evaluated over the winner row")
+    p.add_argument("--rename-column", default=None, metavar="OLD=NEW",
+                   help="rename a payload column, metadata-only (zero data "
+                        "movement; reads/merges/predicates speak the new "
+                        "name from this snapshot on)")
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
         "branch", help="WAP branches: create / publish / drop / list"
@@ -384,11 +396,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.rollback:
             sink.rollback(args.rollback)
             out["rolled_back_to"] = args.rollback
+        if args.rename_column:
+            old, _, new = args.rename_column.partition("=")
+            if not new:
+                print("--rename-column wants OLD=NEW", file=sys.stderr)
+                return 1
+            out["rename_column"] = sink.rename_column(old, new)
         needs_spark = (
             args.compact
             or args.minor
             or args.rebucket is not None
             or args.delete_where
+            or args.update_where
             or args.purge_tombstones
         )
         if needs_spark:
@@ -403,6 +422,17 @@ def main(argv: list[str] | None = None) -> int:
                 )
             if args.delete_where:
                 out["delete_where"] = sink.delete_where(spark, args.delete_where)
+            if args.update_where:
+                if not args.set_assignments:
+                    print("--update-where needs at least one --set COL=EXPR",
+                          file=sys.stderr)
+                    return 1
+                assigns = dict(
+                    kv.partition("=")[::2] for kv in args.set_assignments
+                )
+                out["update_where"] = sink.update_where(
+                    spark, args.update_where, assigns
+                )
             if args.minor:
                 out["minor_compact"] = sink.compact(
                     spark, minor=True, bloom=args.bloom

@@ -80,6 +80,81 @@ def shingles(col: Column | str, k: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(k))))
 
 
+def sample_bucket(col: Column | str, nibbles: int = 4) -> Column:
+    """Deterministic, engine-portable sampling bucket: the first
+    ``nibbles`` lowercase hex chars of md5(value-as-string).  Uniform over
+    the 16^nibbles hex space, so lexicographic comparison against a hex
+    threshold implements rate-based sampling identically in Spark and any
+    SQL engine with md5 (keep row <=> bucket < hex(rate * 16^nibbles)).
+    Stable across runs, sessions, and cluster sizes -- the property a
+    reproducible training-data pipeline needs from its sampler."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(c.cast("string")), 1, nibbles)
+
+
+def rate_threshold(rate: float, nibbles: int = 4) -> str:
+    """Hex threshold for :func:`sample_bucket`: rows whose bucket sorts
+    below it are kept with probability ~``rate`` (exact to 16^-nibbles).
+    rate=1.0 returns 'g', which sorts above every hex bucket (keep all)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    n = int(rate * (16**nibbles))
+    if n >= 16**nibbles:
+        return "g"  # > 'f...f': keeps every bucket
+    return format(n, f"0{nibbles}x")
+
+
+def pack_id(
+    order_col: Column | str, token_count_col: Column | str, budget: int
+) -> Column:
+    """Training-sequence packing id WITHIN an ordered partition: documents
+    are binned by EXCLUSIVE running token count / budget (a doc whose
+    tokens would cross the boundary starts in the bin it begins in; bins
+    overflow by at most one document -- the standard streaming first-fit
+    used when exact bin packing isn't worth a shuffle).  Use inside a
+    ``Window.partitionBy(shard).orderBy(order_col)`` via ``F.sum(...)
+    .over(w)``; this helper builds the full expression.  Deterministic
+    and SQL-expressible (SUM OVER ROWS UNBOUNDED PRECEDING), so the
+    oracle can mirror it; the shard partitioning keeps every window
+    corpus-shard-local at 100 TB (no global sort)."""
+    from pyspark.sql import Window
+
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    tc = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    )
+    w = (
+        Window.partitionBy("_pack_shard")
+        .orderBy(oc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(tc).over(w), F.lit(0))
+    return F.floor(cum_excl / F.lit(budget)).cast("long")
+
+
+def pack_sequences(
+    df,
+    id_col: str,
+    text_col: str = "text",
+    budget: int = 512,
+    num_shards: int = 64,
+):
+    """Assign each document a (shard, pack) training-sequence slot: hash-
+    shard by id (``pmod`` -- portable), order by id within the shard, bin
+    by exclusive cumulative whitespace-token count / ``budget``.  Returns
+    the input plus ``n_tokens``, ``shard``, ``pack``.  One shuffle
+    (the shard window); shard count bounds per-task state, so the
+    operator scales horizontally -- raise ``num_shards`` with the corpus,
+    never the window width."""
+    out = df.withColumn("n_tokens", token_count(text_col)).withColumn(
+        "_pack_shard", F.pmod(F.col(id_col), F.lit(num_shards)).cast("int")
+    )
+    out = out.withColumn("pack", pack_id(id_col, "n_tokens", budget))
+    return out.withColumnRenamed("_pack_shard", "shard")
+
+
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Word n-gram list (space-joined, NOT distinct; order preserved).
 

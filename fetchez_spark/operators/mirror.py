@@ -112,7 +112,8 @@ class TableMirror:
             # pre-delete replay into the TARGET must still lose)
             events = self._to_events(
                 self.source.read(
-                    spark, snapshot_id=to, include_internal=True, include_deleted=True
+                    spark, snapshot_id=to, include_internal=True,
+                    include_deleted=True, logical=False,
                 )
             )
             mode = "snapshot"
@@ -127,8 +128,16 @@ class TableMirror:
                 # retention was outlived, resync from current state
                 return self._resync(spark, to)
         res = self.target.merge(
-            events, batch_token=f"mirror-{_snap_num(to)}", offsets={"upstream": to}
+            events, batch_token=f"mirror-{_snap_num(to)}",
+            offsets={"upstream": to}, physical_names=True,
         )
+        # adopt the source's column-rename map: the mirror ships the
+        # PHYSICAL layer, so the map is directly valid on the replica and
+        # the replica's read face matches the source's (idempotent --
+        # set_logical_names skips when already equal)
+        src_map = self.source.manifest(to).get("logical_names") or {}
+        if (self.target.manifest().get("logical_names") or {}) != src_map:
+            self.target.set_logical_names(src_map)
         return {
             "from": frm,
             "to": to,
@@ -139,7 +148,8 @@ class TableMirror:
 
     def _resync(self, spark: SparkSession, to: str) -> dict[str, Any]:
         src = self.source.read(
-            spark, snapshot_id=to, include_internal=True, include_deleted=True
+            spark, snapshot_id=to, include_internal=True, include_deleted=True,
+            logical=False,
         )
         events = self._to_events(src)
         key = list(self.target.key)
@@ -147,7 +157,7 @@ class TableMirror:
         # tombstone was compacted away): kill each with its own row's
         # (ts, _seq + 1) -- beats the stored row deterministically under
         # LWW without inventing a wall-clock instant
-        tgt = self.target.read(spark, include_internal=True)
+        tgt = self.target.read(spark, include_internal=True, logical=False)
         src_keys = src.select(*[F.col(k).alias(f"__mk_{k}") for k in key]).dropDuplicates()
         cond = None
         for k in key:
@@ -164,7 +174,11 @@ class TableMirror:
             events.unionByName(gone, allowMissingColumns=True),
             batch_token=f"mirror-{_snap_num(to)}",
             offsets={"upstream": to},
+            physical_names=True,
         )
+        src_map = self.source.manifest(to).get("logical_names") or {}
+        if (self.target.manifest().get("logical_names") or {}) != src_map:
+            self.target.set_logical_names(src_map)
         return {
             "from": "<resync>",
             "to": to,

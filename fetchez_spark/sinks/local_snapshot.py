@@ -93,6 +93,9 @@ INTERNAL_COLUMNS = (INTERNAL_SEQ, INTERNAL_DELETED, INTERNAL_SRC)
 CATALOG_KEYS = (
     "index", "ann_index", "key_stats", "col_stats", "key_blooms",
     "bucket_rows", "matview_def", "mirror_def",
+    # column-rename indirection (physical -> logical), carried forward
+    # by every commit like the other catalog payloads
+    "logical_names",
 )
 
 _TOKEN_RE = re.compile(r"^(.*?)(\d+)$")
@@ -119,6 +122,13 @@ class ConcurrentWriteConflict(RuntimeError):
     """A concurrent commit changed state this commit cannot be reconciled
     with (CoW bucket rewrites, racing major compactions).  MoR appends and
     delta consolidations never raise this -- they reconcile."""
+
+
+class ExpectationFailed(RuntimeError):
+    """A merge batch violated an expectation whose action is ``fail``.
+    Raised BEFORE the manifest commit -- the table state is unchanged
+    (the already-written uncommitted delta files are removed best-effort;
+    ``vacuum_orphans`` covers the rest)."""
 
 
 def _coerce_scalar(v):
@@ -227,6 +237,7 @@ class LocalSnapshotSink(SnapshotSink):
         compact_bucket_local: bool = False,
         branch: str = "main",
         tombstone_retention_seconds: float | None = None,
+        expectations: list[tuple[str, str, str]] | None = None,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -342,6 +353,28 @@ class LocalSnapshotSink(SnapshotSink):
         # None = keep tombstones forever (default; time travel and
         # change feeds see them regardless via their own snapshots).
         self.tombstone_retention_seconds = tombstone_retention_seconds
+        # expectations: WRITE-TIME data-quality constraints, the Delta
+        # Live Tables / Iceberg-write-validation analog.  Each is
+        # (name, sql_condition, action); a row VIOLATES when the condition
+        # is false or null.  Actions:
+        #   fail       -- abort the whole commit (ExpectationFailed) before
+        #                 the manifest swap; the table never sees the batch;
+        #   drop       -- silently exclude violating rows (counted);
+        #   quarantine -- exclude violating rows AND persist them with the
+        #                 violated-expectation names to the table's
+        #                 quarantine area (read_quarantine) for triage.
+        # Cost model: fail/drop ride the existing merge Observation (zero
+        # extra passes); quarantine adds ONE extra job over violating rows
+        # only, and only on batches that actually violate.
+        self.expectations = []
+        for exp in expectations or []:
+            name, cond, action = exp
+            if action not in ("fail", "drop", "quarantine"):
+                raise ValueError(
+                    f"expectation {name!r}: action must be fail/drop/"
+                    f"quarantine, got {action!r}"
+                )
+            self.expectations.append((str(name), cond, action))
         # immutable content-addressed file-list blobs -> safe to cache
         self._list_cache: dict[str, list[str]] = {}
         os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
@@ -1409,6 +1442,7 @@ class LocalSnapshotSink(SnapshotSink):
         include_deleted: bool = False,
         key_in: DataFrame | None = None,
         range_hints: dict | None = None,
+        logical: bool = True,
     ) -> DataFrame:
         """``key_eq``: leading-key point-read hint.  Base files whose
         recorded key range (see :meth:`key_stats`) excludes the value are
@@ -1441,6 +1475,17 @@ class LocalSnapshotSink(SnapshotSink):
         + broadcast filter instead of a full-table dedup shuffle."""
         m = self.manifest(snapshot_id)
         schema = T.StructType.fromJson(m["schema"])
+        lmap = m.get("logical_names") or {}
+        if lmap:
+            # parameters arrive in LOGICAL names; the scan below runs in
+            # physical space (files never change names)
+            rev = {l: p for p, l in lmap.items() if l != p}
+            if range_hints:
+                range_hints = {rev.get(c, c): v for c, v in range_hints.items()}
+            if key_in is not None:
+                ren = {l: p for l, p in rev.items() if l in key_in.columns}
+                if ren:
+                    key_in = key_in.withColumnsRenamed(ren)
         base_map, delta_map = m["files"], m.get("deltas", {})
         keys = (
             [str(b) for b in buckets]
@@ -1519,7 +1564,150 @@ class LocalSnapshotSink(SnapshotSink):
                     df = df.filter(F.col(c) <= F.lit(coerce(hi)))
         if not include_internal:
             df = df.drop(*INTERNAL_COLUMNS)
+        if logical:
+            df = self._to_logical(df, m)
         return df
+
+    # ------------------------------------------------------- column renames
+    # Iceberg-grade rename WITHOUT rewriting a byte: data files keep their
+    # original (PHYSICAL) column names forever; the manifest carries a
+    # physical->logical map applied at the API boundary (read outputs,
+    # incoming merge batches, predicate parameters).  Time travel shows
+    # each snapshot under ITS OWN names (the map is per-manifest, carried
+    # forward like the other catalog payloads).
+    def _logical_map(self, m: dict | None = None) -> dict[str, str]:
+        return (m or self.manifest()).get("logical_names") or {}
+
+    def _to_logical(self, df: DataFrame, m: dict | None = None) -> DataFrame:
+        ren = {
+            p: l
+            for p, l in self._logical_map(m).items()
+            if p != l and p in df.columns
+        }
+        return df.withColumnsRenamed(ren) if ren else df
+
+    def _logical_name(self, physical: str, m: dict | None = None) -> str:
+        return self._logical_map(m).get(physical, physical)
+
+    def rename_column(self, old: str, new: str) -> dict[str, Any]:
+        """Rename a payload column -- METADATA-ONLY (one manifest commit,
+        zero data movement; the Iceberg ``RENAME COLUMN`` analog).  Old
+        files keep the physical name; reads, merges, predicates, and the
+        change feed all speak the new name from this snapshot on, and
+        time travel shows each snapshot under its own names.  ``ts``
+        cannot be renamed (it defines LWW ordering and the engine's
+        event-time surface); the OLD name becomes reserved -- a batch
+        reusing it for a NEW column is a loud error, never silent
+        corruption (see the merge guard).  Mirror replication ships the
+        PHYSICAL layer (``read_changes(include_internal=True)`` stays
+        physical) and the mirror adopts the source's rename map on sync,
+        so replicas stay coherent on both layers."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"invalid column name {new!r}")
+        if old == "ts" or new == "ts":
+            raise ValueError(
+                "'ts' cannot be renamed: it defines LWW ordering and the "
+                "engine's event-time surface (watermarks, windows, stats)"
+            )
+        with self._commit_lock():
+            latest = self.manifest()
+            schema = T.StructType.fromJson(latest["schema"])
+            lmap = dict(latest.get("logical_names") or {})
+            physicals = [
+                f.name for f in schema.fields if f.name not in INTERNAL_COLUMNS
+            ]
+            logical_now = {lmap.get(p, p): p for p in physicals}
+            if old not in logical_now:
+                raise ValueError(
+                    f"no column named {old!r} (columns: {sorted(logical_now)})"
+                )
+            if new in logical_now:
+                raise ValueError(f"column {new!r} already exists")
+            p = logical_now[old]
+            if new == p:
+                lmap.pop(p, None)  # renaming back to the own physical name
+            elif new in physicals:
+                # not a live logical name (checked above) but a physical
+                # one => it was renamed away earlier and is RESERVED
+                raise ValueError(
+                    f"{new!r} is reserved by an earlier rename (it is the "
+                    "physical name of a renamed column); pick another name"
+                )
+            else:
+                lmap[p] = new
+            sid = self._claim_sid(latest)
+            manifest = {
+                **latest,
+                "snapshot_id": sid,
+                "parent": latest["snapshot_id"],
+                "logical_names": lmap,
+                "stats": {
+                    "delta_commits": int(
+                        latest.get("stats", {}).get("delta_commits", 0)
+                    ),
+                    "renamed": [old, new],
+                },
+            }
+            # metadata-only commit: no change set of its own
+            manifest.pop("change_files", None)
+            manifest.pop("ts_stats_new", None)
+            self._commit(manifest)
+        return {"snapshot_id": sid, "renamed": {old: new}, "physical": p}
+
+    def set_logical_names(self, lmap: dict[str, str]) -> dict[str, Any]:
+        """Replace the physical->logical rename map wholesale (one
+        metadata commit).  Used by mirror replication to adopt the
+        source's renames -- the mirror ships the PHYSICAL layer, so the
+        source's map is directly valid on a replica.  Entries whose
+        physical column the table does not (yet) have are kept: they
+        become effective when the column arrives via schema evolution."""
+        with self._commit_lock():
+            latest = self.manifest()
+            if (latest.get("logical_names") or {}) == (lmap or {}):
+                return {"snapshot_id": latest["snapshot_id"], "skipped": True}
+            sid = self._claim_sid(latest)
+            manifest = {
+                **latest,
+                "snapshot_id": sid,
+                "parent": latest["snapshot_id"],
+                "logical_names": dict(lmap or {}),
+                "stats": {
+                    "delta_commits": int(
+                        latest.get("stats", {}).get("delta_commits", 0)
+                    ),
+                    "renamed": ["<adopted>", "<adopted>"],
+                },
+            }
+            manifest.pop("change_files", None)
+            manifest.pop("ts_stats_new", None)
+            self._commit(manifest)
+        return {"snapshot_id": sid, "logical_names": dict(lmap or {})}
+
+    def read_quarantine(self, spark: SparkSession) -> DataFrame:
+        """All rows quarantined by write-time expectations across commits,
+        each carrying the original change-event columns plus
+        ``_violations`` (the violated expectation names) and
+        ``_batch_token``.  Empty (zero-column-safe minimal schema) when
+        nothing was ever quarantined."""
+        qroot = os.path.join(self.table_dir, "quarantine")
+        subdirs = (
+            [os.path.join(qroot, d) for d in sorted(os.listdir(qroot))]
+            if os.path.isdir(qroot)
+            else []
+        )
+        if not subdirs:
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(
+                            "_violations", T.ArrayType(T.StringType()), True
+                        ),
+                        T.StructField("_batch_token", T.StringType(), True),
+                    ]
+                ),
+            )
+        return spark.read.option("mergeSchema", "true").parquet(*subdirs)
 
     def read_changes(
         self,
@@ -1585,7 +1773,13 @@ class LocalSnapshotSink(SnapshotSink):
         if ts_max is not None:
             df = df.filter(F.col("ts") <= F.lit(str(ts_max)).cast("timestamp"))
         if not include_internal:
-            df = df.filter(~F.col(INTERNAL_DELETED)).drop(*INTERNAL_COLUMNS)
+            # the public face speaks logical names; include_internal
+            # consumers (mirror replication, engine internals) stay
+            # PHYSICAL so replicas remain byte-coherent across renames
+            return self._to_logical(
+                df.filter(~F.col(INTERNAL_DELETED)).drop(*INTERNAL_COLUMNS),
+                self.manifest(to_snapshot),
+            )
         return df
 
     def _added_change_files(
@@ -1704,7 +1898,8 @@ class LocalSnapshotSink(SnapshotSink):
         joined on the key -- never a full-table diff."""
         to_snapshot = to_snapshot or self._version()
         added, buckets, _tss = self._added_change_files(from_snapshot, to_snapshot)
-        schema = T.StructType.fromJson(self.manifest(to_snapshot)["schema"])
+        m_to = self.manifest(to_snapshot)
+        schema = T.StructType.fromJson(m_to["schema"])
         changes = self._read_files(spark, sorted(set(added)), schema)
         net = dedup_latest(changes, key=self.key, order=["ts", INTERNAL_SEQ])
         payload_cols = [f.name for f in schema.fields if f.name not in INTERNAL_COLUMNS]
@@ -1718,6 +1913,7 @@ class LocalSnapshotSink(SnapshotSink):
             # changed BEFORE its LWW reduction: the dedup then shuffles
             # O(changed keys) rows, not the touched buckets' whole state
             key_in=net.select(*self.key),
+            logical=False,  # this whole join runs in physical space
         )
         pre_sel = pre.select(
             *[F.col(k) for k in self.key],
@@ -1727,7 +1923,11 @@ class LocalSnapshotSink(SnapshotSink):
             *(
                 [
                     F.struct(
-                        *[F.col(c) for c in payload_cols if c not in self.key]
+                        *[
+                            F.col(c).alias(self._logical_name(c, m_to))
+                            for c in payload_cols
+                            if c not in self.key
+                        ]
                     ).alias("_pre_image")
                 ]
                 if include_pre_image
@@ -1764,7 +1964,7 @@ class LocalSnapshotSink(SnapshotSink):
         order = payload_cols + ["_change_type"] + (
             ["_pre_image"] if include_pre_image else []
         )
-        return feed.select(*order)
+        return self._to_logical(feed.select(*order), m_to)
 
     def follow_changes(
         self,
@@ -1888,9 +2088,10 @@ class LocalSnapshotSink(SnapshotSink):
         (event time untouched) and ``_seq + 1`` so the tombstone beats the
         winner under the max-(ts,_seq) reduction deterministically, while
         any genuinely newer event still beats the tombstone."""
+        m = self.manifest()
         batch = victims.select(
             F.lit("D").alias("op"),
-            *[F.col(k) for k in self.key],
+            *[F.col(self._logical_name(k, m)) for k in self.key],
             F.col("ts"),
             (F.col(INTERNAL_SEQ) + F.lit(1)).alias("seq"),
         )
@@ -1898,6 +2099,96 @@ class LocalSnapshotSink(SnapshotSink):
         # per-prefix watermark map (it would otherwise grow unbounded
         # with single-use uuid prefixes)
         token = batch_token or f"delete-where-{uuid.uuid4().hex}x"
+        return self.merge(batch, batch_token=token)
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition,
+        set: dict[str, Any],
+        batch_token: str | None = None,
+    ) -> dict[str, Any]:
+        """Patch every CURRENTLY VISIBLE key whose winner row matches
+        ``condition``: synthesize upsert events carrying the winner's
+        payload with the ``set`` assignments applied ({col: SQL expr
+        string or Column}, evaluated over the winner row -- assignments
+        may reference any payload column).  The patch commits at the
+        winner's own ts with ``_seq + 1``, so it beats the winner under
+        the max-(ts,_seq) reduction deterministically while any genuinely
+        NEWER event still beats the patch -- an UPDATE is a change event,
+        not a barrier (same LWW contract as :meth:`delete_where`).  One
+        MoR read + one O(matching keys) merge commit; key columns and
+        ``ts`` cannot be assigned (they define identity and ordering).
+        (Reference analog: entry re-fetch with rewritten metadata,
+        /root/reference/src/fetchez/core.py:557-562, lifted to change-log
+        row patches.)"""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        winners = self.read(spark, include_internal=True).filter(cond)
+        return self._update_rows(winners, set, batch_token)
+
+    def update_keys(
+        self,
+        spark: SparkSession,
+        keys,
+        set: dict[str, Any],
+        batch_token: str | None = None,
+    ) -> dict[str, Any]:
+        """Patch an explicit key set (DataFrame of key columns or python
+        list of scalars/tuples) -- the read is key-restricted via a
+        broadcast semi-join BEFORE the MoR reduction (``read(key_in=)``),
+        so the scan shuffles O(matching rows), not the table."""
+        if isinstance(keys, DataFrame):
+            keys_df = keys
+        else:
+            schema = T.StructType.fromJson(self.manifest()["schema"])
+            kschema = T.StructType([schema[k] for k in self.key])
+            rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+            keys_df = spark.createDataFrame(rows, kschema)
+        winners = self.read(spark, include_internal=True, key_in=keys_df)
+        return self._update_rows(winners, set, batch_token)
+
+    def _update_rows(
+        self, winners: DataFrame, set: dict[str, Any], batch_token: str | None
+    ) -> dict[str, Any]:
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        set_ = set
+        # columns are addressed by their CURRENT (logical) names
+        lkey = [self._logical_name(k, m) for k in self.key]
+        lcols = {
+            self._logical_name(f.name, m): f
+            for f in schema.fields
+            if f.name not in INTERNAL_COLUMNS
+        }
+        bad = [c for c in set_ if c in lkey or c == "ts"]
+        if bad:
+            raise ValueError(
+                f"cannot assign key/ordering columns {bad}: they define row "
+                "identity (key) and LWW ordering (ts); delete + re-insert "
+                "to move a row"
+            )
+        unknown = [c for c in set_ if c not in lcols]
+        if unknown:
+            raise ValueError(
+                f"assignment targets not in the table schema: {unknown} "
+                f"(columns: {sorted(lcols)})"
+            )
+        assigns = {
+            c: (F.expr(v) if isinstance(v, str) else v) for c, v in set_.items()
+        }
+        batch = winners.select(
+            F.lit("U").alias("op"),
+            *[
+                (
+                    assigns[c].cast(lcols[c].dataType) if c in assigns else F.col(c)
+                ).alias(c)
+                for c in lcols
+            ],
+            (F.col(INTERNAL_SEQ) + F.lit(1)).alias("seq"),
+        )
+        # trailing non-digit keeps this one-shot token out of the
+        # per-prefix watermark map (see _delete_rows)
+        token = batch_token or f"update-where-{uuid.uuid4().hex}x"
         return self.merge(batch, batch_token=token)
 
     def purge_tombstones(self, spark: SparkSession, before=None) -> dict[str, Any]:
@@ -2078,6 +2369,7 @@ class LocalSnapshotSink(SnapshotSink):
         batch: DataFrame,
         batch_token: str,
         offsets: dict[str, Any] | None = None,
+        physical_names: bool = False,
     ) -> dict[str, Any]:
         t0 = time.monotonic()
         token = str(batch_token)
@@ -2125,6 +2417,26 @@ class LocalSnapshotSink(SnapshotSink):
                 "batch_token": token,
                 "replayed_outside_window": True,
             }
+        # column-rename indirection: batches speak LOGICAL names; files
+        # keep physical ones.  A batch column matching a renamed-away
+        # PHYSICAL name is reserved -- writing it raw would silently land
+        # new data under the renamed column's new name.
+        # ``physical_names=True`` is the physical-layer writer face (mirror
+        # replication ships raw physical rows): skip the guard and mapping.
+        # The guard runs here (cheap, driver-side, before any job); the
+        # actual logical->physical rename happens AFTER the expectations /
+        # observation block, which evaluates user conditions in LOGICAL
+        # names -- see step 1 below.
+        lmap = {} if physical_names else (cur.get("logical_names") or {})
+        if lmap:
+            reserved = [c for c in batch.columns if lmap.get(c, c) != c]
+            if reserved:
+                raise ValueError(
+                    f"batch column(s) {reserved} are reserved physical names "
+                    f"of renamed columns ({ {c: lmap[c] for c in reserved} }); "
+                    "use the current (logical) name, or pick a fresh name "
+                    "for a genuinely new column"
+                )
         spark = batch.sparkSession
         nb = cur["num_buckets"]
         cur_schema = T.StructType.fromJson(cur["schema"])
@@ -2155,8 +2467,10 @@ class LocalSnapshotSink(SnapshotSink):
             self.mode == "cow"
             or self.dedup_on_write
             or self.late_tolerance_seconds is not None
+            or bool(self.expectations)
         )
         obs_in = obs_out = None
+        quarantine_src = None
         if use_observe:
             if self.late_tolerance_seconds is not None and hwm is not None:
                 cutoff = F.lit(hwm).cast("timestamp") - F.expr(
@@ -2165,17 +2479,80 @@ class LocalSnapshotSink(SnapshotSink):
                 batch = batch.withColumn("_too_late", F.col("ts") < cutoff)
             else:
                 batch = batch.withColumn("_too_late", F.lit(False))
+            exp_aggs = []
+            if self.expectations:
+                # one boolean per action class + the violated-name array for
+                # quarantine records; a row violates when its condition is
+                # false OR null (nulls don't get the benefit of the doubt)
+                def _viol(cond):
+                    return ~F.coalesce(F.expr(cond), F.lit(False))
+
+                def _any(action):
+                    conds = [
+                        _viol(c) for _, c, a in self.expectations if a == action
+                    ]
+                    out = F.lit(False)
+                    for c in conds:
+                        out = out | c
+                    return out
+
+                batch = (
+                    batch.withColumn("_exp_fail", _any("fail"))
+                    .withColumn("_exp_quar", _any("quarantine"))
+                    .withColumn("_exp_drop", _any("drop"))
+                    .withColumn(
+                        "_exp_viol",
+                        F.array_compact(
+                            F.array(
+                                *[
+                                    F.when(_viol(c), F.lit(n))
+                                    for n, c, _ in self.expectations
+                                ]
+                            )
+                        ),
+                    )
+                )
+                # pre-Observation handle for the (rare) quarantine job, so
+                # re-running it never double-fires the observed metrics
+                quarantine_src = batch
+                exp_aggs = [
+                    F.sum(F.col("_exp_fail").cast("long")).alias("rows_failed"),
+                    F.sum(
+                        (F.col("_exp_quar") & ~F.col("_exp_fail")).cast("long")
+                    ).alias("rows_quarantined"),
+                    F.sum(
+                        (
+                            F.col("_exp_drop")
+                            & ~F.col("_exp_fail")
+                            & ~F.col("_exp_quar")
+                        ).cast("long")
+                    ).alias("rows_dropped"),
+                ]
             obs_in = Observation(f"in-{uuid.uuid4().hex[:8]}")
             batch = batch.observe(
                 obs_in,
                 F.count(F.lit(1)).alias("rows_in"),
                 F.sum(F.col("_too_late").cast("long")).alias("rows_too_late"),
                 F.max(F.col("ts")).alias("max_ts"),
+                *exp_aggs,
             )
             batch = batch.filter(~F.col("_too_late")).drop("_too_late")
+            if self.expectations:
+                batch = batch.filter(
+                    ~F.col("_exp_fail") & ~F.col("_exp_quar") & ~F.col("_exp_drop")
+                ).drop("_exp_fail", "_exp_quar", "_exp_drop", "_exp_viol")
 
         # 1. reshape (+ within-batch dedup when configured: always for CoW,
-        # optional shuffle for MoR -- see __init__).
+        # optional shuffle for MoR -- see __init__).  First: logical ->
+        # physical rename (user-facing conditions above ran in logical
+        # names; everything from here down -- bucket exprs, dedup keys,
+        # file writes -- runs in physical space).
+        if lmap:
+            ren = {
+                l: p for p, l in lmap.items() if l != p and l in batch.columns
+            }
+            if ren:
+                batch = batch.withColumnsRenamed(ren)
         if self.dedup_on_write or self.mode == "cow":
             batch = dedup_latest(batch, key=self.key, order=["ts", "seq"], salt=self.dedup_salt)
         rows = batch_to_target_rows(batch)
@@ -2323,6 +2700,47 @@ class LocalSnapshotSink(SnapshotSink):
                 metrics["rows_too_late"] = got_in.get("rows_too_late") or 0
                 metrics["rows_deduped"] = got_out.get("rows_deduped", 0)
                 metrics["rows_deleted"] = got_out.get("rows_deleted") or 0
+            if self.expectations:
+                n_fail = int(got_in.get("rows_failed") or 0)
+                n_quar = int(got_in.get("rows_quarantined") or 0)
+                metrics["rows_failed_expectations"] = n_fail
+                metrics["rows_quarantined"] = n_quar
+                metrics["rows_dropped_expectations"] = int(
+                    got_in.get("rows_dropped") or 0
+                )
+                if n_fail:
+                    # all-or-nothing: the manifest never sees this commit.
+                    # Remove the uncommitted payload (the sid CLAIM dir
+                    # persists -- same contract as a crashed write; vacuum
+                    # covers any remainder).
+                    shutil.rmtree(self._snap_payload_dir(sid), ignore_errors=True)
+                    for f in change_files:
+                        try:
+                            os.remove(f)
+                        except OSError:
+                            pass
+                    raise ExpectationFailed(
+                        f"batch {token!r}: {n_fail} row(s) violate a "
+                        f"fail-action expectation "
+                        f"({[n for n, _, a in self.expectations if a == 'fail']}); "
+                        "commit aborted, table state unchanged"
+                    )
+                if n_quar:
+                    # ONE extra job over violating rows only (and only on
+                    # batches that actually violate): persist them with the
+                    # violated-expectation names for triage
+                    qdir = os.path.join(self.table_dir, "quarantine", sid)
+                    (
+                        quarantine_src.filter(
+                            F.col("_exp_quar") & ~F.col("_too_late")
+                        )
+                        .withColumnRenamed("_exp_viol", "_violations")
+                        .drop("_exp_fail", "_exp_quar", "_exp_drop", "_too_late")
+                        .withColumn("_batch_token", F.lit(token))
+                        .write.mode("overwrite")
+                        .parquet(qdir)
+                    )
+                    metrics["quarantine_dir"] = qdir
         # the stats job runs whenever lineage wants it (collect_metrics) OR
         # the fast path skipped the Observations (not use_observe): the
         # high-watermark must advance even with metrics collection off,

@@ -148,3 +148,37 @@ def test_ivf_index_recall_vs_bruteforce(spark):
     probed = assigned.filter(assigned["_cell"].isin(cells)).count()
     assert probed < df.count()
     assigned.unpersist()
+
+
+def test_stratified_sampling_deterministic_and_rate_accurate(spark):
+    from fetchez_spark.functions.text import rate_threshold, sample_bucket
+
+    import pytest
+
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    kept = df.filter(sample_bucket(F.col("doc_id")) < F.lit(rate_threshold(0.25)))
+    n = kept.count()
+    assert abs(n / 4000 - 0.25) < 0.03  # md5 nibbles are uniform
+    # deterministic: the same rows every run
+    assert kept.collect() == kept.collect()
+    # boundary rates
+    assert rate_threshold(1.0) == "g"  # sorts above every hex bucket
+    assert rate_threshold(0.0) == "0000"
+    assert df.filter(sample_bucket(F.col("doc_id")) < F.lit(rate_threshold(1.0))).count() == 4000
+    assert df.filter(sample_bucket(F.col("doc_id")) < F.lit(rate_threshold(0.0))).count() == 0
+    with pytest.raises(ValueError):
+        rate_threshold(1.5)
+
+
+def test_pack_sequences_first_fit_semantics(spark):
+    from fetchez_spark.functions.text import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([3, 4, 5, 2, 6, 1])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, "doc_id", "text", budget=8, num_shards=1).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["pack"]) for r in out}
+    # exclusive cumsum: 0,3,7,12,14,20 -> //8 -> packs 0,0,0,1,1,2
+    assert got == {0: (3, 0), 1: (4, 0), 2: (5, 0), 3: (2, 1), 4: (6, 1), 5: (1, 2)}
+    # sharding bounds the window: same doc set, 2 shards -> per-shard packing
+    out2 = pack_sequences(df, "doc_id", "text", budget=8, num_shards=2).collect()
+    assert {r["shard"] for r in out2} == {0, 1}
