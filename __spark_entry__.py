@@ -666,6 +666,49 @@ def _q_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select("user_id", "event_type", "event_id", "amount")
 
 
+def _q_drop_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column DROP mid-replay, ORACLE-CHECKED: merge the
+    even-seq half of the changelog, ``drop_column("value")`` (one
+    manifest commit -- old files keep their bytes, every read projects
+    the current schema), then merge the odd half WITHOUT the column.
+    The final state must equal the plain LWW reduction of the WHOLE log
+    minus the dropped column -- the drop is invisible to the surviving
+    data.  (Reference analog: the flatten/strip hooks,
+    /root/reference/src/fetchez/hooks/builtins/strip/ -- lifted from
+    per-fetch field stripping to table-level schema evolution.)"""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-drop-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(2)) == 0), batch_token="replay-0")
+    sink.drop_column("value")
+    sink.merge(
+        env.filter(F.pmod(F.col("seq"), F.lit(2)) == 1).drop("value"),
+        batch_token="replay-1",
+    )
+    return sink.read(spark).select("user_id", "event_type", "event_id")
+
+
 def _q_cdc_changes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time-windowed incremental scan through the real sink,
     ORACLE-CHECKED: replay the events changelog in three commits, then
@@ -1592,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_where_patch": _q_update_where_patch,
         "expectations_gate": _q_expectations_gate,
         "rename_evolution": _q_rename_evolution,
+        "drop_evolution": _q_drop_evolution,
         "cdc_changes_window": _q_cdc_changes_window,
         "zorder_slab_read": _q_zorder_slab_read,
         "metadata_count_read": _q_metadata_count_read,
@@ -1741,6 +1785,16 @@ def oracle_sql() -> dict[str, str]:
         "rename_evolution": """
             SELECT user_id, event_type, event_id, amount FROM (
               SELECT user_id, event_type, event_id, value AS amount,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # metadata-only drop mid-replay: invisible to the surviving data --
+        # LWW of the whole log minus the dropped column
+        "drop_evolution": """
+            SELECT user_id, event_type, event_id FROM (
+              SELECT user_id, event_type, event_id,
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events)

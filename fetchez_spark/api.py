@@ -233,6 +233,14 @@ def rename_column(table_dir: str, old: str, new: str) -> dict[str, Any]:
     return LocalSnapshotSink(table_dir).rename_column(old, new)
 
 
+def drop_column(table_dir: str, name: str) -> dict[str, Any]:
+    """Metadata-only column drop (bytes leave as buckets compact; see
+    LocalSnapshotSink.drop_column)."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).drop_column(name)
+
+
 def read_quarantine(spark: SparkSession, table_dir: str):
     """Rows quarantined by write-time expectations, with ``_violations``
     and ``_batch_token`` (see LocalSnapshotSink.read_quarantine)."""

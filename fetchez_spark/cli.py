@@ -189,6 +189,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="rename a payload column, metadata-only (zero data "
                         "movement; reads/merges/predicates speak the new "
                         "name from this snapshot on)")
+    p.add_argument("--drop-column", default=None, metavar="NAME",
+                   help="drop a payload column, metadata-only (bytes leave "
+                        "as buckets compact; the name is retired)")
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
         "branch", help="WAP branches: create / publish / drop / list"
@@ -204,6 +207,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="keep the branch pointer after --publish")
     p.add_argument("--drop", default=None, metavar="NAME")
     p.add_argument("--list", action="store_true", dest="list_branches")
+    p.add_argument("--tag", default=None, metavar="NAME",
+                   help="create an immutable tag at --at (default: head) — "
+                        "the Iceberg tag analog; readable wherever a "
+                        "snapshot id is accepted")
+    p.add_argument("--at", default=None, metavar="SNAPSHOT_ID",
+                   help="snapshot for --tag (default: current head)")
+    p.add_argument("--drop-tag", default=None, metavar="NAME")
     p = sub.add_parser(
         "matview",
         help="incremental materialized aggregate views: define once "
@@ -384,8 +394,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.drop:
             sink.drop_branch(args.drop)
             out["dropped"] = args.drop
+        if args.tag:
+            out["tagged"] = {"tag": args.tag, "snapshot_id": sink.create_tag(args.tag, args.at)}
+        if args.drop_tag:
+            sink.drop_tag(args.drop_tag)
+            out["dropped_tag"] = args.drop_tag
         if args.list_branches or not out:
             out["branches"] = sink.branches()
+            out["tags"] = sink.tags()
         print(json.dumps(out, default=str))
         return 0
     if args.cmd == "maintain":
@@ -402,6 +418,8 @@ def main(argv: list[str] | None = None) -> int:
                 print("--rename-column wants OLD=NEW", file=sys.stderr)
                 return 1
             out["rename_column"] = sink.rename_column(old, new)
+        if args.drop_column:
+            out["drop_column"] = sink.drop_column(args.drop_column)
         needs_spark = (
             args.compact
             or args.minor

@@ -96,6 +96,9 @@ CATALOG_KEYS = (
     # column-rename indirection (physical -> logical), carried forward
     # by every commit like the other catalog payloads
     "logical_names",
+    # physical names of DROPPED columns: reserved so a later batch can't
+    # reuse the name and resurrect stale values from pre-drop files
+    "retired_columns",
 )
 
 _TOKEN_RE = re.compile(r"^(.*?)(\d+)$")
@@ -452,6 +455,9 @@ class LocalSnapshotSink(SnapshotSink):
 
     def manifest(self, snapshot_id: str | None = None) -> dict:
         if snapshot_id is not None:
+            if not snapshot_id.startswith("snap-"):
+                # named ref: tag (immutable) or branch head
+                snapshot_id = self.resolve_ref(snapshot_id)
             with open(self._manifest_path(snapshot_id)) as f:
                 return json.load(f)
         # current-manifest reads retry through the expire race: between
@@ -1623,6 +1629,11 @@ class LocalSnapshotSink(SnapshotSink):
                 )
             if new in logical_now:
                 raise ValueError(f"column {new!r} already exists")
+            if new in (latest.get("retired_columns") or []):
+                raise ValueError(
+                    f"{new!r} was dropped from this table and is retired "
+                    "(stale values in pre-drop files); pick another name"
+                )
             p = logical_now[old]
             if new == p:
                 lmap.pop(p, None)  # renaming back to the own physical name
@@ -1653,6 +1664,61 @@ class LocalSnapshotSink(SnapshotSink):
             manifest.pop("ts_stats_new", None)
             self._commit(manifest)
         return {"snapshot_id": sid, "renamed": {old: new}, "physical": p}
+
+    def drop_column(self, name: str) -> dict[str, Any]:
+        """Drop a payload column -- METADATA-ONLY, the Iceberg ``DROP
+        COLUMN`` semantic: the field leaves the table schema in one
+        manifest commit; existing files keep their bytes, and because
+        every read projects the CURRENT schema (parquet name-based
+        pruning), the column simply stops being read -- zero data
+        movement.  Compaction folds write the current schema, so the
+        bytes physically disappear as buckets rewrite.  The physical name
+        is RETIRED: a later batch reusing it errors loudly (stale values
+        in pre-drop files would resurrect under name-based projection).
+        Key columns and ``ts`` cannot be dropped."""
+        with self._commit_lock():
+            latest = self.manifest()
+            schema = T.StructType.fromJson(latest["schema"])
+            lmap = dict(latest.get("logical_names") or {})
+            logical_now = {
+                lmap.get(f.name, f.name): f.name
+                for f in schema.fields
+                if f.name not in INTERNAL_COLUMNS
+            }
+            if name not in logical_now:
+                raise ValueError(
+                    f"no column named {name!r} (columns: {sorted(logical_now)})"
+                )
+            p = logical_now[name]
+            if p in self.key or p == "ts":
+                raise ValueError(
+                    f"cannot drop {name!r}: key columns define row identity "
+                    "and 'ts' defines LWW ordering"
+                )
+            new_schema = T.StructType([f for f in schema.fields if f.name != p])
+            lmap.pop(p, None)
+            retired = list(latest.get("retired_columns") or [])
+            if p not in retired:
+                retired.append(p)
+            sid = self._claim_sid(latest)
+            manifest = {
+                **latest,
+                "snapshot_id": sid,
+                "parent": latest["snapshot_id"],
+                "schema": new_schema.jsonValue(),
+                "logical_names": lmap,
+                "retired_columns": retired,
+                "stats": {
+                    "delta_commits": int(
+                        latest.get("stats", {}).get("delta_commits", 0)
+                    ),
+                    "dropped": [name],
+                },
+            }
+            manifest.pop("change_files", None)
+            manifest.pop("ts_stats_new", None)
+            self._commit(manifest)
+        return {"snapshot_id": sid, "dropped": name, "physical": p}
 
     def set_logical_names(self, lmap: dict[str, str]) -> dict[str, Any]:
         """Replace the physical->logical rename map wholesale (one
@@ -2436,6 +2502,16 @@ class LocalSnapshotSink(SnapshotSink):
                     f"of renamed columns ({ {c: lmap[c] for c in reserved} }); "
                     "use the current (logical) name, or pick a fresh name "
                     "for a genuinely new column"
+                )
+        retired = cur.get("retired_columns") or []
+        if retired:
+            dead = [c for c in batch.columns if c in retired]
+            if dead:
+                raise ValueError(
+                    f"batch column(s) {dead} were DROPPED from this table; "
+                    "reusing the name would resurrect stale values from "
+                    "pre-drop files under parquet name-based projection -- "
+                    "pick a fresh name"
                 )
         spark = batch.sparkSession
         nb = cur["num_buckets"]
@@ -3730,13 +3806,69 @@ class LocalSnapshotSink(SnapshotSink):
                     out[name] = head
         return out
 
+    # ----------------------------------------------------------------- tags
+    # Iceberg TAGS: immutable named refs to snapshots ("v1.0", "audited-
+    # 2025-01-01") -- one pointer file, retained by expiry with its parent
+    # chain down to history, readable anywhere a snapshot id is accepted
+    # (``manifest()`` resolves named refs, so read/read_changes/
+    # change_feed/time travel all take a tag name directly).
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self.table_dir, f"TAG-{name}")
+
+    def create_tag(self, name: str, snapshot_id: str | None = None) -> str:
+        """Tag ``snapshot_id`` (default: current head) as ``name``.
+        Tags are IMMUTABLE: re-tagging an existing name errors (drop it
+        first) -- the reproducibility contract a 'this exact training
+        set' label needs."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or name == "main":
+            raise ValueError(f"invalid tag name {name!r}")
+        if os.path.exists(self._tag_path(name)) or self._version(name) is not None:
+            raise ValueError(f"ref {name!r} already exists")
+        sid = snapshot_id or self._version()
+        with open(self._manifest_path(sid)):  # must exist
+            pass
+        tmp = self._tag_path(name) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(sid)
+        os.replace(tmp, self._tag_path(name))
+        return sid
+
+    def tags(self) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for fn in sorted(os.listdir(self.table_dir)):
+            if fn.startswith("TAG-") and ".tmp." not in fn:
+                with open(os.path.join(self.table_dir, fn)) as f:
+                    out[fn[len("TAG-"):]] = f.read().strip()
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.remove(self._tag_path(name))
+        except FileNotFoundError:
+            raise ValueError(f"no tag named {name!r}") from None
+
+    def resolve_ref(self, ref: str) -> str:
+        """Named ref -> snapshot id: a snapshot id passes through; else a
+        tag, else a branch head."""
+        if ref.startswith("snap-"):
+            return ref
+        try:
+            with open(self._tag_path(ref)) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            pass
+        head = self._version(ref)
+        if head is not None:
+            return head
+        raise ValueError(f"unknown ref {ref!r} (not a snapshot id, tag, or branch)")
+
     def create_branch(self, name: str, from_snapshot: str | None = None) -> str:
         """Create branch ``name`` at ``from_snapshot`` (default: current
         main head).  Errors if it already exists."""
         if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or name == "main":
             raise ValueError(f"invalid branch name {name!r}")
-        if self._version(name) is not None:
-            raise ValueError(f"branch {name!r} already exists")
+        if self._version(name) is not None or os.path.exists(self._tag_path(name)):
+            raise ValueError(f"ref {name!r} already exists")
         head = from_snapshot or self._version("main")
         self.manifest(head)  # must exist
         self._set_version(head, name)
@@ -3914,6 +4046,9 @@ class LocalSnapshotSink(SnapshotSink):
             # ref-retention semantic); drop branches you abandon.
             heads = self.branches()
             main_head = heads.get("main")
+            # tags are immutable refs: retained exactly like branch heads,
+            # chain included (the Iceberg ref-retention semantic)
+            heads.update(self.tags())
             for name, head in heads.items():
                 if head not in keep:
                     keep.append(head)
