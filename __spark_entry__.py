@@ -709,6 +709,48 @@ def _q_drop_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select("user_id", "event_type", "event_id")
 
 
+def _q_row_ttl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time row TTL through the real sink, ORACLE-CHECKED: replay
+    the events changelog into a sink with ``row_ttl_seconds`` = 10 days,
+    then read -- winners older than (high_watermark - ttl) are expired
+    logically (a codegen ts predicate; physical purge rides compaction).
+    Event-time based, so the oracle is exact: LWW over the log, keeping
+    winners with ts >= max(ts) - 10 days.  (Reference analog:
+    fetch-only-updates freshness windows,
+    /root/reference/src/fetchez/core.py:557-562 -- lifted to retention.)"""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-ttl-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"),
+        num_buckets=8,
+        key=["user_id"],
+        base_schema=payload,
+        row_ttl_seconds=10 * 24 * 3600,
+    )
+    for i in range(2):
+        sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(2)) == i), batch_token=f"replay-{i}")
+    return sink.read(spark).select("user_id", "event_type", "event_id", "value")
+
+
 def _q_cdc_changes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time-windowed incremental scan through the real sink,
     ORACLE-CHECKED: replay the events changelog in three commits, then
@@ -1636,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_gate": _q_expectations_gate,
         "rename_evolution": _q_rename_evolution,
         "drop_evolution": _q_drop_evolution,
+        "row_ttl_read": _q_row_ttl_read,
         "cdc_changes_window": _q_cdc_changes_window,
         "zorder_slab_read": _q_zorder_slab_read,
         "metadata_count_read": _q_metadata_count_read,
@@ -1789,6 +1832,18 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events)
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # event-time row TTL: LWW winners older than (max ts - 10 days)
+        # are expired; the horizon derives from the table's own watermark,
+        # so the oracle is exact and replay-deterministic
+        "row_ttl_read": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value, ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+              AND ts >= (SELECT max(ts) FROM events) - INTERVAL 10 DAY
         """,
         # metadata-only drop mid-replay: invisible to the surviving data --
         # LWW of the whole log minus the dropped column

@@ -177,6 +177,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="physically drop tombstones older than this ISO "
                         "timestamp; buckets selected by parquet footer stats "
                         "(GDPR erasure step 2 / the VACUUM-of-deletes analog)")
+    p.add_argument("--purge-expired", default=None, metavar="BEFORE",
+                   help="physically drop rows older than this ISO timestamp "
+                        "(row-TTL second half); buckets selected by parquet "
+                        "footer ts stats")
     p.add_argument("--update-where", default=None, metavar="SQL_PREDICATE",
                    help="patch every visible key whose winner row matches the "
                         "predicate with the --set assignments (one merge "
@@ -427,6 +431,7 @@ def main(argv: list[str] | None = None) -> int:
             or args.delete_where
             or args.update_where
             or args.purge_tombstones
+            or args.purge_expired
         )
         if needs_spark:
             from fetchez_spark.session import get_spark
@@ -469,6 +474,10 @@ def main(argv: list[str] | None = None) -> int:
             if args.purge_tombstones:
                 out["purge_tombstones"] = sink.purge_tombstones(
                     spark, before=args.purge_tombstones
+                )
+            if args.purge_expired:
+                out["purge_expired"] = sink.purge_expired(
+                    spark, before=args.purge_expired
                 )
         if args.expire is not None:
             out["expired_data_dirs"] = sink.expire_snapshots(keep_last=args.expire)

@@ -241,6 +241,7 @@ class LocalSnapshotSink(SnapshotSink):
         branch: str = "main",
         tombstone_retention_seconds: float | None = None,
         expectations: list[tuple[str, str, str]] | None = None,
+        row_ttl_seconds: float | None = None,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -356,6 +357,20 @@ class LocalSnapshotSink(SnapshotSink):
         # None = keep tombstones forever (default; time travel and
         # change feeds see them regardless via their own snapshots).
         self.tombstone_retention_seconds = tombstone_retention_seconds
+        # row_ttl_seconds: EVENT-TIME retention for LIVE rows (the
+        # training-data "keep the last N days" policy; BigQuery partition
+        # expiration / Cassandra TTL analog).  Rows whose winner ts is
+        # older than (high_watermark - ttl) are (a) filtered from every
+        # read IMMEDIATELY (logical expiry -- codegen ts predicate, pushed
+        # to the scan on compacted tables) and (b) physically dropped at
+        # major compaction (``compact(expire_rows_before=...)`` /
+        # :meth:`purge_expired`).  Event-time based, so replays are
+        # deterministic: the horizon derives from the table's own
+        # watermark, never the wall clock.  Time travel applies each
+        # snapshot's OWN horizon.  Set ttl >= the source's lateness window
+        # (late_tolerance_seconds) or a late event older than physically
+        # expired rows can briefly resurface its key.
+        self.row_ttl_seconds = row_ttl_seconds
         # expectations: WRITE-TIME data-quality constraints, the Delta
         # Live Tables / Iceberg-write-validation analog.  Each is
         # (name, sql_condition, action); a row VIOLATES when the condition
@@ -709,6 +724,7 @@ class LocalSnapshotSink(SnapshotSink):
         fanout_map: dict[int, int] | None = None,
         sort_output: bool = False,
         purge_before: str | None = None,
+        expire_before: str | None = None,
         cluster_expr=None,
     ) -> dict[str, list[str]]:
         """ONE-shuffle dedup + clustered write (the compaction/CoW hot
@@ -805,6 +821,8 @@ class LocalSnapshotSink(SnapshotSink):
         )
         if purge_before is not None:
             rows = rows.filter(self._tombstone_keep_cond(purge_before))
+        if expire_before is not None:
+            rows = rows.filter(self._ttl_keep_cond(expire_before))
         if cluster_expr is not None:
             rows = rows.repartitionByRange(
                 max(n_partitions, 1), F.col(_BUCKET), cluster_expr
@@ -930,6 +948,15 @@ class LocalSnapshotSink(SnapshotSink):
         return out
 
     @staticmethod
+    def _ttl_keep_cond(expire_before: str):
+        """Keep condition for row TTL: drop winners older than the
+        horizon, tombstones included (anything that old is invisible to
+        every read).  Null ts is kept -- expiry must be conservative."""
+        return F.coalesce(
+            F.col("ts") >= F.lit(expire_before).cast("timestamp"), F.lit(True)
+        )
+
+    @staticmethod
     def _tombstone_keep_cond(purge_before: str):
         """Keep condition for tombstone GC: drop rows that are tombstones
         AND older than the horizon.  Null-safe both ways (a null ts or
@@ -945,13 +972,24 @@ class LocalSnapshotSink(SnapshotSink):
         the explicit ``purge_tombstones_before`` argument (datetime or ISO
         string) wins; else ``tombstone_retention_seconds`` against the
         manifest's event-time high watermark; else None (no purge)."""
+        return self._event_time_horizon(
+            cur, explicit, self.tombstone_retention_seconds
+        )
+
+    def _ttl_horizon(self, cur: dict, explicit=None) -> str | None:
+        """Row-TTL horizon: explicit ``expire_rows_before`` wins, else
+        ``row_ttl_seconds`` against the event-time high watermark."""
+        return self._event_time_horizon(cur, explicit, self.row_ttl_seconds)
+
+    @staticmethod
+    def _event_time_horizon(cur: dict, explicit, retention_seconds) -> str | None:
         if explicit is not None:
             return (
                 explicit.isoformat(sep=" ")
                 if hasattr(explicit, "isoformat")
                 else str(explicit)
             )
-        if self.tombstone_retention_seconds is None:
+        if retention_seconds is None:
             return None
         hwm = cur.get("high_watermark")
         if not hwm:
@@ -962,9 +1000,7 @@ class LocalSnapshotSink(SnapshotSink):
             t = datetime.fromisoformat(hwm)
         except ValueError:
             return None
-        return (t - timedelta(seconds=self.tombstone_retention_seconds)).isoformat(
-            sep=" "
-        )
+        return (t - timedelta(seconds=retention_seconds)).isoformat(sep=" ")
 
     def _fold_bucket_local(
         self,
@@ -974,13 +1010,16 @@ class LocalSnapshotSink(SnapshotSink):
         schema: T.StructType,
         num_buckets: int,
         purge_before: str | None = None,
+        expire_before: str | None = None,
     ) -> dict[str, list[str]]:
         """Write side of the exchange-free fold: one file per bucket per
         branch task, written straight from the task's partition.  The
-        tombstone-GC filter (``purge_before``, see _dedup_write_bucketed)
-        is a narrow dependency on top of the fold -- still zero
-        Exchanges."""
+        tombstone-GC / row-TTL filters (``purge_before`` /
+        ``expire_before``, see _dedup_write_bucketed) are narrow
+        dependencies on top of the fold -- still zero Exchanges."""
         rows = self._bucket_local_fold_frame(spark, groups, schema, num_buckets)
+        if expire_before is not None:
+            rows = rows.filter(self._ttl_keep_cond(expire_before))
         if purge_before is not None:
             rows = rows.filter(self._tombstone_keep_cond(purge_before))
         snap_dir = self._snap_payload_dir(sid)
@@ -1376,6 +1415,17 @@ class LocalSnapshotSink(SnapshotSink):
         normal state of a compacted table) or ValueError names the
         buckets that are not."""
         m = self.manifest(snapshot_id)
+        if self.row_ttl_seconds is not None and self._ttl_horizon(m) is not None:
+            # logical row TTL hides winners the recorded bucket_rows still
+            # count -- the metadata shortcut would overcount until the
+            # expired rows are physically purged (purge_expired)
+            if spark is None:
+                raise ValueError(
+                    "count is not metadata-answerable with an active row "
+                    "TTL (logical expiry); pass a SparkSession, or run "
+                    "purge_expired + recount"
+                )
+            return self.read(spark, snapshot_id=snapshot_id).count()
         base_map, delta_map = m["files"], m.get("deltas", {})
         br = m.get("bucket_rows", {})
         flat = self._resolve_list(delta_map.get(_FLAT, []))
@@ -1571,6 +1621,19 @@ class LocalSnapshotSink(SnapshotSink):
         if not include_internal:
             df = df.drop(*INTERNAL_COLUMNS)
         if logical:
+            # row TTL (public face only -- internal/physical consumers such
+            # as mirror replication and the change feed's pre-state read
+            # see raw truth): winners older than the snapshot's OWN
+            # horizon are expired.  A plain codegen ts predicate -- on a
+            # compacted table it sits directly on the scan and parquet
+            # row-group min/max skip whole pages of expired history.
+            ttl = self._ttl_horizon(m) if self.row_ttl_seconds is not None else None
+            if ttl is not None:
+                df = df.filter(
+                    F.coalesce(
+                        F.col("ts") >= F.lit(ttl).cast("timestamp"), F.lit(True)
+                    )
+                )
             df = self._to_logical(df, m)
         return df
 
@@ -2357,6 +2420,63 @@ class LocalSnapshotSink(SnapshotSink):
         except Exception:
             return None, None, True
 
+    def purge_expired(self, spark: SparkSession, before=None) -> dict[str, Any]:
+        """Targeted physical row-TTL purge: rewrite ONLY the buckets whose
+        files can hold a row older than the horizon (``before`` or the
+        sink's ``row_ttl_seconds`` against the high watermark), selected
+        from PARQUET FOOTER ts statistics -- driver-side, no Spark job and
+        no data scan (the same selection shape as
+        :meth:`purge_tombstones`, for live rows).  A 100 TB table whose
+        old history is concentrated in a few cold buckets rewrites those,
+        not the table."""
+        cur = self.manifest()
+        horizon = self._ttl_horizon(cur, before)
+        empty = {
+            "snapshot_id": cur["snapshot_id"],
+            "compacted_buckets": 0,
+            "expire_candidate_buckets": 0,
+        }
+        if horizon is None:
+            return empty
+        base_map = self._resolve_map(cur["files"])
+        delta_map = self._resolve_map(cur.get("deltas", {}))
+        todo = sorted(
+            {
+                b
+                for m in (base_map, delta_map)
+                for b, fs in m.items()
+                if b != _FLAT
+                and any(self._file_may_hold_expired(f, horizon) for f in fs)
+            },
+            key=int,
+        ) or None
+        if todo is None and delta_map.get(_FLAT):
+            if any(
+                self._file_may_hold_expired(f, horizon) for f in delta_map[_FLAT]
+            ):
+                todo = []  # full fold (flat deltas widen it anyway)
+        if todo is None:
+            return empty
+        res = self.compact(spark, buckets=todo or None, expire_rows_before=horizon)
+        res["expire_candidate_buckets"] = len(todo) or len(base_map)
+        return res
+
+    @classmethod
+    def _file_may_hold_expired(cls, path: str, horizon: str) -> bool:
+        """Footer-stats check: can ``path`` contain ANY row with
+        ts < horizon?  Conservative on missing statistics."""
+        try:
+            h = cls._ts_bound(horizon)
+        except ValueError:
+            return True
+        ts_min, _ts_max, _may_dead = cls._footer_ts_dead(path)
+        if ts_min is None or h is None:
+            return True
+        try:
+            return ts_min < h
+        except TypeError:
+            return True
+
     @classmethod
     def _file_may_hold_old_tombstone(cls, path: str, horizon: str) -> bool:
         """Footer-stats check: can ``path`` contain a row with
@@ -3095,6 +3215,7 @@ class LocalSnapshotSink(SnapshotSink):
         sort: bool | None = None,
         local: bool | None = None,
         purge_tombstones_before=None,
+        expire_rows_before=None,
         cluster_by: list[str] | None = None,
         bloom: bool = False,
     ) -> dict[str, Any]:
@@ -3277,6 +3398,9 @@ class LocalSnapshotSink(SnapshotSink):
             if delta_map.get(_FLAT):
                 use_local = False  # rebucket raced the consolidation
         has_flat = bool(delta_map.get(_FLAT))
+        gc_requested = (
+            purge_tombstones_before is not None or expire_rows_before is not None
+        )
         if has_flat:
             # flat deltas are unclustered -> fold everything (full compact)
             todo = sorted(set(cur["files"]) | (set(delta_map) - {_FLAT}))
@@ -3296,16 +3420,15 @@ class LocalSnapshotSink(SnapshotSink):
                 if buckets is not None
                 else [b for b, fs in delta_map.items() if fs]
             )
-            # an EXPLICIT bucket list under a purge request may name
-            # delta-less buckets (purge_tombstones targets base files by
-            # footer stats); everything else folds delta-bearing buckets
-            if not (buckets is not None and purge_tombstones_before is not None):
+            # an EXPLICIT bucket list under a purge/expire request may name
+            # delta-less buckets (purge_tombstones / purge_expired target
+            # base files by footer stats); everything else folds
+            # delta-bearing buckets
+            if not (buckets is not None and gc_requested):
                 todo = [b for b in todo if delta_map.get(b)]
             todo = [b for b in todo if delta_map.get(b) or base_map.get(b)]
             delta_files = [f for b in todo for f in delta_map.get(b, [])]
-        if not delta_files and not (
-            purge_tombstones_before is not None and todo
-        ):
+        if not delta_files and not (gc_requested and todo):
             return {"snapshot_id": cur["snapshot_id"], "compacted_buckets": 0}
         files = [f for b in todo for f in base_map.get(b, [])] + delta_files
         sid = self._claim_sid(cur)
@@ -3332,6 +3455,11 @@ class LocalSnapshotSink(SnapshotSink):
         # rebucket racing this fold is aborted by the num_buckets check at
         # commit time before the purged files could be referenced.
         purge = self._purge_horizon(cur, purge_tombstones_before)
+        # row TTL physical expiry: same major-fold-only validity argument
+        # as tombstone GC (the fold covers every file that can hold the
+        # bucket's keys, so dropping an expired winner cannot resurrect an
+        # older row of the key from an unfolded file)
+        expire = self._ttl_horizon(cur, expire_rows_before)
         if use_local:
             written = self._fold_bucket_local(
                 spark,
@@ -3340,6 +3468,7 @@ class LocalSnapshotSink(SnapshotSink):
                 schema,
                 int(cur["num_buckets"]),
                 purge_before=purge,
+                expire_before=expire,
             )
         else:
             target = target_file_bytes or self.target_file_bytes
@@ -3367,6 +3496,7 @@ class LocalSnapshotSink(SnapshotSink):
                 fanout_map=fanout_map,
                 sort_output=sort_eff,
                 purge_before=purge,
+                expire_before=expire,
                 cluster_expr=cluster_expr,
             )
         # per-file key ranges for the files this fold produced (one
