@@ -1306,6 +1306,17 @@ def _q_doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style segment-level exact dedup: cut docs into 10-word
+    segments, keep only the globally-first occurrence of each segment's
+    content, re-join survivors in document order.  Pure codegen
+    segmentation (split/slice), one hash-partitioned window for
+    first-occurrence, one groupBy for reassembly -- both linear."""
+    from fetchez_spark.functions.dedup import segment_dedup
+
+    return segment_dedup(_t(spark, sf_dir, "documents"), seg_words=10)
+
+
 def _q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column plumbing: byte length + checksum of payloads."""
     d = _t(spark, sf_dir, "documents")
@@ -1712,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": _q_lang_id_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "doc_fingerprint_dups": _q_doc_fingerprint_dups,
+        "segment_dedup_docs": _q_segment_dedup_docs,
         "decontaminate_ngrams": _q_decontaminate_ngrams,
         "repetition_stats": _q_repetition_stats,
         "pii_redact_stats": _q_pii_redact_stats,
@@ -2117,6 +2129,27 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint_dups": """
             SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id
             FROM documents GROUP BY 1
+        """,
+        "segment_dedup_docs": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            seg AS (
+              SELECT doc_id, i AS seg_idx,
+                     array_to_string(w[(i*10+1):(i*10+10)], ' ') AS seg
+              FROM (SELECT doc_id, w,
+                           unnest(range(0, greatest(CAST(ceil(len(w)/10.0) AS BIGINT), 1))) AS i
+                    FROM w)),
+            k AS (
+              SELECT doc_id, seg_idx, seg,
+                     row_number() OVER (PARTITION BY md5(seg)
+                                        ORDER BY doc_id, seg_idx) AS rn
+              FROM seg)
+            SELECT doc_id,
+                   count(*) AS n_segments,
+                   count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                                       ORDER BY seg_idx), '') AS dedup_text
+            FROM k GROUP BY doc_id
         """,
         "decontaminate_ngrams": """
             WITH toks AS (

@@ -182,3 +182,45 @@ def test_pack_sequences_first_fit_semantics(spark):
     # sharding bounds the window: same doc set, 2 shards -> per-shard packing
     out2 = pack_sequences(df, "doc_id", "text", budget=8, num_shards=2).collect()
     assert {r["shard"] for r in out2} == {0, 1}
+
+
+def test_segment_dedup_first_occurrence_semantics(spark):
+    from fetchez_spark.functions.dedup import segment_dedup
+
+    # seg_words=3: doc 1 = [a b c][d e f]; doc 2 repeats doc 1's first
+    # segment then a fresh one; doc 3 repeats a segment INSIDE itself
+    # (same-doc repeats drop too) and doc 2's fresh segment.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),
+            (3, "p q r p q r x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["dedup_text"])
+        for r in segment_dedup(df, seg_words=3).collect()
+    }
+    assert got[1] == (2, 2, "a b c d e f")
+    assert got[2] == (2, 1, "x y z")
+    assert got[3] == (3, 1, "p q r")
+
+
+def test_segment_dedup_all_dropped_doc_yields_empty_text(spark):
+    from fetchez_spark.functions.dedup import segment_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in segment_dedup(df, seg_words=3).collect()}
+    assert got[1]["dedup_text"] == "a b c"
+    assert got[2]["n_kept"] == 0 and got[2]["dedup_text"] == ""
+
+
+def test_segment_dedup_short_doc_single_segment(spark):
+    from fetchez_spark.functions.dedup import segment_dedup
+
+    df = spark.createDataFrame([(7, "hi")], ["doc_id", "text"])
+    row = segment_dedup(df, seg_words=10).collect()[0]
+    assert (row["n_segments"], row["n_kept"], row["dedup_text"]) == (1, 1, "hi")
