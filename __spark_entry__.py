@@ -883,6 +883,54 @@ def _q_metadata_count_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "n_live bigint")
 
 
+def _q_metadata_minmax_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-statistics min/max(ts) through the real sink,
+    ORACLE-CHECKED: replay the events changelog (deletes included),
+    major-compact WITH tombstone purge, then answer the live event-time
+    range from parquet footer statistics alone -- ``ts_range()`` is
+    called with NO SparkSession, so a scan is impossible by construction
+    (the Iceberg min/max-from-manifests aggregate-pushdown shape; after
+    the purged fold, base files hold exactly the live LWW winners, so
+    their footer ts bounds ARE the live range).  The oracle is DuckDB's
+    min/max(ts) over the last-writer-wins non-deleted state.  (Reference
+    analog: inventory date-range summaries,
+    /root/reference/src/fetchez/hooks/builtins/inventory.py.)"""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-minmax-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"],
+        base_schema=payload, compact_every=10**9,
+    )
+    for i in range(3):
+        sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_token=f"replay-{i}")
+    sink.compact(spark, purge_tombstones_before=datetime(9999, 1, 1))
+    lo, hi = sink.ts_range()  # spark=None: footer-stats-only, no job possible
+    return spark.createDataFrame(
+        [(lo, hi)], "ts_min timestamp, ts_max timestamp"
+    )
+
+
 def _q_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance through the real engine,
     ORACLE-CHECKED: replay the events changelog into the snapshot sink in
@@ -1693,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_window": _q_cdc_changes_window,
         "zorder_slab_read": _q_zorder_slab_read,
         "metadata_count_read": _q_metadata_count_read,
+        "metadata_minmax_read": _q_metadata_minmax_read,
         "incremental_matview": _q_incremental_matview,
         "time_travel_read": _q_time_travel_read,
         "dry_run": _q_dry_run,
@@ -1905,6 +1954,14 @@ def oracle_sql() -> dict[str, str]:
         "metadata_count_read": """
             SELECT count(*) AS n_live FROM (
               SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "metadata_minmax_read": """
+            SELECT min(ts) AS ts_min, max(ts) AS ts_max FROM (
+              SELECT user_id, event_type, ts,
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) t

@@ -261,3 +261,18 @@ def count_rows(
     from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
     return LocalSnapshotSink(table_dir).count_rows(spark, snapshot_id=snapshot_id)
+
+
+def ts_range(
+    table_dir: str,
+    spark: SparkSession | None = None,
+    snapshot_id: str | None = None,
+):
+    """Live event-time range (min ts, max ts), footer-statistics-only
+    where possible (see LocalSnapshotSink.ts_range): a compacted,
+    tombstone-purged table answers from parquet footers with NO Spark
+    job; other buckets fall back to a bucket-pruned scan (requires
+    ``spark``)."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).ts_range(spark, snapshot_id=snapshot_id)

@@ -265,6 +265,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--scan", action="store_true",
                    help="allow a bucket-pruned scan fallback for buckets "
                         "that are not metadata-answerable (starts Spark)")
+    p.add_argument("--ts-range", action="store_true", dest="ts_range",
+                   help="also report the live event-time [min, max] from "
+                        "parquet footer statistics (same fallback rules)")
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
         "changes", help="incremental scan: rows merged after a snapshot"
@@ -558,8 +561,11 @@ def main(argv: list[str] | None = None) -> int:
         from fetchez_spark import api
 
         try:
-            n = api.count_rows(args.table_dir, snapshot_id=args.snapshot)
-            print(json.dumps({"rows": n, "metadata_only": True}))
+            out = {"rows": api.count_rows(args.table_dir, snapshot_id=args.snapshot)}
+            if args.ts_range:
+                lo, hi = api.ts_range(args.table_dir, snapshot_id=args.snapshot)
+                out["ts_range"] = [lo, hi]
+            print(json.dumps({**out, "metadata_only": True}, default=str))
             return 0
         except ValueError:
             if not args.scan:
@@ -567,8 +573,11 @@ def main(argv: list[str] | None = None) -> int:
         from fetchez_spark.session import get_spark
 
         spark = get_spark(app_name="fetchez-count", master=f"local[{args.cores}]")
-        n = api.count_rows(args.table_dir, spark, snapshot_id=args.snapshot)
-        print(json.dumps({"rows": n, "metadata_only": False}))
+        out = {"rows": api.count_rows(args.table_dir, spark, snapshot_id=args.snapshot)}
+        if args.ts_range:
+            lo, hi = api.ts_range(args.table_dir, spark, snapshot_id=args.snapshot)
+            out["ts_range"] = [lo, hi]
+        print(json.dumps({**out, "metadata_only": False}, default=str))
         return 0
     if args.cmd == "changes":
         from fetchez_spark import api

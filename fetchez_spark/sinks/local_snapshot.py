@@ -1455,6 +1455,92 @@ class LocalSnapshotSink(SnapshotSink):
             total += self.read(spark, snapshot_id=snapshot_id, buckets=scan).count()
         return total
 
+    def ts_range(
+        self, spark: SparkSession | None = None, snapshot_id: str | None = None
+    ):
+        """Event-time range ``(min_ts, max_ts)`` of the live rows --
+        exactly ``read(spark).agg(min(ts), max(ts))`` -- answered from
+        parquet FOOTER statistics where possible (the Iceberg
+        min/max-from-manifests shape; driver-side, no Spark job).
+
+        A bucket is footer-answerable when it has no pending deltas, its
+        recorded stats signature matches its file list, it holds no
+        tombstone winners (``dead == 0`` -- a dead row's ts would pollute
+        the bounds), and every base file's footer carries exact ts stats
+        and provably no ``_deleted`` rows.  Remaining buckets fall back
+        to a bucket-pruned scan; with ``spark=None`` the range must be
+        FULLY footer-answerable (the normal state of a compacted, purged
+        table) or ValueError names the buckets.  Refuses the shortcut
+        under an active row TTL (logical expiry hides rows whose ts the
+        footers still bound).  Returns ``(None, None)`` for an empty
+        table."""
+        m = self.manifest(snapshot_id)
+        if self.row_ttl_seconds is not None and self._ttl_horizon(m) is not None:
+            if spark is None:
+                raise ValueError(
+                    "ts_range is not footer-answerable with an active row "
+                    "TTL (logical expiry); pass a SparkSession, or run "
+                    "purge_expired first"
+                )
+            row = (
+                self.read(spark, snapshot_id=snapshot_id)
+                .agg(F.min("ts"), F.max("ts"))
+                .collect()[0]
+            )
+            return row[0], row[1]
+        base_map, delta_map = m["files"], m.get("deltas", {})
+        br = m.get("bucket_rows", {})
+        flat = self._resolve_list(delta_map.get(_FLAT, []))
+        buckets = sorted(set(base_map) | set(delta_map) - {_FLAT})
+        lo = hi = None
+        scan: list[int] = []
+        for b in buckets:
+            entry = br.get(b)
+            bfiles = self._resolve_list(base_map.get(b, []))
+            deltas = self._resolve_list(delta_map.get(b, []))
+            ok = (
+                not flat
+                and not deltas
+                and entry
+                and entry.get("sig") == self._bucket_sig(bfiles)
+                and int(entry.get("dead", 0)) == 0
+            )
+            blo = bhi = None
+            if ok:
+                for f in bfiles:
+                    fmn, fmx, may_dead = self._footer_ts_dead(f)
+                    if fmn is None or fmx is None or may_dead:
+                        ok = False
+                        break
+                    blo = fmn if blo is None else min(blo, fmn)
+                    bhi = fmx if bhi is None else max(bhi, fmx)
+            if ok:
+                if blo is not None:
+                    lo = blo if lo is None else min(lo, blo)
+                    hi = bhi if hi is None else max(hi, bhi)
+            else:
+                scan.append(int(b))
+        if scan:
+            if spark is None:
+                raise ValueError(
+                    f"ts_range is not footer-answerable for buckets "
+                    f"{scan[:8]}{'...' if len(scan) > 8 else ''} (pending "
+                    "deltas, tombstone winners, or missing footer stats); "
+                    "pass a SparkSession to scan them, or compact with "
+                    "tombstone purge"
+                )
+            row = (
+                self.read(spark, snapshot_id=snapshot_id, buckets=scan)
+                .agg(F.min("ts"), F.max("ts"))
+                .collect()[0]
+            )
+            if row[0] is not None:
+                smn = self._ts_bound(row[0])
+                smx = self._ts_bound(row[1])
+                lo = smn if lo is None else min(lo, smn)
+                hi = smx if hi is None else max(hi, smx)
+        return lo, hi
+
     def _prune_by_blooms(
         self, spark: SparkSession, m: dict, files: list[str], value
     ) -> list[str]:
