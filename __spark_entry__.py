@@ -1450,6 +1450,35 @@ def _q_simhash64_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash_portable("text", bits=64).alias("simhash64"))
 
 
+def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup detection through the real engine,
+    ORACLE-CHECKED: feed the documents corpus into an
+    IncrementalNearDupIndex (a snapshot table of MinHash-LSH postings
+    keyed (doc_id, band)) in three micro-batches; each update() merges
+    the batch's postings and pairs ONLY the batch against the indexed
+    state (broadcast bucket semi-join -- per-batch cost is candidate
+    mass, never corpus^2).  The union of the three per-batch pair
+    outputs must EQUAL the batch-mode banded-LSH pair set over the full
+    corpus -- the same DuckDB SQL as `minhash_lsh_dups` -- proving the
+    incremental path loses nothing and double-counts nothing."""
+    from fetchez_spark.functions.incremental_dedup import IncrementalNearDupIndex
+
+    d = _t(spark, sf_dir, "documents")
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-incdup-", dir=fast)
+    idx = IncrementalNearDupIndex(
+        os.path.join(work, "idx"), num_hashes=16, bands=4, k=5
+    )
+    outs = []
+    for i in range(3):
+        batch = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        outs.append(idx.update(spark, batch, batch_token=f"b{i}", seq=i + 1))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints, ORACLE-CHECKED via the portable md5
     bit family (bit b = majority of md5-hex nibble b's high bit across
@@ -1783,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_portable": _q_minhash_portable,
         "minhash_lsh_dups": _q_minhash_lsh_dups,
         "minhash_lsh_capped": _q_minhash_lsh_capped,
+        "incremental_neardup": _q_incremental_neardup,
         "simhash_docs": _q_simhash_docs,
         "simhash64_docs": _q_simhash64_docs,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
@@ -2321,6 +2351,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_dups": _minhash_lsh_sql(num_hashes=16, bands=4),
         "minhash_lsh_capped": _minhash_lsh_sql(num_hashes=16, bands=4, max_bucket_size=4),
+        # incremental == batch: the per-batch union must equal batch LSH
+        "incremental_neardup": _minhash_lsh_sql(num_hashes=16, bands=4),
         "simhash_docs": _simhash_docs_sql(bits=32),
         "simhash64_docs": _simhash_docs_sql(bits=64).replace(
             "AS simhash", "AS simhash64"
