@@ -1365,6 +1365,17 @@ def _q_segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(_t(spark, sf_dir, "documents"), seg_words=10)
 
 
+def _q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: global pseudo-random
+    order by md5(id), exact 500-row shards, computed with DISTRIBUTED
+    ranking (range partition + local rank + broadcast prefix-sum -- no
+    single-reducer Window; same shape as pagination_full_scan)."""
+    from fetchez_spark.functions.export import shard_assignment
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    return shard_assignment(ev, id_col="event_id", shard_rows=500, mode="rank")
+
+
 def _q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column plumbing: byte length + checksum of payloads."""
     d = _t(spark, sf_dir, "documents")
@@ -1807,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_stats": _q_pii_redact_stats,
         "sequence_packing": _q_sequence_packing,
         "stratified_sample": _q_stratified_sample,
+        "shard_assignment": _q_shard_assignment,
         "multimodal_binary_meta": _q_multimodal_binary_meta,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "minhash_portable": _q_minhash_portable,
@@ -2216,6 +2228,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint_dups": """
             SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id
             FROM documents GROUP BY 1
+        """,
+        "shard_assignment": """
+            SELECT event_id,
+                   CAST(floor((rn - 1) / 500) AS BIGINT) AS shard,
+                   CAST((rn - 1) % 500 AS BIGINT) AS pos
+            FROM (SELECT event_id,
+                         row_number() OVER (ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                            event_id) AS rn
+                  FROM events)
         """,
         "segment_dedup_docs": """
             WITH w AS (
