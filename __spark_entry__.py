@@ -931,6 +931,73 @@ def _q_metadata_minmax_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_index_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained inverted token index, ORACLE-CHECKED:
+    replay the documents corpus as a 3-batch CDC log (inserts, then
+    text rewrites of every already-present doc_id%7==0, then deletes of
+    doc_id%11==0) into a snapshot table, refreshing a TokenIndexView
+    after every batch -- each refresh consumes ONLY that range's typed
+    change feed with pre-images (upserts new-text postings, tombstones
+    lost-token postings, O(changed docs), never a corpus re-scan).  The
+    final postings must equal DuckDB's batch inverted index over the
+    final LWW corpus: three rounds of delta maintenance
+    indistinguishable from a rebuild."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.operators.token_index import TokenIndexView
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base_ts = F.lit("2021-01-01 00:00:00").cast("timestamp")
+
+    def env(df, op, seq):
+        return df.select(
+            F.lit(op).alias("op"),
+            "doc_id",
+            "text",
+            (base_ts + F.make_interval(secs=F.lit(seq))).alias("ts"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("src_partition"),
+        )
+
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-tokidx-", dir=fast)
+    docs_sink = LocalSnapshotSink(
+        os.path.join(work, "docs"), num_buckets=8, key=["doc_id"],
+        base_schema=payload, compact_every=10**9,
+    )
+    idx = TokenIndexView(os.path.join(work, "tok"), docs_sink, num_buckets=8)
+
+    m3 = F.pmod(F.col("doc_id"), F.lit(3))
+    rewritten = d.filter(
+        (F.pmod(F.col("doc_id"), F.lit(7)) == 0) & (m3 != 2)
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" zzextra")))
+    batches = [
+        env(d.filter(m3 == 0), "U", 1),
+        env(d.filter(m3 == 1), "U", 2).unionByName(env(rewritten, "U", 3)),
+        env(d.filter(m3 == 2), "U", 4).unionByName(
+            env(
+                d.filter(F.pmod(F.col("doc_id"), F.lit(11)) == 0).withColumn(
+                    "text", F.lit(None).cast("string")
+                ),
+                "D",
+                5,
+            )
+        ),
+    ]
+    for i, b in enumerate(batches):
+        docs_sink.merge(b, batch_token=f"docs-{i}")
+        idx.refresh(spark)
+    return idx.postings(spark)
+
+
 def _q_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance through the real engine,
     ORACLE-CHECKED: replay the events changelog into the snapshot sink in
@@ -1783,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_count_read": _q_metadata_count_read,
         "metadata_minmax_read": _q_metadata_minmax_read,
         "incremental_matview": _q_incremental_matview,
+        "token_index_state": _q_token_index_state,
         "time_travel_read": _q_time_travel_read,
         "dry_run": _q_dry_run,
         # relational surface
@@ -2000,6 +2068,19 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) t
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # inverted index after 3 rounds of incremental maintenance must
+        # equal the batch inverted index over the final LWW corpus
+        "token_index_state": """
+            WITH final AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 AND doc_id % 3 <> 2
+                          THEN text || ' zzextra' ELSE text END AS text
+              FROM documents WHERE doc_id % 11 <> 0)
+            SELECT DISTINCT token, doc_id
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM final)
+            WHERE token <> ''
         """,
         "metadata_minmax_read": """
             SELECT min(ts) AS ts_min, max(ts) AS ts_max FROM (
