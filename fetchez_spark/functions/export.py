@@ -124,7 +124,8 @@ def export_shards(
         df, id_col=id_col, shard_rows=shard_rows, num_shards=num_shards, mode=mode
     )
     joined = df.join(assign, on=id_col)
-    n_out = num_shards or max(1, assign.agg(F.max("shard")).collect()[0][0] + 1)
+    top = assign.agg(F.max("shard")).collect()[0][0] if num_shards is None else None
+    n_out = num_shards or (int(top) + 1 if top is not None else 1)
     order = ["pos"] if mode == "rank" else [id_col]
     (
         joined.repartition(int(n_out), "shard")
@@ -134,13 +135,16 @@ def export_shards(
         .parquet(out_dir)
     )
     spark = df.sparkSession
-    counts = {
-        int(r["shard"]): int(r["n"])
-        for r in spark.read.parquet(out_dir)
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    try:
+        counts = {
+            int(r["shard"]): int(r["n"])
+            for r in spark.read.parquet(out_dir)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    except Exception:
+        counts = {}  # empty input: the write produced no data files
     manifest = {
         "mode": mode,
         "id_col": id_col,

@@ -81,3 +81,9 @@ def test_bad_args_raise(spark):
         shard_assignment(d, mode="hash")
     with pytest.raises(ValueError):
         shard_assignment(d, mode="zip", shard_rows=5)
+
+
+def test_export_empty_frame(spark, tmp_path):
+    d = _docs(spark, 0)
+    m = export_shards(d, str(tmp_path / "empty"), shard_rows=10)
+    assert m["rows"] == 0 and m["shards"] == {}
