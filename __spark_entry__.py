@@ -1827,6 +1827,93 @@ def _q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# conversation/transcript grain (functions/conversations.py): the payload is
+# multi-turn transcripts, so after the CDC replay the pipeline works at the
+# conversation level — assembly, whole-conversation dedup, context-window
+# extraction, sessionization, alternation QA.  The events table stands in as
+# the transcript (conv=user_id, role=event_type, order=(ts, event_id)).
+# ---------------------------------------------------------------------------
+
+def _conv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("user_id").alias("conv_id"),
+        "ts",
+        "event_id",
+        F.col("event_type").alias("role"),
+        F.col("event_id").cast("string").alias("text"),
+    )
+
+
+def _q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-turn assembly + conversation fingerprint: one hash aggregate
+    on the conv key (sort_array orders within the group — no window, no
+    global sort; per-group state bounded by one conversation)."""
+    from fetchez_spark.functions.conversations import assemble_conversations
+
+    out = assemble_conversations(
+        _conv_view(spark, sf_dir), "conv_id", ("ts", "event_id"), sep="|"
+    )
+    return out.select("conv_id", "n_turns", "convo_fp")
+
+
+def _q_conversation_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup on the first-3-turn role signature
+    (catches boilerplate-started transcripts): two partial-agg-friendly
+    hash aggregates, fingerprints md5-portable to the oracle."""
+    from fetchez_spark.functions.conversations import dedup_conversations
+
+    return dedup_conversations(
+        _conv_view(spark, sf_dir),
+        "conv_id",
+        ("ts", "event_id"),
+        turn_expr=F.col("role"),
+        first_k=3,
+    )
+
+
+def _q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-turn context windows for training-example construction:
+    window partitioned by conv — partition-parallel, one shuffle."""
+    from fetchez_spark.functions.conversations import context_windows
+
+    out = context_windows(
+        _conv_view(spark, sf_dir),
+        "conv_id",
+        ("ts", "event_id"),
+        turn_expr=F.col("event_id").cast("string"),
+        k=3,
+        sep=",",
+    )
+    return out.select("conv_id", "event_id", "context")
+
+
+def _q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) + per-session rollup: lag/sum
+    windows and the rollup all share PARTITION BY conv, so Catalyst plans
+    a single Exchange for the whole query."""
+    from fetchez_spark.functions.conversations import session_stats
+
+    out = session_stats(
+        _conv_view(spark, sf_dir), "conv_id", "ts", ("event_id",), gap_seconds=1800
+    )
+    return out.select(
+        "conv_id", F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events", "duration_us",
+    )
+
+
+def _q_role_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript QA: per-conversation count of consecutive same-role
+    turns (double-assistant corruption check after a replay)."""
+    from fetchez_spark.functions.conversations import alternation_violations
+
+    return alternation_violations(
+        _conv_view(spark, sf_dir), "conv_id", "role", ("ts", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1853,6 +1940,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_index_state": _q_token_index_state,
         "time_travel_read": _q_time_travel_read,
         "dry_run": _q_dry_run,
+        # conversation/transcript grain
+        "conversation_assembly": _q_conversation_assembly,
+        "conversation_prefix_dedup": _q_conversation_prefix_dedup,
+        "context_windows": _q_context_windows,
+        "sessionize_gaps": _q_sessionize_gaps,
+        "role_repetition": _q_role_repetition,
         # relational surface
         "q1_pricing_summary": _q_q1_pricing_summary,
         "filter_pushdown_project": _q_filter_pushdown_project,
@@ -1935,6 +2028,58 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "dry_run": "SELECT event_id, event_type FROM events WHERE 1 = 0",
+        # conversation assembly: ordered string_agg == Spark's
+        # sort_array(collect_list(struct(ts, event_id, turn))) rendering
+        "conversation_assembly": """
+            SELECT user_id AS conv_id, count(*) AS n_turns,
+                   md5(string_agg(event_type || ':' || event_id, '|'
+                                  ORDER BY ts, event_id)) AS convo_fp
+            FROM events GROUP BY user_id
+        """,
+        "conversation_prefix_dedup": """
+            WITH fp AS (
+              SELECT user_id AS conv_id,
+                     md5(array_to_string(
+                         (list(event_type ORDER BY ts, event_id))[1:3], '|')) AS convo_fp
+              FROM events GROUP BY user_id)
+            SELECT convo_fp, CAST(count(*) AS BIGINT) AS n_convs,
+                   min(conv_id) AS canonical_conv
+            FROM fp GROUP BY convo_fp HAVING count(*) > 1
+        """,
+        "context_windows": """
+            WITH w AS (
+              SELECT user_id AS conv_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                     string_agg(CAST(event_id AS VARCHAR), ',') OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS context
+              FROM events)
+            SELECT conv_id, event_id, context FROM w WHERE rn >= 3
+        """,
+        "sessionize_gaps": """
+            WITH o AS (
+              SELECT user_id AS conv_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT conv_id, ts,
+                     CAST(sum(new_s) OVER (PARTITION BY conv_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+              FROM o)
+            SELECT conv_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+                   max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+            FROM s GROUP BY conv_id, session_idx
+        """,
+        "role_repetition": """
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_repeats FROM (
+              SELECT user_id AS conv_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events)
+            WHERE prev = event_type GROUP BY conv_id
+        """,
         # engine end-to-end: the sink's replay of the events changelog must
         # equal the plain last-writer-wins reduction (tombstones excluded)
         "cdc_replay_snapshot": """
