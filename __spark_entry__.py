@@ -1913,6 +1913,54 @@ def _q_role_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conversation_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained conversation view, ORACLE-CHECKED: replay
+    the events table as a 3-batch transcript changelog keyed
+    (conv_id=user_id, turn_idx=event_id%50) into a snapshot table,
+    refreshing a ConversationView after every batch — each refresh
+    reassembles ONLY the conversations that range touched (bucket-pruned
+    + prefix-key-restricted read, O(changed convs), never a table scan).
+    The final view must equal DuckDB's batch assembly over the final LWW
+    corpus: three rounds of conversation-grain maintenance
+    indistinguishable from a rebuild."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.operators.conv_view import ConversationView
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(50)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("conv_id", T.LongType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", env.schema["ts"].dataType),
+        ]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-convview-", dir=fast)
+    turns = LocalSnapshotSink(
+        os.path.join(work, "turns"), num_buckets=8,
+        key=["conv_id", "turn_idx"], base_schema=payload,
+    )
+    view = ConversationView(os.path.join(work, "conv"), turns, sep="|", num_buckets=8)
+    for i in range(3):
+        turns.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_token=f"cv-{i}")
+        view.refresh(spark)
+    return view.read(spark).select("conv_id", "n_turns", "convo_fp")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1946,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_windows": _q_context_windows,
         "sessionize_gaps": _q_sessionize_gaps,
         "role_repetition": _q_role_repetition,
+        "conversation_view_state": _q_conversation_view_state,
         # relational surface
         "q1_pricing_summary": _q_q1_pricing_summary,
         "filter_pushdown_project": _q_filter_pushdown_project,
@@ -2079,6 +2128,22 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, event_id) AS prev
               FROM events)
             WHERE prev = event_type GROUP BY conv_id
+        """,
+        # incremental conversation view == batch assembly of the final LWW
+        # transcript (conv=user_id, turn=event_id%50, error-winner = delete)
+        "conversation_view_state": """
+            WITH w AS (
+              SELECT user_id AS conv_id, event_id % 50 AS turn_idx,
+                     event_type, props, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_id % 50
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events),
+            f AS (
+              SELECT conv_id, turn_idx, event_type || ':' || props AS turn
+              FROM w WHERE rn = 1 AND event_type <> 'error')
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   md5(string_agg(turn, '|' ORDER BY turn_idx)) AS convo_fp
+            FROM f GROUP BY conv_id
         """,
         # engine end-to-end: the sink's replay of the events changelog must
         # equal the plain last-writer-wins reduction (tombstones excluded)

@@ -276,3 +276,38 @@ def ts_range(
     from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
     return LocalSnapshotSink(table_dir).ts_range(spark, snapshot_id=snapshot_id)
+
+
+def conversations(
+    spark: SparkSession,
+    table_dir: str,
+    sep: str = "\x1f",
+    snapshot_id: str | None = None,
+):
+    """Conversation-grain view of a replayed transcript table: one row
+    per conv_id with ordered turns joined into ``transcript``, ``n_turns``
+    and an md5 ``convo_fp`` (functions/conversations.py).  Reads the live
+    (or AS-OF) state through the sink, so bucket pruning and tombstone
+    filtering apply before the one conv-key aggregate."""
+    from fetchez_spark.functions.conversations import assemble_conversations
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    state = LocalSnapshotSink(table_dir).read(spark, snapshot_id=snapshot_id)
+    return assemble_conversations(state, sep=sep)
+
+
+def sessions(
+    spark: SparkSession,
+    table_dir: str,
+    gap_seconds: int = 1800,
+    snapshot_id: str | None = None,
+):
+    """Per-conversation session rollup (gap-based split on ``ts``) over a
+    replayed transcript table; one Exchange total."""
+    from fetchez_spark.functions.conversations import session_stats
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    state = LocalSnapshotSink(table_dir).read(spark, snapshot_id=snapshot_id)
+    return session_stats(
+        state, "conv_id", "ts", ("turn_idx",), gap_seconds=gap_seconds
+    )

@@ -1677,9 +1677,19 @@ class LocalSnapshotSink(SnapshotSink):
             # post-filter them to the requested buckets
             df = df.filter(self._bucket_expr(m["num_buckets"]).isin([int(b) for b in keys]))
         if key_in is not None:
+            # full key, or a LEADING PREFIX of it (e.g. conv_id alone on a
+            # (conv_id, turn_idx) table): restricting by a prefix keeps
+            # every row of any key sharing it, so the per-key LWW winner
+            # below is still computed from all of that key's rows
+            on = [c for c in self.key if c in key_in.columns]
+            if not on or on != self.key[: len(on)]:
+                raise ValueError(
+                    f"key_in columns {key_in.columns} must cover the key "
+                    f"{self.key} or a leading prefix of it"
+                )
             df = df.join(
-                F.broadcast(key_in.select(*self.key).dropDuplicates()),
-                on=self.key,
+                F.broadcast(key_in.select(*on).dropDuplicates()),
+                on=on,
                 how="left_semi",
             )
         if deltas:

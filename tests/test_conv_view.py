@@ -1,0 +1,143 @@
+"""ConversationView: conversation-grain assembly maintained incrementally
+from the typed change feed (operators/conv_view.py), plus the key-prefix
+extension of ``LocalSnapshotSink.read(key_in=)`` it rides on."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fetchez_spark.operators.conv_view import ConversationView
+from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+
+def _env(spark, rows, seq0=0):
+    """rows: (op, conv, turn, role, text); ts/seq monotonically increasing."""
+    data = [
+        (op, c, t, r, x, T0 + dt.timedelta(seconds=seq0 + i), seq0 + i, 0)
+        for i, (op, c, t, r, x) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "op string, conv_id string, turn_idx int, role string, text string, "
+        "ts timestamp, seq long, src_partition int",
+    )
+
+
+@pytest.fixture()
+def source(spark, tmp_path):
+    return LocalSnapshotSink(
+        str(tmp_path / "turns"),
+        num_buckets=8,
+        key=["conv_id", "turn_idx"],
+        base_schema=_schema(),
+    )
+
+
+def _state(view, spark):
+    return {
+        r["conv_id"]: (r["n_turns"], r["transcript"])
+        for r in view.read(spark).collect()
+    }
+
+
+def test_conv_view_tracks_inserts_updates_deletes(spark, tmp_path, source):
+    view = ConversationView(str(tmp_path / "conv"), source, sep="|", num_buckets=4)
+
+    source.merge(
+        _env(spark, [("U", "a", 0, "user", "hi"), ("U", "a", 1, "assistant", "yo"),
+                     ("U", "b", 0, "user", "q")]),
+        batch_token="b0",
+    )
+    view.refresh(spark)
+    assert _state(view, spark) == {
+        "a": (2, "user:hi|assistant:yo"),
+        "b": (1, "user:q"),
+    }
+
+    # update one turn of a; b untouched
+    source.merge(_env(spark, [("U", "a", 1, "assistant", "yo2")], seq0=10), batch_token="b1")
+    r = view.refresh(spark)
+    assert _state(view, spark)["a"] == (2, "user:hi|assistant:yo2")
+    assert _state(view, spark)["b"] == (1, "user:q")
+    # only conversation a's bucket was re-read
+    assert len(r["touched_buckets"]) == 1
+
+    # delete b's only turn -> b leaves the view entirely
+    source.merge(_env(spark, [("D", "b", 0, "user", None)], seq0=20), batch_token="b2")
+    view.refresh(spark)
+    assert "b" not in _state(view, spark)
+    assert "a" in _state(view, spark)
+
+
+def test_conv_view_refresh_is_idempotent_and_cursor_rides_offsets(spark, tmp_path, source):
+    view = ConversationView(str(tmp_path / "conv"), source, sep="|", num_buckets=4)
+    source.merge(_env(spark, [("U", "a", 0, "user", "hi")]), batch_token="b0")
+    r1 = view.refresh(spark)
+    r2 = view.refresh(spark)  # nothing new
+    assert r2["skipped"] is True and r2["from"] == r1["to"]
+    # a fresh handle over the same dirs resumes from the persisted cursor
+    again = ConversationView(str(tmp_path / "conv"), source, sep="|", num_buckets=4)
+    assert again.last_applied() == r1["to"]
+    assert _state(again, spark) == {"a": (1, "user:hi")}
+
+
+def test_conv_view_lookup_prunes_to_one_bucket(spark, tmp_path, source):
+    view = ConversationView(str(tmp_path / "conv"), source, sep="|", num_buckets=4)
+    rows = [("U", f"c{i}", 0, "user", f"t{i}") for i in range(12)]
+    source.merge(_env(spark, rows), batch_token="b0")
+    view.refresh(spark)
+    got = view.lookup(spark, "c7").collect()
+    assert len(got) == 1 and got[0]["transcript"] == "user:t7"
+
+
+def test_read_key_in_accepts_leading_prefix(spark, tmp_path, source):
+    source.merge(
+        _env(spark, [("U", "a", 0, "user", "hi"), ("U", "a", 1, "assistant", "yo"),
+                     ("U", "b", 0, "user", "q")]),
+        batch_token="b0",
+    )
+    keys = spark.createDataFrame([("a",)], "conv_id string")
+    got = source.read(spark, key_in=keys).select("conv_id", "turn_idx").collect()
+    assert {(r[0], r[1]) for r in got} == {("a", 0), ("a", 1)}
+    # a non-prefix restriction is rejected loudly
+    bad = spark.createDataFrame([(0,)], "turn_idx int")
+    with pytest.raises(ValueError, match="leading prefix"):
+        source.read(spark, key_in=bad).collect()
+
+
+def test_conv_view_three_batches_equal_batch_assembly(spark, tmp_path, source):
+    """Union of incremental refreshes == one-shot assembly of the final
+    state (the oracle-query shape, pinned here at unit scale)."""
+    from fetchez_spark.functions.conversations import assemble_conversations
+
+    view = ConversationView(str(tmp_path / "conv"), source, sep="|", num_buckets=4)
+    batches = [
+        [("U", "a", 0, "user", "hi"), ("U", "b", 0, "user", "b0"), ("U", "b", 1, "tool", "b1")],
+        [("U", "a", 1, "assistant", "re"), ("U", "b", 1, "tool", "b1x")],
+        [("D", "b", 0, "user", None), ("U", "c", 0, "system", "s")],
+    ]
+    for i, rows in enumerate(batches):
+        source.merge(_env(spark, rows, seq0=10 * i), batch_token=f"b{i}")
+        view.refresh(spark)
+    final = assemble_conversations(source.read(spark), "conv_id", ("turn_idx",), sep="|")
+    exp = {r["conv_id"]: (r["n_turns"], r["transcript"]) for r in final.collect()}
+    assert _state(view, spark) == exp

@@ -158,3 +158,44 @@ def test_sessionize_single_exchange(transcript):
         session_stats(transcript)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") <= 1
+
+
+def test_api_conversations_and_sessions(spark, tmp_path):
+    """api.conversations / api.sessions read through the sink (live +
+    AS-OF) and assemble at the conversation grain."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark import api
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2,
+                             key=["conv_id", "turn_idx"], base_schema=schema)
+    env = spark.createDataFrame(
+        [("U", "a", 0, "user", "hi", _ts(0), 0, 0),
+         ("U", "a", 1, "assistant", "yo", _ts(50), 1, 0)],
+        "op string, conv_id string, turn_idx int, role string, text string, "
+        "ts timestamp, seq long, src_partition int",
+    )
+    first = sink.merge(env, batch_token="b0")
+    env2 = spark.createDataFrame(
+        [("U", "a", 1, "assistant", "yo2", _ts(51), 2, 0)],
+        "op string, conv_id string, turn_idx int, role string, text string, "
+        "ts timestamp, seq long, src_partition int",
+    )
+    sink.merge(env2, batch_token="b1")
+
+    conv = api.conversations(spark, str(tmp_path / "t"), sep="|").collect()
+    assert conv[0]["transcript"] == "user:hi|assistant:yo2"
+    old = api.conversations(
+        spark, str(tmp_path / "t"), sep="|", snapshot_id=first["snapshot_id"]
+    ).collect()
+    assert old[0]["transcript"] == "user:hi|assistant:yo"
+    sess = api.sessions(spark, str(tmp_path / "t"), gap_seconds=1800).collect()
+    assert {(r["conv_id"], r["session_idx"], r["n_events"]) for r in sess} == {("a", 1, 1), ("a", 2, 1)}
