@@ -284,6 +284,26 @@ def main(argv: list[str] | None = None) -> int:
                    help="event-time window upper bound (ISO)")
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--cores", type=int, default=4)
+    p = sub.add_parser(
+        "convs",
+        help="conversation-grain reads over a replayed transcript table: "
+        "assembled transcripts (batch) or a ConversationView store "
+        "(--view to read, --refresh to advance it from the change feed)",
+    )
+    p.add_argument("table_dir")
+    p.add_argument("--view", default=None, metavar="VIEW_DIR",
+                   help="ConversationView store dir (read the maintained "
+                        "view instead of assembling on the fly)")
+    p.add_argument("--refresh", action="store_true",
+                   help="with --view: advance the view to the table's "
+                        "current snapshot first")
+    p.add_argument("--conv", default=None,
+                   help="one conversation (bucket+file-pruned lookup)")
+    p.add_argument("--sessions", type=int, default=None, metavar="GAP_SECONDS",
+                   help="emit per-session rollups split on this ts gap")
+    p.add_argument("--snapshot", default=None, help="read as of this snapshot")
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--cores", type=int, default=4)
 
     args = parser.parse_args(argv)
     from fetchez_spark import registry
@@ -606,6 +626,42 @@ def main(argv: list[str] | None = None) -> int:
         for row in df.limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))
         print(json.dumps({"total_changed_rows": n}))
+        return 0
+    if args.cmd == "convs":
+        from fetchez_spark import api
+        from fetchez_spark.session import get_spark
+
+        spark = get_spark(app_name="fetchez-convs", master=f"local[{args.cores}]")
+        if args.sessions is not None:
+            df = api.sessions(
+                spark, args.table_dir, gap_seconds=args.sessions,
+                snapshot_id=args.snapshot,
+            )
+        elif args.view:
+            from fetchez_spark.operators.conv_view import ConversationView
+            from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+            view = ConversationView(args.view, LocalSnapshotSink(args.table_dir))
+            if args.refresh:
+                r = view.refresh(spark)
+                print(json.dumps(
+                    {k: r.get(k) for k in ("from", "to", "skipped")}, default=str
+                ), file=sys.stderr)
+            df = (
+                view.lookup(spark, args.conv)
+                if args.conv is not None
+                else view.read(spark)
+            )
+        else:
+            df = api.conversations(
+                spark, args.table_dir, sep="\x1f", snapshot_id=args.snapshot
+            )
+            if args.conv is not None:
+                df = df.filter(df[df.columns[0]] == args.conv)
+        n = df.count()
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
+        print(json.dumps({"total_conversations": n}))
         return 0
     parser.print_help()
     return 0

@@ -141,3 +141,33 @@ def test_conv_view_three_batches_equal_batch_assembly(spark, tmp_path, source):
     final = assemble_conversations(source.read(spark), "conv_id", ("turn_idx",), sep="|")
     exp = {r["conv_id"]: (r["n_turns"], r["transcript"]) for r in final.collect()}
     assert _state(view, spark) == exp
+
+
+def test_cli_convs_view_refresh_and_batch(spark, tmp_path, source, capsys):
+    """CLI drive: `convs --view --refresh` advances the view and prints
+    it; bare `convs` assembles on the fly; `--sessions` rolls up."""
+    import json as _json
+
+    from fetchez_spark.cli import main
+
+    source.merge(
+        _env(spark, [("U", "a", 0, "user", "hi"), ("U", "a", 1, "assistant", "yo")]),
+        batch_token="b0",
+    )
+    rc = main(["convs", str(tmp_path / "turns"),
+               "--view", str(tmp_path / "conv"), "--refresh"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    rows = [_json.loads(l) for l in lines]
+    assert rows[-1]["total_conversations"] == 1
+    assert rows[0]["n_turns"] == 2
+
+    rc = main(["convs", str(tmp_path / "turns")])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert _json.loads(out[-1])["total_conversations"] == 1
+
+    rc = main(["convs", str(tmp_path / "turns"), "--sessions", "1800"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert _json.loads(out[-1])["total_conversations"] == 1
