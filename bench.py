@@ -55,6 +55,8 @@ HEADLINE_QUERIES = [
     "topk_per_group",
     "text_token_stats",
     "cosine_topk",
+    "conversation_assembly",
+    "sessionize_gaps",
 ]
 
 

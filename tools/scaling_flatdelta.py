@@ -52,6 +52,12 @@ CONFIGS = {
     "flat_local": {"FETCHEZ_CLUSTER_DELTAS": "0", "FETCHEZ_LOCAL_COMPACT": "1"},
 }
 
+# re-measure a subset without the full 18-run matrix, e.g.
+# FETCHEZ_SCALING_CONFIGS=flat for the shipped ingest default only
+_only = os.environ.get("FETCHEZ_SCALING_CONFIGS")
+if _only:
+    CONFIGS = {k: v for k, v in CONFIGS.items() if k in _only.split(",")}
+
 
 def engine_runs(log_dir: str) -> dict:
     results: dict[str, dict[int, list[float]]] = {}
@@ -119,7 +125,8 @@ def main() -> None:
         "engine": engine,
         "normalized": {c: engine[c]["eff"] / sha2["eff"] for c in engine},
     }
-    with open(os.path.join(REPO, "BENCH", "scaling_flatdelta_r4.json"), "w") as f:
+    out_name = os.environ.get("FETCHEZ_SCALING_OUT", "scaling_flatdelta_r4.json")
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(blob, f, indent=2)
     print(json.dumps(blob, indent=2))
 
