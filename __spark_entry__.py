@@ -53,12 +53,15 @@ _SHINGLES_CTE = (
 
 
 def _minhash_lsh_sql(
-    num_hashes: int = 16, bands: int = 4, max_bucket_size: int | None = None
+    num_hashes: int = 16, bands: int = 4, max_bucket_size: int | None = None,
+    shingles_cte: str | None = None,
 ) -> str:
     """``max_bucket_size`` mirrors the engine's degenerate-bucket cap
     (functions/dedup.py:cap_bucket_size): band buckets holding more than
     `cap` docs are dropped BEFORE the self-join, so the cap logic itself
-    is oracle-checked, not just the uncapped join."""
+    is oracle-checked, not just the uncapped join.  ``shingles_cte``
+    swaps the shingle source (default: the documents table) — the
+    conversation-grain variant shingles assembled transcripts instead."""
     rows = num_hashes // bands
     mins = ", ".join(
         f"list_min(list_transform(s, x -> md5('{i}:' || x)))" for i in range(num_hashes)
@@ -76,13 +79,25 @@ def _minhash_lsh_sql(
         fb AS (SELECT bands.doc_id, bands.bucket FROM bands JOIN ok USING (bucket))"""
         src = "fb"
     return f"""
-        WITH sh AS ({_SHINGLES_CTE}),
+        WITH sh AS ({shingles_cte or _SHINGLES_CTE}),
         sig AS (SELECT doc_id, [{mins}] AS m FROM sh),
         bands AS (SELECT doc_id, unnest([{band_keys}]) AS bucket FROM sig){cap_ctes}
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
         FROM {src} a JOIN {src} b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     """
+
+
+# conversation-grain shingle source: 5-gram shingles over the assembled
+# (role:event_id ordered by ts, event_id) transcript of each conversation
+_CONV_SHINGLES_CTE = (
+    "SELECT conv_id AS doc_id, "
+    "list_distinct(list_transform(range(1, greatest(length(t) - 3, 2)), "
+    "i -> substr(t, i::INT, 5))) AS s "
+    "FROM (SELECT user_id AS conv_id, "
+    "string_agg(event_type || ':' || event_id, '|' ORDER BY ts, event_id) AS t "
+    "FROM events GROUP BY user_id)"
+)
 
 
 _SQL_HEX_HIGH = "('8','9','a','b','c','d','e','f')"  # nibble bit 3 set
@@ -1903,6 +1918,28 @@ def _q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conversation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level near-dup: banded MinHash-LSH over the ASSEMBLED
+    transcript of each conversation — composition of the conversation
+    grain with the portable dedup family (one assembly aggregate, then
+    the same explode-band/equi-join scale shape as minhash_lsh_dups;
+    candidate mass bounded by banding, never all-pairs)."""
+    from fetchez_spark.functions.conversations import assemble_conversations
+    from fetchez_spark.functions.dedup import minhash_lsh_candidates_portable
+
+    conv = assemble_conversations(
+        _conv_view(spark, sf_dir), "conv_id", ("ts", "event_id"), sep="|"
+    ).select("conv_id", "transcript")
+    cands = minhash_lsh_candidates_portable(
+        conv, text_col="transcript", id_col="conv_id", num_hashes=16, bands=4
+    )
+    return cands.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "n_shared_bands",
+    )
+
+
 def _q_role_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript QA: per-conversation count of consecutive same-role
     turns (double-assistant corruption check after a replay)."""
@@ -1994,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_windows": _q_context_windows,
         "sessionize_gaps": _q_sessionize_gaps,
         "role_repetition": _q_role_repetition,
+        "conversation_neardup": _q_conversation_neardup,
         "conversation_view_state": _q_conversation_view_state,
         # relational surface
         "q1_pricing_summary": _q_q1_pricing_summary,
@@ -2662,6 +2700,9 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
         """,
         "minhash_lsh_dups": _minhash_lsh_sql(num_hashes=16, bands=4),
+        "conversation_neardup": _minhash_lsh_sql(
+            num_hashes=16, bands=4, shingles_cte=_CONV_SHINGLES_CTE
+        ),
         "minhash_lsh_capped": _minhash_lsh_sql(num_hashes=16, bands=4, max_bucket_size=4),
         # incremental == batch: the per-batch union must equal batch LSH
         "incremental_neardup": _minhash_lsh_sql(num_hashes=16, bands=4),

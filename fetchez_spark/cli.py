@@ -297,6 +297,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--refresh", action="store_true",
                    help="with --view: advance the view to the table's "
                         "current snapshot first")
+    p.add_argument("--follow", type=float, default=None, metavar="SECONDS",
+                   help="with --view: poll the table and refresh the view "
+                        "on every commit (one metrics JSON line each)")
+    p.add_argument("--timeout", type=float, default=None,
+                   help="stop --follow after this many seconds")
     p.add_argument("--conv", default=None,
                    help="one conversation (bucket+file-pruned lookup)")
     p.add_argument("--sessions", type=int, default=None, metavar="GAP_SECONDS",
@@ -642,6 +647,16 @@ def main(argv: list[str] | None = None) -> int:
             from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
             view = ConversationView(args.view, LocalSnapshotSink(args.table_dir))
+            if args.follow is not None:
+                for m in view.follow(
+                    spark, poll_seconds=args.follow,
+                    timeout_seconds=args.timeout,
+                ):
+                    print(json.dumps(
+                        {k: m.get(k) for k in ("from", "to", "snapshot_id")},
+                        default=str,
+                    ), flush=True)
+                return 0
             if args.refresh:
                 r = view.refresh(spark)
                 print(json.dumps(

@@ -168,6 +168,34 @@ class ConversationView:
             "touched_buckets": sorted(bkts),
         }
 
+    def follow(
+        self,
+        spark: SparkSession,
+        poll_seconds: float = 2.0,
+        stop_event=None,
+        timeout_seconds: float | None = None,
+    ):
+        """Generator keeping the view CONTINUOUSLY current (same contract
+        as ``MaterializedAggregate.follow``): polls the source's commit
+        pointer (O(1) driver-side VERSION read) and refreshes on every
+        observed advance, yielding each refresh's metrics dict; commits
+        between polls coalesce into one refresh over the combined range.
+        Stop via ``stop_event`` (threading.Event) or ``timeout_seconds``."""
+        import time as _time
+
+        deadline = (
+            (_time.monotonic() + timeout_seconds) if timeout_seconds else None
+        )
+        while True:
+            if stop_event is not None and stop_event.is_set():
+                return
+            if deadline is not None and _time.monotonic() >= deadline:
+                return
+            if self.source.current_snapshot_id != self.last_applied():
+                yield self.refresh(spark)
+            else:
+                _time.sleep(poll_seconds)
+
     # -------------------------------------------------------------- reading
     def read(self, spark: SparkSession) -> DataFrame:
         """Live conversation-grain state."""

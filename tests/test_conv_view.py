@@ -171,3 +171,30 @@ def test_cli_convs_view_refresh_and_batch(spark, tmp_path, source, capsys):
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert _json.loads(out[-1])["total_conversations"] == 1
+
+
+def test_conv_view_follow_tracks_commits(spark, tmp_path, source):
+    """follow() refreshes on each observed commit and stops on timeout."""
+    import threading
+
+    view = ConversationView(str(tmp_path / "conv"), source, sep="|", num_buckets=4)
+    source.merge(_env(spark, [("U", "a", 0, "user", "hi")]), batch_token="b0")
+    seen = []
+    stop = threading.Event()
+
+    def run():
+        for m in view.follow(spark, poll_seconds=0.2, stop_event=stop,
+                             timeout_seconds=60):
+            seen.append(m)
+            if len(seen) >= 2:
+                stop.set()
+
+    t = threading.Thread(target=run)
+    t.start()
+    import time as _t
+    _t.sleep(0.5)
+    source.merge(_env(spark, [("U", "b", 0, "user", "q")], seq0=5), batch_token="b1")
+    t.join(timeout=90)
+    assert not t.is_alive()
+    assert len(seen) >= 2 and seen[0]["to"] != seen[1]["to"]
+    assert _state(view, spark) == {"a": (1, "user:hi"), "b": (1, "user:q")}
