@@ -1884,6 +1884,7 @@ def _q_conversation_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ts", "event_id"),
         turn_expr=F.col("role"),
         first_k=3,
+        sep="|",
     )
 
 

@@ -636,17 +636,62 @@ def main(argv: list[str] | None = None) -> int:
         from fetchez_spark import api
         from fetchez_spark.session import get_spark
 
+        def _key_typed(sink, value):
+            # --conv arrives as an argv string; the bucket hash (and the
+            # filter) must see the leading key's REAL type or a
+            # numeric-keyed lookup silently prunes to the wrong bucket
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(sink.manifest()["schema"])
+            dt = next(
+                (f.dataType for f in schema.fields if f.name == sink.key[0]), None
+            )
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                return int(value)
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                return float(value)
+            if isinstance(dt, T.DecimalType):
+                from decimal import Decimal
+
+                return Decimal(value)
+            return value
+
+        if args.sessions is not None and args.view:
+            print("--sessions reads the turn-grain table; it cannot be "
+                  "combined with --view (conversation grain)", file=sys.stderr)
+            return 1
         spark = get_spark(app_name="fetchez-convs", master=f"local[{args.cores}]")
         if args.sessions is not None:
             df = api.sessions(
                 spark, args.table_dir, gap_seconds=args.sessions,
                 snapshot_id=args.snapshot,
             )
+            if args.conv is not None:
+                from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+                conv = _key_typed(LocalSnapshotSink(args.table_dir), args.conv)
+                df = df.filter(df[df.columns[0]] == conv)
         elif args.view:
             from fetchez_spark.operators.conv_view import ConversationView
             from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
-            view = ConversationView(args.view, LocalSnapshotSink(args.table_dir))
+            try:
+                view = ConversationView.load(args.view)
+            except KeyError:
+                # fresh store dir: no persisted definition yet
+                view = ConversationView(args.view, LocalSnapshotSink(args.table_dir))
+            else:
+                import os as _os
+
+                if _os.path.realpath(view.source.table_dir) != _os.path.realpath(
+                    args.table_dir
+                ):
+                    print(
+                        f"view {args.view} was built over "
+                        f"{view.source.table_dir}, not {args.table_dir}",
+                        file=sys.stderr,
+                    )
+                    return 1
             if args.follow is not None:
                 for m in view.follow(
                     spark, poll_seconds=args.follow,
@@ -662,17 +707,24 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(
                     {k: r.get(k) for k in ("from", "to", "skipped")}, default=str
                 ), file=sys.stderr)
-            df = (
-                view.lookup(spark, args.conv)
-                if args.conv is not None
-                else view.read(spark)
-            )
+            if args.conv is not None and args.snapshot is None:
+                df = view.lookup(spark, _key_typed(view.store, args.conv))
+            else:
+                # --snapshot with --view is AS-OF the VIEW store's history
+                df = view.read(spark, snapshot_id=args.snapshot)
+                if args.conv is not None:
+                    df = df.filter(
+                        df[df.columns[0]] == _key_typed(view.store, args.conv)
+                    )
         else:
             df = api.conversations(
                 spark, args.table_dir, sep="\x1f", snapshot_id=args.snapshot
             )
             if args.conv is not None:
-                df = df.filter(df[df.columns[0]] == args.conv)
+                from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+                conv = _key_typed(LocalSnapshotSink(args.table_dir), args.conv)
+                df = df.filter(df[df.columns[0]] == conv)
         n = df.count()
         for row in df.limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))

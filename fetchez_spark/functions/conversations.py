@@ -88,11 +88,16 @@ def conversation_fingerprints(
     order_cols: Sequence[str] = ("turn_idx",),
     turn_expr: Column | None = None,
     first_k: int | None = None,
-    sep: str = "|",
+    sep: str = "\x1f",
 ) -> DataFrame:
     """(conv, fp): md5 over the ordered turn renderings; ``first_k`` limits
     the signature to the conversation prefix (prefix dedup catches
-    boilerplate-started conversations that diverge later)."""
+    boilerplate-started conversations that diverge later).
+
+    ``sep`` defaults to the unprintable unit separator, matching
+    :func:`assemble_conversations` — a printable separator that can occur
+    inside a turn makes boundaries ambiguous (["a|b"] and ["a","b"] would
+    fingerprint identically), collapsing distinct conversations."""
     if turn_expr is None:
         turn_expr = F.concat_ws(":", F.col("role"), F.col("text"))
     agg = df.groupBy(conv_col).agg(_ordered_structs(order_cols, turn_expr).alias("_turns"))
@@ -110,11 +115,12 @@ def dedup_conversations(
     order_cols: Sequence[str] = ("turn_idx",),
     turn_expr: Column | None = None,
     first_k: int | None = None,
+    sep: str = "\x1f",
 ) -> DataFrame:
     """Conversation-level exact-dup groups: fingerprints shared by >1
     conversation, with the canonical (min) conv id and the group size.
     Two hash aggregates, both partial-agg friendly; no window."""
-    fps = conversation_fingerprints(df, conv_col, order_cols, turn_expr, first_k)
+    fps = conversation_fingerprints(df, conv_col, order_cols, turn_expr, first_k, sep)
     return (
         fps.groupBy("convo_fp")
         .agg(F.count(F.lit(1)).alias("n_convs"), F.min(conv_col).alias("canonical_conv"))
@@ -175,8 +181,8 @@ def session_stats(
     order_cols: Sequence[str] = (),
     gap_seconds: int = 1800,
 ) -> DataFrame:
-    """Per-session rollup over :func:`sessionize`: event count, duration in
-    microseconds, and the first order key for determinism."""
+    """Per-session rollup over :func:`sessionize`: per (conv, session_idx),
+    the event count and duration in microseconds."""
     s = sessionize(df, conv_col, ts_col, order_cols, gap_seconds)
     return s.groupBy(conv_col, "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),

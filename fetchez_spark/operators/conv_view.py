@@ -20,11 +20,24 @@ conversations and nothing else:
 * one aggregate reassembles them; conversations whose every turn is gone
   tombstone out of the view.
 
+The whole refresh is PINNED to one source snapshot (the ``to`` captured
+from the commit pointer): the feed range ends at it, the bucket math uses
+ITS manifest's ``num_buckets``, and the re-read passes ``snapshot_id=to``
+— so a concurrent commit (or a maintenance ``rebucket``) landing
+mid-refresh can never make the pruning disagree with the scan.
+
 Cost per refresh is proportional to the changed conversations' sizes —
 the right unit, since any single turn edit invalidates the whole
 conversation's transcript.  The cursor rides the store's own manifest
 ``offsets`` (committed atomically with the rows), so replays after a
 crash are idempotent.
+
+The view is a durable object: the first refresh persists its definition
+(source dir, separator, turn expression) into the store's catalog, and
+:meth:`ConversationView.load` reconstructs it from the dir alone — the
+CLI uses that, so a view built with a custom separator is never silently
+refreshed under a different rendering (a conflicting explicit parameter
+is a loud ``ValueError``).
 
 (Reference analog: fetchez assembles per-entry results eagerly on the
 driver each run, /root/reference/src/fetchez/core.py:1094-1137; here the
@@ -33,29 +46,29 @@ assembled state is a durable table maintained from CDC.)
 
 from __future__ import annotations
 
-from datetime import datetime, timedelta
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_ROOT_SNAPSHOT = "snap-0000000000"
-_EPOCH = datetime(2020, 1, 1)
+from fetchez_spark.operators._incview import (
+    IncrementalView,
+    snap_num,
+    snap_ts_lit,
+)
+
+_CUSTOM_EXPR = "__custom_column__"
 
 
-def _snap_num(sid: str) -> int:
-    return int("".join(ch for ch in str(sid) if ch.isdigit()) or 0)
-
-
-class ConversationView:
+class ConversationView(IncrementalView):
     """See module docstring."""
 
     def __init__(
         self,
         store_dir: str,
         source,
-        turn_expr: Column | None = None,
-        sep: str = "\x1f",
+        turn_expr: Column | str | None = None,
+        sep: str | None = None,
         num_buckets: int = 16,
     ) -> None:
         from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
@@ -67,10 +80,24 @@ class ConversationView:
                 f"got {source.key}"
             )
         self.source = source
+        # key names in the source manifest are PHYSICAL and never change;
+        # refresh maps them to the current logical names before selecting
         self.conv_col = source.key[0]
         self.order_cols = list(source.key[1:])
-        self.turn_expr = turn_expr
+
+        persisted = self._persisted_definition(store_dir)
+        sep, turn_expr = self._reconcile_definition(persisted, sep, turn_expr)
         self.sep = sep
+        if isinstance(turn_expr, str):
+            self.turn_expr = F.expr(turn_expr)
+            self._turn_expr_sql: str | None = turn_expr
+        elif turn_expr is None:
+            self.turn_expr = None
+            self._turn_expr_sql = None
+        else:
+            self.turn_expr = turn_expr
+            self._turn_expr_sql = _CUSTOM_EXPR
+
         conv_type = next(
             (f.dataType for f in self._source_schema().fields if f.name == self.conv_col),
             T.StringType(),
@@ -97,10 +124,112 @@ class ConversationView:
 
         return T.StructType.fromJson(self.source.manifest()["schema"])
 
-    # -------------------------------------------------------------- cursor
-    def last_applied(self) -> str:
-        off = self.store.manifest().get("offsets") or {}
-        return off.get("upstream", _ROOT_SNAPSHOT)
+    # ----------------------------------------------------------- definition
+    @staticmethod
+    def _persisted_definition(store_dir: str) -> dict | None:
+        import os
+
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        if not os.path.exists(os.path.join(store_dir, "VERSION")):
+            return None
+        probe = LocalSnapshotSink(store_dir)
+        ref = probe.manifest().get("convview_def")
+        return probe._resolve_blob(ref) if ref else None
+
+    @staticmethod
+    def _reconcile_definition(persisted: dict | None, sep, turn_expr):
+        """Explicit params beat nothing, persisted beats defaults, and an
+        explicit param CONFLICTING with the persisted definition is a loud
+        error — never two renderings in one store."""
+        if persisted:
+            psep = persisted.get("sep", "\x1f")
+            pexpr = persisted.get("turn_expr")
+            if sep is not None and sep != psep:
+                raise ValueError(
+                    f"view was built with sep={psep!r}; refusing sep={sep!r} "
+                    "(mixed renderings would corrupt convo_fp comparability)"
+                )
+            if (
+                turn_expr is not None
+                and isinstance(turn_expr, str)
+                and pexpr not in (None, _CUSTOM_EXPR)
+                and turn_expr != pexpr
+            ):
+                raise ValueError(
+                    f"view was built with turn_expr={pexpr!r}; refusing "
+                    f"{turn_expr!r}"
+                )
+            sep = psep
+            if turn_expr is None and pexpr == _CUSTOM_EXPR:
+                raise ValueError(
+                    "view was built with a non-SQL turn_expr Column; pass "
+                    "the same expression (or rebuild with a SQL string)"
+                )
+            if turn_expr is None and pexpr is not None:
+                turn_expr = pexpr
+        return ("\x1f" if sep is None else sep), turn_expr
+
+    def _definition(self) -> dict[str, Any]:
+        return {
+            "source_dir": self.source.table_dir,
+            "sep": self.sep,
+            "turn_expr": self._turn_expr_sql,
+            "num_buckets": self.store.manifest()["num_buckets"],
+        }
+
+    def _ensure_definition(self) -> None:
+        """Persist the view definition INTO the store's catalog (one
+        metadata-only commit whose blob every later merge carries forward)
+        so a fresh session — or the CLI — reconstructs the view from the
+        dir alone (:meth:`load`).  Same shape as the matview catalog."""
+        sink = self.store
+        if sink.manifest().get("convview_def"):
+            return
+        with sink._commit_lock():
+            latest = sink.manifest()
+            if latest.get("convview_def"):
+                return
+            sid = sink._claim_sid(latest)
+            manifest = {
+                **latest,
+                "snapshot_id": sid,
+                "parent": latest["snapshot_id"],
+                "convview_def": sink._pack_blob(self._definition()),
+                "stats": {
+                    "delta_commits": int(
+                        latest.get("stats", {}).get("delta_commits", 0)
+                    ),
+                    "convview_def_updated": True,
+                },
+            }
+            # metadata-only commit: must not inherit the parent's CoW
+            # change sidecar (read_changes would double-emit that batch)
+            manifest.pop("change_files", None)
+            sink._commit(manifest)
+
+    @classmethod
+    def load(cls, store_dir: str) -> "ConversationView":
+        """Reconstruct a view from its store dir alone via the persisted
+        definition (written by the first refresh)."""
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        d = cls._persisted_definition(store_dir)
+        if d is None:
+            raise KeyError(f"{store_dir} has no persisted convview definition")
+        if d.get("turn_expr") == _CUSTOM_EXPR:
+            raise ValueError(
+                f"{store_dir} was built with a non-SQL turn_expr Column; "
+                "reconstruct it in code with the same expression (pass "
+                "turn_expr as a SQL string to make the view loadable)"
+            )
+        return cls(
+            store_dir,
+            LocalSnapshotSink(d["source_dir"]),
+            turn_expr=d.get("turn_expr"),
+            sep=d.get("sep"),
+            num_buckets=int(d.get("num_buckets", 16)),
+        )
 
     # ------------------------------------------------------------- refresh
     def refresh(self, spark: SparkSession) -> dict[str, Any]:
@@ -113,28 +242,40 @@ class ConversationView:
         to = self.source.current_snapshot_id
         if frm == to:
             return {"from": frm, "to": to, "skipped": True}
+        # everything below is pinned to `to`: manifest, feed range, re-read
+        m_to = self.source.manifest(to)
+        lmap = m_to.get("logical_names") or {}
+        conv = lmap.get(self.conv_col, self.conv_col)
+        order = [lmap.get(c, c) for c in self.order_cols]
+
         feed = self.source.change_feed(spark, frm, to)
-        touched = feed.select(self.conv_col).distinct().localCheckpoint(eager=True)
+        touched = feed.select(conv).distinct().localCheckpoint(eager=True)
 
         # bucket pruning: buckets hash the leading key column (= conv_col),
         # so the touched convs' buckets are exact; the distinct-bucket
         # collect is bounded by num_buckets, not by the change count
-        nb = self.source.manifest()["num_buckets"]
+        nb = m_to["num_buckets"]
         bkts = [
             r[0]
             for r in touched.select(
-                F.pmod(F.hash(F.col(self.conv_col)), F.lit(nb)).cast("int").alias("b")
+                F.pmod(F.hash(F.col(conv)), F.lit(nb)).cast("int").alias("b")
             )
             .distinct()
             .collect()
         ]
-        state = self.source.read(spark, buckets=bkts, key_in=touched)
-        conv = assemble_conversations(
-            state, self.conv_col, self.order_cols, self.turn_expr, self.sep
+        state = self.source.read(
+            spark, snapshot_id=to, buckets=bkts, key_in=touched
         )
+        assembled = assemble_conversations(
+            state, conv, order, self.turn_expr, self.sep
+        )
+        if conv != self.conv_col:
+            # the store's key keeps the construction-time physical name
+            assembled = assembled.withColumnRenamed(conv, self.conv_col)
+            touched = touched.withColumnRenamed(conv, self.conv_col)
 
-        n_to = _snap_num(to)
-        ts = F.lit(_EPOCH + timedelta(seconds=n_to)).cast("timestamp")
+        n_to = snap_num(to)
+        ts = snap_ts_lit(to)
 
         def _env(df: DataFrame, op: str) -> DataFrame:
             cols = [F.lit(op).alias("op"), F.col(self.conv_col)]
@@ -156,11 +297,14 @@ class ConversationView:
             return df.select(*cols)
 
         # a touched conversation with no surviving turns leaves the view
-        gone = touched.join(conv.select(self.conv_col), self.conv_col, "left_anti")
-        env = _env(conv, "U").unionByName(_env(gone, "D"))
+        gone = touched.join(
+            assembled.select(self.conv_col), self.conv_col, "left_anti"
+        )
+        env = _env(assembled, "U").unionByName(_env(gone, "D"))
         res = self.store.merge(
             env, batch_token=f"convview-{n_to}", offsets={"upstream": to}
         )
+        self._ensure_definition()
         return {
             "from": frm,
             "to": to,
@@ -168,38 +312,10 @@ class ConversationView:
             "touched_buckets": sorted(bkts),
         }
 
-    def follow(
-        self,
-        spark: SparkSession,
-        poll_seconds: float = 2.0,
-        stop_event=None,
-        timeout_seconds: float | None = None,
-    ):
-        """Generator keeping the view CONTINUOUSLY current (same contract
-        as ``MaterializedAggregate.follow``): polls the source's commit
-        pointer (O(1) driver-side VERSION read) and refreshes on every
-        observed advance, yielding each refresh's metrics dict; commits
-        between polls coalesce into one refresh over the combined range.
-        Stop via ``stop_event`` (threading.Event) or ``timeout_seconds``."""
-        import time as _time
-
-        deadline = (
-            (_time.monotonic() + timeout_seconds) if timeout_seconds else None
-        )
-        while True:
-            if stop_event is not None and stop_event.is_set():
-                return
-            if deadline is not None and _time.monotonic() >= deadline:
-                return
-            if self.source.current_snapshot_id != self.last_applied():
-                yield self.refresh(spark)
-            else:
-                _time.sleep(poll_seconds)
-
     # -------------------------------------------------------------- reading
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Live conversation-grain state."""
-        return self.store.read(spark).select(
+    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+        """Conversation-grain state (live, or AS-OF a view-store snapshot)."""
+        return self.store.read(spark, snapshot_id=snapshot_id).select(
             self.conv_col, "n_turns", "transcript", "convo_fp"
         )
 

@@ -64,20 +64,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from fetchez_spark.operators._incview import (
+    ROOT_SNAPSHOT as _ROOT_SNAPSHOT,
+    IncrementalView,
+    snap_num as _snap_num,
+)
 from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
 _LOG = logging.getLogger("fetchez_spark.matview")
 
-_ROOT_SNAPSHOT = "snap-0000000000"
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _SUPPORTED = ("count", "sum", "avg", "min", "max")
 
 
-def _snap_num(snapshot_id: str) -> int:
-    return int(snapshot_id.rsplit("-", 1)[1])
-
-
-class MaterializedAggregate:
+class MaterializedAggregate(IncrementalView):
     """A grouped-aggregate view of ``source`` maintained incrementally.
 
     ``aggs`` maps output column name -> ``(fn, source_column)`` with
@@ -193,13 +193,9 @@ class MaterializedAggregate:
                 sort_on_compact=True,
             )
 
-    # ------------------------------------------------------------- position
-    def last_applied(self) -> str:
-        """Upstream snapshot id this view reflects (source root if never
-        refreshed -- the empty table, so the first refresh IS the initial
-        build through the identical delta path)."""
-        off = self.store.manifest().get("offsets") or {}
-        return off.get("upstream", _ROOT_SNAPSHOT)
+    # last_applied/follow come from IncrementalView (source root if never
+    # refreshed -- the empty table, so the first refresh IS the initial
+    # build)
 
     # -------------------------------------------------------------- refresh
     def refresh(self, spark: SparkSession) -> dict[str, Any]:
@@ -694,36 +690,6 @@ class MaterializedAggregate:
         res = self._commit(live_rows.unionByName(gone), frm, to)
         res["rebuild"] = True
         return res
-
-    # ------------------------------------------------------------- follow
-    def follow(
-        self,
-        spark: SparkSession,
-        poll_seconds: float = 2.0,
-        stop_event=None,
-        timeout_seconds: float | None = None,
-    ):
-        """Generator keeping the view CONTINUOUSLY current: polls the
-        source's commit pointer (O(1) driver-side VERSION read, same as
-        ``follow_changes``) and refreshes on every observed advance,
-        yielding each refresh's metrics dict.  Multiple commits between
-        polls coalesce into one refresh over the combined range -- the
-        view is eventually consistent with commit-level granularity.
-        Stop via ``stop_event`` (threading.Event) or ``timeout_seconds``."""
-        import time as _time
-
-        deadline = (
-            (_time.monotonic() + timeout_seconds) if timeout_seconds else None
-        )
-        while True:
-            if stop_event is not None and stop_event.is_set():
-                return
-            if deadline is not None and _time.monotonic() >= deadline:
-                return
-            if self.source.current_snapshot_id != self.last_applied():
-                yield self.refresh(spark)
-            else:
-                _time.sleep(poll_seconds)
 
     # ---------------------------------------------------------------- read
     def read_view(self, spark: SparkSession) -> DataFrame:

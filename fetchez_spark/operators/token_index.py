@@ -28,18 +28,16 @@ incrementally from CDC instead of rebuilt per harvest.)
 
 from __future__ import annotations
 
-from datetime import datetime, timedelta
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_ROOT_SNAPSHOT = "snap-0000000000"
-_EPOCH = datetime(2020, 1, 1)
-
-
-def _snap_num(sid: str) -> int:
-    return int("".join(ch for ch in str(sid) if ch.isdigit()) or 0)
+from fetchez_spark.operators._incview import (
+    IncrementalView,
+    snap_num,
+    snap_ts_lit,
+)
 
 
 def _tokens(col):
@@ -48,7 +46,7 @@ def _tokens(col):
     )
 
 
-class TokenIndexView:
+class TokenIndexView(IncrementalView):
     """See module docstring."""
 
     def __init__(
@@ -70,11 +68,6 @@ class TokenIndexView:
             compact_every=64,
         )
 
-    # -------------------------------------------------------------- cursor
-    def last_applied(self) -> str:
-        off = self.store.manifest().get("offsets") or {}
-        return off.get("upstream", _ROOT_SNAPSHOT)
-
     # ------------------------------------------------------------- refresh
     def refresh(self, spark: SparkSession) -> dict[str, Any]:
         """Advance the index to the source's current snapshot by applying
@@ -87,8 +80,8 @@ class TokenIndexView:
         feed = self.source.change_feed(
             spark, frm, to, include_pre_image=True
         ).localCheckpoint(eager=True)
-        n_to = _snap_num(to)
-        ts = F.lit(_EPOCH + timedelta(seconds=n_to)).cast("timestamp")
+        n_to = snap_num(to)
+        ts = snap_ts_lit(to)
         ids = [F.col(c) for c in self.id_cols]
 
         post_t = feed.filter(
@@ -112,7 +105,7 @@ class TokenIndexView:
                 "token",
                 *ids,
                 ts.alias("ts"),
-                F.lit(_snap_num(to)).cast("long").alias("seq"),
+                F.lit(n_to).cast("long").alias("seq"),
                 F.pmod(F.hash("token"), F.lit(4)).cast("int").alias("src_partition"),
             )
 

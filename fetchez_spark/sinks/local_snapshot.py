@@ -2248,11 +2248,19 @@ class LocalSnapshotSink(SnapshotSink):
         prune within the bucket too, so IO approaches O(one file's
         row-group).  The read path a 100 TB table depends on."""
         m = self.manifest()
+        # the literal must hash under the key column's REAL type: Murmur3
+        # of int(12) (4 bytes) != long(12) (8 bytes), so an uncast literal
+        # on a long-keyed table prunes to the WRONG bucket (empty result)
+        schema = T.StructType.fromJson(m["schema"])
+        key_dt = next(
+            (f.dataType for f in schema.fields if f.name == self.key[0]), None
+        )
+        lit = F.lit(key_value).cast(key_dt) if key_dt is not None else F.lit(key_value)
         # python-side Murmur3 match is not worth reimplementing; compute the
         # bucket with a 1-row Spark job (cheap, no scan)
         b = (
             spark.range(1)
-            .select(F.pmod(F.hash(F.lit(key_value)), F.lit(m["num_buckets"])).alias("b"))
+            .select(F.pmod(F.hash(lit), F.lit(m["num_buckets"])).alias("b"))
             .first()["b"]
         )
         return self.read(spark, buckets=[int(b)], key_eq=key_value)

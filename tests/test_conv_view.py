@@ -198,3 +198,146 @@ def test_conv_view_follow_tracks_commits(spark, tmp_path, source):
     assert not t.is_alive()
     assert len(seen) >= 2 and seen[0]["to"] != seen[1]["to"]
     assert _state(view, spark) == {"a": (1, "user:hi"), "b": (1, "user:q")}
+
+def test_refresh_pins_to_captured_snapshot_under_concurrent_commits(
+    spark, tmp_path, source
+):
+    """A commit landing MID-refresh (between the feed read and the source
+    re-read) must not leak into the current refresh — the re-read is
+    pinned to the captured snapshot — and must be picked up by the next
+    refresh.  Guards the rebucket/concurrent-writer race."""
+    view = ConversationView(str(tmp_path / "conv"), source, sep="|", num_buckets=4)
+    source.merge(_env(spark, [("U", "a", 0, "user", "hi")]), batch_token="b0")
+    orig_read = source.read
+    seen = {}
+
+    def racing_read(spark_, **kw):
+        seen["snapshot_id"] = kw.get("snapshot_id")
+        if not seen.get("raced"):
+            seen["raced"] = True
+            source.merge(
+                _env(spark, [("U", "a", 0, "user", "CHANGED")], seq0=50),
+                batch_token="race",
+            )
+        return orig_read(spark_, **kw)
+
+    source.read = racing_read
+    try:
+        r = view.refresh(spark)
+    finally:
+        source.read = orig_read
+    assert seen["snapshot_id"] == r["to"]  # re-read pinned to the captured commit
+    assert _state(view, spark)["a"] == (1, "user:hi")
+    view.refresh(spark)  # the racing commit arrives in the NEXT range
+    assert _state(view, spark)["a"] == (1, "user:CHANGED")
+
+
+def test_view_definition_persisted_and_conflicts_rejected(spark, tmp_path, source):
+    """The first refresh persists the rendering definition; load() and a
+    defaults-constructed handle adopt it; a CONFLICTING explicit sep is a
+    loud error (mixed renderings would corrupt convo_fp comparability)."""
+    store = str(tmp_path / "conv")
+    view = ConversationView(store, source, sep="|", num_buckets=4)
+    source.merge(_env(spark, [("U", "a", 0, "user", "hi")]), batch_token="b0")
+    view.refresh(spark)
+
+    loaded = ConversationView.load(store)
+    assert loaded.sep == "|"
+    assert loaded.source.table_dir == source.table_dir
+    assert _state(loaded, spark) == {"a": (1, "user:hi")}
+
+    adopted = ConversationView(store, source)  # defaults adopt persisted sep
+    assert adopted.sep == "|"
+    with pytest.raises(ValueError, match="sep"):
+        ConversationView(store, source, sep=";")
+
+
+def test_view_survives_source_key_rename(spark, tmp_path, source):
+    """rename_column on the source's conv key is metadata-only; the view
+    maps its construction-time physical key through the current logical
+    names at refresh, so maintenance continues across the rename."""
+    view = ConversationView(str(tmp_path / "conv"), source, sep="|", num_buckets=4)
+    source.merge(_env(spark, [("U", "a", 0, "user", "hi")]), batch_token="b0")
+    view.refresh(spark)
+
+    source.rename_column("conv_id", "conversation_id")
+    env = _env(
+        spark, [("U", "a", 1, "assistant", "yo"), ("U", "b", 0, "user", "q")], seq0=10
+    ).withColumnRenamed("conv_id", "conversation_id")
+    source.merge(env, batch_token="b1")
+    view.refresh(spark)
+    assert _state(view, spark) == {
+        "a": (2, "user:hi|assistant:yo"),
+        "b": (1, "user:q"),
+    }
+
+
+def test_cli_convs_numeric_key_and_flag_combos(spark, tmp_path, capsys):
+    """--conv on a long-keyed table coerces to the key's real type (string
+    hash would prune to the wrong bucket); --sessions honors --conv; and
+    --sessions with --view is rejected loudly."""
+    import json as _json
+
+    from fetchez_spark.cli import main
+
+    sch = T.StructType(
+        [
+            T.StructField("conv_id", T.LongType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    turns = str(tmp_path / "turns_long")
+    sink = LocalSnapshotSink(
+        turns, num_buckets=8, key=["conv_id", "turn_idx"], base_schema=sch
+    )
+    data = [
+        ("U", cid, t, "user", f"m{cid}-{t}", T0 + dt.timedelta(seconds=i), i, 0)
+        for i, (cid, t) in enumerate([(5, 0), (5, 1), (12, 0), (9007199254740995, 0)])
+        for _ in [None]
+    ]
+    sink.merge(
+        spark.createDataFrame(
+            data,
+            "op string, conv_id long, turn_idx int, role string, text string, "
+            "ts timestamp, seq long, src_partition int",
+        ),
+        batch_token="b0",
+    )
+
+    store = str(tmp_path / "convlong")
+    rc = main(["convs", turns, "--view", store, "--refresh", "--conv", "12"])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert _json.loads(out[-1])["total_conversations"] == 1
+    assert _json.loads(out[0])["transcript"] == "user:m12-0"
+
+    # > 2^53: a float round-trip would lose precision; int coercion must not
+    rc = main(["convs", turns, "--conv", "9007199254740995"])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert _json.loads(out[-1])["total_conversations"] == 1
+
+    rc = main(["convs", turns, "--sessions", "1800", "--conv", "5"])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    body = [_json.loads(l) for l in out[:-1]]
+    assert body and all(r["conv_id"] == 5 for r in body)
+
+    rc = main(["convs", turns, "--sessions", "1800", "--view", store])
+    assert rc == 1
+
+
+def test_fingerprint_separator_is_unambiguous_by_default(spark):
+    """["a|b"] and ["a","b"] must not collide under the default rendering
+    (the printable '|' default did exactly that)."""
+    from fetchez_spark.functions.conversations import dedup_conversations
+
+    df = spark.createDataFrame(
+        [("x", 0, "a|b"), ("y", 0, "a"), ("y", 1, "b")],
+        "conv_id string, turn_idx int, text string",
+    )
+    groups = dedup_conversations(df, turn_expr=F.col("text")).collect()
+    assert groups == []

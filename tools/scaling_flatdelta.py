@@ -56,7 +56,15 @@ CONFIGS = {
 # FETCHEZ_SCALING_CONFIGS=flat for the shipped ingest default only
 _only = os.environ.get("FETCHEZ_SCALING_CONFIGS")
 if _only:
-    CONFIGS = {k: v for k, v in CONFIGS.items() if k in _only.split(",")}
+    names = [n.strip() for n in _only.split(",") if n.strip()]
+    unknown = [n for n in names if n not in CONFIGS]
+    if unknown:
+        # fail BEFORE the multi-minute ceiling run, not after
+        raise SystemExit(
+            f"FETCHEZ_SCALING_CONFIGS: unknown config(s) {unknown}; "
+            f"valid: {sorted(CONFIGS)}"
+        )
+    CONFIGS = {k: v for k, v in CONFIGS.items() if k in names}
 
 
 def engine_runs(log_dir: str) -> dict:
