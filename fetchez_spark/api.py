@@ -311,3 +311,23 @@ def sessions(
     return session_stats(
         state, "conv_id", "ts", ("turn_idx",), gap_seconds=gap_seconds
     )
+
+
+def history(table_dir: str, limit: int | None = None) -> list[dict[str, Any]]:
+    """Commit history of a table's current branch, newest first — the
+    Iceberg ``$history`` metadata-table analog (snapshot id, parent,
+    wall-clock commit stamp, row stats).  Driver-side metadata walk, no
+    Spark session needed."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).history(limit=limit)
+
+
+def snapshot_as_of(table_dir: str, ts) -> str:
+    """Resolve a wall-clock timestamp (epoch float, ISO-8601 string, or
+    datetime) to the newest snapshot committed at-or-before it — the
+    ``TIMESTAMP AS OF`` form of time travel.  Pass the result anywhere a
+    ``snapshot_id`` is accepted."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).snapshot_as_of(ts)

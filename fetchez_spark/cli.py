@@ -120,6 +120,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--where", action="append", default=[], help="equality filter key=value")
     p.add_argument("--range", action="append", default=[], dest="ranges",
                    help="range filter key=lo:hi ('' leaves a bound open)")
+    p.add_argument("--history", nargs="?", const=-1, type=int, default=None,
+                   metavar="N",
+                   help="print the commit history (newest first, optionally "
+                        "limited to N entries) instead of searching")
     p = sub.add_parser(
         "ingest-index",
         help="import an external CSV/JSON inventory into a table's catalog "
@@ -262,6 +266,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("table_dir")
     p.add_argument("--snapshot", default=None, help="count as of this snapshot")
+    p.add_argument("--as-of", default=None, dest="as_of", metavar="TS",
+                   help="count as of this wall-clock time (ISO-8601 or epoch; "
+                        "resolved to the newest snapshot committed before it)")
     p.add_argument("--scan", action="store_true",
                    help="allow a bucket-pruned scan fallback for buckets "
                         "that are not metadata-answerable (starts Spark)")
@@ -307,6 +314,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sessions", type=int, default=None, metavar="GAP_SECONDS",
                    help="emit per-session rollups split on this ts gap")
     p.add_argument("--snapshot", default=None, help="read as of this snapshot")
+    p.add_argument("--as-of", default=None, dest="as_of", metavar="TS",
+                   help="read as of this wall-clock time (ISO-8601 or epoch; "
+                        "resolves against the view store with --view, else "
+                        "the table)")
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--cores", type=int, default=4)
 
@@ -388,6 +399,11 @@ def main(argv: list[str] | None = None) -> int:
             print(f"not a snapshot table: {args.table_dir}", file=sys.stderr)
             return 1
         sink = LocalSnapshotSink(args.table_dir)
+        if args.cmd == "snapshots" and args.history is not None:
+            limit = None if args.history < 0 else args.history
+            for rec in sink.history(limit=limit):
+                print(json.dumps(rec, default=str))
+            return 0
         if args.cmd == "ingest-index":
             field_map = dict(kv.partition("=")[::2] for kv in args.maps)
             res = sink.ingest_index(
@@ -585,6 +601,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "count":
         from fetchez_spark import api
 
+        if args.as_of is not None:
+            if args.snapshot is not None:
+                print("--snapshot and --as-of are mutually exclusive",
+                      file=sys.stderr)
+                return 1
+            args.snapshot = api.snapshot_as_of(args.table_dir, _num(args.as_of))
         try:
             out = {"rows": api.count_rows(args.table_dir, snapshot_id=args.snapshot)}
             if args.ts_range:
@@ -660,6 +682,21 @@ def main(argv: list[str] | None = None) -> int:
             print("--sessions reads the turn-grain table; it cannot be "
                   "combined with --view (conversation grain)", file=sys.stderr)
             return 1
+        if args.as_of is not None:
+            import os as _os
+
+            from fetchez_spark import api as _api
+
+            if args.snapshot is not None:
+                print("--snapshot and --as-of are mutually exclusive",
+                      file=sys.stderr)
+                return 1
+            # with --view the snapshot is AS-OF the VIEW store's history
+            target = args.view if args.view else args.table_dir
+            if not _os.path.isfile(_os.path.join(target, "VERSION")):
+                print(f"not a snapshot table: {target}", file=sys.stderr)
+                return 1
+            args.snapshot = _api.snapshot_as_of(target, _num(args.as_of))
         spark = get_spark(app_name="fetchez-convs", master=f"local[{args.cores}]")
         if args.sessions is not None:
             df = api.sessions(

@@ -1054,6 +1054,14 @@ class LocalSnapshotSink(SnapshotSink):
         ]
 
     def _commit(self, manifest: dict) -> None:
+        # wall-clock commit stamp for AS-OF-timestamp time travel.  New
+        # manifests are built as {**parent_manifest, ...}, so the value
+        # present here IS the parent's stamp -- taking max() keeps the
+        # chain monotone under clock skew between writers (Iceberg's
+        # snapshot timestamp-ms contract).
+        manifest["committed_at"] = max(
+            time.time(), float(manifest.get("committed_at") or 0.0)
+        )
         self._write_manifest(manifest)
         self._set_version(manifest["snapshot_id"])  # <- the atomic commit point
 
@@ -4095,6 +4103,92 @@ class LocalSnapshotSink(SnapshotSink):
         if head is not None:
             return head
         raise ValueError(f"unknown ref {ref!r} (not a snapshot id, tag, or branch)")
+
+    # ------------------------------------------------ time-based time travel
+    def committed_at(self, snapshot_id: str) -> float:
+        """Wall-clock commit time (epoch seconds).  Manifests written
+        before the stamp existed fall back to the manifest file's mtime
+        (the atomic-rename time, i.e. the actual commit instant)."""
+        path = self._manifest_path(snapshot_id)
+        with open(path) as f:
+            ca = json.load(f).get("committed_at")
+        return float(ca) if ca is not None else os.path.getmtime(path)
+
+    @staticmethod
+    def _as_epoch(ts) -> float:
+        import datetime as _dt
+
+        if isinstance(ts, (int, float)):
+            return float(ts)
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            return ts.timestamp()
+        raise TypeError(f"cannot interpret {ts!r} as a timestamp")
+
+    def snapshot_as_of(self, ts) -> str:
+        """The newest snapshot committed at-or-before ``ts`` (epoch float,
+        ISO-8601 string — naive strings are UTC — or datetime): the
+        Iceberg/Delta ``TIMESTAMP AS OF`` resolution.  Walks the current
+        branch's parent chain (commit stamps are monotone along it by
+        construction), so the walk is O(retained history) driver-side
+        metadata, no Spark job.  Raises when even the oldest RETAINED
+        snapshot is newer than ``ts`` — that history has been expired and
+        a silent nearest-match would lie."""
+        target = self._as_epoch(ts)
+        sid = self._version()
+        oldest_seen = None
+        while sid is not None:
+            try:
+                when = self.committed_at(sid)
+            except FileNotFoundError:
+                break  # expired tail
+            if when <= target:
+                return sid
+            oldest_seen = (sid, when)
+            try:
+                with open(self._manifest_path(sid)) as f:
+                    sid = json.load(f).get("parent")
+            except FileNotFoundError:
+                break
+        import datetime as _dt
+
+        detail = (
+            f"oldest retained snapshot {oldest_seen[0]} was committed at "
+            f"{_dt.datetime.fromtimestamp(oldest_seen[1], _dt.timezone.utc).isoformat()}"
+            if oldest_seen
+            else "table has no retained history"
+        )
+        raise ValueError(f"no snapshot exists at or before {ts!r}: {detail}")
+
+    def history(self, limit: int | None = None) -> list[dict[str, Any]]:
+        """Commit history of the current branch, NEWEST FIRST — the Iceberg
+        ``$history``/``$snapshots`` metadata-table analog: one dict per
+        retained snapshot with its commit stamp and row stats.  Driver-side
+        manifest walk, no Spark job."""
+        out: list[dict[str, Any]] = []
+        sid = self._version()
+        while sid is not None and (limit is None or len(out) < limit):
+            try:
+                with open(self._manifest_path(sid)) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                break  # expired tail
+            stats = m.get("stats") or {}
+            out.append(
+                {
+                    "snapshot_id": sid,
+                    "parent": m.get("parent"),
+                    "committed_at": m.get("committed_at")
+                    or os.path.getmtime(self._manifest_path(sid)),
+                    "rows": stats.get("rows", stats.get("rows_in")),
+                    "delta_commits": stats.get("delta_commits"),
+                }
+            )
+            sid = m.get("parent")
+        return out
 
     def create_branch(self, name: str, from_snapshot: str | None = None) -> str:
         """Create branch ``name`` at ``from_snapshot`` (default: current
