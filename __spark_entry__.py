@@ -1365,6 +1365,42 @@ def _q_scalar_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope decode (functions/cdc_formats.py): wrap each event
+    in a deterministic Debezium envelope (op c/u/d by event_id residue;
+    deletes carry the prior row image in ``before`` with value-1, upserts
+    carry ``after``) and decode it back with :func:`from_debezium`.  The
+    oracle re-expresses the MAPPING (op collapse, before/after selection,
+    ts_ms -> seq) independently in SQL, so the adapter's semantics — not
+    an identity round-trip — are what's checked."""
+    from fetchez_spark.functions.cdc_formats import from_debezium
+
+    ev = _t(spark, sf_dir, "events")
+    dop = (
+        F.when(ev.event_id % 10 == 0, F.lit("d"))
+        .when(ev.event_id % 3 == 0, F.lit("u"))
+        .otherwise(F.lit("c"))
+    )
+    before = F.struct(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        (F.col("value") - 1).alias("value"),
+        F.col("ts"),
+    )
+    after = F.struct(
+        F.col("event_id"), F.col("user_id"), F.col("event_type"),
+        F.col("value"), F.col("ts"),
+    )
+    dbz = ev.select(
+        F.when(dop == "d", before).alias("before"),
+        F.when(dop != "d", after).alias("after"),
+        dop.alias("op"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+    return from_debezium(dbz).drop("src_partition")
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -2055,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_full_scan": _q_pagination_full_scan,
         "inline_passthrough": _q_inline_passthrough,
         "scalar_time_features": _q_scalar_time_features,
+        "debezium_decode": _q_debezium_decode,
         # text analysis
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -2504,6 +2541,14 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") AS t(entry_id, url, weight) ORDER BY entry_id"
         ),
+        "debezium_decode": """
+            SELECT CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                   event_id, user_id, event_type,
+                   CASE WHEN event_id % 10 = 0 THEN value - 1 ELSE value END AS value,
+                   ts,
+                   epoch_ms(ts) AS seq
+            FROM events
+        """,
         "scalar_time_features": """
             SELECT event_id,
                    date_part('dow', ts)::INTEGER AS dow,

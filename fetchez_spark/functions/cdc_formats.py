@@ -1,0 +1,99 @@
+"""CDC wire-format adapters: Debezium-shaped change envelopes -> the
+engine's change-event rows.
+
+The engine's native log is parquet rows already in ``CHANGE_EVENT_SCHEMA``
+shape; real binlog/WAL tails usually arrive as the Debezium envelope
+(https://debezium.io/documentation — the de-facto public CDC wire format):
+
+    {"before": {...}|null, "after": {...}|null,
+     "op": "c"|"u"|"d"|"r", "ts_ms": 1699999999999,
+     "source": {"partition": 3, ...}}
+
+:func:`from_debezium` maps that envelope to engine rows with pure codegen
+expressions (CASE/COALESCE over struct fields — no Python UDF, no shuffle),
+so it slots into ``run_stream(transforms=[...])`` as an ordinary row-level
+transform and the JSON-lines tail becomes a first-class source via
+``run_stream(log_format="json", schema=debezium_envelope_schema(...))``.
+
+Mapping rules (each only when the payload doesn't already carry the
+column — a payload owning ``ts``/``seq``/``src_partition`` wins):
+
+* ``op``: ``d`` -> ``'D'``; ``c``/``u``/``r`` (snapshot read) -> ``'U'``
+  (the engine's merge is an upsert, so create/update/read collapse);
+* payload columns: ``before`` for deletes (the last row image), ``after``
+  otherwise;
+* ``ts``: the payload's own event time if present, else
+  ``timestamp_millis(ts_ms)``;
+* ``seq``: ``ts_ms`` (the binlog position proxy — monotone per source);
+* ``src_partition``: ``source.partition`` if the envelope carries it,
+  else a hash of the leading payload column.
+
+(Reference analog: fetchez normalizes each module's entry dict to the
+three mandatory keys + extras, /root/reference/src/fetchez/core.py:999-1002;
+here the normalization is a declarative column mapping.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["debezium_envelope_schema", "from_debezium"]
+
+
+def debezium_envelope_schema(payload_schema: T.StructType) -> T.StructType:
+    """The envelope StructType for a given payload row shape — pass as the
+    explicit ``schema`` of a ``run_stream(log_format='json')`` tail (file
+    streams cannot infer schema reliably; timestamps inside the payload
+    parse from ISO strings under this schema)."""
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in payload_schema.fields]
+    )
+    return T.StructType(
+        [
+            T.StructField("before", nullable, True),
+            T.StructField("after", nullable, True),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("ts_ms", T.LongType(), False),
+            T.StructField(
+                "source",
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType(), True),
+                        T.StructField("partition", T.IntegerType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+
+
+def from_debezium(df: DataFrame, partitions: int = 4) -> DataFrame:
+    """Decode a Debezium-enveloped frame into engine change-event rows.
+    Pure codegen (struct field selection + CASE), row-local — usable both
+    as a batch transform and inside a streaming ``foreachBatch`` chain."""
+    after_t = df.schema["after"].dataType
+    if not isinstance(after_t, T.StructType):
+        raise TypeError(f"'after' must be a struct payload; got {after_t}")
+    fields = [f.name for f in after_t.fields]
+    is_del = F.col("op") == F.lit("d")
+    payload = F.when(is_del, F.col("before")).otherwise(F.col("after"))
+    cols = [F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op")]
+    cols += [payload.getField(f).alias(f) for f in fields]
+    if "ts" not in fields:
+        cols.append(F.timestamp_millis(F.col("ts_ms")).alias("ts"))
+    if "seq" not in fields:
+        cols.append(F.col("ts_ms").cast("long").alias("seq"))
+    if "src_partition" not in fields:
+        fallback = F.pmod(
+            F.xxhash64(payload.getField(fields[0])), F.lit(partitions)
+        ).cast("int")
+        part = (
+            F.coalesce(F.col("source.partition"), fallback)
+            if "source" in df.columns
+            else fallback
+        )
+        cols.append(part.alias("src_partition"))
+    return df.select(*cols)

@@ -331,8 +331,19 @@ def run_stream(
     token_prefix: str | None = None,
     watch_schema: bool = False,
     schema_sample_files: int | None = None,
+    log_format: str = "parquet",
 ):
-    """Tail a parquet-backed change log with Structured Streaming.
+    """Tail a file-backed change log with Structured Streaming.
+
+    ``log_format``: ``'parquet'`` (native log), ``'json'`` (JSON Lines —
+    the shape a Debezium-style tail lands as; pair with
+    ``transforms=[from_debezium]`` and
+    ``schema=debezium_envelope_schema(...)``), or ``'csv'``
+    (header row expected).  json/csv REQUIRE an explicit ``schema`` —
+    file-stream inference over text formats guesses types (timestamps
+    become strings) and would silently corrupt the LWW order — and do not
+    support ``watch_schema`` (the evolution guard reads parquet footers;
+    text files have none).
 
     ``available_now=True`` runs a bounded replay of everything currently in
     the log (resumable via ``checkpoint_dir``); ``False`` keeps tailing.
@@ -364,15 +375,33 @@ def run_stream(
     default ``watch_schema=False`` they require a manual restart with
     the wider schema (Structured Streaming limitation).
     """
+    if log_format not in ("parquet", "json", "csv"):
+        raise ValueError(f"log_format must be parquet|json|csv, got {log_format!r}")
+    if log_format != "parquet":
+        if schema is None:
+            raise ValueError(
+                f"log_format={log_format!r} requires an explicit schema "
+                "(text-format inference guesses types and would corrupt "
+                "the (ts, seq) LWW order)"
+            )
+        if watch_schema:
+            raise ValueError(
+                "watch_schema / run_stream_supervised need parquet footers; "
+                f"log_format={log_format!r} has none"
+            )
     if token_prefix is None:
         token_prefix = _default_token_prefix(checkpoint_dir)
     if schema is None:
         schema = _infer_log_schema(spark, log_dir, schema_sample_files)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(log_dir)
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if log_format == "json":
+        stream = reader.json(log_dir)
+    elif log_format == "csv":
+        stream = reader.option("header", "true").csv(log_dir)
+    else:
+        stream = reader.parquet(log_dir)
     writer = (
         stream.writeStream.foreachBatch(
             make_batch_fn(

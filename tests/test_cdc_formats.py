@@ -1,0 +1,144 @@
+"""Debezium envelope decode + JSON/CSV change-log tailing
+(functions/cdc_formats.py, run_stream(log_format=))."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fetchez_spark.functions.cdc_formats import (
+    debezium_envelope_schema,
+    from_debezium,
+)
+from fetchez_spark.schema import TRANSCRIPT_SCHEMA
+from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+from fetchez_spark.streaming.engine import run_stream
+
+UTC = dt.timezone.utc
+T0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+
+
+def _env_rows():
+    """c -> u -> d on one key, plus a snapshot-read r and a plain c."""
+    def pay(conv, turn, role, text, minute):
+        return {
+            "conv_id": conv, "turn_idx": turn, "role": role, "text": text,
+            "tool": None, "ts": (T0 + dt.timedelta(minutes=minute)).isoformat(),
+        }
+
+    return [
+        {"before": None, "after": pay("a", 0, "user", "v1", 0),
+         "op": "c", "ts_ms": 1000, "source": {"name": "db1", "partition": 2}},
+        {"before": pay("a", 0, "user", "v1", 0),
+         "after": pay("a", 0, "user", "v2", 1),
+         "op": "u", "ts_ms": 2000, "source": {"name": "db1", "partition": 2}},
+        {"before": None, "after": pay("b", 0, "system", "snap", 0),
+         "op": "r", "ts_ms": 3000, "source": None},
+        {"before": pay("a", 0, "user", "v2", 1), "after": None,
+         "op": "d", "ts_ms": 4000, "source": {"name": "db1", "partition": 2}},
+        {"before": None, "after": pay("c", 0, "user", "hello", 5),
+         "op": "c", "ts_ms": 5000, "source": {"name": "db1", "partition": 1}},
+    ]
+
+
+def test_from_debezium_maps_ops_payload_ts_seq_partition(spark):
+    schema = debezium_envelope_schema(TRANSCRIPT_SCHEMA)
+    df = spark.createDataFrame(
+        [json.dumps(r) for r in _env_rows()], "string"
+    )
+    env = spark.read.schema(schema).json(df.rdd.map(lambda r: r[0]))
+    out = from_debezium(env).orderBy("seq").collect()
+
+    assert [r["op"] for r in out] == ["U", "U", "U", "D", "U"]
+    # delete carries the BEFORE image's payload
+    d = out[3]
+    assert (d["conv_id"], d["turn_idx"], d["text"]) == ("a", 0, "v2")
+    # payload owns ts -> engine ts from the row image, seq from ts_ms
+    assert out[1]["ts"] == dt.datetime(2024, 1, 1, 0, 1)
+    assert [r["seq"] for r in out] == [1000, 2000, 3000, 4000, 5000]
+    # source.partition respected; absent source -> deterministic hash
+    assert out[0]["src_partition"] == 2
+    assert 0 <= out[2]["src_partition"] < 4
+
+
+def test_from_debezium_without_source_column(spark):
+    schema = debezium_envelope_schema(TRANSCRIPT_SCHEMA)
+    rows = [{k: v for k, v in r.items() if k != "source"} for r in _env_rows()]
+    env = spark.read.schema(
+        type(schema)([f for f in schema.fields if f.name != "source"])
+    ).json(spark.sparkContext.parallelize([json.dumps(r) for r in rows]))
+    out = from_debezium(env)
+    assert out.filter(F.col("src_partition").isNull()).count() == 0
+
+
+def test_json_debezium_tail_end_to_end(spark, tmp_path):
+    """A JSON-lines Debezium log tailed with run_stream(log_format='json')
+    + from_debezium lands the correct final LWW state."""
+    log = tmp_path / "log"
+    log.mkdir()
+    (log / "chunk0.json").write_text(
+        "\n".join(json.dumps(r) for r in _env_rows()[:3])
+    )
+    (log / "chunk1.json").write_text(
+        "\n".join(json.dumps(r) for r in _env_rows()[3:])
+    )
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    q = run_stream(
+        spark,
+        str(log),
+        sink,
+        str(tmp_path / "ckpt"),
+        schema=debezium_envelope_schema(TRANSCRIPT_SCHEMA),
+        log_format="json",
+        transforms=[from_debezium],
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in sink.read(spark).collect()
+    }
+    # a/0 was created, updated, then deleted (tombstone wins at ts_ms 4000)
+    assert got == {("b", 0): "snap", ("c", 0): "hello"}
+
+
+def test_csv_tail_end_to_end(spark, tmp_path):
+    """A headered CSV change log tails through the same engine path."""
+    log = tmp_path / "log"
+    log.mkdir()
+    hdr = "op,conv_id,turn_idx,role,text,tool,ts,seq,src_partition"
+    (log / "c0.csv").write_text(
+        f"{hdr}\n"
+        "U,a,0,user,hi,,2024-01-01T00:00:00Z,1,0\n"
+        "U,a,0,user,hi2,,2024-01-01T00:01:00Z,2,0\n"
+        "D,b,0,user,,,2024-01-01T00:02:00Z,3,1\n"
+    )
+    from fetchez_spark.schema import CHANGE_EVENT_SCHEMA
+
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    q = run_stream(
+        spark, str(log), sink, str(tmp_path / "ckpt"),
+        schema=CHANGE_EVENT_SCHEMA, log_format="csv",
+    )
+    q.awaitTermination(300)
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in sink.read(spark).collect()}
+    assert got == {("a", 0): "hi2"}
+
+
+def test_text_formats_require_schema_and_reject_watch_schema(spark, tmp_path):
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    with pytest.raises(ValueError, match="requires an explicit schema"):
+        run_stream(spark, str(tmp_path), sink, str(tmp_path / "c1"),
+                   log_format="json")
+    with pytest.raises(ValueError, match="parquet footers"):
+        run_stream(
+            spark, str(tmp_path), sink, str(tmp_path / "c2"),
+            schema=debezium_envelope_schema(TRANSCRIPT_SCHEMA),
+            log_format="json", watch_schema=True,
+        )
+    with pytest.raises(ValueError, match="log_format"):
+        run_stream(spark, str(tmp_path), sink, str(tmp_path / "c3"),
+                   log_format="avro")
