@@ -284,6 +284,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--to", default=None)
     p.add_argument("--typed", action="store_true",
                    help="typed change feed: net insert/update/delete per key")
+    p.add_argument("--format", default="rows", choices=["rows", "debezium"],
+                   dest="out_format",
+                   help="with --typed: emit rows, or Debezium envelopes "
+                        "(before/after/op/ts_ms) for downstream consumers")
     p.add_argument("--since", default=None, metavar="TS",
                    help="event-time window lower bound (ISO; footer-stats "
                         "file skipping)")
@@ -637,8 +641,13 @@ def main(argv: list[str] | None = None) -> int:
             print("--since/--until apply to the raw feed only (not --typed)",
                   file=sys.stderr)
             return 1
+        if args.out_format == "debezium" and not args.typed:
+            print("--format debezium needs the typed feed (--typed)",
+                  file=sys.stderr)
+            return 1
         df = (
-            api.change_feed(spark, args.table_dir, args.from_snapshot, args.to)
+            api.change_feed(spark, args.table_dir, args.from_snapshot, args.to,
+                            include_pre_image=args.out_format == "debezium")
             if args.typed
             else api.changes(
                 spark,
@@ -649,9 +658,13 @@ def main(argv: list[str] | None = None) -> int:
                 ts_max=args.until,
             )
         )
+        if args.out_format == "debezium":
+            from fetchez_spark.functions.cdc_formats import to_debezium
+
+            df = to_debezium(df, source_name=args.table_dir)
         n = df.count()
         for row in df.limit(args.limit).collect():
-            print(json.dumps(row.asDict(), default=str))
+            print(json.dumps(row.asDict(recursive=True), default=str))
         print(json.dumps({"total_changed_rows": n}))
         return 0
     if args.cmd == "convs":

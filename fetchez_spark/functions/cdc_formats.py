@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["debezium_envelope_schema", "from_debezium"]
+__all__ = ["debezium_envelope_schema", "from_debezium", "to_debezium"]
 
 
 def debezium_envelope_schema(payload_schema: T.StructType) -> T.StructType:
@@ -97,3 +97,66 @@ def from_debezium(df: DataFrame, partitions: int = 4) -> DataFrame:
         )
         cols.append(part.alias("src_partition"))
     return df.select(*cols)
+
+
+def to_debezium(feed: DataFrame, source_name: str | None = None) -> DataFrame:
+    """Encode a typed change feed (``LocalSnapshotSink.change_feed`` shape:
+    payload columns + ``_change_type`` + optional ``_pre_image``) as
+    Debezium envelopes — the outbound half of the wire format, for
+    publishing a table's CDC feed to downstream consumers.
+
+    * ``insert``/``update``/``delete`` -> op ``c``/``u``/``d``;
+    * ``after``: the post-image payload (NULL for deletes);
+    * ``before``: the ``_pre_image`` when the feed carries one (key
+      columns — identical pre/post by construction — are filled from the
+      row); without pre-images, deletes carry their tombstone payload as
+      ``before`` and inserts/updates leave it NULL;
+    * ``ts_ms``: ``unix_millis(ts)`` of the post-image.
+
+    Pure codegen; ``from_debezium(to_debezium(feed))`` recovers the same
+    row images.
+    """
+    payload_fields = [
+        c for c in feed.columns if c not in ("_change_type", "_pre_image")
+    ]
+    after_payload = F.struct(*[F.col(c) for c in payload_fields])
+    is_del = F.col("_change_type") == F.lit("delete")
+    if "_pre_image" in feed.columns:
+        pre_t = feed.schema["_pre_image"].dataType
+        pre_fields = {f.name for f in pre_t.fields}
+        before_payload = F.struct(
+            *[
+                (
+                    F.col("_pre_image").getField(c)
+                    if c in pre_fields
+                    else F.col(c)  # key columns: identical pre/post
+                ).alias(c)
+                for c in payload_fields
+            ]
+        )
+        before = F.when(F.col("_pre_image").isNotNull(), before_payload)
+    else:
+        before = F.when(is_del, after_payload)
+    op = (
+        F.when(is_del, F.lit("d"))
+        .when(F.col("_change_type") == F.lit("update"), F.lit("u"))
+        .otherwise(F.lit("c"))
+    )
+    cols = [
+        before.alias("before"),
+        F.when(~is_del, after_payload).alias("after"),
+        op.alias("op"),
+        (
+            F.unix_millis(F.col("ts"))
+            if "ts" in payload_fields
+            else F.lit(None).cast("long")
+        ).alias("ts_ms"),
+    ]
+    if source_name is not None:
+        cols.append(
+            F.struct(
+                F.lit(source_name).alias("name"),
+                F.lit(None).cast("int").alias("partition"),
+            ).alias("source")
+        )
+    return feed.select(*cols)

@@ -142,3 +142,74 @@ def test_text_formats_require_schema_and_reject_watch_schema(spark, tmp_path):
     with pytest.raises(ValueError, match="log_format"):
         run_stream(spark, str(tmp_path), sink, str(tmp_path / "c3"),
                    log_format="avro")
+
+
+def _mk_table(spark, tmp_path):
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    def env(rows, seq0=0):
+        data = [("U" if not d else "D", c, t, "user", x,
+                 T0.replace(tzinfo=None) + dt.timedelta(minutes=seq0 + i), seq0 + i, 0)
+                for i, (c, t, x, d) in enumerate(rows)]
+        return spark.createDataFrame(
+            data, "op string, conv_id string, turn_idx int, role string, "
+                  "text string, ts timestamp, seq long, src_partition int")
+    sink.merge(env([("a", 0, "v1", False), ("b", 0, "keep", False)]), batch_token="b0")
+    frm = sink.current_snapshot_id
+    sink.merge(env([("a", 0, "v2", False),      # update
+                    ("c", 0, "new", False),     # insert
+                    ("b", 0, None, True)],      # delete
+                   seq0=10), batch_token="b1")
+    return sink, frm
+
+
+def test_to_debezium_encodes_typed_feed_and_round_trips(spark, tmp_path):
+    from fetchez_spark.functions.cdc_formats import to_debezium
+
+    sink, frm = _mk_table(spark, tmp_path)
+    feed = sink.change_feed(spark, frm, include_pre_image=True)
+    env = to_debezium(feed, source_name="t")
+    rows = {r["op"]: r for r in env.collect()}
+
+    assert set(rows) == {"c", "u", "d"}
+    assert rows["c"]["after"]["conv_id"] == "c" and rows["c"]["before"] is None
+    assert rows["u"]["after"]["text"] == "v2"
+    assert rows["u"]["before"]["text"] == "v1"      # pre-image rides along
+    assert rows["u"]["before"]["conv_id"] == "a"    # key filled from the row
+    assert rows["d"]["after"] is None
+    assert rows["d"]["before"]["conv_id"] == "b"
+    assert rows["d"]["before"]["text"] == "keep"
+    assert all(r["ts_ms"] is not None for r in rows.values())
+    assert all(r["source"]["name"] == "t" for r in rows.values())
+
+    # round-trip: decode recovers op + the correct row image per op
+    back = {(r["conv_id"], r["turn_idx"]): r for r in from_debezium(env).collect()}
+    assert back[("c", 0)]["op"] == "U" and back[("c", 0)]["text"] == "new"
+    assert back[("a", 0)]["op"] == "U" and back[("a", 0)]["text"] == "v2"
+    assert back[("b", 0)]["op"] == "D" and back[("b", 0)]["text"] == "keep"
+
+
+def test_to_debezium_without_pre_images_marks_deletes(spark, tmp_path):
+    from fetchez_spark.functions.cdc_formats import to_debezium
+
+    sink, frm = _mk_table(spark, tmp_path)
+    feed = sink.change_feed(spark, frm)  # no pre-images
+    rows = {r["op"]: r for r in to_debezium(feed).collect()}
+    assert rows["u"]["before"] is None           # no pre-image available
+    assert rows["d"]["before"] is not None       # tombstone payload as before
+    assert rows["d"]["after"] is None
+    assert "source" not in rows["d"].asDict()    # source only when named
+
+
+def test_cli_changes_debezium_format(spark, tmp_path, capsys):
+    from fetchez_spark.cli import main
+
+    sink, frm = _mk_table(spark, tmp_path)
+    rc = main(["changes", sink.table_dir, frm, "--typed", "--format", "debezium"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1]["total_changed_rows"] == 3
+    ops = {l["op"] for l in lines[:-1]}
+    assert ops == {"c", "u", "d"}
+
+    rc = main(["changes", sink.table_dir, frm, "--format", "debezium"])
+    assert rc == 1  # debezium needs --typed
