@@ -331,3 +331,33 @@ def snapshot_as_of(table_dir: str, ts) -> str:
     from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
     return LocalSnapshotSink(table_dir).snapshot_as_of(ts)
+
+
+def table_report(table_dir: str) -> dict[str, Any]:
+    """Driver-side table health report (per-bucket base/delta bytes and
+    file counts, size skew, retained history) plus concrete maintenance
+    recommendations — manifest + filesystem metadata only, no Spark job."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).table_report()
+
+
+def auto_maintain(
+    table_dir: str,
+    spark: SparkSession | None = None,
+    keep_last: int | None = None,
+    min_age_seconds: float = 3600,
+    dry_run: bool = False,
+) -> dict[str, Any]:
+    """One-button maintenance: run exactly what :func:`table_report`
+    recommends (size-aware compaction, tombstone purge) plus the
+    always-safe sweeps (orphan vacuum; snapshot expiry when ``keep_last``
+    is given).  ``dry_run`` returns the plan without executing."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).auto_maintain(
+        spark=spark,
+        keep_last=keep_last,
+        min_age_seconds=min_age_seconds,
+        dry_run=dry_run,
+    )

@@ -200,6 +200,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drop-column", default=None, metavar="NAME",
                    help="drop a payload column, metadata-only (bytes leave "
                         "as buckets compact; the name is retired)")
+    p.add_argument("--report", action="store_true",
+                   help="print the table health report (per-bucket bytes/"
+                        "files, skew, recommendations) — metadata only, no "
+                        "Spark job")
+    p.add_argument("--auto", action="store_true",
+                   help="one-button maintenance: execute exactly what the "
+                        "health report recommends plus the always-safe "
+                        "sweeps (combine with --expire N to also trim "
+                        "history; --dry-run to preview)")
+    p.add_argument("--dry-run", action="store_true",
+                   help="with --auto: print the plan without executing")
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
         "branch", help="WAP branches: create / publish / drop / list"
@@ -461,6 +472,28 @@ def main(argv: list[str] | None = None) -> int:
 
         sink = LocalSnapshotSink(args.table_dir)
         out: dict = {}
+        if args.report:
+            print(json.dumps(sink.table_report(), default=str))
+            return 0
+        if args.auto:
+            plan = sink.auto_maintain(dry_run=True)["plan"]
+            spark = None
+            if not args.dry_run and any(
+                s["action"] in ("compact", "minor_compact", "purge_tombstones")
+                for s in plan
+            ):
+                from fetchez_spark.session import get_spark
+
+                spark = get_spark(
+                    app_name="fetchez-maintain", master=f"local[{args.cores}]"
+                )
+            print(json.dumps(
+                sink.auto_maintain(
+                    spark=spark, keep_last=args.expire, dry_run=args.dry_run
+                ),
+                default=str,
+            ))
+            return 0
         if args.rollback:
             sink.rollback(args.rollback)
             out["rolled_back_to"] = args.rollback

@@ -4190,6 +4190,160 @@ class LocalSnapshotSink(SnapshotSink):
             sid = m.get("parent")
         return out
 
+    # ------------------------------------------------ health report + auto
+    def _per_bucket_compact_threshold(self) -> int | None:
+        """The per-bucket delta-bytes threshold the size policy actually
+        compacts by: explicit ``compact_min_bucket_bytes``, else the table
+        trigger ``auto_compact_bytes`` spread across the buckets (the same
+        derivation the post-merge auto-compact uses)."""
+        if self.compact_min_bucket_bytes is not None:
+            return self.compact_min_bucket_bytes
+        if self.auto_compact_bytes is not None:
+            nb = self.manifest().get("num_buckets") or 1
+            return max(self.auto_compact_bytes // max(int(nb), 1), 1)
+        return None
+
+    def table_report(self) -> dict[str, Any]:
+        """Driver-side table health report — manifest + filesystem metadata
+        only, NO Spark job (the shape an operator of a 100 TB table reads
+        before deciding maintenance): per-bucket base/delta bytes and file
+        counts, read amplification, size skew, retained-history size, and
+        a list of concrete recommendations keyed to the maintenance knobs
+        that fix them."""
+
+        def _bytes(paths: list[str]) -> int:
+            total = 0
+            for p in paths:
+                try:
+                    total += os.path.getsize(p)
+                except OSError:
+                    pass
+            return total
+
+        m = self.manifest()
+        bases = self._resolve_map(m["files"])
+        deltas = self._resolve_map(m.get("deltas", {}))
+        recorded_db = {
+            k: int(v) for k, v in (m.get("delta_bytes") or {}).items()
+        }
+        buckets: dict[str, dict[str, Any]] = {}
+        for b in sorted(set(bases) | set(deltas), key=str):
+            bb = _bytes(bases.get(b, []))
+            db = recorded_db.get(b)
+            if db is None:
+                db = _bytes(deltas.get(b, []))
+            buckets[b] = {
+                "base_files": len(bases.get(b, [])),
+                "base_bytes": bb,
+                "delta_files": len(deltas.get(b, [])),
+                "delta_bytes": db,
+            }
+        clustered = {b: v for b, v in buckets.items() if b != _FLAT}
+        sizes = [v["base_bytes"] + v["delta_bytes"] for v in clustered.values()]
+        mean = (sum(sizes) / len(sizes)) if sizes else 0.0
+        skew = (max(sizes) / mean) if mean else 1.0
+        n_snapshots = len(self.snapshots())
+        report: dict[str, Any] = {
+            "snapshot_id": m["snapshot_id"],
+            "num_buckets": m.get("num_buckets"),
+            "buckets": buckets,
+            "total_base_bytes": sum(v["base_bytes"] for v in buckets.values()),
+            "total_delta_bytes": sum(v["delta_bytes"] for v in buckets.values()),
+            "max_delta_files_per_bucket": max(
+                (v["delta_files"] for v in buckets.values()), default=0
+            ),
+            "bucket_size_skew": round(skew, 3),
+            "retained_snapshots": n_snapshots,
+            "sorted_stats_files": len(self.key_stats(m)),
+            "recommendations": [],
+        }
+        rec = report["recommendations"]
+        thresh = self._per_bucket_compact_threshold()
+        hot = [
+            b
+            for b, v in buckets.items()
+            if thresh and v["delta_bytes"] >= thresh
+        ]
+        if hot:
+            rec.append(
+                {"action": "compact", "buckets": sorted(hot, key=str),
+                 "reason": f"delta_bytes >= {thresh}"}
+            )
+        elif report["max_delta_files_per_bucket"] >= 16:
+            rec.append(
+                {"action": "minor_compact",
+                 "reason": "a bucket has >=16 delta files (read amplification)"}
+            )
+        if skew >= 4.0 and len(clustered) > 1:
+            rec.append(
+                {"action": "rebucket",
+                 "reason": f"bucket size skew {skew:.1f}x >= 4x"}
+            )
+        if self.tombstone_retention_seconds is not None:
+            rec.append(
+                {"action": "purge_tombstones",
+                 "reason": "event-time retention configured"}
+            )
+        return report
+
+    def auto_maintain(
+        self,
+        spark: SparkSession | None = None,
+        keep_last: int | None = None,
+        min_age_seconds: float = 3600,
+        dry_run: bool = False,
+    ) -> dict[str, Any]:
+        """One-button maintenance: read :meth:`table_report`, run exactly
+        the actions it recommends (size-aware compaction of the hot
+        buckets, tombstone purge past the configured horizon), then the
+        always-safe sweeps (vacuum of crashed-commit orphans; snapshot
+        expiry when ``keep_last`` is given) — every phase age-guarded and
+        commit-locked, so it is safe beside live writers.  ``dry_run``
+        returns the plan without executing.  Compaction/purge need
+        ``spark``; metadata-only phases don't."""
+        report = self.table_report()
+        plan = [dict(r) for r in report["recommendations"]]
+        if keep_last is not None and report["retained_snapshots"] > keep_last:
+            plan.append(
+                {"action": "expire_snapshots", "keep_last": keep_last,
+                 "reason": f"{report['retained_snapshots']} snapshots retained"}
+            )
+        plan.append({"action": "vacuum_orphans", "reason": "always-safe sweep"})
+        if dry_run:
+            return {"plan": plan, "executed": [], "report": report}
+        executed: list[dict[str, Any]] = []
+        for step in plan:
+            act = step["action"]
+            if act in ("compact", "minor_compact", "purge_tombstones") and (
+                spark is None
+            ):
+                raise ValueError(f"auto_maintain: {act} needs a SparkSession")
+            if act == "compact":
+                thresh = self._per_bucket_compact_threshold()
+                res = self.compact(
+                    spark,
+                    min_bucket_bytes=thresh,
+                    target_file_bytes=self.target_file_bytes,
+                    sort=self.sort_on_compact or None,
+                )
+            elif act == "minor_compact":
+                res = self.compact(spark, minor=True)
+            elif act == "purge_tombstones":
+                res = self.purge_tombstones(spark)
+            elif act == "expire_snapshots":
+                res = self.expire_snapshots(
+                    keep_last=step["keep_last"], min_age_seconds=min_age_seconds
+                )
+            elif act == "vacuum_orphans":
+                res = {"removed": self.vacuum_orphans(min_age_seconds=min_age_seconds)}
+            else:
+                # layout-changing recommendations (e.g. rebucket) stay a
+                # human decision: reported, never auto-executed
+                executed.append({**step, "result": {"skipped": "manual action"}})
+                continue
+            executed.append({**step, "result": res})
+        return {"plan": plan, "executed": executed, "report": report}
+
     def create_branch(self, name: str, from_snapshot: str | None = None) -> str:
         """Create branch ``name`` at ``from_snapshot`` (default: current
         main head).  Errors if it already exists."""
