@@ -361,3 +361,21 @@ def auto_maintain(
         min_age_seconds=min_age_seconds,
         dry_run=dry_run,
     )
+
+
+def table_properties(table_dir: str) -> dict[str, Any]:
+    """The table's recorded properties — the persisted maintenance/
+    retention policy (auto-compaction thresholds, sort-on-compact, row
+    TTL, tombstone retention) every fresh-session open adopts."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).properties()
+
+
+def set_table_properties(table_dir: str, **props: Any) -> dict[str, Any]:
+    """Record table properties in one metadata-only commit (the
+    ``ALTER TABLE ... SET TBLPROPERTIES`` analog); ``name=None`` unsets.
+    Returns the full recorded map after the change."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).set_properties(**props)

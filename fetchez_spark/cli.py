@@ -200,6 +200,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drop-column", default=None, metavar="NAME",
                    help="drop a payload column, metadata-only (bytes leave "
                         "as buckets compact; the name is retired)")
+    p.add_argument("--set-property", action="append", default=[],
+                   metavar="NAME=VALUE", dest="set_properties",
+                   help="record a table property (maintenance/retention "
+                        "policy: auto_compact_bytes, target_file_bytes, "
+                        "row_ttl_seconds, ...) in one metadata-only commit "
+                        "— the SET TBLPROPERTIES analog; NAME= unsets")
+    p.add_argument("--properties", action="store_true",
+                   help="print the recorded table properties")
     p.add_argument("--report", action="store_true",
                    help="print the table health report (per-bucket bytes/"
                         "files, skew, recommendations) — metadata only, no "
@@ -472,6 +480,21 @@ def main(argv: list[str] | None = None) -> int:
 
         sink = LocalSnapshotSink(args.table_dir)
         out: dict = {}
+        if args.set_properties:
+            props = {}
+            for spec in args.set_properties:
+                name, _, raw = spec.partition("=")
+                if raw in ("", "null", "none"):
+                    props[name] = None
+                else:
+                    try:
+                        props[name] = json.loads(raw)
+                    except json.JSONDecodeError:
+                        props[name] = raw
+            out["properties"] = sink.set_properties(**props)
+        if args.properties:
+            print(json.dumps(sink.properties(), default=str))
+            return 0
         if args.report:
             print(json.dumps(sink.table_report(), default=str))
             return 0

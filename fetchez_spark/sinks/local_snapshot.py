@@ -99,7 +99,28 @@ CATALOG_KEYS = (
     # physical names of DROPPED columns: reserved so a later batch can't
     # reuse the name and resurrect stale values from pre-drop files
     "retired_columns",
+    # persisted maintenance/retention policy (see _TABLE_PROPERTIES)
+    "properties",
 )
+
+# Maintenance/retention knobs that are PART OF THE TABLE METADATA (the
+# Iceberg table-properties analog): recorded at bootstrap when the creating
+# constructor sets them, adopted by every fresh-session open that leaves
+# them at the default, and settable later via set_properties() (one
+# metadata-only commit).  Persisting them matters for correctness, not just
+# convenience: row_ttl_seconds changes what a READER sees, and the
+# report/auto-maintain path must see the table's own policy from the dir
+# alone (CLI, cron).  name -> (constructor default, coercer).
+_TABLE_PROPERTIES: dict[str, tuple[Any, Any]] = {
+    "auto_compact_bytes": (None, int),
+    "compact_min_bucket_bytes": (None, int),
+    "target_file_bytes": (None, int),
+    "sort_on_compact": (False, bool),
+    "tombstone_retention_seconds": (None, float),
+    "row_ttl_seconds": (None, float),
+    "late_tolerance_seconds": (None, float),
+    "delta_compression": (None, str),
+}
 
 _TOKEN_RE = re.compile(r"^(.*?)(\d+)$")
 
@@ -397,6 +418,14 @@ class LocalSnapshotSink(SnapshotSink):
         self._list_cache: dict[str, list[str]] = {}
         os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+        # policy knobs THIS constructor explicitly set (non-default):
+        # recorded at bootstrap, and they win over recorded properties for
+        # this session (without persisting -- persist via set_properties)
+        self._session_properties = {
+            k: getattr(self, k)
+            for k, (default, _) in _TABLE_PROPERTIES.items()
+            if getattr(self, k) != default
+        }
         if self._version("main") is None:
             schema = T.StructType(
                 list((base_schema or TRANSCRIPT_SCHEMA).fields) + _internal_fields()
@@ -413,6 +442,8 @@ class LocalSnapshotSink(SnapshotSink):
                 "stats": {"rows": 0},
                 "offsets": None,
             }
+            if self._session_properties:
+                root["properties"] = dict(self._session_properties)
             self._write_manifest(root)
             self._set_version(root["snapshot_id"], "main")
         if self.branch != "main" and self._version() is None:
@@ -429,7 +460,8 @@ class LocalSnapshotSink(SnapshotSink):
         # because a mis-keyed writer would corrupt the LWW reduction.
         # Tables created before the key was recorded keep constructor
         # behavior (nothing recorded -> nothing to adopt).
-        recorded = self.manifest().get("key")
+        _boot_manifest = self.manifest()
+        recorded = _boot_manifest.get("key")
         if recorded:
             if key and list(key) != list(recorded):
                 raise ValueError(
@@ -437,6 +469,14 @@ class LocalSnapshotSink(SnapshotSink):
                     f"constructor key={list(key)!r} conflicts"
                 )
             self.key = list(recorded)
+        # adopt recorded table properties for every knob this constructor
+        # left at its default -- a fresh-session open (CLI, cron
+        # maintenance, a plain reader of a TTL table) sees the table's own
+        # policy; an explicit constructor value stays a session override
+        for k, (_, coerce) in _TABLE_PROPERTIES.items():
+            rec = (_boot_manifest.get("properties") or {}).get(k)
+            if rec is not None and k not in self._session_properties:
+                setattr(self, k, coerce(rec))
 
     # ---------------------------------------------------------- manifest io
     def _version_path(self, branch: str | None = None) -> str:
@@ -1593,6 +1633,7 @@ class LocalSnapshotSink(SnapshotSink):
         key_in: DataFrame | None = None,
         range_hints: dict | None = None,
         logical: bool = True,
+        include_expired: bool = False,
     ) -> DataFrame:
         """``key_eq``: leading-key point-read hint.  Base files whose
         recorded key range (see :meth:`key_stats`) excludes the value are
@@ -1731,7 +1772,14 @@ class LocalSnapshotSink(SnapshotSink):
             # horizon are expired.  A plain codegen ts predicate -- on a
             # compacted table it sits directly on the scan and parquet
             # row-group min/max skip whole pages of expired history.
-            ttl = self._ttl_horizon(m) if self.row_ttl_seconds is not None else None
+            # include_expired is the session escape hatch (triage/audit)
+            # now that row_ttl_seconds persists as a table property --
+            # parallel to include_deleted for tombstones
+            ttl = (
+                self._ttl_horizon(m)
+                if self.row_ttl_seconds is not None and not include_expired
+                else None
+            )
             if ttl is not None:
                 df = df.filter(
                     F.coalesce(
@@ -4190,6 +4238,64 @@ class LocalSnapshotSink(SnapshotSink):
             sid = m.get("parent")
         return out
 
+    # ------------------------------------------------ table properties
+    def properties(self) -> dict[str, Any]:
+        """The table's recorded properties (see ``_TABLE_PROPERTIES``) --
+        the persisted maintenance/retention policy every fresh-session
+        open adopts."""
+        return dict(self.manifest().get("properties") or {})
+
+    def set_properties(self, **props: Any) -> dict[str, Any]:
+        """Record table properties in one metadata-only commit (the
+        ``ALTER TABLE ... SET TBLPROPERTIES`` analog).  ``name=None``
+        unsets a property (readers fall back to the constructor default).
+        The live sink adopts the new values immediately; other open
+        sinks adopt on their next fresh open.  Returns the full recorded
+        map after the change."""
+        unknown = sorted(set(props) - set(_TABLE_PROPERTIES))
+        if unknown:
+            raise ValueError(
+                f"unknown table properties {unknown}; settable: "
+                f"{sorted(_TABLE_PROPERTIES)}"
+            )
+        coerced: dict[str, Any] = {}
+        for k, v in props.items():
+            default, coerce = _TABLE_PROPERTIES[k]
+            coerced[k] = None if v is None else coerce(v)
+        with self._commit_lock():
+            latest = self.manifest()
+            cur = dict(latest.get("properties") or {})
+            for k, v in coerced.items():
+                if v is None:
+                    cur.pop(k, None)
+                else:
+                    cur[k] = v
+            sid = self._claim_sid(latest)
+            manifest = {
+                **latest,
+                "snapshot_id": sid,
+                "parent": latest["snapshot_id"],
+                "properties": cur,
+                "stats": {
+                    "delta_commits": int(
+                        latest.get("stats", {}).get("delta_commits", 0)
+                    ),
+                    "properties_set": sorted(coerced),
+                },
+            }
+            # metadata-only commit: no change set of its own
+            manifest.pop("change_files", None)
+            manifest.pop("ts_stats_new", None)
+            self._commit(manifest)
+        for k, v in coerced.items():
+            default, _ = _TABLE_PROPERTIES[k]
+            setattr(self, k, default if v is None else v)
+            if v is None:
+                self._session_properties.pop(k, None)
+            else:
+                self._session_properties[k] = v
+        return cur
+
     # ------------------------------------------------ health report + auto
     def _per_bucket_compact_threshold(self) -> int | None:
         """The per-bucket delta-bytes threshold the size policy actually
@@ -4255,6 +4361,7 @@ class LocalSnapshotSink(SnapshotSink):
             "bucket_size_skew": round(skew, 3),
             "retained_snapshots": n_snapshots,
             "sorted_stats_files": len(self.key_stats(m)),
+            "properties": dict(m.get("properties") or {}),
             "recommendations": [],
         }
         rec = report["recommendations"]

@@ -53,9 +53,12 @@ def test_ttl_hides_old_winners_logically(spark, tmp_path):
     # hwm = ts(12); ttl 8h -> horizon ts(4): 'old' expires, others live
     sink = _seed(spark, tmp_path, row_ttl_seconds=8 * 3600)
     assert {r["conv_id"] for r in sink.read(spark).collect()} == {"mid", "new"}
-    # no-TTL reader of the same dir sees everything (policy is per-sink)
-    raw = LocalSnapshotSink(str(tmp_path / "t"))
-    assert raw.read(spark).count() == 3
+    # TTL is a persisted table property: a fresh default open of the same
+    # dir adopts it (a reader must not resurrect expired rows)...
+    fresh = LocalSnapshotSink(str(tmp_path / "t"))
+    assert fresh.read(spark).count() == 2
+    # ...and include_expired is the explicit triage escape hatch
+    assert fresh.read(spark, include_expired=True).count() == 3
 
 
 def test_ttl_horizon_advances_with_the_watermark(spark, tmp_path):
@@ -73,9 +76,9 @@ def test_compact_physically_expires_and_read_is_unchanged(spark, tmp_path):
     before = {r["conv_id"] for r in sink.read(spark).collect()}
     sink.compact(spark)
     assert {r["conv_id"] for r in sink.read(spark).collect()} == before
-    # physically gone: a no-TTL reader no longer sees 'old' either
+    # physically gone: even an include_expired reader no longer sees 'old'
     raw = LocalSnapshotSink(str(tmp_path / "t"))
-    assert {r["conv_id"] for r in raw.read(spark).collect()} == before
+    assert {r["conv_id"] for r in raw.read(spark, include_expired=True).collect()} == before
 
 
 def test_purge_expired_selects_buckets_by_footer_stats(spark, tmp_path):
@@ -96,7 +99,7 @@ def test_purge_expired_selects_buckets_by_footer_stats(spark, tmp_path):
     sink.compact(spark)  # folds only n2's delta; mid/new bytes remain
     res2 = sink.purge_expired(spark)
     raw = LocalSnapshotSink(str(tmp_path / "t"))
-    assert {r["conv_id"] for r in raw.read(spark).collect()} == {"n2"}
+    assert {r["conv_id"] for r in raw.read(spark, include_expired=True).collect()} == {"n2"}
     assert res2["compacted_buckets"] == 0 or res2["expire_candidate_buckets"] >= 0
 
 
@@ -112,7 +115,7 @@ def test_minor_compaction_never_expires(spark, tmp_path):
     sink = _seed(spark, tmp_path, row_ttl_seconds=8 * 3600)
     sink.compact(spark, minor=True)
     raw = LocalSnapshotSink(str(tmp_path / "t"))
-    assert raw.read(spark).count() == 3  # bytes still there
+    assert raw.read(spark, include_expired=True).count() == 3  # bytes still there
 
 
 def test_count_rows_respects_ttl(spark, tmp_path):
@@ -146,4 +149,4 @@ def test_cli_purge_expired(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out)
     assert out["purge_expired"]["expire_candidate_buckets"] >= 1
     raw = LocalSnapshotSink(str(tmp_path / "t"))
-    assert {r["conv_id"] for r in raw.read(spark).collect()} == {"mid", "new"}
+    assert {r["conv_id"] for r in raw.read(spark, include_expired=True).collect()} == {"mid", "new"}
