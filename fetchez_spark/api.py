@@ -379,3 +379,21 @@ def set_table_properties(table_dir: str, **props: Any) -> dict[str, Any]:
     from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
     return LocalSnapshotSink(table_dir).set_properties(**props)
+
+
+def add_expectation(
+    table_dir: str, name: str, condition: str, action: str = "fail"
+) -> dict[str, Any]:
+    """Record a write-time data-quality gate on the TABLE (the Delta
+    ``ALTER TABLE ADD CONSTRAINT`` analog): every writer that opens the
+    dir enforces it from its next commit on."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).add_expectation(name, condition, action)
+
+
+def drop_expectation(table_dir: str, name: str) -> dict[str, Any]:
+    """Remove a recorded write-time expectation (one metadata-only commit)."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).drop_expectation(name)

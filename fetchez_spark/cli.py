@@ -208,6 +208,14 @@ def main(argv: list[str] | None = None) -> int:
                         "— the SET TBLPROPERTIES analog; NAME= unsets")
     p.add_argument("--properties", action="store_true",
                    help="print the recorded table properties")
+    p.add_argument("--add-expectation", action="append", default=[],
+                   metavar="NAME:ACTION:SQL_CONDITION", dest="add_expectations",
+                   help="record a write-time data-quality gate on the TABLE "
+                        "(every writer enforces it) — the ADD CONSTRAINT "
+                        "analog; ACTION is fail/drop/quarantine")
+    p.add_argument("--drop-expectation", action="append", default=[],
+                   metavar="NAME", dest="drop_expectations",
+                   help="remove a recorded expectation")
     p.add_argument("--report", action="store_true",
                    help="print the table health report (per-bucket bytes/"
                         "files, skew, recommendations) — metadata only, no "
@@ -492,6 +500,18 @@ def main(argv: list[str] | None = None) -> int:
                     except json.JSONDecodeError:
                         props[name] = raw
             out["properties"] = sink.set_properties(**props)
+        for spec in args.add_expectations:
+            name, _, rest = spec.partition(":")
+            action, _, cond = rest.partition(":")
+            if not cond:
+                print("--add-expectation wants NAME:ACTION:SQL_CONDITION",
+                      file=sys.stderr)
+                return 1
+            out["expectations"] = sink.add_expectation(name, cond, action)[
+                "expectations"
+            ]
+        for name in args.drop_expectations:
+            out["expectations"] = sink.drop_expectation(name)["expectations"]
         if args.properties:
             print(json.dumps(sink.properties(), default=str))
             return 0

@@ -101,6 +101,10 @@ CATALOG_KEYS = (
     "retired_columns",
     # persisted maintenance/retention policy (see _TABLE_PROPERTIES)
     "properties",
+    # persisted write-time data-quality gates (the Delta ADD CONSTRAINT
+    # analog): every writer of the table enforces them, not just the
+    # session that declared them
+    "expectations",
 )
 
 # Maintenance/retention knobs that are PART OF THE TABLE METADATA (the
@@ -120,6 +124,9 @@ _TABLE_PROPERTIES: dict[str, tuple[Any, Any]] = {
     "row_ttl_seconds": (None, float),
     "late_tolerance_seconds": (None, float),
     "delta_compression": (None, str),
+    # snapshot-history retention for auto_maintain (expire keeps this
+    # many); None = never auto-expire
+    "snapshot_keep_last": (None, int),
 }
 
 _TOKEN_RE = re.compile(r"^(.*?)(\d+)$")
@@ -263,6 +270,7 @@ class LocalSnapshotSink(SnapshotSink):
         tombstone_retention_seconds: float | None = None,
         expectations: list[tuple[str, str, str]] | None = None,
         row_ttl_seconds: float | None = None,
+        snapshot_keep_last: int | None = None,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -392,6 +400,9 @@ class LocalSnapshotSink(SnapshotSink):
         # (late_tolerance_seconds) or a late event older than physically
         # expired rows can briefly resurface its key.
         self.row_ttl_seconds = row_ttl_seconds
+        # snapshot_keep_last: how much history auto_maintain/table_report
+        # retains (None = report only, never auto-expire)
+        self.snapshot_keep_last = snapshot_keep_last
         # expectations: WRITE-TIME data-quality constraints, the Delta
         # Live Tables / Iceberg-write-validation analog.  Each is
         # (name, sql_condition, action); a row VIOLATES when the condition
@@ -414,6 +425,10 @@ class LocalSnapshotSink(SnapshotSink):
                     f"quarantine, got {action!r}"
                 )
             self.expectations.append((str(name), cond, action))
+        # constructor-declared gates, kept separate from adopted ones: the
+        # per-merge refresh re-applies them on top of whatever the table
+        # records at that moment
+        self._session_expectations = list(self.expectations)
         # immutable content-addressed file-list blobs -> safe to cache
         self._list_cache: dict[str, list[str]] = {}
         os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
@@ -444,6 +459,8 @@ class LocalSnapshotSink(SnapshotSink):
             }
             if self._session_properties:
                 root["properties"] = dict(self._session_properties)
+            if self.expectations:
+                root["expectations"] = [list(e) for e in self.expectations]
             self._write_manifest(root)
             self._set_version(root["snapshot_id"], "main")
         if self.branch != "main" and self._version() is None:
@@ -477,6 +494,23 @@ class LocalSnapshotSink(SnapshotSink):
             rec = (_boot_manifest.get("properties") or {}).get(k)
             if rec is not None and k not in self._session_properties:
                 setattr(self, k, coerce(rec))
+        # expectations are TABLE-LEVEL quality gates: every writer enforces
+        # the recorded set (a session can ADD gates, never silently remove
+        # or weaken one -- removal is an explicit metadata commit via
+        # drop_expectation)
+        recorded_exps = [tuple(e) for e in _boot_manifest.get("expectations") or []]
+        if recorded_exps:
+            by_name = {e[0]: e for e in recorded_exps}
+            for e in self.expectations:
+                rec_e = by_name.get(e[0])
+                if rec_e is not None and tuple(rec_e) != tuple(e):
+                    raise ValueError(
+                        f"expectation {e[0]!r} is recorded on this table as "
+                        f"{tuple(rec_e)!r}; constructor {tuple(e)!r} conflicts "
+                        "(change it via drop_expectation + add_expectation)"
+                    )
+            extra = [e for e in self.expectations if e[0] not in by_name]
+            self.expectations = recorded_exps + extra
 
     # ---------------------------------------------------------- manifest io
     def _version_path(self, branch: str | None = None) -> str:
@@ -2819,6 +2853,15 @@ class LocalSnapshotSink(SnapshotSink):
         # skipped entirely.  CollectMetrics expressions are evaluated
         # INTERPRETED per row (no codegen); measured at 8M-row batches /
         # 8 cores they cost ~13% of the whole append path.
+        # refresh table-level expectations from the CURRENT manifest: a
+        # gate another writer recorded after this sink opened is enforced
+        # from this merge on (recorded wins by name; this session's own
+        # constructor-declared extras still apply on top)
+        _rec_exps = [tuple(e) for e in cur.get("expectations") or []]
+        _names = {e[0] for e in _rec_exps}
+        self.expectations = _rec_exps + [
+            e for e in self._session_expectations if e[0] not in _names
+        ]
         use_observe = (
             self.mode == "cow"
             or self.dedup_on_write
@@ -4296,6 +4339,73 @@ class LocalSnapshotSink(SnapshotSink):
                 self._session_properties[k] = v
         return cur
 
+    def add_expectation(self, name: str, condition: str, action: str = "fail") -> dict[str, Any]:
+        """Record a write-time expectation on the TABLE (one metadata-only
+        commit) -- the Delta ``ALTER TABLE ADD CONSTRAINT`` analog: every
+        writer that opens this dir enforces it from the next commit on,
+        not just the session that declared it."""
+        if action not in ("fail", "drop", "quarantine"):
+            raise ValueError(
+                f"expectation {name!r}: action must be fail/drop/quarantine, "
+                f"got {action!r}"
+            )
+        with self._commit_lock():
+            latest = self.manifest()
+            exps = [tuple(e) for e in latest.get("expectations") or []]
+            if any(e[0] == name for e in exps):
+                raise ValueError(
+                    f"expectation {name!r} already recorded; drop it first"
+                )
+            exps.append((str(name), condition, action))
+            sid = self._claim_sid(latest)
+            manifest = {
+                **latest,
+                "snapshot_id": sid,
+                "parent": latest["snapshot_id"],
+                "expectations": [list(e) for e in exps],
+                "stats": {
+                    "delta_commits": int(
+                        latest.get("stats", {}).get("delta_commits", 0)
+                    ),
+                    "expectation_added": name,
+                },
+            }
+            manifest.pop("change_files", None)
+            manifest.pop("ts_stats_new", None)
+            self._commit(manifest)
+        self.expectations = list(exps)
+        return {"snapshot_id": sid, "expectations": exps}
+
+    def drop_expectation(self, name: str) -> dict[str, Any]:
+        """Remove a recorded expectation (one metadata-only commit)."""
+        with self._commit_lock():
+            latest = self.manifest()
+            exps = [tuple(e) for e in latest.get("expectations") or []]
+            if not any(e[0] == name for e in exps):
+                raise ValueError(
+                    f"no expectation named {name!r} recorded "
+                    f"(recorded: {sorted(e[0] for e in exps)})"
+                )
+            exps = [e for e in exps if e[0] != name]
+            sid = self._claim_sid(latest)
+            manifest = {
+                **latest,
+                "snapshot_id": sid,
+                "parent": latest["snapshot_id"],
+                "expectations": [list(e) for e in exps],
+                "stats": {
+                    "delta_commits": int(
+                        latest.get("stats", {}).get("delta_commits", 0)
+                    ),
+                    "expectation_dropped": name,
+                },
+            }
+            manifest.pop("change_files", None)
+            manifest.pop("ts_stats_new", None)
+            self._commit(manifest)
+        self.expectations = [e for e in self.expectations if e[0] != name]
+        return {"snapshot_id": sid, "expectations": exps}
+
     # ------------------------------------------------ health report + auto
     def _per_bucket_compact_threshold(self) -> int | None:
         """The per-bucket delta-bytes threshold the size policy actually
@@ -4362,6 +4472,7 @@ class LocalSnapshotSink(SnapshotSink):
             "retained_snapshots": n_snapshots,
             "sorted_stats_files": len(self.key_stats(m)),
             "properties": dict(m.get("properties") or {}),
+            "expectations": [list(e) for e in m.get("expectations") or []],
             "recommendations": [],
         }
         rec = report["recommendations"]
@@ -4391,6 +4502,16 @@ class LocalSnapshotSink(SnapshotSink):
                 {"action": "purge_tombstones",
                  "reason": "event-time retention configured"}
             )
+        if (
+            self.snapshot_keep_last is not None
+            and n_snapshots > self.snapshot_keep_last
+        ):
+            rec.append(
+                {"action": "expire_snapshots",
+                 "keep_last": self.snapshot_keep_last,
+                 "reason": f"{n_snapshots} snapshots retained > "
+                           f"snapshot_keep_last={self.snapshot_keep_last}"}
+            )
         return report
 
     def auto_maintain(
@@ -4410,11 +4531,14 @@ class LocalSnapshotSink(SnapshotSink):
         ``spark``; metadata-only phases don't."""
         report = self.table_report()
         plan = [dict(r) for r in report["recommendations"]]
-        if keep_last is not None and report["retained_snapshots"] > keep_last:
-            plan.append(
-                {"action": "expire_snapshots", "keep_last": keep_last,
-                 "reason": f"{report['retained_snapshots']} snapshots retained"}
-            )
+        if keep_last is not None:
+            # explicit arg overrides the table's snapshot_keep_last policy
+            plan = [s for s in plan if s["action"] != "expire_snapshots"]
+            if report["retained_snapshots"] > keep_last:
+                plan.append(
+                    {"action": "expire_snapshots", "keep_last": keep_last,
+                     "reason": f"{report['retained_snapshots']} snapshots retained"}
+                )
         plan.append({"action": "vacuum_orphans", "reason": "always-safe sweep"})
         if dry_run:
             return {"plan": plan, "executed": [], "report": report}

@@ -188,3 +188,129 @@ def test_cli_properties_and_policy_aware_auto(spark, tmp_path, capsys):
         not v for v in LocalSnapshotSink(t).delta_lists().values()
     )
     assert sink.read(spark).count() == 2
+
+
+# --------------------------------------------------- persisted expectations
+def test_expectations_recorded_and_enforced_on_fresh_writer(spark, tmp_path):
+    """A gate declared by the creating writer binds EVERY writer of the
+    table — the Delta ADD CONSTRAINT semantic — not just the declaring
+    session."""
+    from fetchez_spark.sinks.local_snapshot import ExpectationFailed
+
+    t = str(tmp_path / "exp")
+    LocalSnapshotSink(
+        t, num_buckets=2, compact_every=10**9,
+        expectations=[("text_present", "text IS NOT NULL", "fail")],
+    ).merge(
+        _batch(spark, [("c1", 0, "user", "ok", None, _ts(1), "insert", 1)]),
+        "b-0",
+    )
+    fresh = LocalSnapshotSink(t)  # no expectations passed
+    assert fresh.expectations == [("text_present", "text IS NOT NULL", "fail")]
+    with pytest.raises(ExpectationFailed):
+        fresh.merge(
+            _batch(spark, [("c2", 0, "user", None, None, _ts(2), "insert", 2)]),
+            "b-1",
+        )
+    assert fresh.read(spark).count() == 1  # the violating batch never landed
+
+
+def test_expectation_added_mid_life_reaches_an_open_writer(spark, tmp_path):
+    """add_expectation is a metadata commit; a writer that opened BEFORE
+    the gate was added enforces it on its next merge (per-merge refresh
+    from the current manifest)."""
+    from fetchez_spark import api
+    from fetchez_spark.sinks.local_snapshot import ExpectationFailed
+
+    t = str(tmp_path / "mid")
+    writer = LocalSnapshotSink(t, num_buckets=2, compact_every=10**9)
+    writer.merge(
+        _batch(spark, [("c1", 0, "user", "ok", None, _ts(1), "insert", 1)]),
+        "b-0",
+    )
+    api.add_expectation(t, "no_empty", "length(text) > 0", "fail")
+    with pytest.raises(ExpectationFailed):
+        writer.merge(
+            _batch(spark, [("c2", 0, "user", "", None, _ts(2), "insert", 2)]),
+            "b-1",
+        )
+    # dropping the gate re-opens the door for the same writer
+    api.drop_expectation(t, "no_empty")
+    writer.merge(
+        _batch(spark, [("c2", 0, "user", "", None, _ts(3), "insert", 3)]),
+        "b-2",
+    )
+    assert writer.read(spark).count() == 2
+
+
+def test_expectation_conflicts_and_session_extras(spark, tmp_path):
+    """A constructor expectation conflicting with the recorded one of the
+    same name errors loudly; a new-named one applies ON TOP of the
+    recorded set (a session can add gates, never weaken them)."""
+    t = str(tmp_path / "conf")
+    LocalSnapshotSink(
+        t, num_buckets=2, compact_every=10**9,
+        expectations=[("text_present", "text IS NOT NULL", "fail")],
+    ).merge(
+        _batch(spark, [("c1", 0, "user", "ok", None, _ts(1), "insert", 1)]),
+        "b-0",
+    )
+    with pytest.raises(ValueError, match="conflicts"):
+        LocalSnapshotSink(
+            t, expectations=[("text_present", "text IS NOT NULL", "drop")]
+        )
+    extra = LocalSnapshotSink(
+        t, expectations=[("role_known", "role IN ('user','assistant')", "drop")]
+    )
+    assert [e[0] for e in extra.expectations] == ["text_present", "role_known"]
+    # unknown drop target errors with the recorded names
+    with pytest.raises(ValueError, match="no expectation named"):
+        extra.drop_expectation("nope")
+    with pytest.raises(ValueError, match="already recorded"):
+        extra.add_expectation("text_present", "1=1", "drop")
+
+
+def test_snapshot_keep_last_property_drives_auto_expire(spark, tmp_path):
+    """snapshot_keep_last recorded on the table makes auto_maintain trim
+    history from the dir alone — no Spark session needed for the
+    metadata-only plan."""
+    t = str(tmp_path / "keep")
+    sink = LocalSnapshotSink(t, num_buckets=2, compact_every=10**9)
+    for i in range(4):
+        sink.merge(
+            _batch(spark, [(f"c{i}", 0, "user", "x", None, _ts(1 + i), "insert", i)]),
+            f"b-{i}",
+        )
+    sink.set_properties(snapshot_keep_last=1)
+    fresh = LocalSnapshotSink(t)
+    assert fresh.snapshot_keep_last == 1
+    rep = fresh.table_report()
+    assert "expire_snapshots" in {r["action"] for r in rep["recommendations"]}
+    out = fresh.auto_maintain(min_age_seconds=0)  # no spark needed
+    assert "expire_snapshots" in {e["action"] for e in out["executed"]}
+    assert len(LocalSnapshotSink(t).snapshots()) == 1
+    assert LocalSnapshotSink(t).read(spark).count() == 4
+
+
+def test_cli_expectations_roundtrip(spark, tmp_path, capsys):
+    from fetchez_spark.cli import main
+
+    t = str(tmp_path / "cliexp")
+    sink = LocalSnapshotSink(t, num_buckets=2, compact_every=10**9)
+    sink.merge(
+        _batch(spark, [("c1", 0, "user", "ok", None, _ts(1), "insert", 1)]),
+        "b-0",
+    )
+    rc = main(["maintain", t, "--add-expectation",
+               "text_present:fail:text IS NOT NULL"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["expectations"] == [["text_present", "text IS NOT NULL", "fail"]] or (
+        out["expectations"] == [("text_present", "text IS NOT NULL", "fail")]
+    )
+    assert LocalSnapshotSink(t).expectations == [
+        ("text_present", "text IS NOT NULL", "fail")
+    ]
+    assert main(["maintain", t, "--drop-expectation", "text_present"]) == 0
+    json.loads(capsys.readouterr().out)
+    assert LocalSnapshotSink(t).expectations == []
