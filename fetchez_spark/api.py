@@ -397,3 +397,12 @@ def drop_expectation(table_dir: str, name: str) -> dict[str, Any]:
     from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
     return LocalSnapshotSink(table_dir).drop_expectation(name)
+
+
+def catalog(catalog_dir: str):
+    """Open (or bootstrap) a multi-table catalog: versioned name→snapshot
+    pins for reproducible multi-table reads and atomic multi-table
+    publish.  Returns a :class:`fetchez_spark.catalog.TableCatalog`."""
+    from fetchez_spark.catalog import TableCatalog
+
+    return TableCatalog(catalog_dir)

@@ -323,6 +323,37 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
+        "catalog",
+        help="multi-table catalog: versioned name→snapshot pins giving "
+        "reproducible training-run reads and atomic multi-table publish",
+    )
+    p.add_argument("catalog_dir")
+    p.add_argument("--register", action="append", default=[],
+                   metavar="NAME=TABLE_DIR[@REF]", dest="registers",
+                   help="add a table (pinned at its head, or @REF)")
+    p.add_argument("--unregister", action="append", default=[],
+                   metavar="NAME", dest="unregisters")
+    p.add_argument("--snapshot", action="store_true",
+                   help="capture a new version: re-pin every registered "
+                        "table at its current head")
+    p.add_argument("--pin", action="append", default=[], metavar="NAME=REF",
+                   dest="pins",
+                   help="with --snapshot: pin NAME at REF (snapshot id, "
+                        "tag, or branch head — branch heads = atomic "
+                        "multi-table WAP publish) instead of its head")
+    p.add_argument("--note", default=None, help="note on the new version")
+    p.add_argument("--list", type=int, nargs="?", const=20, default=None,
+                   dest="list_versions", metavar="N",
+                   help="list the newest N retained versions")
+    p.add_argument("--show", default=None, nargs="?", const="current",
+                   metavar="VERSION", help="print one version's manifest")
+    p.add_argument("--as-of", default=None, dest="as_of", metavar="TS",
+                   help="resolve + show the version live at this time")
+    p.add_argument("--expire", type=int, default=None, metavar="KEEP_LAST",
+                   help="drop versions beyond the newest KEEP_LAST and "
+                        "release their table tags")
+
+    p = sub.add_parser(
         "convs",
         help="conversation-grain reads over a replayed transcript table: "
         "assembled transcripts (batch) or a ConversationView store "
@@ -457,6 +488,50 @@ def main(argv: list[str] | None = None) -> int:
         )
         for rec in recs:
             print(json.dumps(rec, default=str))
+        return 0
+    if args.cmd == "catalog":
+        from fetchez_spark.catalog import TableCatalog
+
+        cat = TableCatalog(args.catalog_dir)
+        out = {}
+        for spec in args.registers:
+            name, _, rest = spec.partition("=")
+            table_dir, _, ref = rest.partition("@")
+            if not table_dir:
+                print("--register wants NAME=TABLE_DIR[@REF]", file=sys.stderr)
+                return 1
+            m = cat.register(name, table_dir, ref or None, note=args.note)
+            out["version"] = m["version"]
+        for name in args.unregisters:
+            out["version"] = cat.unregister(name, note=args.note)["version"]
+        if args.snapshot:
+            pins = {}
+            for spec in args.pins:
+                name, _, ref = spec.partition("=")
+                if not ref:
+                    print("--pin wants NAME=REF", file=sys.stderr)
+                    return 1
+                pins[name] = ref
+            m = cat.snapshot(note=args.note, pins=pins or None)
+            out["version"] = m["version"]
+            out["tables"] = {k: v["snapshot_id"] for k, v in m["tables"].items()}
+        if args.expire is not None:
+            out["expired"] = cat.expire(args.expire)
+        if args.as_of is not None:
+            try:
+                ts: float | str = float(args.as_of)
+            except ValueError:
+                ts = args.as_of
+            out["as_of_version"] = cat.as_of(ts)
+            out["manifest"] = cat.manifest(out["as_of_version"])
+        if args.show is not None:
+            out["manifest"] = cat.manifest(
+                None if args.show == "current"
+                else int(args.show) if args.show.isdigit() else args.show
+            )
+        if args.list_versions is not None or not out:
+            out["versions"] = cat.versions(args.list_versions or 20)
+        print(json.dumps(out, default=str))
         return 0
     if args.cmd == "branch":
         from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
