@@ -2928,11 +2928,29 @@ class LocalSnapshotSink(SnapshotSink):
                     ).alias("rows_dropped"),
                 ]
             obs_in = Observation(f"in-{uuid.uuid4().hex[:8]}")
+            # the watermark must advance only from rows that COMMIT: an
+            # expectation-excluded row with a bogus future ts would
+            # otherwise push the high watermark past real data, and the
+            # horizons keyed off it (late rejection, row TTL, tombstone
+            # purge) would start discarding legitimate rows -- junk
+            # timestamps are precisely what quarantine gates catch.
+            # Too-late rows need no exclusion: they are below the
+            # committed watermark by definition and max() ignores them.
+            ts_for_hwm = (
+                F.when(
+                    ~F.col("_exp_fail")
+                    & ~F.col("_exp_quar")
+                    & ~F.col("_exp_drop"),
+                    F.col("ts"),
+                )
+                if self.expectations
+                else F.col("ts")
+            )
             batch = batch.observe(
                 obs_in,
                 F.count(F.lit(1)).alias("rows_in"),
                 F.sum(F.col("_too_late").cast("long")).alias("rows_too_late"),
-                F.max(F.col("ts")).alias("max_ts"),
+                F.max(ts_for_hwm).alias("max_ts"),
                 *exp_aggs,
             )
             batch = batch.filter(~F.col("_too_late")).drop("_too_late")
@@ -4474,6 +4492,24 @@ class LocalSnapshotSink(SnapshotSink):
             "properties": dict(m.get("properties") or {}),
             "expectations": [list(e) for e in m.get("expectations") or []],
             "recommendations": [],
+        }
+        # freshness: the CDC-lag surface an operator watches.  commit lag
+        # (wall clock since the head landed) says whether the tail is
+        # alive; the event-time high watermark says how far the DATA has
+        # progressed — a live tail replaying an old backlog shows a small
+        # commit lag and an old watermark.
+        ca = m.get("committed_at")
+        if ca is None:
+            try:
+                ca = os.path.getmtime(self._manifest_path(m["snapshot_id"]))
+            except OSError:
+                ca = None
+        report["freshness"] = {
+            "head_committed_at": ca,
+            "commit_lag_seconds": (
+                round(time.time() - float(ca), 3) if ca is not None else None
+            ),
+            "event_time_high_watermark": m.get("high_watermark"),
         }
         rec = report["recommendations"]
         thresh = self._per_bucket_compact_threshold()

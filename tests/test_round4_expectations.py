@@ -160,3 +160,37 @@ def test_fail_leaves_no_uncommitted_payload(spark, tmp_path):
     data = str(tmp_path / "t" / "data")
     for sid in os.listdir(data):
         assert not os.path.isdir(os.path.join(data, sid, "d")), sid
+
+
+def test_excluded_rows_never_advance_the_watermark(spark, tmp_path):
+    """A quarantined/dropped row with a bogus FUTURE ts must not push the
+    event-time high watermark past committed data — the horizons keyed
+    off it (late rejection, row TTL, tombstone purge) would start
+    discarding legitimate rows.  Junk timestamps are exactly what the
+    gates catch."""
+    t = str(tmp_path / "hwm")
+    sink = LocalSnapshotSink(
+        t, num_buckets=2, compact_every=10**9,
+        expectations=[("text_present", "text IS NOT NULL", "quarantine")],
+        late_tolerance_seconds=3600.0,
+    )
+    far_future = dt.datetime(2099, 1, 1, tzinfo=UTC)
+    sink.merge(
+        _batch(spark, [
+            ("c1", 0, "user", "ok", None, _ts(5), "insert", 1),
+            ("junk", 0, "user", None, None, far_future, "insert", 2),
+        ]),
+        "b-0",
+    )
+    hwm = sink.manifest().get("high_watermark")
+    assert hwm is not None and hwm.startswith("2025-01-01 05:00")
+    # a legitimate slightly-later event still lands (it would have been
+    # rejected as too-late against a 2099 watermark)
+    sink.merge(
+        _batch(spark, [("c2", 0, "user", "later", None, _ts(6), "insert", 3)]),
+        "b-1",
+    )
+    got = sink.read(spark)
+    assert got.filter("text = 'later'").count() == 1
+    assert got.count() == 2
+    assert sink.read_quarantine(spark).count() == 1

@@ -262,3 +262,28 @@ def test_cli_maintain_report_and_auto(spark, tmp_path, capsys):
     out2 = json.loads(capsys.readouterr().out)
     assert {e["action"] for e in out2["executed"]} >= {"vacuum_orphans"}
     assert sink.read(spark).count() > 0
+
+
+def test_table_report_freshness_block(spark, tmp_path):
+    """The report carries the CDC-lag surface: wall-clock commit lag of
+    the head plus the event-time high watermark (a live tail replaying
+    an old backlog shows small lag + old watermark)."""
+    import time
+
+    t = str(tmp_path / "fresh")
+    sink = LocalSnapshotSink(t, num_buckets=2, compact_every=10**9)
+    sink.merge(
+        _batch(
+            spark,
+            [("c1", 0, "user", "x", None,
+              dt.datetime(2025, 1, 1, 5, tzinfo=UTC), "insert", 1)],
+        ),
+        "b-0",
+    )
+    fresh = LocalSnapshotSink(t).table_report()["freshness"]
+    assert fresh["head_committed_at"] is not None
+    assert 0 <= fresh["commit_lag_seconds"] < 120
+    assert fresh["event_time_high_watermark"].startswith("2025-01-01 05:00")
+    time.sleep(0.05)
+    again = LocalSnapshotSink(t).table_report()["freshness"]
+    assert again["commit_lag_seconds"] > fresh["commit_lag_seconds"]
