@@ -182,6 +182,23 @@ class TableCatalog:
     ) -> dict:
         parent = self.manifest()
         ver = int(parent["version"]) + 1
+        # EVERY pin of the new version gets the new version's tag —
+        # including pins carried forward unchanged.  Each version is then
+        # self-protecting: expiring an older catalog version drops only
+        # that version's tags, never the protection of a sid a newer
+        # version still references.  Carried-forward sids cannot vanish
+        # mid-commit (the parent version's tags protect them until these
+        # land, and catalog commits serialize under the lock); idempotent
+        # when the caller already tagged an entry at this version.
+        tag = self._tag_name(ver)
+        for entry in tables.values():
+            sink = LocalSnapshotSink(entry["dir"])
+            try:
+                sink.create_tag(tag, entry["snapshot_id"])
+            except ValueError:
+                if sink.tags().get(tag) != entry["snapshot_id"]:
+                    sink.drop_tag(tag)
+                    sink.create_tag(tag, entry["snapshot_id"])
         m = {
             "id": f"v-{ver:010d}",
             "version": ver,
@@ -263,6 +280,28 @@ class TableCatalog:
                 sid = self._pin_table(sink, pins.get(name), tag)
                 tables[name] = {"dir": entry["dir"], "snapshot_id": sid}
             return self._commit(tables, note, {"pins": pins} if pins else None)
+
+    def pin(
+        self, name: str, ref: str | None = None, note: str | None = None
+    ) -> dict:
+        """Re-pin ONE registered table at ``ref`` (default: its current
+        main head), carrying every other pin forward unchanged — the
+        after-a-run bookkeeping step (``snapshot()`` re-pins everything;
+        ``pin()`` moves only the table the run produced)."""
+        with self._lock():
+            cur = self.manifest()
+            if name not in cur["tables"]:
+                raise ValueError(
+                    f"no table {name!r} registered "
+                    f"(registered: {sorted(cur['tables'])})"
+                )
+            ver = int(cur["version"]) + 1
+            entry = cur["tables"][name]
+            sink = LocalSnapshotSink(entry["dir"])
+            sid = self._pin_table(sink, ref, self._tag_name(ver))
+            tables = dict(cur["tables"])
+            tables[name] = {"dir": entry["dir"], "snapshot_id": sid}
+            return self._commit(tables, note or f"pin {name}")
 
     # --------------------------------------------------------------- reads
     def _entry(self, name: str, version: int | str | None) -> dict[str, str]:

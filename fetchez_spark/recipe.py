@@ -176,6 +176,44 @@ class Recipe:
         )
         return spark, units, sink, lineage, run_cfg
 
+    def _catalog_pin(self, sink, result: dict[str, Any]) -> None:
+        """Optional after-run bookkeeping: pin the output table in a
+        multi-table catalog, so every successful run publishes a
+        reproducible catalog version.  Spec::
+
+            catalog: {dir: /data/catalog, name: convs, note: nightly}
+
+        ``name`` defaults to ``project``.  First run registers the table;
+        later runs re-pin it at the run's final head.  A name already
+        registered at a DIFFERENT dir is a loud error."""
+        cfg = self.config.get("catalog")
+        if not cfg:
+            return
+        from fetchez_spark.catalog import TableCatalog
+
+        table_dir = getattr(sink, "table_dir", None)
+        if table_dir is None:
+            raise ValueError(
+                "recipe catalog: needs a sink with a table_dir "
+                f"(got {type(sink).__name__})"
+            )
+        cat = TableCatalog(self._resolve_path(cfg["dir"]))
+        name = cfg.get("name") or self.config.get("project") or "table"
+        note = cfg.get("note") or f"run {self.config.get('project') or name}"
+        entry = cat.manifest()["tables"].get(name)
+        if entry is None:
+            m = cat.register(name, table_dir, note=note)
+        elif os.path.abspath(table_dir) != entry["dir"]:
+            raise ValueError(
+                f"catalog name {name!r} is registered at {entry['dir']!r}, "
+                f"but this run wrote {os.path.abspath(table_dir)!r}"
+            )
+        else:
+            m = cat.pin(name, note=note)
+        result["catalog"] = {
+            "dir": cat.catalog_dir, "name": name, "version": m["version"],
+        }
+
     def run(self, spark=None, dry_run: bool = False) -> dict[str, Any]:
         from fetchez_spark.streaming.engine import replay_batches, run_stream
 
@@ -205,7 +243,9 @@ class Recipe:
                         token_prefix=prefix,
                     )
                 )
-            return {"mode": mode, "batches": all_results}
+            out = {"mode": mode, "batches": all_results}
+            self._catalog_pin(sink, out)
+            return out
         if mode == "stream":
             # N sources = N concurrent streaming queries into the ONE sink:
             # each gets its own checkpoint subdir and batch-token prefix, so
@@ -270,7 +310,9 @@ class Recipe:
                         "raise run.timeout_sec or pass timeout_sec: null for an "
                         "unbounded drain"
                     )
-                return {"mode": mode, "supervised": True, "runs": results}
+                out = {"mode": mode, "supervised": True, "runs": results}
+                self._catalog_pin(sink, out)
+                return out
             queries = []
             for i, (source, transforms) in enumerate(units):
                 # None -> run_stream derives a per-checkpoint-dir prefix,
@@ -298,5 +340,7 @@ class Recipe:
             timeout = run_cfg.get("timeout_sec", 3600)
             for q in queries:
                 q.awaitTermination(timeout)
-            return {"mode": mode, "query_ids": [str(q.id) for q in queries]}
+            out = {"mode": mode, "query_ids": [str(q.id) for q in queries]}
+            self._catalog_pin(sink, out)
+            return out
         raise ValueError(f"unknown run mode {mode!r}")

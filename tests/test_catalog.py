@@ -215,3 +215,93 @@ def test_cli_catalog_roundtrip(spark, tmp_path, capsys):
     assert main(["catalog", cdir, "--register", "broken"]) == 1
     capsys.readouterr()
     assert main(["catalog", cdir, "--snapshot", "--pin", "convs"]) == 1
+
+
+def test_carried_forward_pins_stay_protected_across_catalog_expire(
+    spark, tmp_path
+):
+    """Every catalog commit tags ALL its pins — including ones carried
+    forward unchanged — so expiring an OLD catalog version never strips
+    protection from a snapshot a NEWER version still references."""
+    a = _mk_table(spark, str(tmp_path / "a"), "a-v1")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    cat.register("a", a.table_dir)          # v1: pins a@s1
+    s1 = cat.manifest()["tables"]["a"]["snapshot_id"]
+    b = _mk_table(spark, str(tmp_path / "b"), "b-v1")
+    cat.register("b", b.table_dir)          # v2: carries a@s1 forward
+    cat.expire(keep_last=1)                 # drops v1 AND v1's tags
+    a.merge(
+        _batch(spark, [("c0", 0, "user", "a-v2", None, _ts(2), "update", 9)]),
+        "a-b1",
+    )
+    a.expire_snapshots(keep_last=1, min_age_seconds=0)
+    # s1 must survive the table expiry: the CURRENT catalog version (v2)
+    # still pins it, and v2 carries its own tag for it
+    assert s1 in LocalSnapshotSink(a.table_dir).snapshots()
+    assert cat.read(spark, "a").filter("text = 'a-v1'").count() == 2
+
+
+def test_single_table_pin_moves_only_that_table(spark, tmp_path):
+    a = _mk_table(spark, str(tmp_path / "a"), "a1")
+    b = _mk_table(spark, str(tmp_path / "b"), "b1")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    cat.register("a", a.table_dir)
+    cat.register("b", b.table_dir)
+    b_pin = cat.manifest()["tables"]["b"]["snapshot_id"]
+    for s, txt in ((a, "a2"), (b, "b2")):
+        s.merge(
+            _batch(spark, [("c0", 0, "user", txt, None, _ts(2), "update", 9)]),
+            f"{txt}-b1",
+        )
+    m = cat.pin("a", note="after-run")
+    assert m["tables"]["b"]["snapshot_id"] == b_pin  # untouched
+    assert cat.read(spark, "a").filter("text = 'a2'").count() == 1
+    assert cat.read(spark, "b").filter("text = 'b2'").count() == 0
+    with pytest.raises(ValueError, match="no table"):
+        cat.pin("ghost")
+
+
+def test_recipe_catalog_pin_publishes_each_run(spark, tmp_path):
+    """A recipe with a ``catalog:`` key registers its output table on the
+    first run and re-pins it on every later run — each successful run IS
+    a reproducible catalog version."""
+    from fetchez_spark.changegen import ChangeLogSpec, write_change_log
+    from fetchez_spark.recipe import Recipe
+
+    write_change_log(
+        ChangeLogSpec(num_events=400, num_convs=20, seed=3),
+        str(tmp_path / "log"),
+        num_chunks=2,
+    )
+    cfg = {
+        "project": "nightly",
+        "source": {
+            "name": "parquet_log",
+            "args": {"log_dir": str(tmp_path / "log"), "batch_files": 1},
+        },
+        "sink": {
+            "name": "local_snapshot",
+            "args": {"table_dir": str(tmp_path / "table"), "num_buckets": 2},
+        },
+        "run": {"mode": "replay"},
+        "catalog": {"dir": str(tmp_path / "cat"), "note": "nightly run"},
+    }
+    r1 = Recipe(cfg).run(spark=spark)
+    assert r1["catalog"]["name"] == "nightly"
+    cat = TableCatalog(str(tmp_path / "cat"))
+    pinned = cat.manifest(r1["catalog"]["version"])["tables"]["nightly"]
+    assert pinned["snapshot_id"] == LocalSnapshotSink(
+        str(tmp_path / "table")
+    ).current_snapshot_id
+    r2 = Recipe(cfg).run(spark=spark)  # replay is idempotent; still re-pins
+    assert r2["catalog"]["version"] > r1["catalog"]["version"]
+    # same name at a DIFFERENT dir is a loud error
+    cfg_other = {
+        **cfg,
+        "sink": {
+            "name": "local_snapshot",
+            "args": {"table_dir": str(tmp_path / "other"), "num_buckets": 2},
+        },
+    }
+    with pytest.raises(ValueError, match="registered at"):
+        Recipe(cfg_other).run(spark=spark)
