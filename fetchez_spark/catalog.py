@@ -149,6 +149,19 @@ class TableCatalog:
     def _tag_name(self, version: int) -> str:
         return f"cat-{self.catalog_id}-v{version}"
 
+    @staticmethod
+    def _open_table(table_dir: str) -> LocalSnapshotSink:
+        """Open a registered table for a catalog operation, refusing to
+        BOOTSTRAP: the sink constructor creates an empty table in a
+        missing dir, and a catalog op on a vanished dir would then
+        silently pin a fresh 0-row root — loud failure instead."""
+        if not os.path.exists(os.path.join(table_dir, "VERSION")):
+            raise ValueError(
+                f"registered table dir {table_dir!r} has no VERSION pointer "
+                "(deleted, or its mount is absent); refusing to pin"
+            )
+        return LocalSnapshotSink(table_dir)
+
     def _pin_table(
         self, sink: LocalSnapshotSink, ref: str | None, tag: str
     ) -> str:
@@ -158,21 +171,32 @@ class TableCatalog:
         we just read (the fresh head is always live).  A leftover tag of
         the same name (a crash between tagging and the catalog commit —
         its version was never published, so the tag is ours to replace)
-        is dropped and re-created."""
+        is dropped and re-created in place."""
+        last_err: Exception | None = None
         for attempt in range(5):
             sid = sink.resolve_ref(ref or "main")
             try:
                 sink.create_tag(tag, sid)
                 return sid
-            except FileNotFoundError:
+            except FileNotFoundError as e:
                 if ref is not None or attempt == 4:
                     raise
-            except ValueError:
+                last_err = e
+            except ValueError as e:
                 existing = sink.tags().get(tag)
                 if existing == sid:
                     return sid
+                if existing is None:
+                    # the name collides with a BRANCH, not a leftover tag:
+                    # nothing of ours to replace, surface the real error
+                    raise
                 sink.drop_tag(tag)
-        raise AssertionError("unreachable")
+                sink.create_tag(tag, sid)  # ours now; races excluded by lock
+                return sid
+        raise RuntimeError(
+            f"could not pin {sink.table_dir!r}: the main head kept expiring "
+            f"under us across 5 attempts (last: {last_err})"
+        )
 
     def _commit(
         self,
@@ -192,7 +216,7 @@ class TableCatalog:
         # when the caller already tagged an entry at this version.
         tag = self._tag_name(ver)
         for entry in tables.values():
-            sink = LocalSnapshotSink(entry["dir"])
+            sink = self._open_table(entry["dir"])
             try:
                 sink.create_tag(tag, entry["snapshot_id"])
             except ValueError:
@@ -237,7 +261,7 @@ class TableCatalog:
                     f"(at {cur['tables'][name]['dir']}); unregister first"
                 )
             ver = int(cur["version"]) + 1
-            sink = LocalSnapshotSink(table_dir)
+            sink = self._open_table(table_dir)
             sid = self._pin_table(sink, ref, self._tag_name(ver))
             tables = dict(cur["tables"])
             tables[name] = {"dir": os.path.abspath(table_dir), "snapshot_id": sid}
@@ -276,7 +300,7 @@ class TableCatalog:
             tag = self._tag_name(ver)
             tables: dict[str, dict[str, str]] = {}
             for name, entry in cur["tables"].items():
-                sink = LocalSnapshotSink(entry["dir"])
+                sink = self._open_table(entry["dir"])
                 sid = self._pin_table(sink, pins.get(name), tag)
                 tables[name] = {"dir": entry["dir"], "snapshot_id": sid}
             return self._commit(tables, note, {"pins": pins} if pins else None)
@@ -297,7 +321,7 @@ class TableCatalog:
                 )
             ver = int(cur["version"]) + 1
             entry = cur["tables"][name]
-            sink = LocalSnapshotSink(entry["dir"])
+            sink = self._open_table(entry["dir"])
             sid = self._pin_table(sink, ref, self._tag_name(ver))
             tables = dict(cur["tables"])
             tables[name] = {"dir": entry["dir"], "snapshot_id": sid}
@@ -319,7 +343,7 @@ class TableCatalog:
     ) -> tuple[LocalSnapshotSink, str]:
         """(sink, pinned snapshot id) for ``name`` at catalog ``version``."""
         entry = self._entry(name, version)
-        return LocalSnapshotSink(entry["dir"]), entry["snapshot_id"]
+        return self._open_table(entry["dir"]), entry["snapshot_id"]
 
     def read(self, spark, name: str, version: int | str | None = None, **kw):
         """Read table ``name`` pinned at catalog ``version`` (None =
@@ -395,10 +419,14 @@ class TableCatalog:
                 tag = self._tag_name(int(m["version"]))
                 for entry in m["tables"].values():
                     try:
-                        LocalSnapshotSink(entry["dir"]).drop_tag(tag)
-                        released.append(f"{entry['dir']}:{tag}")
+                        # never bootstrap: a vanished dir has nothing to drop
+                        if os.path.exists(
+                            os.path.join(entry["dir"], "VERSION")
+                        ):
+                            self._open_table(entry["dir"]).drop_tag(tag)
+                            released.append(f"{entry['dir']}:{tag}")
                     except (ValueError, FileNotFoundError, OSError):
-                        pass  # table gone or tag never created (version 0)
+                        pass  # tag never created (version 0) or already gone
                 os.remove(self._manifest_path(m["id"]))
                 dropped.append(int(m["version"]))
         return {"dropped_versions": dropped, "released_tags": released}

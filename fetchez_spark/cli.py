@@ -336,11 +336,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--snapshot", action="store_true",
                    help="capture a new version: re-pin every registered "
                         "table at its current head")
-    p.add_argument("--pin", action="append", default=[], metavar="NAME=REF",
-                   dest="pins",
-                   help="with --snapshot: pin NAME at REF (snapshot id, "
-                        "tag, or branch head — branch heads = atomic "
-                        "multi-table WAP publish) instead of its head")
+    p.add_argument("--pin", action="append", default=[],
+                   metavar="NAME[=REF]", dest="pins",
+                   help="with --snapshot: pin NAME at REF instead of its "
+                        "head (branch heads = atomic multi-table WAP "
+                        "publish); alone: re-pin ONLY NAME (at REF or its "
+                        "current head), carrying other pins forward")
     p.add_argument("--note", default=None, help="note on the new version")
     p.add_argument("--list", type=int, nargs="?", const=20, default=None,
                    dest="list_versions", metavar="N",
@@ -509,12 +510,22 @@ def main(argv: list[str] | None = None) -> int:
             for spec in args.pins:
                 name, _, ref = spec.partition("=")
                 if not ref:
-                    print("--pin wants NAME=REF", file=sys.stderr)
+                    print("--snapshot --pin wants NAME=REF", file=sys.stderr)
                     return 1
                 pins[name] = ref
             m = cat.snapshot(note=args.note, pins=pins or None)
             out["version"] = m["version"]
             out["tables"] = {k: v["snapshot_id"] for k, v in m["tables"].items()}
+        elif args.pins:
+            # --pin without --snapshot: single-table re-pin(s), other pins
+            # carried forward (the after-a-run bookkeeping step)
+            for spec in args.pins:
+                name, _, ref = spec.partition("=")
+                m = cat.pin(name, ref or None, note=args.note)
+                out["version"] = m["version"]
+                out.setdefault("pinned", {})[name] = m["tables"][name][
+                    "snapshot_id"
+                ]
         if args.expire is not None:
             out["expired"] = cat.expire(args.expire)
         if args.as_of is not None:

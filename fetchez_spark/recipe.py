@@ -176,19 +176,16 @@ class Recipe:
         )
         return spark, units, sink, lineage, run_cfg
 
-    def _catalog_pin(self, sink, result: dict[str, Any]) -> None:
-        """Optional after-run bookkeeping: pin the output table in a
-        multi-table catalog, so every successful run publishes a
-        reproducible catalog version.  Spec::
-
-            catalog: {dir: /data/catalog, name: convs, note: nightly}
-
-        ``name`` defaults to ``project``.  First run registers the table;
-        later runs re-pin it at the run's final head.  A name already
-        registered at a DIFFERENT dir is a loud error."""
+    def _catalog_open(self, sink):
+        """Validate the recipe ``catalog:`` config against the built sink
+        and return (catalog, name, note, table_dir).  Called BEFORE the
+        run starts (a config typo must not discard hours of replay) and
+        again by :meth:`_catalog_pin` after it succeeds."""
         cfg = self.config.get("catalog")
         if not cfg:
-            return
+            return None
+        if "dir" not in cfg:
+            raise ValueError("recipe catalog: needs a 'dir' key")
         from fetchez_spark.catalog import TableCatalog
 
         table_dir = getattr(sink, "table_dir", None)
@@ -201,15 +198,38 @@ class Recipe:
         name = cfg.get("name") or self.config.get("project") or "table"
         note = cfg.get("note") or f"run {self.config.get('project') or name}"
         entry = cat.manifest()["tables"].get(name)
-        if entry is None:
-            m = cat.register(name, table_dir, note=note)
-        elif os.path.abspath(table_dir) != entry["dir"]:
+        if entry is not None and os.path.abspath(table_dir) != entry["dir"]:
             raise ValueError(
                 f"catalog name {name!r} is registered at {entry['dir']!r}, "
-                f"but this run wrote {os.path.abspath(table_dir)!r}"
+                f"but this run writes {os.path.abspath(table_dir)!r}"
             )
+        return cat, name, note, table_dir
+
+    def _catalog_pin(self, sink, result: dict[str, Any]) -> None:
+        """Optional after-run bookkeeping: pin the output table in a
+        multi-table catalog, so every successful run publishes a
+        reproducible catalog version.  Spec::
+
+            catalog: {dir: /data/catalog, name: convs, note: nightly}
+
+        ``name`` defaults to ``project``.  First run registers the table;
+        later runs re-pin it at the run's final head.  A sink writing to
+        a WAP branch pins the BRANCH head — the run's actual output —
+        not the unpublished main.  A name already registered at a
+        DIFFERENT dir is a loud error."""
+        opened = self._catalog_open(sink)
+        if opened is None:
+            return
+        cat, name, note, table_dir = opened
+        # a branch-staged run's data lives at the branch head; pinning
+        # main would publish a catalog version missing the run's output
+        branch = getattr(sink, "branch", "main")
+        ref = branch if branch != "main" else None
+        entry = cat.manifest()["tables"].get(name)
+        if entry is None:
+            m = cat.register(name, table_dir, ref=ref, note=note)
         else:
-            m = cat.pin(name, note=note)
+            m = cat.pin(name, ref=ref, note=note)
         result["catalog"] = {
             "dir": cat.catalog_dir, "name": name, "version": m["version"],
         }
@@ -219,6 +239,7 @@ class Recipe:
 
         spark, units, sink, lineage, run_cfg = self.build(spark)
         mode = run_cfg.get("mode", "replay")
+        self._catalog_open(sink)  # fail fast on catalog config typos
         if dry_run:
             plans = []
             for source, transforms in units:

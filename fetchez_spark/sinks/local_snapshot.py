@@ -4367,6 +4367,28 @@ class LocalSnapshotSink(SnapshotSink):
                 f"expectation {name!r}: action must be fail/drop/quarantine, "
                 f"got {action!r}"
             )
+        # best-effort validation at ADD time (the Delta ADD CONSTRAINT
+        # behavior): a typo'd condition recorded here would otherwise
+        # abort EVERY writer's next merge with an analysis error that
+        # never names the offending gate.  Needs a live session to parse;
+        # without one (pure-metadata CLI) the check is skipped.
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            lmap = self._logical_map()
+            logical = T.StructType(
+                [
+                    T.StructField(lmap.get(f.name, f.name), f.dataType, True)
+                    for f in self.schema().fields
+                ]
+            )
+            try:
+                _ = active.createDataFrame([], logical).filter(condition).schema
+            except Exception as e:
+                raise ValueError(
+                    f"expectation {name!r}: condition {condition!r} does not "
+                    f"analyze against the table schema "
+                    f"({[f.name for f in logical.fields]}): {e}"
+                ) from None
         with self._commit_lock():
             latest = self.manifest()
             exps = [tuple(e) for e in latest.get("expectations") or []]
@@ -4422,6 +4444,13 @@ class LocalSnapshotSink(SnapshotSink):
             manifest.pop("ts_stats_new", None)
             self._commit(manifest)
         self.expectations = [e for e in self.expectations if e[0] != name]
+        # an explicit drop through THIS sink sheds the gate for good: the
+        # per-merge refresh re-applies constructor-declared session gates
+        # on top of the recorded set, so leaving the name in
+        # _session_expectations would silently resurrect it next merge
+        self._session_expectations = [
+            e for e in self._session_expectations if e[0] != name
+        ]
         return {"snapshot_id": sid, "expectations": exps}
 
     # ------------------------------------------------ health report + auto

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import os
 
 import pytest
 
@@ -305,3 +306,103 @@ def test_recipe_catalog_pin_publishes_each_run(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="registered at"):
         Recipe(cfg_other).run(spark=spark)
+
+
+# ------------------------------------------------- self-review regressions
+def test_vanished_table_dir_refuses_to_pin(spark, tmp_path):
+    """A registered table whose dir vanished must FAIL a catalog op, not
+    silently bootstrap an empty table and pin its 0-row root."""
+    import shutil
+
+    a = _mk_table(spark, str(tmp_path / "a"), "x")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    cat.register("a", a.table_dir)
+    shutil.rmtree(a.table_dir)
+    with pytest.raises(ValueError, match="refusing to pin"):
+        cat.snapshot()
+    with pytest.raises(ValueError, match="refusing to pin"):
+        cat.pin("a")
+    assert not os.path.exists(a.table_dir)  # nothing resurrected
+    # expire skips the vanished dir without recreating it
+    cat.expire(keep_last=1)
+    assert not os.path.exists(a.table_dir)
+
+
+def test_cli_pin_without_snapshot_re_pins_one_table(spark, tmp_path, capsys):
+    from fetchez_spark.cli import main
+
+    a = _mk_table(spark, str(tmp_path / "a"), "a1")
+    b = _mk_table(spark, str(tmp_path / "b"), "b1")
+    cdir = str(tmp_path / "cat")
+    cat = TableCatalog(cdir)
+    cat.register("a", a.table_dir)
+    cat.register("b", b.table_dir)
+    b_pin = cat.manifest()["tables"]["b"]["snapshot_id"]
+    a.merge(
+        _batch(spark, [("c0", 0, "user", "a2", None, _ts(2), "update", 9)]),
+        "a-b1",
+    )
+    assert main(["catalog", cdir, "--pin", "a"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["pinned"]["a"] == LocalSnapshotSink(a.table_dir).current_snapshot_id
+    m = cat.manifest()
+    assert m["tables"]["a"]["snapshot_id"] == out["pinned"]["a"]
+    assert m["tables"]["b"]["snapshot_id"] == b_pin  # carried forward
+
+
+def test_recipe_branch_sink_pins_the_branch_head(spark, tmp_path):
+    """A recipe whose sink writes to a WAP branch must pin the BRANCH
+    head (the run's actual output), not the unpublished main."""
+    from fetchez_spark.changegen import ChangeLogSpec, write_change_log
+    from fetchez_spark.recipe import Recipe
+
+    write_change_log(
+        ChangeLogSpec(num_events=300, num_convs=15, seed=4),
+        str(tmp_path / "log"),
+        num_chunks=1,
+    )
+    cfg = {
+        "project": "staged",
+        "source": {"name": "parquet_log",
+                   "args": {"log_dir": str(tmp_path / "log")}},
+        "sink": {"name": "local_snapshot",
+                 "args": {"table_dir": str(tmp_path / "table"),
+                          "num_buckets": 2, "branch": "audit"}},
+        "run": {"mode": "replay"},
+        "catalog": {"dir": str(tmp_path / "cat")},
+    }
+    r = Recipe(cfg).run(spark=spark)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    # the catalog read sees the staged data; the table's main does not
+    assert cat.read(spark, "staged").count() > 0
+    assert LocalSnapshotSink(str(tmp_path / "table")).read(spark).count() == 0
+    assert r["catalog"]["version"] == cat.manifest()["version"]
+
+
+def test_recipe_catalog_config_fails_before_the_run(spark, tmp_path):
+    """A catalog config typo must abort BEFORE replay starts, not after
+    hours of work."""
+    from fetchez_spark.changegen import ChangeLogSpec, write_change_log
+    from fetchez_spark.recipe import Recipe
+
+    write_change_log(
+        ChangeLogSpec(num_events=300, num_convs=15, seed=4),
+        str(tmp_path / "log"),
+        num_chunks=1,
+    )
+    cfg = {
+        "project": "oops",
+        "source": {"name": "parquet_log",
+                   "args": {"log_dir": str(tmp_path / "log")}},
+        "sink": {"name": "local_snapshot",
+                 "args": {"table_dir": str(tmp_path / "table"),
+                          "num_buckets": 2}},
+        "run": {"mode": "replay"},
+        "catalog": {"note": "missing dir key"},
+    }
+    with pytest.raises(ValueError, match="'dir' key"):
+        Recipe(cfg).run(spark=spark)
+    # nothing replayed: the failure happened before the first batch
+    assert LocalSnapshotSink(str(tmp_path / "table")).manifest()[
+        "committed_batches"
+    ] == {}

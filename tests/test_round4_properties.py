@@ -314,3 +314,48 @@ def test_cli_expectations_roundtrip(spark, tmp_path, capsys):
     assert main(["maintain", t, "--drop-expectation", "text_present"]) == 0
     json.loads(capsys.readouterr().out)
     assert LocalSnapshotSink(t).expectations == []
+
+
+def test_drop_through_same_sink_sheds_constructor_gate(spark, tmp_path):
+    """drop_expectation on the DECLARING sink must not be silently undone
+    by the per-merge refresh re-applying the constructor-declared gate."""
+    from fetchez_spark import api
+
+    t = str(tmp_path / "shed")
+    sink = LocalSnapshotSink(
+        t, num_buckets=2, compact_every=10**9,
+        expectations=[("g", "text IS NOT NULL", "fail")],
+    )
+    sink.merge(
+        _batch(spark, [("c1", 0, "user", "ok", None, _ts(1), "insert", 1)]),
+        "b-0",
+    )
+    sink.drop_expectation("g")
+    # the violating merge must LAND: the gate is gone for this sink too
+    sink.merge(
+        _batch(spark, [("c2", 0, "user", None, None, _ts(2), "insert", 2)]),
+        "b-1",
+    )
+    assert sink.read(spark).count() == 2
+    assert api.table_properties(t) is not None  # table still healthy
+
+
+def test_add_expectation_validates_condition_at_add_time(spark, tmp_path):
+    """A typo'd condition must fail AT ADD TIME (naming the gate), not
+    abort every writer's next merge with an opaque analysis error."""
+    t = str(tmp_path / "val")
+    sink = LocalSnapshotSink(t, num_buckets=2, compact_every=10**9)
+    sink.merge(
+        _batch(spark, [("c1", 0, "user", "ok", None, _ts(1), "insert", 1)]),
+        "b-0",
+    )
+    with pytest.raises(ValueError, match="does not analyze"):
+        sink.add_expectation("typo", "lenght(text) > 0", "fail")
+    with pytest.raises(ValueError, match="does not analyze"):
+        sink.add_expectation("badcol", "no_such_column IS NOT NULL", "fail")
+    assert LocalSnapshotSink(t).expectations == []  # nothing recorded
+    # a valid condition still records and enforces
+    sink.add_expectation("ok_gate", "length(text) > 0", "fail")
+    assert LocalSnapshotSink(t).expectations == [
+        ("ok_gate", "length(text) > 0", "fail")
+    ]
