@@ -63,6 +63,7 @@ import logging
 import os
 import re
 import shutil
+import socket
 import time
 import uuid
 from contextlib import contextmanager
@@ -130,6 +131,13 @@ _TABLE_PROPERTIES: dict[str, tuple[Any, Any]] = {
 }
 
 _TOKEN_RE = re.compile(r"^(.*?)(\d+)$")
+
+# Hard floor on the in-flight age guard for UNREFERENCED data dirs: even
+# with min_age_seconds=0 (count-only expiry), a dir younger than this is a
+# just-made claim whose CLAIM.json sentinel may not have landed yet and is
+# never reclaimed this cycle.  Retention is free (the next pass gets it);
+# deletion destroys a live write.
+_CLAIM_AGE_FLOOR = 5.0
 
 _LOG = logging.getLogger("fetchez_spark.sink")
 
@@ -698,12 +706,61 @@ class LocalSnapshotSink(SnapshotSink):
         base = int(sid[5:])
         for i in range(10_000):
             candidate = f"snap-{base + i:010d}"
+            claim_dir = os.path.join(self.table_dir, "data", candidate)
             try:
-                os.makedirs(os.path.join(self.table_dir, "data", candidate))
-                return candidate
+                os.makedirs(claim_dir)
             except FileExistsError:
                 continue
+            # Ownership sentinel: until the commit lands, this dir is
+            # indistinguishable from a crash leftover to maintenance.  The
+            # age guard (min_age_seconds) covers cross-host writers; the
+            # sentinel makes SAME-HOST liveness explicit, so expire/vacuum
+            # never destroy an in-flight claim of a live process even at
+            # min_age_seconds=0 (see _claim_owner_alive).  Written via
+            # tmp+rename so a concurrent maintenance read can never see a
+            # partial JSON (which would read as "no owner"); the
+            # mkdir-to-rename gap is covered by maintenance's hard age
+            # floor on unreferenced dirs.
+            try:
+                tmp = os.path.join(claim_dir, f".CLAIM.{uuid.uuid4().hex}")
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {
+                            "pid": os.getpid(),
+                            "host": socket.gethostname(),
+                            "ts": time.time(),
+                        },
+                        f,
+                    )
+                os.replace(tmp, os.path.join(claim_dir, "CLAIM.json"))
+            except OSError:  # pragma: no cover - sentinel is best-effort
+                pass
+            return candidate
         raise RuntimeError("could not allocate a snapshot id")  # pragma: no cover
+
+    def _claim_owner_alive(self, snap_dir: str) -> bool:
+        """True when ``snap_dir``'s CLAIM.json names a process that is
+        still alive ON THIS HOST -- maintenance must then treat the dir as
+        an in-flight commit regardless of its age.  A dead pid, a foreign
+        host, or a missing/corrupt sentinel returns False and the caller
+        falls back to the ``min_age_seconds`` heuristic.  (Pid reuse can
+        only produce a false ALIVE -- the safe direction: the dir is
+        retained until the next maintenance pass after that pid exits.)"""
+        try:
+            with open(os.path.join(snap_dir, "CLAIM.json")) as f:
+                claim = json.load(f)
+            if claim.get("host") != socket.gethostname():
+                return False
+            pid = int(claim["pid"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return False
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:  # pragma: no cover - exists, not ours
+            return True
+        return True
 
     @contextmanager
     def _commit_lock(self):
@@ -4173,15 +4230,26 @@ class LocalSnapshotSink(SnapshotSink):
         set' label needs."""
         if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or name == "main":
             raise ValueError(f"invalid tag name {name!r}")
-        if os.path.exists(self._tag_path(name)) or self._version(name) is not None:
-            raise ValueError(f"ref {name!r} already exists")
-        sid = snapshot_id or self._version()
-        with open(self._manifest_path(sid)):  # must exist
-            pass
-        tmp = self._tag_path(name) + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(sid)
-        os.replace(tmp, self._tag_path(name))
+        # under the commit lock: expire_snapshots computes its keep set
+        # (which includes tags) and deletes manifests while HOLDING the
+        # lock, so a tag written without it could land between expire's
+        # listing and its deletes — a tag pointing at a just-destroyed
+        # manifest.  Serialized, either the tag exists when expire lists
+        # (retained) or the manifest check below fails loudly (caller
+        # re-resolves a fresh head).
+        with self._commit_lock():
+            if (
+                os.path.exists(self._tag_path(name))
+                or self._version(name) is not None
+            ):
+                raise ValueError(f"ref {name!r} already exists")
+            sid = snapshot_id or self._version()
+            with open(self._manifest_path(sid)):  # must exist
+                pass
+            tmp = self._tag_path(name) + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(sid)
+            os.replace(tmp, self._tag_path(name))
         return sid
 
     def tags(self) -> dict[str, str]:
@@ -4743,8 +4811,11 @@ class LocalSnapshotSink(SnapshotSink):
         concurrent writer's claimed-but-uncommitted snapshot dir looks
         exactly like a crash leftover.  Only unreferenced dirs whose
         newest RECURSIVE mtime exceeds the threshold are removed (a live
-        write keeps touching files deep in the tree).  Pass 0 only when
-        no writer can be running."""
+        write keeps touching files deep in the tree).  Claims carry a
+        pid/host sentinel (CLAIM.json): dirs owned by a live SAME-HOST
+        process are always retained, so 0 is safe beside same-host
+        writers; pass 0 with a remote writer running only if you accept
+        the age guard being off."""
         with self._commit_lock():
             referenced: set[str] = set()
             for sid in self.snapshots():
@@ -4760,8 +4831,17 @@ class LocalSnapshotSink(SnapshotSink):
                 snap_dir = os.path.join(data_root, snap)
                 if any(f.startswith(snap_dir + os.sep) for f in referenced):
                     continue
+                if self._claim_owner_alive(snap_dir):
+                    continue  # in-flight commit of a live same-host writer
                 try:
-                    young = now - self._newest_mtime(snap_dir) < min_age_seconds
+                    # hard floor even at min_age_seconds=0: a dir created
+                    # seconds ago is a claim whose CLAIM.json may not have
+                    # landed yet (the mkdir-to-rename gap) -- retaining it
+                    # one cycle is free, deleting it destroys a live write
+                    young = (
+                        now - self._newest_mtime(snap_dir)
+                        < max(min_age_seconds, _CLAIM_AGE_FLOOR)
+                    )
                 except OSError:
                     continue  # vanished under us (concurrent maintenance)
                 if young:
@@ -4801,8 +4881,11 @@ class LocalSnapshotSink(SnapshotSink):
             # GC-ing its blobs) would crash that writer.  Manifests
             # younger than min_age_seconds are therefore retained this
             # round regardless of keep_last; the next expire past the
-            # grace window removes them.  Pass min_age_seconds=0 only
-            # when no writer can be running (count-only expiry).
+            # grace window removes them.  min_age_seconds=0 (count-only
+            # expiry) is safe beside SAME-HOST writers -- in-flight claim
+            # dirs carry a live-pid sentinel (see _claim_owner_alive) --
+            # but drops the grace window for remote writers' mid-read
+            # manifests.
             if min_age_seconds > 0:
                 now_m = time.time()
                 for sid in sids:
@@ -4828,6 +4911,19 @@ class LocalSnapshotSink(SnapshotSink):
             # chain included (the Iceberg ref-retention semantic)
             heads.update(self.tags())
             for name, head in heads.items():
+                # a ref whose manifest is already gone (created before
+                # create_tag serialized with expire, or hand-edited state)
+                # must not wedge maintenance forever: reads via the ref
+                # already fail; warn and move on instead of crashing the
+                # referenced-scan below on a sid we can never resolve.
+                if not os.path.exists(self._manifest_path(head)):
+                    logging.getLogger(__name__).warning(
+                        "ref %r points at expired snapshot %s; skipping its "
+                        "retention (drop the ref or restore the manifest)",
+                        name,
+                        head,
+                    )
+                    continue
                 if head not in keep:
                     keep.append(head)
                 if name == "main":
@@ -4836,12 +4932,18 @@ class LocalSnapshotSink(SnapshotSink):
                 walked: set[str] = set()
                 while sid is not None and sid != main_head and sid not in walked:
                     walked.add(sid)
-                    if sid not in keep:
-                        keep.append(sid)
+                    # read the manifest BEFORE retaining the sid: a chain
+                    # crossing manifests expired in EARLIER rounds (a tag
+                    # created after keep_last trimmed its ancestry) must
+                    # truncate there -- appending first would put a dead
+                    # sid in `keep` and crash the referenced-scan below.
                     try:
-                        sid = self.manifest(sid).get("parent")
+                        parent = self.manifest(sid).get("parent")
                     except FileNotFoundError:
                         break
+                    if sid not in keep:
+                        keep.append(sid)
+                    sid = parent
             referenced: set[str] = set()
             live_blobs: set[str] = set()
             for sid in keep:
@@ -4887,8 +4989,14 @@ class LocalSnapshotSink(SnapshotSink):
                     continue
                 known = any(f.startswith(snap_dir + os.sep) for f in ever_referenced)
                 if not known:
+                    if self._claim_owner_alive(snap_dir):
+                        continue  # in-flight commit of a live writer
                     try:
-                        if now - self._newest_mtime(snap_dir) < min_age_seconds:
+                        # same hard floor as vacuum_orphans: covers the
+                        # mkdir-to-CLAIM.json gap of a brand-new claim
+                        if now - self._newest_mtime(snap_dir) < max(
+                            min_age_seconds, _CLAIM_AGE_FLOOR
+                        ):
                             continue  # possibly in-flight
                     except OSError:
                         continue

@@ -406,3 +406,66 @@ def test_recipe_catalog_config_fails_before_the_run(spark, tmp_path):
     assert LocalSnapshotSink(str(tmp_path / "table")).manifest()[
         "committed_batches"
     ] == {}
+
+
+def test_catalog_versions_stay_readable_under_writer_and_expiry_races(
+    spark, tmp_path
+):
+    """Catalog snapshots racing a live writer AND aggressive table expiry:
+    every retained catalog version must keep resolving to a live, readable
+    snapshot (exercises _pin_table's head-expired retry and create_tag's
+    serialization with expire's keep-set listing)."""
+    import threading
+
+    a = _mk_table(spark, str(tmp_path / "a"), "seed")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    cat.register("a", a.table_dir)
+    stop = threading.Event()
+    errs: list[BaseException] = []
+
+    def writer():
+        w = LocalSnapshotSink(a.table_dir)
+        for i in range(25):
+            if stop.is_set():
+                break
+            try:
+                w.merge(
+                    _batch(
+                        spark,
+                        [(f"w{i}", 0, "user", f"t{i}", None, _ts(1 + i % 20),
+                          "insert", i)],
+                    ),
+                    f"race-b{i}",
+                )
+            except BaseException as e:  # surfaced below
+                errs.append(e)
+                break
+
+    def expirer():
+        m = LocalSnapshotSink(a.table_dir)
+        while not stop.is_set():
+            try:
+                m.expire_snapshots(keep_last=1, min_age_seconds=0)
+            except BaseException as e:
+                errs.append(e)
+                break
+
+    threads = [threading.Thread(target=writer), threading.Thread(target=expirer)]
+    for t in threads:
+        t.start()
+    versions = []
+    try:
+        for _ in range(8):
+            versions.append(cat.snapshot()["version"])
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(120)
+    assert not errs, errs
+    # every retained catalog version resolves and reads
+    for v in versions:
+        m = cat.manifest(v)
+        sid = m["tables"]["a"]["snapshot_id"]
+        sink = LocalSnapshotSink(a.table_dir)
+        assert sid in sink.snapshots(), f"v{v} pin {sid} was expired away"
+        assert cat.read(spark, "a", version=v).count() >= 1

@@ -147,6 +147,53 @@ def test_age_guard_protects_writes_deep_in_the_tree(spark, tmp_path):
     assert not os.path.isdir(inflight)
 
 
+def test_live_claim_sentinel_protects_in_flight_dirs_at_zero_age(spark, tmp_path):
+    """A claimed-but-uncommitted snapshot dir owned by a LIVE same-host
+    process must survive vacuum/expire even at min_age_seconds=0 (the
+    count-only-expiry knob): the CLAIM.json pid sentinel, not the age
+    heuristic, is the liveness signal.  Once the owning pid is dead the
+    dir is an ordinary crash leftover and is reclaimed."""
+    import json
+    import socket
+    import subprocess
+
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    sink.merge(_batch(spark, [("c1", 0, "user", "hi", None, _ts(1), "insert", 1)]), "b-0")
+
+    # the real merge path stamps its claim: the committed sid's dir carries one
+    head_dir = os.path.join(sink.table_dir, "data", sink.current_snapshot_id)
+    assert os.path.exists(os.path.join(head_dir, "CLAIM.json"))
+
+    inflight = os.path.join(sink.table_dir, "data", "snap-0000000077")
+    os.makedirs(os.path.join(inflight, "d"))
+    with open(os.path.join(inflight, "CLAIM.json"), "w") as f:
+        json.dump({"pid": os.getpid(), "host": socket.gethostname(), "ts": 0}, f)
+    # age EVERYTHING well past any guard -- only the sentinel protects it
+    old = time.time() - 7200
+    for root, dirs, files in os.walk(inflight):
+        for name in dirs + files:
+            os.utime(os.path.join(root, name), (old, old))
+    os.utime(inflight, (old, old))
+
+    assert sink.vacuum_orphans(min_age_seconds=0) == 0
+    assert os.path.isdir(inflight), "live claim vacuumed at min_age_seconds=0"
+    assert sink.expire_snapshots(keep_last=10, min_age_seconds=0) == 0
+    assert os.path.isdir(inflight), "live claim expired at min_age_seconds=0"
+
+    # dead owner -> ordinary orphan, reclaimed by the next vacuum (re-age
+    # the rewritten sentinel past the hard claim-age floor first)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(os.path.join(inflight, "CLAIM.json"), "w") as f:
+        json.dump({"pid": proc.pid, "host": socket.gethostname(), "ts": 0}, f)
+    for root, dirs, files in os.walk(inflight):
+        for name in dirs + files:
+            os.utime(os.path.join(root, name), (old, old))
+    os.utime(inflight, (old, old))
+    assert sink.vacuum_orphans(min_age_seconds=0) == 1
+    assert not os.path.isdir(inflight)
+
+
 # ------------------------------------------------- 3. default token prefixes
 def test_default_token_prefix_is_stable_and_distinct(tmp_path):
     from fetchez_spark.streaming.engine import _default_token_prefix

@@ -191,7 +191,14 @@ def test_vacuum_orphans_removes_only_unreferenced(spark, tmp_path):
     assert sink.vacuum_orphans() == 0
     assert os.path.exists(orphan)
     # ...and an explicit age of 0 (operator knows no writer is running)
-    # removes it
+    # removes it once the dir is past the hard claim-age floor (a
+    # seconds-old dir is indistinguishable from a claim whose CLAIM.json
+    # hasn't landed yet, so even age 0 retains it for one cycle)
+    import time as _time
+
+    old = _time.time() - 60
+    os.utime(os.path.join(orphan, "part-zzz.parquet"), (old, old))
+    os.utime(orphan, (old, old))
     removed = sink.vacuum_orphans(min_age_seconds=0)
     assert removed == 1
     assert not os.path.exists(orphan)
