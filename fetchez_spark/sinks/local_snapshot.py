@@ -4189,9 +4189,15 @@ class LocalSnapshotSink(SnapshotSink):
     # ------------------------------------------------------------- maintain
     def rollback(self, snapshot_id: str) -> None:
         # Validate it exists before moving the pointer (branch-local:
-        # rolls back the branch THIS sink is on).
-        self.manifest(snapshot_id)
-        self._set_version(snapshot_id)
+        # rolls back the branch THIS sink is on).  Under the commit lock:
+        # unlocked, a concurrent expire could delete the target manifest
+        # between this check and the pointer move (the target is OLD
+        # history, exactly what expire removes), leaving VERSION dangling
+        # and the table unreadable.  Serialized, expire's listing either
+        # sees the moved pointer (head retained) or the check fails loudly.
+        with self._commit_lock():
+            self.manifest(snapshot_id)
+            self._set_version(snapshot_id)
 
     # ------------------------------------------------------------- branches
     # Iceberg WAP (write-audit-publish): stage commits on a branch, audit
@@ -4713,11 +4719,18 @@ class LocalSnapshotSink(SnapshotSink):
         main head).  Errors if it already exists."""
         if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or name == "main":
             raise ValueError(f"invalid branch name {name!r}")
-        if self._version(name) is not None or os.path.exists(self._tag_path(name)):
-            raise ValueError(f"ref {name!r} already exists")
-        head = from_snapshot or self._version("main")
-        self.manifest(head)  # must exist
-        self._set_version(head, name)
+        # under the commit lock for the same reason as create_tag: the
+        # manifest-exists check and the pointer write must be atomic
+        # against expire's keep-set listing, or the new branch can point
+        # at a just-destroyed snapshot.
+        with self._commit_lock():
+            if self._version(name) is not None or os.path.exists(
+                self._tag_path(name)
+            ):
+                raise ValueError(f"ref {name!r} already exists")
+            head = from_snapshot or self._version("main")
+            self.manifest(head)  # must exist
+            self._set_version(head, name)
         return head
 
     def drop_branch(self, name: str) -> None:

@@ -147,6 +147,43 @@ def test_age_guard_protects_writes_deep_in_the_tree(spark, tmp_path):
     assert not os.path.isdir(inflight)
 
 
+@pytest.mark.parametrize("op", ["tag", "branch", "rollback"])
+def test_ref_ops_serialize_with_maintenance(spark, tmp_path, op):
+    """create_tag / create_branch / rollback hold the commit lock: their
+    manifest-exists check and pointer write must be atomic against
+    expire's keep-set listing, or the new ref (or main itself, for
+    rollback) can point at a snapshot expire is destroying."""
+    import fcntl
+
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    sink.merge(_batch(spark, [("c1", 0, "user", "hi", None, _ts(1), "insert", 1)]), "b-0")
+    head = sink.current_snapshot_id
+
+    fd = os.open(os.path.join(sink.table_dir, "COMMIT.lock"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    done = threading.Event()
+
+    def run_op():
+        if op == "tag":
+            sink.create_tag("audited")
+        elif op == "branch":
+            sink.create_branch("wap")
+        else:
+            sink.rollback(head)
+        done.set()
+
+    t = threading.Thread(target=run_op, daemon=True)
+    try:
+        t.start()
+        assert not done.wait(1.0), f"{op} ran while the commit lock was held"
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    t.join(30)
+    assert done.is_set(), f"{op} never completed after the lock was released"
+    assert sink.read(spark).count() == 1
+
+
 def test_live_claim_sentinel_protects_in_flight_dirs_at_zero_age(spark, tmp_path):
     """A claimed-but-uncommitted snapshot dir owned by a LIVE same-host
     process must survive vacuum/expire even at min_age_seconds=0 (the
