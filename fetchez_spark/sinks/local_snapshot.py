@@ -4807,17 +4807,52 @@ class LocalSnapshotSink(SnapshotSink):
                     pass  # files vanish as writes finalize
         return newest
 
+    def _trash_path(self) -> str:
+        return os.path.join(self.table_dir, ".trash")
+
+    def _condemn(self, path: str) -> None:
+        """Atomically move ``path`` into the table's ``.trash`` area --
+        an O(1) rename, done UNDER the commit lock in place of an O(files)
+        rmtree.  On a large table the physical delete of an expired
+        snapshot dir takes seconds-to-minutes; doing it inside the lock
+        would block every writer's commit swap for that long.  The caller
+        runs :meth:`_empty_trash` after releasing the lock."""
+        dst_root = self._trash_path()
+        os.makedirs(dst_root, exist_ok=True)
+        os.rename(
+            path,
+            os.path.join(
+                dst_root, f"{os.path.basename(path)}.{uuid.uuid4().hex}"
+            ),
+        )
+
+    def _empty_trash(self) -> None:
+        """Physically delete condemned dirs, OUTSIDE the commit lock.
+        Best-effort and crash-safe: a trashed path is definitionally
+        doomed (renamed under the lock by a maintenance decision), so
+        leftovers from a maintenance process that died mid-delete are
+        simply re-emptied by the next pass; unique suffixes + ignore_errors
+        make concurrent emptiers harmless to each other."""
+        root = self._trash_path()
+        if not os.path.isdir(root):
+            return
+        for fn in os.listdir(root):
+            shutil.rmtree(os.path.join(root, fn), ignore_errors=True)
+
     def vacuum_orphans(self, min_age_seconds: float = 3600) -> int:
         """Delete data directories referenced by NO manifest -- leftovers
         of commits that crashed between data write and manifest/pointer
         swap (the crash window documented in the module docstring).
 
-        Runs entirely under the commit lock: the referenced-set and the
-        removal must see ONE consistent manifest listing, else a commit
-        landing between scan and rmtree would have its fresh data dir
-        destroyed (unreferenced at scan time, referenced by the time the
-        loop reaches it).  Maintenance commits are rare; serializing them
-        with writers is the correctness-first trade.
+        The DECISION phase runs under the commit lock: the referenced-set
+        and the removal must see ONE consistent manifest listing, else a
+        commit landing between scan and removal would have its fresh data
+        dir destroyed (unreferenced at scan time, referenced by the time
+        the loop reaches it).  The PHYSICAL delete happens after the lock
+        is released (condemned dirs are O(1)-renamed into ``.trash`` under
+        the lock, then rmtree'd outside it), so the lock hold is
+        O(metadata), not O(bytes-on-disk) -- on a 100 TB table the
+        difference between microseconds and minutes of blocked commits.
 
         ``min_age_seconds`` additionally protects IN-FLIGHT commits: data
         files are written OUTSIDE the commit lock (by design), so a
@@ -4859,9 +4894,10 @@ class LocalSnapshotSink(SnapshotSink):
                     continue  # vanished under us (concurrent maintenance)
                 if young:
                     continue  # possibly an in-flight commit -- leave it
-                shutil.rmtree(snap_dir)
+                self._condemn(snap_dir)
                 removed += 1
-            return removed
+        self._empty_trash()
+        return removed
 
     def expire_snapshots(self, keep_last: int = 1, min_age_seconds: float = 3600) -> int:
         """Delete manifests, data dirs, and list blobs not referenced by
@@ -5013,7 +5049,8 @@ class LocalSnapshotSink(SnapshotSink):
                             continue  # possibly in-flight
                     except OSError:
                         continue
-                shutil.rmtree(snap_dir)
+                # O(1) rename under the lock; physical delete after release
+                self._condemn(snap_dir)
                 removed += 1
             # only remove sids from the listing this op scanned: a manifest
             # written after the listing (impossible under the lock, but the
@@ -5022,9 +5059,13 @@ class LocalSnapshotSink(SnapshotSink):
                 if sid not in keep:
                     os.remove(self._manifest_path(sid))
             # gc file-list blobs referenced by no retained manifest
+            # (cheap os.remove per blob -- stays under the lock)
             if os.path.isdir(self._lists_dir()):
                 for fn in os.listdir(self._lists_dir()):
                     if fn.endswith(".json") and fn not in live_blobs:
                         os.remove(os.path.join(self._lists_dir(), fn))
                         self._list_cache.pop(fn, None)
-            return removed
+        # physical delete of condemned data dirs, outside the lock: the
+        # lock hold stays O(metadata) while the rmtree does the slow work
+        self._empty_trash()
+        return removed

@@ -147,6 +147,42 @@ def test_age_guard_protects_writes_deep_in_the_tree(spark, tmp_path):
     assert not os.path.isdir(inflight)
 
 
+def test_maintenance_condemns_under_lock_and_deletes_outside(spark, tmp_path):
+    """Doomed data dirs are O(1)-renamed into .trash under the commit
+    lock and physically deleted after release -- and leftovers from a
+    maintenance process that crashed mid-delete are re-emptied by the
+    next pass (a trashed path is definitionally doomed)."""
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4, compact_every=10**9)
+    for i in range(3):
+        sink.merge(
+            _batch(spark, [(f"c{i}", 0, "user", f"m{i}", None, _ts(i + 1), "insert", i)]),
+            f"b-{i}",
+        )
+    # simulate a crashed maintenance: a condemned dir left in .trash
+    leftover = os.path.join(sink.table_dir, ".trash", "snap-0000000042.deadbeef")
+    os.makedirs(leftover)
+    with open(os.path.join(leftover, "part-0.parquet"), "w") as f:
+        f.write("junk")
+    # and a true orphan (crashed commit), aged past every guard
+    orphan = os.path.join(sink.table_dir, "data", "snap-0000000042")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as f:
+        f.write("junk")
+    old = time.time() - 7200
+    for p in (os.path.join(orphan, "part-0.parquet"), orphan):
+        os.utime(p, (old, old))
+
+    n = sink.read(spark).count()
+    removed = sink.vacuum_orphans(min_age_seconds=0)
+    assert removed == 1
+    assert not os.path.isdir(orphan)
+    # physical state: nothing condemned survives, the leftover included
+    trash = os.path.join(sink.table_dir, ".trash")
+    assert not os.path.isdir(trash) or os.listdir(trash) == []
+    assert not os.path.isdir(leftover)
+    assert sink.read(spark).count() == n  # live state untouched
+
+
 @pytest.mark.parametrize("op", ["tag", "branch", "rollback"])
 def test_ref_ops_serialize_with_maintenance(spark, tmp_path, op):
     """create_tag / create_branch / rollback hold the commit lock: their
