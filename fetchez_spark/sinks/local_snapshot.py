@@ -738,6 +738,27 @@ class LocalSnapshotSink(SnapshotSink):
             return candidate
         raise RuntimeError("could not allocate a snapshot id")  # pragma: no cover
 
+    def _abort_claim(self, sid: str) -> None:
+        """Remove an uncommitted claim (dir + CoW change sidecar): a
+        failed or aborted commit must not leave a live-pid-protected dir
+        behind -- the owning driver may run for weeks, and
+        _claim_owner_alive would shield the wreckage from vacuum the
+        whole time (the age guard it replaced reclaimed it in an hour)."""
+        data = os.path.join(self.table_dir, "data")
+        shutil.rmtree(os.path.join(data, sid), ignore_errors=True)
+        shutil.rmtree(os.path.join(data, f"{sid}-changes"), ignore_errors=True)
+
+    @contextmanager
+    def _claim_guard(self, sid: str):
+        """Abort ``sid``'s claim when the guarded write phase raises (a
+        mid-job Spark failure leaves partial files under a dir vacuum can
+        no longer age out)."""
+        try:
+            yield
+        except BaseException:
+            self._abort_claim(sid)
+            raise
+
     def _claim_owner_alive(self, snap_dir: str) -> bool:
         """True when ``snap_dir``'s CLAIM.json names a process that is
         still alive ON THIS HOST -- maintenance must then treat the dir as
@@ -745,9 +766,22 @@ class LocalSnapshotSink(SnapshotSink):
         host, or a missing/corrupt sentinel returns False and the caller
         falls back to the ``min_age_seconds`` heuristic.  (Pid reuse can
         only produce a false ALIVE -- the safe direction: the dir is
-        retained until the next maintenance pass after that pid exits.)"""
+        retained until the next maintenance pass after that pid exits.)
+
+        Sidecar dirs (``data/<sid>-changes``, written by the CoW change
+        path as a SIBLING of the claim dir) carry no sentinel of their
+        own: their ownership follows the base sid's CLAIM.json, so an
+        in-flight CoW merge's sidecar is protected exactly as long as its
+        claim is."""
+        path = os.path.join(snap_dir, "CLAIM.json")
+        if not os.path.exists(path):
+            base = re.match(r"(snap-\d+)-.+$", os.path.basename(snap_dir))
+            if base:
+                path = os.path.join(
+                    os.path.dirname(snap_dir), base.group(1), "CLAIM.json"
+                )
         try:
-            with open(os.path.join(snap_dir, "CLAIM.json")) as f:
+            with open(path) as f:
                 claim = json.load(f)
             if claim.get("host") != socket.gethostname():
                 return False
@@ -3070,15 +3104,17 @@ class LocalSnapshotSink(SnapshotSink):
             # amplification until compaction.
             if self.cluster_deltas:
                 rows_b = rows.withColumn(_BUCKET, self._bucket_expr(nb))
-                written_map = self._write_bucketed(
-                    rows_b, sid, nb, new_schema, fanout=self.write_fanout
-                )
+                with self._claim_guard(sid):
+                    written_map = self._write_bucketed(
+                        rows_b, sid, nb, new_schema, fanout=self.write_fanout
+                    )
                 for b, fs in written_map.items():
                     new_deltas[b] = self._resolve_list(new_deltas.get(b, [])) + fs
                     written_bytes[b] = sum(os.path.getsize(f) for f in fs)
                 written = [f for fs in written_map.values() for f in fs]
             else:
-                written = self._write_flat(rows, sid, new_schema)
+                with self._claim_guard(sid):
+                    written = self._write_flat(rows, sid, new_schema)
                 new_deltas[_FLAT] = self._resolve_list(new_deltas.get(_FLAT, [])) + written
                 written_bytes[_FLAT] = sum(os.path.getsize(f) for f in written)
             stats = {
@@ -3105,9 +3141,10 @@ class LocalSnapshotSink(SnapshotSink):
                 # sibling dir, NOT nested under data/<sid>: the bucket
                 # rewrite below writes data/<sid> with mode("overwrite"),
                 # which would clobber a nested sidecar
-                change_files = self._write_flat(
-                    rows, f"{sid}-changes", new_schema, use_delta_codec=False
-                )
+                with self._claim_guard(sid):
+                    change_files = self._write_flat(
+                        rows, f"{sid}-changes", new_schema, use_delta_codec=False
+                    )
                 rows_src = self._read_files(
                     spark, change_files, T.StructType(list(new_schema.fields))
                 )
@@ -3142,9 +3179,10 @@ class LocalSnapshotSink(SnapshotSink):
                 if existing is None
                 else existing.unionByName(rows_b, allowMissingColumns=True)
             )
-            written_map = self._dedup_write_bucketed(
-                unioned, sid, len(touched), new_schema
-            )
+            with self._claim_guard(sid):
+                written_map = self._dedup_write_bucketed(
+                    unioned, sid, len(touched), new_schema
+                )
             for b in touched:
                 new_files[str(b)] = []
                 new_deltas[str(b)] = []  # folded into the new base
@@ -3184,15 +3222,11 @@ class LocalSnapshotSink(SnapshotSink):
                 )
                 if n_fail:
                     # all-or-nothing: the manifest never sees this commit.
-                    # Remove the uncommitted payload (the sid CLAIM dir
-                    # persists -- same contract as a crashed write; vacuum
-                    # covers any remainder).
-                    shutil.rmtree(self._snap_payload_dir(sid), ignore_errors=True)
-                    for f in change_files:
-                        try:
-                            os.remove(f)
-                        except OSError:
-                            pass
+                    # Remove the whole claim (dir + sidecar), not just the
+                    # payload: the claim carries this driver's live-pid
+                    # sentinel, so a leftover would be unreclaimable by
+                    # vacuum for the driver's entire lifetime.
+                    self._abort_claim(sid)
                     raise ExpectationFailed(
                         f"batch {token!r}: {n_fail} row(s) violate a "
                         f"fail-action expectation "
@@ -4196,8 +4230,12 @@ class LocalSnapshotSink(SnapshotSink):
         # and the table unreadable.  Serialized, expire's listing either
         # sees the moved pointer (head retained) or the check fails loudly.
         with self._commit_lock():
-            self.manifest(snapshot_id)
-            self._set_version(snapshot_id)
+            # resolve FIRST: manifest() accepts tag/branch names, so a
+            # named ref would validate fine and then be written verbatim
+            # into VERSION -- a head pointer no manifest read can resolve
+            sid = self.resolve_ref(snapshot_id)
+            self.manifest(sid)
+            self._set_version(sid)
 
     # ------------------------------------------------------------- branches
     # Iceberg WAP (write-audit-publish): stage commits on a branch, audit
@@ -4249,7 +4287,7 @@ class LocalSnapshotSink(SnapshotSink):
                 or self._version(name) is not None
             ):
                 raise ValueError(f"ref {name!r} already exists")
-            sid = snapshot_id or self._version()
+            sid = self.resolve_ref(snapshot_id) if snapshot_id else self._version()
             with open(self._manifest_path(sid)):  # must exist
                 pass
             tmp = self._tag_path(name) + f".tmp.{uuid.uuid4().hex}"
@@ -4728,7 +4766,13 @@ class LocalSnapshotSink(SnapshotSink):
                 self._tag_path(name)
             ):
                 raise ValueError(f"ref {name!r} already exists")
-            head = from_snapshot or self._version("main")
+            # resolve named refs to a raw sid before writing the pointer
+            # (same reason as rollback: VERSION must hold a snapshot id)
+            head = (
+                self.resolve_ref(from_snapshot)
+                if from_snapshot
+                else self._version("main")
+            )
             self.manifest(head)  # must exist
             self._set_version(head, name)
         return head
@@ -4931,10 +4975,15 @@ class LocalSnapshotSink(SnapshotSink):
             # younger than min_age_seconds are therefore retained this
             # round regardless of keep_last; the next expire past the
             # grace window removes them.  min_age_seconds=0 (count-only
-            # expiry) is safe beside SAME-HOST writers -- in-flight claim
-            # dirs carry a live-pid sentinel (see _claim_owner_alive) --
-            # but drops the grace window for remote writers' mid-read
-            # manifests.
+            # expiry): in-flight claim DIRS are protected by the live-pid
+            # sentinel (see _claim_owner_alive), but this manifest/blob
+            # grace window is what protects a CONCURRENT writer's unlocked
+            # read of its base manifest's list blobs -- with 2+ writers,
+            # a base can age out of keep_last mid-merge, so keep
+            # min_age_seconds > the longest expected data-write when
+            # multiple writers run.  Single-writer tables are safe at 0
+            # (the writer's base is always the head, which keep_last
+            # retains).
             if min_age_seconds > 0:
                 now_m = time.time()
                 for sid in sids:
@@ -4965,8 +5014,19 @@ class LocalSnapshotSink(SnapshotSink):
                 # must not wedge maintenance forever: reads via the ref
                 # already fail; warn and move on instead of crashing the
                 # referenced-scan below on a sid we can never resolve.
+                # EXCEPT main: a dangling main head means the table itself
+                # is corrupt -- proceeding would drop the head's data from
+                # the keep set and condemn it, making the corruption
+                # permanent.  Refuse loudly so the operator repairs first.
                 if not os.path.exists(self._manifest_path(head)):
-                    logging.getLogger(__name__).warning(
+                    if name == "main":
+                        raise FileNotFoundError(
+                            f"main points at snapshot {head} whose manifest "
+                            "is missing -- table state is corrupt; restore "
+                            "the manifest or rollback to a live snapshot "
+                            "before running maintenance"
+                        )
+                    _LOG.warning(
                         "ref %r points at expired snapshot %s; skipping its "
                         "retention (drop the ref or restore the manifest)",
                         name,

@@ -147,6 +147,114 @@ def test_age_guard_protects_writes_deep_in_the_tree(spark, tmp_path):
     assert not os.path.isdir(inflight)
 
 
+def test_ref_ops_resolve_named_refs_before_writing_pointers(spark, tmp_path):
+    """rollback/create_branch/create_tag accept tag or branch NAMES:
+    manifest() resolves them for validation, so without an explicit
+    resolve the raw name would be written into VERSION -- a head pointer
+    no manifest read can resolve (table bricked)."""
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    sink.merge(_batch(spark, [("c1", 0, "user", "v1", None, _ts(1), "insert", 1)]), "b-0")
+    v1 = sink.create_tag("v1.0")
+    sink.merge(_batch(spark, [("c1", 0, "user", "v2", None, _ts(2), "insert", 2)]), "b-1")
+
+    sink.rollback("v1.0")  # by tag NAME
+    assert sink.current_snapshot_id == v1  # VERSION holds the sid, not the name
+    assert sink.read(spark).toPandas()["text"].tolist() == ["v1"]
+
+    head = sink.create_branch("wap", from_snapshot="v1.0")
+    assert head == v1
+    assert LocalSnapshotSink(sink.table_dir, branch="wap").read(spark).count() == 1
+
+    assert sink.create_tag("v1.0-copy", "v1.0") == v1  # tag of a tag
+    # maintenance still runs after the churn (no dangling pointers)
+    sink.expire_snapshots(keep_last=5, min_age_seconds=3600)
+
+
+def test_expire_refuses_on_dangling_main(spark, tmp_path):
+    """A main head whose manifest is missing is table corruption:
+    maintenance must refuse loudly, not warn-and-proceed (proceeding
+    would drop the head from the keep set and condemn its data,
+    making the corruption permanent)."""
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    sink.merge(_batch(spark, [("c1", 0, "user", "hi", None, _ts(1), "insert", 1)]), "b-0")
+    os.remove(sink._manifest_path(sink.current_snapshot_id))
+    with pytest.raises(FileNotFoundError, match="corrupt"):
+        sink.expire_snapshots(keep_last=1, min_age_seconds=0)
+
+
+def test_aborted_commits_leave_no_live_pid_claims(spark, tmp_path):
+    """An aborted commit (expectation fail, or a write-phase error via
+    _claim_guard) must remove its claim dir + sidecar: the live-pid
+    sentinel would otherwise shield the wreckage from vacuum for the
+    driver's entire lifetime."""
+    from fetchez_spark.sinks.local_snapshot import ExpectationFailed
+
+    sink = LocalSnapshotSink(
+        str(tmp_path / "t"),
+        num_buckets=4,
+        expectations=[("nonempty", "text IS NOT NULL", "fail")],
+    )
+    sink.merge(_batch(spark, [("c1", 0, "user", "ok", None, _ts(1), "insert", 1)]), "b-0")
+    data_root = os.path.join(sink.table_dir, "data")
+    before = set(os.listdir(data_root))
+    with pytest.raises(ExpectationFailed):
+        sink.merge(
+            _batch(spark, [("c2", 0, "user", None, None, _ts(2), "insert", 2)]),
+            "b-bad",
+        )
+    assert set(os.listdir(data_root)) == before  # claim fully reclaimed
+
+    # the write-phase guard does the same for unexpected failures
+    with pytest.raises(RuntimeError):
+        with sink._claim_guard("snap-0000000055"):
+            os.makedirs(os.path.join(data_root, "snap-0000000055"))
+            os.makedirs(os.path.join(data_root, "snap-0000000055-changes"))
+            raise RuntimeError("mid-write failure")
+    assert not os.path.exists(os.path.join(data_root, "snap-0000000055"))
+    assert not os.path.exists(os.path.join(data_root, "snap-0000000055-changes"))
+
+
+def test_cow_change_sidecar_protected_by_base_claim(spark, tmp_path):
+    """data/<sid>-changes carries no CLAIM.json of its own; its ownership
+    follows the base sid's sentinel, so an in-flight CoW merge's sidecar
+    survives zero-age vacuum exactly as long as its claim does."""
+    import json
+    import socket
+    import subprocess
+
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    sink.merge(_batch(spark, [("c1", 0, "user", "hi", None, _ts(1), "insert", 1)]), "b-0")
+    data_root = os.path.join(sink.table_dir, "data")
+    base = os.path.join(data_root, "snap-0000000066")
+    sidecar = os.path.join(data_root, "snap-0000000066-changes")
+    os.makedirs(os.path.join(base, "d"))
+    os.makedirs(os.path.join(sidecar, "d"))
+    with open(os.path.join(base, "CLAIM.json"), "w") as f:
+        json.dump({"pid": os.getpid(), "host": socket.gethostname(), "ts": 0}, f)
+    old = time.time() - 7200
+    for d in (base, sidecar):
+        for root, dirs, files in os.walk(d):
+            for name in dirs + files:
+                os.utime(os.path.join(root, name), (old, old))
+        os.utime(d, (old, old))
+
+    assert sink.vacuum_orphans(min_age_seconds=0) == 0
+    assert os.path.isdir(sidecar), "in-flight CoW sidecar vacuumed"
+
+    # dead owner -> both reclaimed
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(os.path.join(base, "CLAIM.json"), "w") as f:
+        json.dump({"pid": proc.pid, "host": socket.gethostname(), "ts": 0}, f)
+    for d in (base, sidecar):
+        for root, dirs, files in os.walk(d):
+            for name in dirs + files:
+                os.utime(os.path.join(root, name), (old, old))
+        os.utime(d, (old, old))
+    assert sink.vacuum_orphans(min_age_seconds=0) == 2
+    assert not os.path.isdir(base) and not os.path.isdir(sidecar)
+
+
 def test_maintenance_condemns_under_lock_and_deletes_outside(spark, tmp_path):
     """Doomed data dirs are O(1)-renamed into .trash under the commit
     lock and physically deleted after release -- and leftovers from a

@@ -73,7 +73,7 @@ def test_four_writer_soak_with_mixed_maintenance(spark, tmp_path):
         try:
             while not stop.is_set():
                 k += 1
-                op = k % 5
+                op = k % 8
                 try:
                     if op == 0:
                         s.compact(spark, minor=True)
@@ -84,6 +84,23 @@ def test_four_writer_soak_with_mixed_maintenance(spark, tmp_path):
                     elif op == 3:
                         s.vacuum_orphans(min_age_seconds=3600)
                         s.expire_snapshots(keep_last=3, min_age_seconds=3600)
+                    elif op == 4:
+                        # ref churn: tag the head, read through it, drop it
+                        # (create_tag serializes with expire's keep listing)
+                        name = f"soak-tag-{k}"
+                        sid = s.create_tag(name)
+                        assert s.resolve_ref(name) == sid
+                        s.drop_tag(name)
+                    elif op == 5:
+                        # branch churn against the same contention
+                        name = f"soak-br-{k}"
+                        s.create_branch(name)
+                        s.drop_branch(name)
+                    elif op == 6:
+                        # zero-age vacuum beside live writers: in-flight
+                        # claims are pid-sentinel-protected, so this must
+                        # never destroy a mid-write snapshot dir
+                        s.vacuum_orphans(min_age_seconds=0)
                     else:
                         s.ingest_index(str(idx_csv))
                 except Exception as e:
@@ -137,6 +154,14 @@ def test_four_writer_soak_with_mixed_maintenance(spark, tmp_path):
     for fs in sink.delta_lists().values():
         for f in fs:
             assert os.path.exists(f)
+    # 6b. ref integrity: any tag/branch surviving the churn resolves to a
+    # live manifest (the dangling-ref wedge is fixed to warn-and-skip, but
+    # the soak itself should never produce one)
+    for name, head in {**sink.tags(), **sink.branches()}.items():
+        assert os.path.exists(sink._manifest_path(head)), (name, head)
+    # 6c. no condemned dirs left behind by two-phase maintenance
+    trash = os.path.join(sink.table_dir, ".trash")
+    assert not os.path.isdir(trash) or os.listdir(trash) == []
     # 6. lineage chain parents resolve back through retained history
     sid = m["snapshot_id"]
     seen = 0
