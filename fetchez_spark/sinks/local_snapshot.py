@@ -738,15 +738,26 @@ class LocalSnapshotSink(SnapshotSink):
             return candidate
         raise RuntimeError("could not allocate a snapshot id")  # pragma: no cover
 
-    def _abort_claim(self, sid: str) -> None:
+    def _abort_claim(self, sid: str, defer_delete: bool = False) -> None:
         """Remove an uncommitted claim (dir + CoW change sidecar): a
         failed or aborted commit must not leave a live-pid-protected dir
         behind -- the owning driver may run for weeks, and
         _claim_owner_alive would shield the wreckage from vacuum the
-        whole time (the age guard it replaced reclaimed it in an hour)."""
+        whole time (the age guard it replaced reclaimed it in an hour).
+
+        ``defer_delete=True`` is for callers HOLDING the commit lock (the
+        CoW conflict path): the dirs are O(1)-condemned into .trash and
+        the physical delete happens after the lock is released."""
         data = os.path.join(self.table_dir, "data")
-        shutil.rmtree(os.path.join(data, sid), ignore_errors=True)
-        shutil.rmtree(os.path.join(data, f"{sid}-changes"), ignore_errors=True)
+        for path in (os.path.join(data, sid), os.path.join(data, f"{sid}-changes")):
+            if not os.path.isdir(path):
+                continue
+            try:
+                self._condemn(path)
+            except OSError:  # pragma: no cover - cross-device fallback
+                shutil.rmtree(path, ignore_errors=True)
+        if not defer_delete:
+            self._empty_trash()
 
     @contextmanager
     def _claim_guard(self, sid: str):
@@ -3330,7 +3341,53 @@ class LocalSnapshotSink(SnapshotSink):
             else:
                 files_ = dict(base["files"])
                 deltas_ = dict(base.get("deltas", {}))
-                if int(base.get("num_buckets", nb)) != nb:
+                if self.mode == "cow":
+                    # Iceberg-style OPTIMISTIC concurrency for CoW: the
+                    # rewrite stands iff no interleaved commit changed the
+                    # inputs it folded -- the touched buckets' base files
+                    # and clustered deltas, the FLAT delta list (its rows
+                    # for touched buckets were folded in), and the bucket
+                    # layout.  Disjoint-bucket writers commit concurrently
+                    # (their rewrites read and replace different state);
+                    # overlapping ones raise and the caller retries the
+                    # merge -- this batch token was never committed, so
+                    # the retry is exactly-once.  Validation compares the
+                    # PACKED per-bucket entries: a commit that does not
+                    # touch a bucket carries its entry through verbatim,
+                    # so inequality is exactly "someone changed it" (a
+                    # false positive only costs a retry).
+                    conflict = None
+                    if int(base.get("num_buckets", nb)) != nb:
+                        conflict = "a rebucket committed"
+                    elif deltas_.get(_FLAT) != cur.get("deltas", {}).get(_FLAT):
+                        conflict = "the flat delta list changed"
+                    else:
+                        for b in touched:
+                            bs = str(b)
+                            if files_.get(bs) != cur["files"].get(bs) or deltas_.get(
+                                bs
+                            ) != cur.get("deltas", {}).get(bs):
+                                conflict = f"bucket {bs} was rewritten"
+                                break
+                    if conflict:
+                        # the rewrite output is built on stale inputs --
+                        # reclaim the claim now (live-pid sentinels would
+                        # shield it from vacuum for the driver's lifetime).
+                        # defer_delete: we hold the commit lock; merge's
+                        # conflict handler empties the trash after release
+                        self._abort_claim(sid, defer_delete=True)
+                        raise ConcurrentWriteConflict(
+                            f"{conflict} during this CoW rewrite; committing "
+                            "would overwrite the concurrent change -- retry "
+                            "the merge (this batch token was not committed)"
+                        )
+                    for b in touched:
+                        files_[str(b)] = []
+                        deltas_[str(b)] = []
+                    files_.update(written_map)
+                    if deltas_.get(_FLAT) and set(map(str, touched)) >= set(files_):
+                        deltas_[_FLAT] = []
+                elif int(base.get("num_buckets", nb)) != nb:
                     # a rebucket() committed mid-merge: our delta files are
                     # clustered by the OLD bucketing, so their per-bucket
                     # labels would lie under the new layout.  Attach them to
@@ -3345,10 +3402,13 @@ class LocalSnapshotSink(SnapshotSink):
                 schema_ = merge_schemas(
                     T.StructType.fromJson(base["schema"]), batch_payload_schema
                 )
-                stats_ = {
-                    "delta_files": self._count_files(deltas_),
-                    "delta_commits": int(base.get("stats", {}).get("delta_commits", 0)) + 1,
-                }
+                if self.mode == "cow":
+                    stats_ = {"touched_buckets": len(touched)}
+                else:
+                    stats_ = {
+                        "delta_files": self._count_files(deltas_),
+                        "delta_commits": int(base.get("stats", {}).get("delta_commits", 0)) + 1,
+                    }
                 if self.collect_metrics:
                     # contended commits must stay catalog-searchable by
                     # their row stats, same as uncontended ones
@@ -3432,23 +3492,26 @@ class LocalSnapshotSink(SnapshotSink):
                 ),
             }
 
-        with self._commit_lock():
-            latest = self.manifest()
-            if latest["snapshot_id"] != cur["snapshot_id"]:
-                if token in latest["committed_batches"]:
-                    return {
-                        "snapshot_id": latest["committed_batches"][token],
-                        "skipped": True,
-                        "batch_token": token,
-                    }
-                if self.mode != "mor":
-                    raise ConcurrentWriteConflict(
-                        "a concurrent commit advanced the table during a CoW "
-                        "merge; CoW requires a single writer (use MoR for "
-                        "multi-stream ingest)"
-                    )
-            manifest = _manifest_for(latest)
-            self._commit(manifest)
+        try:
+            with self._commit_lock():
+                latest = self.manifest()
+                if latest["snapshot_id"] != cur["snapshot_id"]:
+                    if token in latest["committed_batches"]:
+                        return {
+                            "snapshot_id": latest["committed_batches"][token],
+                            "skipped": True,
+                            "batch_token": token,
+                        }
+                    # CoW conflicts are validated bucket-by-bucket inside
+                    # _manifest_for (Iceberg-style optimistic concurrency):
+                    # disjoint-bucket rewrites reconcile, overlapping raise
+                manifest = _manifest_for(latest)
+                self._commit(manifest)
+        except ConcurrentWriteConflict:
+            # the conflict path condemned its claim under the lock (O(1)
+            # renames); do the physical delete now that it is released
+            self._empty_trash()
+            raise
         metrics["snapshot_id"] = sid
 
         # auto-compaction, two triggers:

@@ -131,10 +131,13 @@ def test_mor_commit_reconciles_after_concurrent_commit(spark, tmp_path):
     assert cur["stats"]["delta_commits"] == 3
 
 
-def test_cow_concurrent_commit_conflicts_loudly(spark, tmp_path):
+def test_cow_overlapping_bucket_commit_conflicts_loudly(spark, tmp_path):
+    """CoW optimistic concurrency: an interleaved commit that rewrote a
+    bucket THIS rewrite also touched must conflict (committing would
+    overwrite it).  num_buckets=1 forces the overlap deterministically."""
     table = str(tmp_path / "t")
-    racy = _RacySink(table, num_buckets=4, mode="cow")
-    other = LocalSnapshotSink(table, num_buckets=4, mode="cow")
+    racy = _RacySink(table, num_buckets=1, mode="cow")
+    other = LocalSnapshotSink(table, num_buckets=1, mode="cow")
     racy.merge(_batch(spark, [("c1", 0, "user", "base", None, _ts(9), "upsert", 1)]), "a-0")
     racy.interloper_fn = lambda: other.merge(
         _batch(spark, [("c2", 0, "user", "other", None, _ts(10), "upsert", 2)]), "b-0"
@@ -143,10 +146,66 @@ def test_cow_concurrent_commit_conflicts_loudly(spark, tmp_path):
         racy.merge(
             _batch(spark, [("c3", 0, "user", "mine", None, _ts(11), "upsert", 3)]), "a-1"
         )
-    # the interloper's commit survives; the conflicted merge left orphan
-    # data only (vacuumable), never a corrupt manifest
+    # the interloper's commit survives; the conflicted merge left no
+    # corrupt manifest and no live-pid-protected claim wreckage
     rows = {r["conv_id"]: r["text"] for r in other.read(spark).collect()}
     assert rows == {"c1": "base", "c2": "other"}
+    import os
+
+    leftovers = [
+        d
+        for d in os.listdir(os.path.join(table, "data"))
+        if d not in {m for m in other.snapshots()}
+        and not d.endswith("-changes")
+    ]
+    assert leftovers == [], leftovers
+    # the failed token was never committed: the retry applies exactly-once
+    m = other.merge(
+        _batch(spark, [("c3", 0, "user", "mine", None, _ts(11), "upsert", 3)]), "a-1"
+    )
+    assert not m["skipped"]
+    rows = {r["conv_id"]: r["text"] for r in other.read(spark).collect()}
+    assert rows == {"c1": "base", "c2": "other", "c3": "mine"}
+
+
+def test_cow_disjoint_bucket_commits_reconcile(spark, tmp_path):
+    """CoW writers whose rewrites touch DISJOINT buckets commit
+    concurrently (Iceberg-style validation): the second commit chains
+    onto the first instead of conflicting, and both rewrites survive."""
+    table = str(tmp_path / "t")
+    probe = LocalSnapshotSink(table, num_buckets=8, mode="cow")
+    # find three keys in three DIFFERENT buckets via the sink's own
+    # bucket expression (hash-dependent, so probe rather than hardcode)
+    cand = _batch(
+        spark,
+        [(f"k{i}", 0, "user", "x", None, _ts(1), "upsert", i) for i in range(40)],
+    )
+    buckets = {
+        r["conv_id"]: r["b"]
+        for r in cand.select("conv_id", probe._bucket_expr(8).alias("b")).collect()
+    }
+    by_bucket: dict[int, str] = {}
+    for k, b in buckets.items():
+        by_bucket.setdefault(b, k)
+    k1, k2, k3 = list(by_bucket.values())[:3]
+
+    racy = _RacySink(table, num_buckets=8, mode="cow")
+    other = LocalSnapshotSink(table, num_buckets=8, mode="cow")
+    racy.merge(_batch(spark, [(k1, 0, "user", "base", None, _ts(9), "upsert", 1)]), "a-0")
+    racy.interloper_fn = lambda: other.merge(
+        _batch(spark, [(k2, 0, "user", "other", None, _ts(10), "upsert", 2)]), "b-0"
+    )
+    m = racy.merge(
+        _batch(spark, [(k3, 0, "user", "mine", None, _ts(11), "upsert", 3)]), "a-1"
+    )
+    assert not m["skipped"]
+    cur = other.manifest()
+    assert set(cur["committed_batches"]) == {"a-0", "b-0", "a-1"}
+    # the reconciled commit chains onto the interloper's snapshot
+    assert cur["parent"] == cur["committed_batches"]["b-0"]
+    rows = {r["conv_id"]: r["text"] for r in other.read(spark).collect()}
+    assert rows == {k1: "base", k2: "other", k3: "mine"}
+    assert cur["high_watermark"].startswith("2025-01-01 11:00")
 
 
 def test_minor_compact_keeps_deltas_added_during_consolidation(spark, tmp_path):
