@@ -2852,6 +2852,35 @@ class LocalSnapshotSink(SnapshotSink):
         batch_token: str,
         offsets: dict[str, Any] | None = None,
         physical_names: bool = False,
+        conflict_retries: int = 0,
+    ) -> dict[str, Any]:
+        """Apply one batch; see :meth:`_merge_once`.  ``conflict_retries``
+        re-runs the whole attempt (fresh base manifest, fresh claim, new
+        rewrite) after a :class:`ConcurrentWriteConflict` -- the automatic
+        rebase loop a multi-writer CoW deployment wants.  Each retry is
+        exactly-once by construction: a conflicted attempt never committed
+        its token, and a token committed by ANOTHER path skips as usual."""
+        attempt = 0
+        while True:
+            try:
+                return self._merge_once(batch, batch_token, offsets, physical_names)
+            except ConcurrentWriteConflict:
+                attempt += 1
+                if attempt > max(0, int(conflict_retries)):
+                    raise
+                _LOG.info(
+                    "merge %r: conflict, rebase retry %d/%d",
+                    batch_token,
+                    attempt,
+                    conflict_retries,
+                )
+
+    def _merge_once(
+        self,
+        batch: DataFrame,
+        batch_token: str,
+        offsets: dict[str, Any] | None = None,
+        physical_names: bool = False,
     ) -> dict[str, Any]:
         t0 = time.monotonic()
         token = str(batch_token)

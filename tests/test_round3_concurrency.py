@@ -168,6 +168,27 @@ def test_cow_overlapping_bucket_commit_conflicts_loudly(spark, tmp_path):
     assert rows == {"c1": "base", "c2": "other", "c3": "mine"}
 
 
+def test_cow_conflict_retries_rebase_automatically(spark, tmp_path):
+    """merge(conflict_retries=N) re-runs a conflicted CoW rewrite against
+    the fresh base -- the automatic rebase loop a multi-writer CoW
+    deployment wants; the retry folds the interloper's row correctly."""
+    table = str(tmp_path / "t")
+    racy = _RacySink(table, num_buckets=1, mode="cow")
+    other = LocalSnapshotSink(table, num_buckets=1, mode="cow")
+    racy.merge(_batch(spark, [("c1", 0, "user", "base", None, _ts(9), "upsert", 1)]), "a-0")
+    racy.interloper_fn = lambda: other.merge(
+        _batch(spark, [("c2", 0, "user", "other", None, _ts(10), "upsert", 2)]), "b-0"
+    )
+    m = racy.merge(
+        _batch(spark, [("c3", 0, "user", "mine", None, _ts(11), "upsert", 3)]),
+        "a-1",
+        conflict_retries=2,
+    )
+    assert not m["skipped"]
+    rows = {r["conv_id"]: r["text"] for r in other.read(spark).collect()}
+    assert rows == {"c1": "base", "c2": "other", "c3": "mine"}
+
+
 def test_cow_disjoint_bucket_commits_reconcile(spark, tmp_path):
     """CoW writers whose rewrites touch DISJOINT buckets commit
     concurrently (Iceberg-style validation): the second commit chains
