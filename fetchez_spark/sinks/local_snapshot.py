@@ -2842,10 +2842,12 @@ class LocalSnapshotSink(SnapshotSink):
     # -------------------------------------------------------------- merging
     # Concurrency: commits use atomic-mkdir snapshot-id claims plus an
     # inter-process commit lock held for the O(touched) manifest swap;
-    # MoR appends/compactions reconcile against the latest manifest and
-    # CoW conflicts raise ConcurrentWriteConflict -- N writers into one
-    # table is supported (see tests/test_round3_concurrency.py and the
-    # round-4 soak).
+    # MoR appends/compactions reconcile against the latest manifest, and
+    # CoW rewrites validate bucket-by-bucket (disjoint buckets reconcile,
+    # overlaps raise ConcurrentWriteConflict; merge(conflict_retries=N)
+    # rebases automatically) -- N writers into one table is supported in
+    # BOTH modes (see tests/test_round3_concurrency.py and the round-4
+    # soak).
     def merge(
         self,
         batch: DataFrame,
