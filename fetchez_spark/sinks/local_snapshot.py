@@ -279,6 +279,7 @@ class LocalSnapshotSink(SnapshotSink):
         expectations: list[tuple[str, str, str]] | None = None,
         row_ttl_seconds: float | None = None,
         snapshot_keep_last: int | None = None,
+        conflict_retries: int = 0,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -411,6 +412,10 @@ class LocalSnapshotSink(SnapshotSink):
         # snapshot_keep_last: how much history auto_maintain/table_report
         # retains (None = report only, never auto-expire)
         self.snapshot_keep_last = snapshot_keep_last
+        # default rebase budget for every merge-shaped commit through this
+        # sink (merge, delete_where, update_where): per-call
+        # merge(conflict_retries=) overrides
+        self.conflict_retries = int(conflict_retries)
         # expectations: WRITE-TIME data-quality constraints, the Delta
         # Live Tables / Iceberg-write-validation analog.  Each is
         # (name, sql_condition, action); a row VIOLATES when the condition
@@ -2854,27 +2859,32 @@ class LocalSnapshotSink(SnapshotSink):
         batch_token: str,
         offsets: dict[str, Any] | None = None,
         physical_names: bool = False,
-        conflict_retries: int = 0,
+        conflict_retries: int | None = None,
     ) -> dict[str, Any]:
         """Apply one batch; see :meth:`_merge_once`.  ``conflict_retries``
         re-runs the whole attempt (fresh base manifest, fresh claim, new
         rewrite) after a :class:`ConcurrentWriteConflict` -- the automatic
         rebase loop a multi-writer CoW deployment wants.  Each retry is
         exactly-once by construction: a conflicted attempt never committed
-        its token, and a token committed by ANOTHER path skips as usual."""
+        its token, and a token committed by ANOTHER path skips as usual.
+        Defaults to the sink-level ``conflict_retries`` so internal
+        merge-shaped commits (delete_where, update_where) inherit it."""
+        budget = (
+            self.conflict_retries if conflict_retries is None else conflict_retries
+        )
         attempt = 0
         while True:
             try:
                 return self._merge_once(batch, batch_token, offsets, physical_names)
             except ConcurrentWriteConflict:
                 attempt += 1
-                if attempt > max(0, int(conflict_retries)):
+                if attempt > max(0, int(budget)):
                     raise
                 _LOG.info(
                     "merge %r: conflict, rebase retry %d/%d",
                     batch_token,
                     attempt,
-                    conflict_retries,
+                    budget,
                 )
 
     def _merge_once(

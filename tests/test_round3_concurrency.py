@@ -188,6 +188,18 @@ def test_cow_conflict_retries_rebase_automatically(spark, tmp_path):
     rows = {r["conv_id"]: r["text"] for r in other.read(spark).collect()}
     assert rows == {"c1": "base", "c2": "other", "c3": "mine"}
 
+    # sink-level default: internal merge-shaped commits inherit it
+    racy2 = _RacySink(table, num_buckets=1, mode="cow", conflict_retries=2)
+    racy2.interloper_fn = lambda: other.merge(
+        _batch(spark, [("c4", 0, "user", "other2", None, _ts(12), "upsert", 4)]), "b-1"
+    )
+    m2 = racy2.merge(
+        _batch(spark, [("c5", 0, "user", "mine2", None, _ts(13), "upsert", 5)]), "a-2"
+    )
+    assert not m2["skipped"]
+    rows = {r["conv_id"]: r["text"] for r in other.read(spark).collect()}
+    assert rows["c4"] == "other2" and rows["c5"] == "mine2"
+
 
 def test_cow_disjoint_bucket_commits_reconcile(spark, tmp_path):
     """CoW writers whose rewrites touch DISJOINT buckets commit
