@@ -201,6 +201,64 @@ def test_cow_conflict_retries_rebase_automatically(spark, tmp_path):
     assert rows["c4"] == "other2" and rows["c5"] == "mine2"
 
 
+def test_cow_two_writer_contention_matches_oracle(spark, tmp_path):
+    """Two CoW writers hammer a SHARED 6-key space (num_buckets=2, so
+    nearly every concurrent pair overlaps) with a generous rebase budget:
+    every conflict retry must fold the interloper's committed state, and
+    the final table must equal the LWW oracle over the union log."""
+    import threading
+
+    table = str(tmp_path / "t")
+    seed = LocalSnapshotSink(table, num_buckets=2, mode="cow")
+    seed.merge(
+        _batch(spark, [("k0", 0, "user", "seed", None, _ts(0), "upsert", 0)]), "seed-0"
+    )
+
+    all_rows: list[tuple] = [("k0", 0, "user", "seed", None, _ts(0), "upsert", 0)]
+    logs: dict[int, list[list[tuple]]] = {0: [], 1: []}
+    for w in range(2):
+        for i in range(6):
+            ts = _ts(1 + 2 * i + w)
+            rows = [
+                (f"k{(i + j) % 6}", 0, "user", f"w{w}b{i}", None, ts, "upsert",
+                 1 + w * 1000 + i * 10 + j)
+                for j in range(3)
+            ]
+            logs[w].append(rows)
+            all_rows.extend(rows)
+
+    errors: list[str] = []
+
+    def writer(w: int):
+        import traceback
+
+        s = LocalSnapshotSink(table, num_buckets=2, mode="cow", conflict_retries=40)
+        try:
+            for i, rows in enumerate(logs[w]):
+                s.merge(_batch(spark, rows), f"cw{w}-{i}")
+        except BaseException:
+            errors.append(traceback.format_exc())
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(480)
+        assert not t.is_alive(), "CoW writer hung"
+    assert not errors, errors[0]
+
+    df = pd.DataFrame(
+        all_rows,
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "seq"],
+    )
+    winners = df.sort_values(["ts", "seq"], kind="mergesort").drop_duplicates(
+        subset=["conv_id", "turn_idx"], keep="last"
+    )
+    expected = {r.conv_id: r.text for r in winners.itertuples()}
+    got = {r["conv_id"]: r["text"] for r in LocalSnapshotSink(table).read(spark).collect()}
+    assert got == expected
+
+
 def test_cow_disjoint_bucket_commits_reconcile(spark, tmp_path):
     """CoW writers whose rewrites touch DISJOINT buckets commit
     concurrently (Iceberg-style validation): the second commit chains
