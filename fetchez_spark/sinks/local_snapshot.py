@@ -751,8 +751,10 @@ class LocalSnapshotSink(SnapshotSink):
         whole time (the age guard it replaced reclaimed it in an hour).
 
         ``defer_delete=True`` is for callers HOLDING the commit lock (the
-        CoW conflict path): the dirs are O(1)-condemned into .trash and
-        the physical delete happens after the lock is released."""
+        CoW/compaction conflict paths): the dirs are O(1)-condemned into
+        .trash and the physical delete happens after the lock is released
+        -- by the raiser's own conflict handler when it has one, else by
+        the next _empty_trash (any maintenance pass or conflict)."""
         data = os.path.join(self.table_dir, "data")
         for path in (os.path.join(data, sid), os.path.join(data, f"{sid}-changes")):
             if not os.path.isdir(path):
@@ -3600,7 +3602,9 @@ class LocalSnapshotSink(SnapshotSink):
                     # another writer's fold won the race; the trigger state
                     # persists, so a later commit retries -- a maintenance
                     # race must never kill the streaming query that
-                    # tripped it
+                    # tripped it.  The losing fold condemned its claim
+                    # under the lock; delete it now that we're outside.
+                    self._empty_trash()
                     metrics["compact_skipped"] = "concurrent"
 
         metrics["seconds"] = time.monotonic() - t0
@@ -3719,21 +3723,22 @@ class LocalSnapshotSink(SnapshotSink):
             if not delta_files:
                 return {"snapshot_id": cur["snapshot_id"], "compacted_buckets": 0}
             sid = self._claim_sid(cur)
-            written = self._dedup_write_bucketed(
-                self._read_files(spark, delta_files, schema).withColumn(
-                    _BUCKET, self._bucket_expr(cur["num_buckets"])
-                ),
-                sid,
-                cur["num_buckets"],
-                schema,
-            )
-            new_blooms = (
-                self._collect_key_blooms(
-                    spark, [f for fs in written.values() for f in fs]
+            with self._claim_guard(sid):
+                written = self._dedup_write_bucketed(
+                    self._read_files(spark, delta_files, schema).withColumn(
+                        _BUCKET, self._bucket_expr(cur["num_buckets"])
+                    ),
+                    sid,
+                    cur["num_buckets"],
+                    schema,
                 )
-                if bloom
-                else {}
-            )
+                new_blooms = (
+                    self._collect_key_blooms(
+                        spark, [f for fs in written.values() for f in fs]
+                    )
+                    if bloom
+                    else {}
+                )
             # commit via consumed-file subtraction against the LATEST
             # manifest: delta files appended by concurrent streams during
             # this consolidation survive untouched (MoR maintenance
@@ -3877,15 +3882,16 @@ class LocalSnapshotSink(SnapshotSink):
         # older row of the key from an unfolded file)
         expire = self._ttl_horizon(cur, expire_rows_before)
         if use_local:
-            written = self._fold_bucket_local(
-                spark,
-                {b: base_map.get(b, []) + delta_map.get(b, []) for b in todo},
-                sid,
-                schema,
-                int(cur["num_buckets"]),
-                purge_before=purge,
-                expire_before=expire,
-            )
+            with self._claim_guard(sid):
+                written = self._fold_bucket_local(
+                    spark,
+                    {b: base_map.get(b, []) + delta_map.get(b, []) for b in todo},
+                    sid,
+                    schema,
+                    int(cur["num_buckets"]),
+                    purge_before=purge,
+                    expire_before=expire,
+                )
         else:
             target = target_file_bytes or self.target_file_bytes
             fanout_map: dict[int, int] | None = None
@@ -3902,49 +3908,53 @@ class LocalSnapshotSink(SnapshotSink):
                 # file sizing comes from the range sampler: keep the
                 # target-derived n_parts (file grain) but not the hash salt
                 fanout_map = None
-            written = self._dedup_write_bucketed(
-                self._read_files(spark, files, schema).withColumn(
-                    _BUCKET, self._bucket_expr(cur["num_buckets"])
-                ),
-                sid,
-                n_parts,
-                schema,
-                fanout_map=fanout_map,
-                sort_output=sort_eff,
-                purge_before=purge,
-                expire_before=expire,
-                cluster_expr=cluster_expr,
-            )
+            with self._claim_guard(sid):
+                written = self._dedup_write_bucketed(
+                    self._read_files(spark, files, schema).withColumn(
+                        _BUCKET, self._bucket_expr(cur["num_buckets"])
+                    ),
+                    sid,
+                    n_parts,
+                    schema,
+                    fanout_map=fanout_map,
+                    sort_output=sort_eff,
+                    purge_before=purge,
+                    expire_before=expire,
+                    cluster_expr=cluster_expr,
+                )
         # per-file key ranges for the files this fold produced (one
         # column-pruned O(written) job); entries for the files this fold
-        # REPLACES are trimmed below under the lock
-        new_key_stats = (
-            self._collect_key_stats(
-                spark, [f for fs in written.values() for f in fs]
+        # REPLACES are trimmed below under the lock.  The whole stats
+        # group stays under the claim guard: a failure here must reclaim
+        # the fold's claim like a failure of the fold itself.
+        with self._claim_guard(sid):
+            new_key_stats = (
+                self._collect_key_stats(
+                    spark, [f for fs in written.values() for f in fs]
+                )
+                if sort_eff
+                else {}
             )
-            if sort_eff
-            else {}
-        )
-        # per-file cluster-column ranges from the written files' footers
-        # (driver-side, O(written) footer reads, no job)
-        new_col_stats = (
-            self._harvest_col_stats(
-                [f for fs in written.values() for f in fs], list(cluster_by)
+            # per-file cluster-column ranges from the written files'
+            # footers (driver-side, O(written) footer reads, no job)
+            new_col_stats = (
+                self._harvest_col_stats(
+                    [f for fs in written.values() for f in fs], list(cluster_by)
+                )
+                if cluster_by
+                else {}
             )
-            if cluster_by
-            else {}
-        )
-        new_blooms = (
-            self._collect_key_blooms(
-                spark, [f for fs in written.values() for f in fs]
+            new_blooms = (
+                self._collect_key_blooms(
+                    spark, [f for fs in written.values() for f in fs]
+                )
+                if bloom
+                else {}
             )
-            if bloom
-            else {}
-        )
-        # per-bucket row/tombstone counts for metadata-only count():
-        # footer rows are free, the tombstone job runs only over files
-        # whose footer admits tombstones
-        new_bucket_rows = self._collect_bucket_rows(spark, written)
+            # per-bucket row/tombstone counts for metadata-only count():
+            # footer rows are free, the tombstone job runs only over files
+            # whose footer admits tombstones
+            new_bucket_rows = self._collect_bucket_rows(spark, written)
         consumed = set(delta_files)
         with self._commit_lock():
             latest = self.manifest()
@@ -3956,12 +3966,14 @@ class LocalSnapshotSink(SnapshotSink):
                 if int(latest.get("num_buckets", cur["num_buckets"])) != int(
                     cur["num_buckets"]
                 ):
+                    self._abort_claim(sid, defer_delete=True)
                     raise ConcurrentWriteConflict(
                         "table was rebucketed during compaction; retry against "
                         "the new layout"
                     )
                 for b in todo:
                     if latest["files"].get(b) != cur["files"].get(b):
+                        self._abort_claim(sid, defer_delete=True)
                         raise ConcurrentWriteConflict(
                             f"racing compaction/rewrite of bucket {b}; run one "
                             "maintenance job per table"
@@ -4094,34 +4106,37 @@ class LocalSnapshotSink(SnapshotSink):
         sid = self._claim_sid(cur)
         sort_eff = self.sort_on_compact if sort is None else sort
         written: dict[str, list[str]] = {}
-        if all_files:
-            written = self._dedup_write_bucketed(
-                self._read_files(spark, all_files, schema).withColumn(
-                    _BUCKET, self._bucket_expr(int(new_num_buckets))
-                ),
-                sid,
-                int(new_num_buckets),
-                schema,
-                sort_output=sort_eff,
+        with self._claim_guard(sid):
+            if all_files:
+                written = self._dedup_write_bucketed(
+                    self._read_files(spark, all_files, schema).withColumn(
+                        _BUCKET, self._bucket_expr(int(new_num_buckets))
+                    ),
+                    sid,
+                    int(new_num_buckets),
+                    schema,
+                    sort_output=sort_eff,
+                )
+            new_key_stats = (
+                self._collect_key_stats(
+                    spark, [f for fs in written.values() for f in fs]
+                )
+                if sort_eff and written
+                else {}
             )
-        new_key_stats = (
-            self._collect_key_stats(
-                spark, [f for fs in written.values() for f in fs]
-            )
-            if sort_eff and written
-            else {}
-        )
         consumed = set(all_files)
         with self._commit_lock():
             latest = self.manifest()
             if latest["snapshot_id"] != cur["snapshot_id"]:
                 if int(latest.get("num_buckets", old_nb)) != old_nb:
+                    self._abort_claim(sid, defer_delete=True)
                     raise ConcurrentWriteConflict(
                         "another rebucket committed concurrently; retry "
                         "against the new layout"
                     )
                 for b in set(cur["files"]) | set(latest["files"]):
                     if latest["files"].get(b) != cur["files"].get(b):
+                        self._abort_claim(sid, defer_delete=True)
                         raise ConcurrentWriteConflict(
                             "racing base rewrite during rebucket; run one "
                             "maintenance job per table"
