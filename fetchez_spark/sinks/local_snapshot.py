@@ -64,6 +64,7 @@ import os
 import re
 import shutil
 import socket
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -756,7 +757,15 @@ class LocalSnapshotSink(SnapshotSink):
         -- by the raiser's own conflict handler when it has one, else by
         the next _empty_trash (any maintenance pass or conflict)."""
         data = os.path.join(self.table_dir, "data")
-        for path in (os.path.join(data, sid), os.path.join(data, f"{sid}-changes")):
+        for path in (
+            os.path.join(data, sid),
+            os.path.join(data, f"{sid}-changes"),
+            # an aborted attempt's quarantine rows too: the sid never
+            # committed, and a rebase retry re-quarantines the same
+            # violating rows under its new sid -- leaving the old dir
+            # would double-count them in read_quarantine forever
+            os.path.join(self.table_dir, "quarantine", sid),
+        ):
             if not os.path.isdir(path):
                 continue
             try:
@@ -765,6 +774,19 @@ class LocalSnapshotSink(SnapshotSink):
                 shutil.rmtree(path, ignore_errors=True)
         if not defer_delete:
             self._empty_trash()
+
+    @contextmanager
+    def _conflict_trash(self):
+        """Empty the .trash area after a ConcurrentWriteConflict escapes a
+        commit-lock block: the losing attempt condemned its claim UNDER
+        the lock (O(1) renames); this does the physical delete once the
+        lock is released.  Compose as
+        ``with self._conflict_trash(), self._commit_lock():``."""
+        try:
+            yield
+        except ConcurrentWriteConflict:
+            self._empty_trash()
+            raise
 
     @contextmanager
     def _claim_guard(self, sid: str):
@@ -2879,6 +2901,8 @@ class LocalSnapshotSink(SnapshotSink):
             try:
                 return self._merge_once(batch, batch_token, offsets, physical_names)
             except ConcurrentWriteConflict:
+                # the conflict path reclaimed its own claim (condemned
+                # under the lock, emptied by _merge_once's handler)
                 attempt += 1
                 if attempt > max(0, int(budget)):
                     raise
@@ -2888,6 +2912,19 @@ class LocalSnapshotSink(SnapshotSink):
                     attempt,
                     budget,
                 )
+            except BaseException:
+                # ANY other failure between claim and commit (a Spark job
+                # dying mid-write, a stats pass failing, _commit itself)
+                # must reclaim the attempt's claim: it carries this
+                # driver's live-pid sentinel, so vacuum cannot age it out
+                # while the driver lives.  The inflight sid is thread-local
+                # (N streams may share one sink instance) and cleared the
+                # moment the commit lands, so a committed snapshot is never
+                # aborted.
+                sid = getattr(getattr(self, "_inflight", None), "sid", None)
+                if sid:
+                    self._abort_claim(sid)
+                raise
 
     def _merge_once(
         self,
@@ -3135,6 +3172,13 @@ class LocalSnapshotSink(SnapshotSink):
         metrics: dict[str, Any] = {"batch_token": token, "skipped": False, "mode": self.mode}
 
         sid = self._claim_sid(cur)
+        # register the in-flight claim for merge()'s failure handler
+        # (thread-local: concurrent streams may share this sink instance;
+        # __dict__.setdefault makes the lazy creation race-safe)
+        inflight = getattr(self, "_inflight", None)
+        if inflight is None:
+            inflight = self.__dict__.setdefault("_inflight", threading.local())
+        inflight.sid = sid
         # refs/lists pass through untouched for buckets this commit does
         # not modify -- that is what makes commit metadata O(touched)
         new_files = dict(cur["files"])
@@ -3158,17 +3202,15 @@ class LocalSnapshotSink(SnapshotSink):
             # amplification until compaction.
             if self.cluster_deltas:
                 rows_b = rows.withColumn(_BUCKET, self._bucket_expr(nb))
-                with self._claim_guard(sid):
-                    written_map = self._write_bucketed(
-                        rows_b, sid, nb, new_schema, fanout=self.write_fanout
-                    )
+                written_map = self._write_bucketed(
+                    rows_b, sid, nb, new_schema, fanout=self.write_fanout
+                )
                 for b, fs in written_map.items():
                     new_deltas[b] = self._resolve_list(new_deltas.get(b, [])) + fs
                     written_bytes[b] = sum(os.path.getsize(f) for f in fs)
                 written = [f for fs in written_map.values() for f in fs]
             else:
-                with self._claim_guard(sid):
-                    written = self._write_flat(rows, sid, new_schema)
+                written = self._write_flat(rows, sid, new_schema)
                 new_deltas[_FLAT] = self._resolve_list(new_deltas.get(_FLAT, [])) + written
                 written_bytes[_FLAT] = sum(os.path.getsize(f) for f in written)
             stats = {
@@ -3195,10 +3237,9 @@ class LocalSnapshotSink(SnapshotSink):
                 # sibling dir, NOT nested under data/<sid>: the bucket
                 # rewrite below writes data/<sid> with mode("overwrite"),
                 # which would clobber a nested sidecar
-                with self._claim_guard(sid):
-                    change_files = self._write_flat(
-                        rows, f"{sid}-changes", new_schema, use_delta_codec=False
-                    )
+                change_files = self._write_flat(
+                    rows, f"{sid}-changes", new_schema, use_delta_codec=False
+                )
                 rows_src = self._read_files(
                     spark, change_files, T.StructType(list(new_schema.fields))
                 )
@@ -3233,20 +3274,14 @@ class LocalSnapshotSink(SnapshotSink):
                 if existing is None
                 else existing.unionByName(rows_b, allowMissingColumns=True)
             )
-            with self._claim_guard(sid):
-                written_map = self._dedup_write_bucketed(
-                    unioned, sid, len(touched), new_schema
-                )
-            for b in touched:
-                new_files[str(b)] = []
-                new_deltas[str(b)] = []  # folded into the new base
-            new_files.update(written_map)
-            if cur.get("deltas", {}).get(_FLAT):
-                # flat deltas survive only if they still carry rows of
-                # untouched buckets; conservatively keep them unless the
-                # rewrite covered every bucket
-                if set(map(str, touched)) >= set(new_files):
-                    new_deltas[_FLAT] = []
+            written_map = self._dedup_write_bucketed(
+                unioned, sid, len(touched), new_schema
+            )
+            # manifest application (clear touched buckets, apply
+            # written_map, FLAT trimming) happens in _manifest_for's CoW
+            # reconcile branch -- the single code path for contended AND
+            # uncontended commits.  `stats` stays the seed the metrics
+            # harvest below mutates; _manifest_for rebuilds stats_ itself.
             stats = {"touched_buckets": len(touched)}
             metrics["touched_buckets"] = len(touched)
 
@@ -3378,7 +3413,12 @@ class LocalSnapshotSink(SnapshotSink):
         ts_stats_new = self._harvest_ts_stats(change_files or written)
 
         def _manifest_for(base: dict) -> dict:
-            if base["snapshot_id"] == cur["snapshot_id"]:
+            # CoW always flows through the validated reconcile branch --
+            # the uncontended case is its base==cur degenerate form (every
+            # comparison trivially equal), so the rewrite-application
+            # logic (clear touched, apply written_map, FLAT trimming)
+            # exists exactly once and cannot diverge between the two.
+            if base["snapshot_id"] == cur["snapshot_id"] and self.mode != "cow":
                 files_, deltas_ = new_files, new_deltas
                 schema_, stats_, hwm_ = new_schema, stats, new_hwm
             else:
@@ -3535,26 +3575,32 @@ class LocalSnapshotSink(SnapshotSink):
                 ),
             }
 
-        try:
-            with self._commit_lock():
-                latest = self.manifest()
-                if latest["snapshot_id"] != cur["snapshot_id"]:
-                    if token in latest["committed_batches"]:
-                        return {
-                            "snapshot_id": latest["committed_batches"][token],
-                            "skipped": True,
-                            "batch_token": token,
-                        }
-                    # CoW conflicts are validated bucket-by-bucket inside
-                    # _manifest_for (Iceberg-style optimistic concurrency):
-                    # disjoint-bucket rewrites reconcile, overlapping raise
+        skipped_result: dict[str, Any] | None = None
+        with self._conflict_trash(), self._commit_lock():
+            latest = self.manifest()
+            if latest["snapshot_id"] != cur["snapshot_id"]:
+                if token in latest["committed_batches"]:
+                    # another writer committed this very token while we
+                    # were writing: our fully-written attempt is moot.
+                    # Condemn its claim NOW (a skip is not an exception,
+                    # so merge()'s failure handler never sees it) and
+                    # delete outside the lock.
+                    self._abort_claim(sid, defer_delete=True)
+                    skipped_result = {
+                        "snapshot_id": latest["committed_batches"][token],
+                        "skipped": True,
+                        "batch_token": token,
+                    }
+                # CoW conflicts are validated bucket-by-bucket inside
+                # _manifest_for (Iceberg-style optimistic concurrency):
+                # disjoint-bucket rewrites reconcile, overlapping raise
+            if skipped_result is None:
                 manifest = _manifest_for(latest)
                 self._commit(manifest)
-        except ConcurrentWriteConflict:
-            # the conflict path condemned its claim under the lock (O(1)
-            # renames); do the physical delete now that it is released
+        inflight.sid = None  # committed (or moot): never abort it
+        if skipped_result is not None:
             self._empty_trash()
-            raise
+            return skipped_result
         metrics["snapshot_id"] = sid
 
         # auto-compaction, two triggers:
@@ -3852,7 +3898,6 @@ class LocalSnapshotSink(SnapshotSink):
         if not delta_files and not (gc_requested and todo):
             return {"snapshot_id": cur["snapshot_id"], "compacted_buckets": 0}
         files = [f for b in todo for f in base_map.get(b, [])] + delta_files
-        sid = self._claim_sid(cur)
         sort_eff = (self.sort_on_compact if sort is None else sort) and not cluster_by
         cluster_expr = None
         if cluster_by:
@@ -3881,6 +3926,10 @@ class LocalSnapshotSink(SnapshotSink):
         # bucket's keys, so dropping an expired winner cannot resurrect an
         # older row of the key from an unfolded file)
         expire = self._ttl_horizon(cur, expire_rows_before)
+        # claim LAST, directly before the first write: the z-order boundary
+        # sampler above runs a Spark job, and a claim taken before it would
+        # leak (live-pid-shielded) if that job failed
+        sid = self._claim_sid(cur)
         if use_local:
             with self._claim_guard(sid):
                 written = self._fold_bucket_local(
@@ -3956,7 +4005,7 @@ class LocalSnapshotSink(SnapshotSink):
             # whose footer admits tombstones
             new_bucket_rows = self._collect_bucket_rows(spark, written)
         consumed = set(delta_files)
-        with self._commit_lock():
+        with self._conflict_trash(), self._commit_lock():
             latest = self.manifest()
             if latest["snapshot_id"] != cur["snapshot_id"]:
                 # concurrent MoR appends reconcile (subtraction below keeps
@@ -4125,7 +4174,7 @@ class LocalSnapshotSink(SnapshotSink):
                 else {}
             )
         consumed = set(all_files)
-        with self._commit_lock():
+        with self._conflict_trash(), self._commit_lock():
             latest = self.manifest()
             if latest["snapshot_id"] != cur["snapshot_id"]:
                 if int(latest.get("num_buckets", old_nb)) != old_nb:

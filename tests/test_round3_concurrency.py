@@ -201,6 +201,38 @@ def test_cow_conflict_retries_rebase_automatically(spark, tmp_path):
     assert rows["c4"] == "other2" and rows["c5"] == "mine2"
 
 
+def test_conflicted_attempt_quarantine_not_double_counted(spark, tmp_path):
+    """A conflicted CoW attempt that quarantined rows must reclaim its
+    quarantine dir along with its claim: the rebase retry re-quarantines
+    the same violating rows under its new sid, and read_quarantine
+    would otherwise double-count them in triage forever."""
+    table = str(tmp_path / "t")
+    exps = [("has_text", "text IS NOT NULL", "quarantine")]
+    racy = _RacySink(table, num_buckets=1, mode="cow", expectations=exps,
+                     conflict_retries=2)
+    other = LocalSnapshotSink(table, num_buckets=1, mode="cow", expectations=exps)
+    racy.merge(_batch(spark, [("c1", 0, "user", "base", None, _ts(9), "upsert", 1)]), "a-0")
+    racy.interloper_fn = lambda: other.merge(
+        _batch(spark, [("c2", 0, "user", "other", None, _ts(10), "upsert", 2)]), "b-0"
+    )
+    # one good row + one violating row: attempt 1 quarantines, conflicts,
+    # retries; the violating row must appear in triage exactly once
+    m = racy.merge(
+        _batch(
+            spark,
+            [
+                ("c3", 0, "user", "mine", None, _ts(11), "upsert", 3),
+                ("c4", 0, "user", None, None, _ts(11), "upsert", 4),
+            ],
+        ),
+        "a-1",
+    )
+    assert not m["skipped"]
+    quar = racy.read_quarantine(spark).toPandas()
+    assert len(quar) == 1
+    assert quar["conv_id"].tolist() == ["c4"]
+
+
 def test_cow_two_writer_contention_matches_oracle(spark, tmp_path):
     """Two CoW writers hammer a SHARED 6-key space (num_buckets=2, so
     nearly every concurrent pair overlaps) with a generous rebase budget:
