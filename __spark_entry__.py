@@ -461,6 +461,74 @@ def _q_cdc_mirror_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mirror.read_replica(spark).select("user_id", "event_type", "event_id", "value")
 
 
+def _q_cow_multiwriter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 CoW bucket-level OPTIMISTIC CONCURRENCY, oracle-checked
+    end to end: two concurrent threads replay disjoint halves of the
+    ``events`` changelog into ONE copy-on-write table (every batch is a
+    bucket rewrite; disjoint-bucket commits reconcile, overlapping ones
+    rebase via ``merge(conflict_retries=...)``), and the final state must
+    equal the last-writer-wins reduction DuckDB computes over the whole
+    table -- i.e. no rebase may lose or duplicate a concurrent commit.
+    (sinks/local_snapshot.py _manifest_for CoW validation; reference
+    analog: prefer-latest-version grouping,
+    /root/reference/src/fetchez/modules/multibeam.py:217-253.)"""
+    import threading
+
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-cow-", dir=fast)
+    table_dir = os.path.join(work, "table")
+    LocalSnapshotSink(
+        table_dir, num_buckets=8, key=["user_id"], base_schema=payload, mode="cow"
+    )  # bootstrap once so both writers open the same table
+    errors: list[str] = []
+
+    def writer(w: int) -> None:
+        import traceback
+
+        s = LocalSnapshotSink(table_dir, mode="cow", conflict_retries=50)
+        try:
+            # writer w replays batches (seq mod 4) in {2w, 2w+1}
+            for i in range(2):
+                s.merge(
+                    env.filter(F.pmod(F.col("seq"), F.lit(4)) == 2 * w + i),
+                    batch_token=f"cow{w}-{i}",
+                )
+        except BaseException:  # pragma: no cover - surfaced below
+            errors.append(traceback.format_exc())
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(600)
+    if errors:
+        raise RuntimeError(f"concurrent CoW writer failed: {errors[0]}")
+    return (
+        LocalSnapshotSink(table_dir)
+        .read(spark)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
 def _q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TYPED change-data-feed through the real sink (r4): replay phase-0
     events, snapshot, replay phases 1-2, then ``change_feed`` classifies
@@ -2046,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": _q_cdc_final_state,
         "cdc_tombstone_counts": _q_cdc_tombstone_counts,
         "cdc_replay_snapshot": _q_cdc_replay_snapshot,
+        "cow_multiwriter_replay": _q_cow_multiwriter_replay,
         "cdc_mirror_replica": _q_cdc_mirror_replica,
         "cdc_change_feed": _q_cdc_change_feed,
         "delete_where_purge": _q_delete_where_purge,
@@ -2224,6 +2293,16 @@ def oracle_sql() -> dict[str, str]:
         # engine end-to-end: the sink's replay of the events changelog must
         # equal the plain last-writer-wins reduction (tombstones excluded)
         "cdc_replay_snapshot": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # two concurrent CoW writers over disjoint log halves: rebased
+        # bucket rewrites must reproduce the SAME LWW reduction as one
+        # serial replay -- no concurrent commit lost or duplicated
+        "cow_multiwriter_replay": """
             SELECT user_id, event_type, event_id, value FROM (
               SELECT user_id, event_type, event_id, value,
                      row_number() OVER (PARTITION BY user_id
