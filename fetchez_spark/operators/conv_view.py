@@ -117,6 +117,14 @@ class ConversationView(IncrementalView):
             key=[self.conv_col],
             base_schema=store_schema,
             compact_every=64,
+            # refresh tokens embed the SOURCE snapshot number, and under
+            # multi-writer sources sid claims can commit out of numeric
+            # order (the chain, not the numbering, defines history) -- a
+            # later range can carry a LOWER number, which the monotone
+            # token-sequence watermark would silently drop, wedging the
+            # cursor.  The committed-token window alone gives the replay
+            # idempotence a view cursor needs.
+            monotonic_tokens=False,
         )
 
     def _source_schema(self):

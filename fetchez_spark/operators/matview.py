@@ -153,6 +153,10 @@ class MaterializedAggregate(IncrementalView):
             num_buckets=num_buckets,
             key=list(group_by),
             base_schema=base,
+            # snapshot-numbered refresh tokens are non-monotone under
+            # multi-writer sources (see ConversationView): window-only
+            # exactly-once, never the sequence watermark
+            monotonic_tokens=False,
         )
         # min/max specs that can need a recompute on delete (a min/max
         # over a GROUP column is the group value itself -- constant while
@@ -191,6 +195,8 @@ class MaterializedAggregate(IncrementalView):
                 # group is the leading key: sorted compaction gives the
                 # truth read per-file group-range stats + row-group skips
                 sort_on_compact=True,
+                # same snapshot-numbered tokens as the main store
+                monotonic_tokens=False,
             )
 
     # last_applied/follow come from IncrementalView (source root if never

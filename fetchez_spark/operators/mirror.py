@@ -81,6 +81,11 @@ class TableMirror:
             num_buckets=num_buckets or source.manifest()["num_buckets"],
             key=list(source.key),
             base_schema=source.schema(),
+            # sync tokens embed the source snapshot number, which is
+            # non-monotone under multi-writer sources (sid claims can
+            # commit out of numeric order): window-only exactly-once,
+            # never the sequence watermark (see ConversationView)
+            monotonic_tokens=False,
         )
         self._ensure_definition()
 

@@ -66,6 +66,10 @@ class TokenIndexView(IncrementalView):
             num_buckets=num_buckets,
             key=["token", *self.id_cols],
             compact_every=64,
+            # snapshot-numbered refresh tokens are non-monotone under
+            # multi-writer sources (see ConversationView): window-only
+            # exactly-once, never the sequence watermark
+            monotonic_tokens=False,
         )
 
     # ------------------------------------------------------------- refresh

@@ -58,6 +58,67 @@ def _batch(spark, w: int, i: int):
     ).withColumn("src_partition", F.lit(0))
 
 
+class _RacySource(LocalSnapshotSink):
+    """Injects a concurrent commit just before this sink takes the commit
+    lock -- deterministically producing the multi-writer sid inversion
+    (this sink CLAIMS its sid first, the interloper claims a HIGHER one
+    and commits FIRST, so the head moves to a numerically LOWER sid)."""
+
+    interloper_fn = None
+
+    def _commit_lock(self):
+        if self.interloper_fn is not None:
+            fn, self.interloper_fn = self.interloper_fn, None
+            fn()
+        return super()._commit_lock()
+
+
+def test_view_cursor_survives_out_of_order_snapshot_numbers(spark, tmp_path):
+    """Under multi-writer sources, sid CLAIM order can invert commit
+    order (the parent chain, not the numbering, defines history), so a
+    view refresh range can end at a numerically LOWER snapshot than the
+    one before it.  The view's snapshot-numbered merge token is therefore
+    non-monotone -- the store must run window-only exactly-once, or the
+    token-sequence watermark silently drops the refresh and the cursor
+    wedges forever (the view-soak flake this pins)."""
+    source = _RacySource(
+        str(tmp_path / "t"), num_buckets=4, key=["conv_id", "turn_idx"],
+        compact_every=10**9,
+    )
+    source.merge(_batch(spark, 0, 0), batch_token="seed-0")
+    view = ConversationView(str(tmp_path / "conv"), source, sep="|", num_buckets=2)
+    view.refresh(spark)
+    assert view.last_applied() == source.current_snapshot_id
+
+    other = LocalSnapshotSink(
+        str(tmp_path / "t"), num_buckets=4, compact_every=10**9
+    )
+
+    def interloper():
+        # commit the HIGHER-numbered sid first, and refresh the view
+        # while it is the head -- the view's watermark now sits at the
+        # high number before the racy writer commits the lower one
+        other.merge(_batch(spark, 1, 1), "w1-1")
+        view.refresh(spark)
+
+    source.interloper_fn = interloper
+    source.merge(_batch(spark, 0, 1), batch_token="w0-1")
+    head = source.current_snapshot_id
+    interloper_sid = source.manifest(head)["parent"]
+    # the inversion actually happened: head is numerically LOWER than the
+    # already-refreshed interloper snapshot
+    assert int(head[5:]) < int(interloper_sid[5:])
+    assert view.last_applied() == interloper_sid
+
+    # refresh to the lower-numbered head: the range must APPLY (watermark
+    # off for view stores), advancing the cursor to the true head
+    view.refresh(spark)
+    assert view.last_applied() == head
+    # and the view state covers BOTH concurrent commits
+    got = {r["conv_id"] for r in view.read(spark).collect()}
+    assert {"w0c0", "w1c0"} <= got
+
+
 @pytest.mark.slow
 def test_three_views_follow_one_contended_table(spark, tmp_path):
     source = LocalSnapshotSink(
