@@ -25,19 +25,36 @@ from pyspark.sql import functions as F
 ROOT_SNAPSHOT = "snap-0000000000"
 EPOCH = datetime(2020, 1, 1)
 
-__all__ = ["ROOT_SNAPSHOT", "EPOCH", "snap_num", "snap_ts_lit", "IncrementalView"]
+__all__ = [
+    "ROOT_SNAPSHOT",
+    "EPOCH",
+    "snap_num",
+    "snap_ts_lit",
+    "ord_ts_lit",
+    "IncrementalView",
+]
 
 
 def snap_num(snapshot_id: str) -> int:
-    """Monotone integer embedded in a snapshot id (0 for the root)."""
+    """Integer embedded in a snapshot id (0 for the root).  NOT monotone
+    along the commit chain under multi-writer sources -- sid CLAIM order
+    can differ from commit order -- so it must never be used as a merge
+    token or an LWW ordering basis (see IncrementalView._refresh_ordinal)."""
     return int("".join(ch for ch in str(snapshot_id) if ch.isdigit()) or 0)
 
 
 def snap_ts_lit(snapshot_id: str):
-    """Deterministic per-snapshot timestamp literal for view envelope rows
-    (the view's LWW order must follow the upstream commit order, not wall
-    clock)."""
+    """Deterministic per-snapshot timestamp literal (legacy basis --
+    prefer :func:`ord_ts_lit` on the refresh ordinal, which follows the
+    chain by construction)."""
     return F.lit(EPOCH + timedelta(seconds=snap_num(snapshot_id))).cast("timestamp")
+
+
+def ord_ts_lit(ordinal: int):
+    """Deterministic timestamp literal from a view's refresh ordinal: the
+    view rows' LWW order must follow the order REFRESHES APPLY (which is
+    chain order), not the upstream snapshot numbering or wall clock."""
+    return F.lit(EPOCH + timedelta(seconds=int(ordinal))).cast("timestamp")
 
 
 class IncrementalView:
@@ -53,6 +70,26 @@ class IncrementalView:
         the view rows, so crash replays are idempotent)."""
         off = self.store.manifest().get("offsets") or {}
         return off.get("upstream", ROOT_SNAPSHOT)
+
+    def _refresh_ordinal(self, store: Any | None = None) -> int:
+        """Strictly increasing per-refresh sequence for a view store,
+        persisted in its ``offsets`` atomically with the cursor (commit
+        ``offsets={"upstream": to, "refresh_seq": <this value>}``).
+
+        Snapshot NUMBERS are not monotone along the commit chain under
+        multi-writer sources (claim order != commit order), so neither
+        merge tokens nor the view rows' LWW (ts, seq) basis may derive
+        from them: a chain-later range ending at a lower-numbered head
+        would lose last-writer-wins to the refresh before it.  Refreshes
+        apply strictly in chain order, so this ordinal is monotone by
+        construction.  Legacy stores (no ``refresh_seq`` yet) seed from
+        the snapshot-number basis their existing rows carry, so new
+        refreshes keep dominating old rows."""
+        s = store if store is not None else self.store
+        off = s.manifest().get("offsets") or {}
+        if "refresh_seq" in off:
+            return int(off["refresh_seq"]) + 1
+        return snap_num(off.get("upstream", ROOT_SNAPSHOT)) + 1
 
     def refresh(self, spark: SparkSession) -> dict[str, Any]:  # pragma: no cover
         raise NotImplementedError

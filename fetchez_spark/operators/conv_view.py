@@ -53,8 +53,7 @@ from pyspark.sql import functions as F
 
 from fetchez_spark.operators._incview import (
     IncrementalView,
-    snap_num,
-    snap_ts_lit,
+    ord_ts_lit,
 )
 
 _CUSTOM_EXPR = "__custom_column__"
@@ -282,8 +281,10 @@ class ConversationView(IncrementalView):
             assembled = assembled.withColumnRenamed(conv, self.conv_col)
             touched = touched.withColumnRenamed(conv, self.conv_col)
 
-        n_to = snap_num(to)
-        ts = snap_ts_lit(to)
+        # LWW/token basis: the per-refresh ordinal, NOT the snapshot
+        # number (non-monotone under multi-writer sources)
+        n_ord = self._refresh_ordinal()
+        ts = ord_ts_lit(n_ord)
 
         def _env(df: DataFrame, op: str) -> DataFrame:
             cols = [F.lit(op).alias("op"), F.col(self.conv_col)]
@@ -297,7 +298,7 @@ class ConversationView(IncrementalView):
                 ]
             cols += [
                 ts.alias("ts"),
-                F.lit(n_to).cast("long").alias("seq"),
+                F.lit(n_ord).cast("long").alias("seq"),
                 F.pmod(F.hash(F.col(self.conv_col)), F.lit(4)).cast("int").alias(
                     "src_partition"
                 ),
@@ -310,7 +311,9 @@ class ConversationView(IncrementalView):
         )
         env = _env(assembled, "U").unionByName(_env(gone, "D"))
         res = self.store.merge(
-            env, batch_token=f"convview-{n_to}", offsets={"upstream": to}
+            env,
+            batch_token=f"convview-r{n_ord}",
+            offsets={"upstream": to, "refresh_seq": n_ord},
         )
         self._ensure_definition()
         return {

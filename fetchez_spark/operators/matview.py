@@ -67,6 +67,7 @@ from pyspark.sql import types as T
 from fetchez_spark.operators._incview import (
     ROOT_SNAPSHOT as _ROOT_SNAPSHOT,
     IncrementalView,
+    ord_ts_lit,
     snap_num as _snap_num,
 )
 from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
@@ -231,11 +232,14 @@ class MaterializedAggregate(IncrementalView):
                 to,
             )
             return self._full_rebuild(spark, to)
-        rows = self._combined_rows(spark, deltas, to)
+        # LWW/token basis: the per-refresh ordinal, NOT the snapshot
+        # number (non-monotone under multi-writer sources)
+        n_ord = self._refresh_ordinal()
+        rows = self._combined_rows(spark, deltas, to, n_ord)
         # same truncation for the assembled upsert rows (O(affected
         # groups)): their lineage can hold the min/max index read
         rows = rows.localCheckpoint(eager=True)
-        return self._commit(rows, frm, to)
+        return self._commit(rows, frm, to, n_ord)
 
     def _feed(self, spark: SparkSession, frm: str, to: str) -> DataFrame:
         """The typed change feed for the range, eagerly materialized: it
@@ -268,7 +272,9 @@ class MaterializedAggregate(IncrementalView):
             except FileNotFoundError:
                 self._rebuild_aux(spark, to)
                 return
-        n_to = _snap_num(to)
+        # aux store keeps its OWN refresh ordinal (its cursor can
+        # diverge from the view's across crashes)
+        n_ord = self._refresh_ordinal(self._aux_sink)
 
         def _vals(pre: bool):
             cols = []
@@ -285,7 +291,7 @@ class MaterializedAggregate(IncrementalView):
             return cols
 
         pro = feed.filter(F.col("_change_type") != "delete").select(
-            F.lit("U").alias("op"), *_vals(pre=False), F.lit(n_to).cast("long").alias("seq")
+            F.lit("U").alias("op"), *_vals(pre=False), F.lit(n_ord).cast("long").alias("seq")
         )
         moved = F.lit(False)
         for g in self.group_by:
@@ -294,23 +300,23 @@ class MaterializedAggregate(IncrementalView):
             (F.col("_change_type") == "delete")
             | ((F.col("_change_type") == "update") & moved)
         ).select(
-            F.lit("D").alias("op"), *_vals(pre=True), F.lit(n_to).cast("long").alias("seq")
+            F.lit("D").alias("op"), *_vals(pre=True), F.lit(n_ord).cast("long").alias("seq")
         )
         self._aux_sink.merge(
             pro.unionByName(anti),
-            batch_token=f"mv-{n_to}",
-            offsets={"upstream": to},
+            batch_token=f"mvidx-r{n_ord}",
+            offsets={"upstream": to, "refresh_seq": n_ord},
         )
 
     def _rebuild_aux(self, spark: SparkSession, to: str) -> None:
         if self._aux_sink is None:
             return
-        n_to = _snap_num(to)
+        n_ord = self._refresh_ordinal(self._aux_sink)
         src = self.source.read(spark, snapshot_id=to)
         fresh = src.select(
             F.lit("U").alias("op"),
             *[F.col(x) for x in self._aux_names],
-            F.lit(n_to).cast("long").alias("seq"),
+            F.lit(n_ord).cast("long").alias("seq"),
         )
         if _snap_num(self._aux_sink.current_snapshot_id) > 0:
             # stale index rows must be tombstoned -- but only when the
@@ -327,19 +333,22 @@ class MaterializedAggregate(IncrementalView):
             gone = old.join(fresh_k, cond, "left_anti").select(
                 F.lit("D").alias("op"),
                 *[F.col(x) for x in self._aux_names],
-                F.lit(n_to).cast("long").alias("seq"),
+                F.lit(n_ord).cast("long").alias("seq"),
             )
             fresh = fresh.unionByName(gone)
         self._aux_sink.merge(
             fresh,
-            batch_token=f"mv-{n_to}",
-            offsets={"upstream": to},
+            batch_token=f"mvidx-r{n_ord}",
+            offsets={"upstream": to, "refresh_seq": n_ord},
         )
 
-    def _commit(self, rows: DataFrame, frm: str, to: str) -> dict[str, Any]:
-        n = _snap_num(to)
+    def _commit(
+        self, rows: DataFrame, frm: str, to: str, n_ord: int
+    ) -> dict[str, Any]:
         res = self.store.merge(
-            rows, batch_token=f"mv-{n}", offsets={"upstream": to}
+            rows,
+            batch_token=f"mv-r{n_ord}",
+            offsets={"upstream": to, "refresh_seq": n_ord},
         )
         self._ensure_definition()
         return {"from": frm, "to": to, "skipped": bool(res.get("skipped")), **{
@@ -491,7 +500,7 @@ class MaterializedAggregate(IncrementalView):
         return cond
 
     def _combined_rows(
-        self, spark: SparkSession, deltas: DataFrame, to: str
+        self, spark: SparkSession, deltas: DataFrame, to: str, n_ord: int
     ) -> DataFrame:
         nb = self.store.manifest()["num_buckets"]
         # touched-bucket set: bounded by num_buckets, the same bounded
@@ -510,9 +519,9 @@ class MaterializedAggregate(IncrementalView):
             *[F.col(n).alias(f"__old_{n}") for n, _ in self._partials],
         )
         j = deltas.join(old, self._eq_cond(deltas, old), "left")
-        return self._assemble(j, to)
+        return self._assemble(j, to, n_ord)
 
-    def _assemble(self, j: DataFrame, to: str) -> DataFrame:
+    def _assemble(self, j: DataFrame, to: str, n_ord: int) -> DataFrame:
         partial_types = dict(self._partials)
 
         def _zero(name: str):
@@ -550,7 +559,6 @@ class MaterializedAggregate(IncrementalView):
             anti, old = F.col(f"__mm_anti_{n}"), F.col(f"__old_{n}")
             cmp = (anti <= old) if fn == "min" else (anti >= old)
             threat = threat | (anti.isNotNull() & (old.isNull() | cmp))
-        n_to = _snap_num(to)
         rows = j.select(
             *out_cols,
             live.alias("__live"),
@@ -558,13 +566,13 @@ class MaterializedAggregate(IncrementalView):
         )
         if self._mm_rspecs:
             rows = self._override_minmax(rows, to)
-        ts = F.timestamp_seconds(F.lit(n_to))
+        ts = ord_ts_lit(n_ord)
         return rows.select(
             *self.group_by,
             *[F.col(n) for n, _ in self._partials],
             ts.alias("ts"),
             F.when(F.col("__live") <= 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
-            F.lit(n_to).cast("long").alias("seq"),
+            F.lit(n_ord).cast("long").alias("seq"),
         )
 
     def _override_minmax(self, rows: DataFrame, to: str) -> DataFrame:
@@ -665,16 +673,16 @@ class MaterializedAggregate(IncrementalView):
                 agg_cols.append((F.min(c) if fn == "min" else F.max(c)).alias(n))
         agg_cols.append(F.count(F.lit(1)).alias("__live"))
         fresh = src.groupBy(*self.group_by).agg(*agg_cols)
-        n_to = _snap_num(to)
+        n_ord = self._refresh_ordinal()
         live_rows = fresh.select(
             *self.group_by,
             *[F.col(n) for n, _ in self._partials],
-            F.timestamp_seconds(F.lit(n_to)).alias("ts"),
+            ord_ts_lit(n_ord).alias("ts"),
             F.lit("U").alias("op"),
-            F.lit(n_to).cast("long").alias("seq"),
+            F.lit(n_ord).cast("long").alias("seq"),
         )
         if _snap_num(self.store.current_snapshot_id) == 0:
-            return self._commit(live_rows, frm, to) | {"rebuild": True}
+            return self._commit(live_rows, frm, to, n_ord) | {"rebuild": True}
         # groups that vanished since the last build must be tombstoned
         # (null-SAFE anti join: a null-valued group must match itself, or
         # it would be tombstoned AND re-upserted with a tied LWW order)
@@ -689,11 +697,11 @@ class MaterializedAggregate(IncrementalView):
         gone = old.join(fresh_g, anti_cond, "left_anti").select(
             *self.group_by,
             *[F.col(n) for n, _ in self._partials],
-            F.timestamp_seconds(F.lit(n_to)).alias("ts"),
+            ord_ts_lit(n_ord).alias("ts"),
             F.lit("D").alias("op"),
-            F.lit(n_to).cast("long").alias("seq"),
+            F.lit(n_ord).cast("long").alias("seq"),
         )
-        res = self._commit(live_rows.unionByName(gone), frm, to)
+        res = self._commit(live_rows.unionByName(gone), frm, to, n_ord)
         res["rebuild"] = True
         return res
 

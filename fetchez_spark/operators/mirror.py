@@ -94,6 +94,17 @@ class TableMirror:
         off = self.target.manifest().get("offsets") or {}
         return off.get("upstream", _ROOT_SNAPSHOT)
 
+    def _refresh_ordinal(self, store) -> int:
+        """Strictly increasing per-sync sequence, persisted in the
+        target's offsets atomically with the cursor (same contract as
+        IncrementalView._refresh_ordinal: snapshot numbers are neither
+        monotone nor unique over time, so tokens must not derive from
+        them).  Legacy targets seed from the snapshot-number basis."""
+        off = store.manifest().get("offsets") or {}
+        if "refresh_seq" in off:
+            return int(off["refresh_seq"]) + 1
+        return _snap_num(off.get("upstream", _ROOT_SNAPSHOT)) + 1
+
     # ------------------------------------------------------------- reshape
     def _to_events(self, df: DataFrame) -> DataFrame:
         payload = [f.name for f in df.schema.fields if f.name not in INTERNAL_COLUMNS]
@@ -132,9 +143,16 @@ class TableMirror:
                 # the applied snapshot expired out from under us:
                 # retention was outlived, resync from current state
                 return self._resync(spark, to)
+        # token basis: the mirror's own sync ordinal, not the source
+        # snapshot number -- sid numbers are not unique over time (expire
+        # can free a claim number for reuse) nor monotone under
+        # multi-writer sources, and a reused number would make this sync
+        # skip as a committed-window replay
+        n_ord = self._refresh_ordinal(self.target)
         res = self.target.merge(
-            events, batch_token=f"mirror-{_snap_num(to)}",
-            offsets={"upstream": to}, physical_names=True,
+            events, batch_token=f"mirror-r{n_ord}",
+            offsets={"upstream": to, "refresh_seq": n_ord},
+            physical_names=True,
         )
         # adopt the source's column-rename map: the mirror ships the
         # PHYSICAL layer, so the map is directly valid on the replica and
@@ -175,10 +193,11 @@ class TableMirror:
             (F.col(INTERNAL_SEQ) + F.lit(1)).alias("seq"),
             F.col(INTERNAL_SRC).cast("int").alias("src_partition"),
         )
+        n_ord = self._refresh_ordinal(self.target)
         res = self.target.merge(
             events.unionByName(gone, allowMissingColumns=True),
-            batch_token=f"mirror-{_snap_num(to)}",
-            offsets={"upstream": to},
+            batch_token=f"mirror-r{n_ord}",
+            offsets={"upstream": to, "refresh_seq": n_ord},
             physical_names=True,
         )
         src_map = self.source.manifest(to).get("logical_names") or {}

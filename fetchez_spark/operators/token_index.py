@@ -35,8 +35,7 @@ from pyspark.sql import functions as F
 
 from fetchez_spark.operators._incview import (
     IncrementalView,
-    snap_num,
-    snap_ts_lit,
+    ord_ts_lit,
 )
 
 
@@ -84,8 +83,10 @@ class TokenIndexView(IncrementalView):
         feed = self.source.change_feed(
             spark, frm, to, include_pre_image=True
         ).localCheckpoint(eager=True)
-        n_to = snap_num(to)
-        ts = snap_ts_lit(to)
+        # LWW/token basis: the per-refresh ordinal, NOT the snapshot
+        # number (non-monotone under multi-writer sources)
+        n_ord = self._refresh_ordinal()
+        ts = ord_ts_lit(n_ord)
         ids = [F.col(c) for c in self.id_cols]
 
         post_t = feed.filter(
@@ -109,13 +110,15 @@ class TokenIndexView(IncrementalView):
                 "token",
                 *ids,
                 ts.alias("ts"),
-                F.lit(n_to).cast("long").alias("seq"),
+                F.lit(n_ord).cast("long").alias("seq"),
                 F.pmod(F.hash("token"), F.lit(4)).cast("int").alias("src_partition"),
             )
 
         env = _env(post_t, "U").unionByName(_env(gone_t, "D"))
         res = self.store.merge(
-            env, batch_token=f"tokidx-{n_to}", offsets={"upstream": to}
+            env,
+            batch_token=f"tokidx-r{n_ord}",
+            offsets={"upstream": to, "refresh_seq": n_ord},
         )
         return {"from": frm, "to": to, "snapshot_id": res.get("snapshot_id")}
 

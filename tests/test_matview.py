@@ -140,10 +140,14 @@ def test_matview_refresh_is_idempotent_and_exactly_once(spark, tmp_path):
     r1 = mv.refresh(spark)
     assert not r1["skipped"]
     assert mv.refresh(spark)["skipped"], "no upstream advance -> no-op"
-    # simulate a crashed refresh retry: re-apply the identical range
+    # simulate a crashed refresh retry: re-apply the identical range with
+    # the refresh's actual committed token (format-agnostic) and ordinal
+    cb = mv.store.manifest()["committed_batches"]
+    token = next(t for t, s in cb.items() if s == r1.get("snapshot_id"))
+    off = mv.store.manifest().get("offsets") or {}
     deltas = mv._group_deltas(spark, r1["from"], r1["to"])
-    rows = mv._combined_rows(spark, deltas, r1["to"])
-    res = mv.store.merge(rows, batch_token=f"mv-{int(r1['to'].rsplit('-', 1)[1])}")
+    rows = mv._combined_rows(spark, deltas, r1["to"], int(off["refresh_seq"]))
+    res = mv.store.merge(rows, batch_token=token)
     assert res["skipped"], "same-token replay must be skipped"
     assert _got(mv, spark) == _expected(sink, spark, ["grp"])
 

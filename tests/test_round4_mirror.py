@@ -117,9 +117,11 @@ def test_sync_skips_when_current_and_replayed_range_is_exactly_once(
     assert again["skipped"] is True
     # a replayed cycle (crash after merge, retry of the same range) is
     # skipped by its batch token: same token, no new snapshot
+    cb = mirror.target.manifest()["committed_batches"]
+    token = next(t for t, s in cb.items() if s == first.get("snapshot_id"))
     replay = mirror.target.merge(
         _batch(spark, [("U", "c1", 0, "user", "dup", None, _ts(9), 50, 0)]),
-        f"mirror-{int(source.current_snapshot_id.rsplit('-', 1)[1])}",
+        token,
     )
     assert replay["skipped"] is True
     assert replay["snapshot_id"] == first.get("snapshot_id", replay["snapshot_id"])

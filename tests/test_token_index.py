@@ -72,11 +72,14 @@ def test_refresh_is_idempotent_and_cursor_advances(spark, pair):
     # cursor and postings commit atomically -- but a caller-level retry
     # re-merges with the same token and is skipped)
     before = idx.store.manifest()["snapshot_id"]
+    # the refresh's actual committed token (format-agnostic)
+    cb = idx.store.manifest()["committed_batches"]
+    token = next(t for t, s in cb.items() if s == r1["snapshot_id"])
     idx.store.merge(
         _env(spark, []).limit(0).selectExpr(
             "op", "cast(null as string) as token", "doc_id", "ts", "seq", "src_partition"
         ),
-        batch_token=f"tokidx-{int(''.join(c for c in r1['to'] if c.isdigit()))}",
+        batch_token=token,
     )
     assert idx.store.manifest()["snapshot_id"] == before
 

@@ -95,10 +95,12 @@ def test_view_cursor_survives_out_of_order_snapshot_numbers(spark, tmp_path):
     )
 
     def interloper():
-        # commit the HIGHER-numbered sid first, and refresh the view
-        # while it is the head -- the view's watermark now sits at the
-        # high number before the racy writer commits the lower one
-        other.merge(_batch(spark, 1, 1), "w1-1")
+        # commit the HIGHER-numbered sid first -- touching the SAME
+        # conversations the racy writer is about to touch -- and refresh
+        # the view while it is the head: the view's token watermark AND
+        # its rows' LWW (ts, seq) basis now sit at the high number before
+        # the racy writer commits the lower one
+        other.merge(_batch(spark, 0, 2), "w0-2")
         view.refresh(spark)
 
     source.interloper_fn = interloper
@@ -110,13 +112,17 @@ def test_view_cursor_survives_out_of_order_snapshot_numbers(spark, tmp_path):
     assert int(head[5:]) < int(interloper_sid[5:])
     assert view.last_applied() == interloper_sid
 
-    # refresh to the lower-numbered head: the range must APPLY (watermark
-    # off for view stores), advancing the cursor to the true head
+    # refresh to the lower-numbered head: the range must APPLY (token not
+    # dropped by the watermark) AND its reassembled rows must WIN the
+    # store's LWW (refresh-ordinal seq/ts, not snapshot-number) -- either
+    # failure leaves the view stale
     view.refresh(spark)
     assert view.last_applied() == head
-    # and the view state covers BOTH concurrent commits
-    got = {r["conv_id"] for r in view.read(spark).collect()}
-    assert {"w0c0", "w1c0"} <= got
+    row = {r["conv_id"]: r["transcript"] for r in view.read(spark).collect()}
+    # conv w0c0 turns: seed (alpha0), racy i=1 (alpha1), interloper i=2
+    # (alpha2) -- the final assembly must contain all three
+    for frag in ("alpha0", "alpha1", "alpha2"):
+        assert frag in row["w0c0"], (frag, row["w0c0"])
 
 
 @pytest.mark.slow
