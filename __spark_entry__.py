@@ -305,6 +305,67 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# Shared oracle for the partial-update pair: per-column latest-non-null
+# fold with delete reset over the md5-sparsified events changelog.  One
+# row_number window per surface (delete watermark, liveness, each
+# column); final values gate on beating the delete watermark via row
+# comparisons.
+_PARTIAL_ORACLE = """
+    WITH raw AS (
+      SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             user_id, event_type, event_id, value, ts, event_id AS seq
+      FROM events
+    ),
+    ev AS (
+      SELECT op, user_id, event_id, ts, seq,
+             CASE WHEN substr(md5('pe:' || CAST(user_id AS VARCHAR) || ':'
+                                  || CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN NULL ELSE event_type END AS event_type,
+             CASE WHEN substr(md5('pv:' || CAST(user_id AS VARCHAR) || ':'
+                                  || CAST(event_id AS VARCHAR)), 1, 1) < '6'
+                  THEN NULL ELSE value END AS value
+      FROM raw
+    ),
+    d AS (SELECT user_id, ts AS dts, seq AS dseq FROM (
+            SELECT user_id, ts, seq,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, seq DESC) AS rn
+            FROM ev WHERE op = 'D') WHERE rn = 1),
+    lv AS (SELECT user_id, ts, seq FROM (
+            SELECT user_id, ts, seq,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, seq DESC) AS rn
+            FROM ev WHERE op <> 'D') WHERE rn = 1),
+    c_et AS (SELECT user_id, event_type, ts, seq FROM (
+            SELECT user_id, event_type, ts, seq,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, seq DESC) AS rn
+            FROM ev WHERE op <> 'D' AND event_type IS NOT NULL) WHERE rn = 1),
+    c_id AS (SELECT user_id, event_id, ts, seq FROM (
+            SELECT user_id, event_id, ts, seq,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, seq DESC) AS rn
+            FROM ev WHERE op <> 'D' AND event_id IS NOT NULL) WHERE rn = 1),
+    c_v AS (SELECT user_id, value, ts, seq FROM (
+            SELECT user_id, value, ts, seq,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, seq DESC) AS rn
+            FROM ev WHERE op <> 'D' AND value IS NOT NULL) WHERE rn = 1)
+    SELECT lv.user_id AS user_id,
+           CASE WHEN d.user_id IS NULL OR (c_et.ts, c_et.seq) > (d.dts, d.dseq)
+                THEN c_et.event_type END AS event_type,
+           CASE WHEN d.user_id IS NULL OR (c_id.ts, c_id.seq) > (d.dts, d.dseq)
+                THEN c_id.event_id END AS event_id,
+           CASE WHEN d.user_id IS NULL OR (c_v.ts, c_v.seq) > (d.dts, d.dseq)
+                THEN c_v.value END AS value
+    FROM lv LEFT JOIN d ON lv.user_id = d.user_id
+    LEFT JOIN c_et ON lv.user_id = c_et.user_id
+    LEFT JOIN c_id ON lv.user_id = c_id.user_id
+    LEFT JOIN c_v ON lv.user_id = c_v.user_id
+    WHERE d.user_id IS NULL OR (lv.ts, lv.seq) > (d.dts, d.dseq)
+"""
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -412,6 +473,87 @@ def _q_cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same exactly-once merge path as the stream
     for i in range(3):
         sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_token=f"replay-{i}")
+    return sink.read(spark).select("user_id", "event_type", "event_id", "value")
+
+
+def _sparse_partial_env(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically SPARSIFIED change events for the partial-update
+    mode: event_type / value are nulled by md5 rules inlined identically
+    into the DuckDB oracle (null = "unchanged" under partial semantics).
+    'error' events act as deletes, seq = event_id (same envelope as
+    cdc_replay_snapshot)."""
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    eid = F.col("event_id").cast("string")
+    null_et = (
+        F.substring(F.md5(F.concat(F.lit("pe:"), uid, F.lit(":"), eid)), 1, 1) < "8"
+    )
+    null_v = (
+        F.substring(F.md5(F.concat(F.lit("pv:"), uid, F.lit(":"), eid)), 1, 1) < "6"
+    )
+    return ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "user_id",
+        F.when(~null_et, F.col("event_type")).alias("event_type"),
+        "event_id",
+        F.when(~null_v, F.col("value")).alias("value"),
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+
+
+def _q_partial_update_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-COLUMN last-writer-wins over a SPARSE change log (the
+    partial-update merge mode's one-shot operator,
+    operators/partial.py:fold_partial_updates): a NULL column on an
+    update means "unchanged"; per key+column the latest-setting event
+    wins; a delete resets the row.  Lakehouse analog: Paimon's
+    partial-update merge engine.  (Reference analog: fetchez entry
+    partial metadata updates, /root/reference/src/fetchez/core.py:
+    1128-1137.)"""
+    from fetchez_spark.operators.partial import fold_partial_updates
+
+    env = _sparse_partial_env(spark, sf_dir)
+    out = fold_partial_updates(env, key=["user_id"])
+    return out.select("user_id", "event_type", "event_id", "value")
+
+
+def _q_partial_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partial-update mode END TO END through the real snapshot sink:
+    replay the sparsified changelog in 3 HASH-split batches (late
+    partial updates land in different batches than the rows they patch)
+    into a ``merge_mode='partial'`` table, compact, and read the final
+    state back.  Because each stored row carries per-column (ts, seq)
+    versions, the fold is associative -- any batching must equal the
+    oracle's single global fold, which is exactly what the hash check
+    asserts."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    env = _sparse_partial_env(spark, sf_dir)
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-partial-replay-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"),
+        num_buckets=8,
+        key=["user_id"],
+        base_schema=payload,
+        merge_mode="partial",
+    )
+    for i in range(3):
+        sink.merge(
+            env.filter(F.pmod(F.xxhash64("seq"), F.lit(3)) == i),
+            batch_token=f"partial-{i}",
+        )
+    sink.compact(spark)
     return sink.read(spark).select("user_id", "event_type", "event_id", "value")
 
 
@@ -2114,6 +2256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": _q_cdc_final_state,
         "cdc_tombstone_counts": _q_cdc_tombstone_counts,
         "cdc_replay_snapshot": _q_cdc_replay_snapshot,
+        "partial_update_fold": _q_partial_update_fold,
+        "partial_update_replay": _q_partial_update_replay,
         "cow_multiwriter_replay": _q_cow_multiwriter_replay,
         "cdc_mirror_replica": _q_cdc_mirror_replica,
         "cdc_change_feed": _q_cdc_change_feed,
@@ -2299,6 +2443,17 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) WHERE rn = 1 AND event_type <> 'error'
         """,
+        # per-COLUMN LWW over the sparsified log: for each key, each
+        # column's latest NON-NULL setter wins iff its (ts, seq) beats
+        # the key's latest delete; the key is live iff the latest event
+        # overall is not a delete.  The sparsify rules (md5 thresholds)
+        # are inlined identically on the Spark side.
+        "partial_update_fold": _PARTIAL_ORACLE,
+        # the same fold produced by the real sink across 3 HASH-SPLIT
+        # batches + a compaction: per-column persisted versions make the
+        # fold associative, so any batching must hash-match the single
+        # global fold computed here
+        "partial_update_replay": _PARTIAL_ORACLE,
         # two concurrent CoW writers over disjoint log halves: rebased
         # bucket rewrites must reproduce the SAME LWW reduction as one
         # serial replay -- no concurrent commit lost or duplicated

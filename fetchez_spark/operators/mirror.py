@@ -48,11 +48,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fetchez_spark.sinks.local_snapshot import (
-    INTERNAL_COLUMNS,
     INTERNAL_DELETED,
     INTERNAL_SEQ,
     INTERNAL_SRC,
     LocalSnapshotSink,
+    _is_internal_name,
 )
 
 _ROOT_SNAPSHOT = "snap-0000000000"
@@ -81,6 +81,9 @@ class TableMirror:
             num_buckets=num_buckets or source.manifest()["num_buckets"],
             key=list(source.key),
             base_schema=source.schema(),
+            # a partial-update source ships SPARSE change rows (null =
+            # unchanged); the replica must coalesce them the same way
+            merge_mode=source.merge_mode,
             # sync tokens embed the source snapshot number, which is
             # non-monotone under multi-writer sources (sid claims can
             # commit out of numeric order): window-only exactly-once,
@@ -107,7 +110,7 @@ class TableMirror:
 
     # ------------------------------------------------------------- reshape
     def _to_events(self, df: DataFrame) -> DataFrame:
-        payload = [f.name for f in df.schema.fields if f.name not in INTERNAL_COLUMNS]
+        payload = [f.name for f in df.schema.fields if not _is_internal_name(f.name)]
         return df.select(
             F.when(F.col(INTERNAL_DELETED), F.lit("D"))
             .otherwise(F.lit("U"))
@@ -186,7 +189,7 @@ class TableMirror:
         for k in key:
             c = tgt[k].eqNullSafe(src_keys[f"__mk_{k}"])
             cond = c if cond is None else (cond & c)
-        payload = [f.name for f in tgt.schema.fields if f.name not in INTERNAL_COLUMNS]
+        payload = [f.name for f in tgt.schema.fields if not _is_internal_name(f.name)]
         gone = tgt.join(src_keys, cond, "left_anti").select(
             F.lit("D").alias("op"),
             *[F.col(c) for c in payload],

@@ -76,6 +76,16 @@ from pyspark.sql import types as T
 
 from fetchez_spark.operators.dedup import dedup_latest
 from fetchez_spark.operators.merge import batch_to_target_rows, merge_into
+from fetchez_spark.operators.partial import (
+    events_to_partial_state,
+    fold_partial_states,
+    is_partial_internal,
+    partial_agg_exprs,
+    partial_cols_of,
+    partial_finish_exprs,
+    partial_internal_fields,
+    partial_payload_cols,
+)
 from fetchez_spark.schema import (
     INTERNAL_DELETED,
     INTERNAL_SEQ,
@@ -90,6 +100,19 @@ _BUCKET = "_bucket"
 # manifest "deltas" key for unclustered (flat) delta files
 _FLAT = "*"
 INTERNAL_COLUMNS = (INTERNAL_SEQ, INTERNAL_DELETED, INTERNAL_SRC)
+
+
+def _is_internal_name(name: str) -> bool:
+    """Engine-internal column?  Covers the static trio plus the
+    partial-update mode's dynamic per-column version pairs."""
+    return name in INTERNAL_COLUMNS or is_partial_internal(name)
+
+
+def _internal_names(columns) -> list[str]:
+    """The internal columns present in a schema/column list (accepts a
+    StructType or a list of names)."""
+    names = columns.names if hasattr(columns, "names") else columns
+    return [c for c in names if _is_internal_name(c)]
 # manifest keys whose (blob-ref) payloads every merge carries forward and
 # snapshot expiry keeps alive: table-resident catalog state
 CATALOG_KEYS = (
@@ -281,9 +304,31 @@ class LocalSnapshotSink(SnapshotSink):
         row_ttl_seconds: float | None = None,
         snapshot_keep_last: int | None = None,
         conflict_retries: int = 0,
+        merge_mode: str | None = None,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
+        # merge_mode: how per-key state consolidates.
+        #   "lww"     -- full-row last-writer-wins (default): an update
+        #               event replaces the whole row;
+        #   "partial" -- per-COLUMN last-writer-wins: a NULL payload
+        #               column on an update means "unchanged"; see
+        #               operators/partial.py for semantics + exactness.
+        # Like ``key``, the mode is PART OF THE TABLE METADATA: recorded
+        # at bootstrap, adopted by every fresh-session open, and a
+        # conflicting explicit value is a loud error -- a reader folding
+        # with the wrong reduction would silently corrupt visible state.
+        # None = adopt the recorded mode (lww for new tables).
+        if merge_mode not in (None, "lww", "partial"):
+            raise ValueError(
+                f"merge_mode must be 'lww' or 'partial', got {merge_mode!r}"
+            )
+        if merge_mode == "partial" and compact_bucket_local:
+            raise ValueError(
+                "merge_mode='partial' does not support compact_bucket_local: "
+                "the Arrow bucket-local fold implements full-row LWW only"
+            )
+        self.merge_mode = merge_mode or "lww"
         if not re.fullmatch(r"[A-Za-z0-9._-]+", branch):
             raise ValueError(f"invalid branch name {branch!r}")
         # branch: the Iceberg WAP (write-audit-publish) ref this sink
@@ -456,9 +501,18 @@ class LocalSnapshotSink(SnapshotSink):
             if getattr(self, k) != default
         }
         if self._version("main") is None:
-            schema = T.StructType(
-                list((base_schema or TRANSCRIPT_SCHEMA).fields) + _internal_fields()
-            )
+            payload_fields = list((base_schema or TRANSCRIPT_SCHEMA).fields)
+            internal = _internal_fields()
+            if self.merge_mode == "partial":
+                ts_type = next(
+                    (f.dataType for f in payload_fields if f.name == "ts"),
+                    T.TimestampType(),
+                )
+                internal = internal + partial_internal_fields(
+                    partial_payload_cols([f.name for f in payload_fields], self.key),
+                    ts_type,
+                )
+            schema = T.StructType(payload_fields + internal)
             root = {
                 "snapshot_id": "snap-0000000000",
                 "parent": None,
@@ -471,6 +525,8 @@ class LocalSnapshotSink(SnapshotSink):
                 "stats": {"rows": 0},
                 "offsets": None,
             }
+            if self.merge_mode != "lww":
+                root["merge_mode"] = self.merge_mode
             if self._session_properties:
                 root["properties"] = dict(self._session_properties)
             if self.expectations:
@@ -500,6 +556,18 @@ class LocalSnapshotSink(SnapshotSink):
                     f"constructor key={list(key)!r} conflicts"
                 )
             self.key = list(recorded)
+        # merge mode adoption (same contract as the key): the recorded
+        # mode wins; an explicit conflicting constructor value is a loud
+        # error, never a silently different fold
+        recorded_mm = _boot_manifest.get("merge_mode") or "lww"
+        if merge_mode is not None and merge_mode != recorded_mm:
+            raise ValueError(
+                f"table {table_dir} records merge_mode={recorded_mm!r}; "
+                f"constructor merge_mode={merge_mode!r} conflicts (the fold "
+                "semantics are table metadata and cannot change after "
+                "bootstrap)"
+            )
+        self.merge_mode = recorded_mm
         # adopt recorded table properties for every knob this constructor
         # left at its default -- a fresh-session open (CLI, cron
         # maintenance, a plain reader of a TTL table) sees the table's own
@@ -660,7 +728,9 @@ class LocalSnapshotSink(SnapshotSink):
         full = T.StructType.fromJson(self.manifest()["schema"])
         if include_internal:
             return full
-        return T.StructType([f for f in full.fields if f.name not in INTERNAL_COLUMNS])
+        return T.StructType(
+            [f for f in full.fields if not _is_internal_name(f.name)]
+        )
 
     def is_committed(self, batch_token: str) -> bool:
         return str(batch_token) in self.manifest()["committed_batches"]
@@ -856,6 +926,16 @@ class LocalSnapshotSink(SnapshotSink):
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
 
+    def _reduce(self, df: DataFrame, salt: int = 0) -> DataFrame:
+        """The table's per-key consolidation: full-row LWW max-(ts,_seq)
+        by default, the per-column partial-update fold when the table
+        records ``merge_mode='partial'`` (both associative, so read-time
+        MoR reduction, compaction folds, and CoW rewrites may apply them
+        in any grouping)."""
+        if self.merge_mode == "partial":
+            return fold_partial_states(df, key=self.key, salt=salt)
+        return dedup_latest(df, key=self.key, order=["ts", INTERNAL_SEQ], salt=salt)
+
     def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """Null-backfill columns of ``schema`` the batch lacks (a source
         replaying pre-evolution rows after the table schema has evolved),
@@ -980,6 +1060,41 @@ class LocalSnapshotSink(SnapshotSink):
         order = ["ts", INTERNAL_SEQ]
         others = [f.name for f in schema.fields if f.name not in order]
         big = F.struct(*[F.col(c) for c in order], *[F.col(c) for c in others])
+        if self.merge_mode == "partial":
+            # same grouping/Exchange shapes below, different reduction:
+            # the per-column partial fold's aggregate list + row
+            # reconstruction (operators/partial.py) replace max(struct)
+            pcols = partial_cols_of([f.name for f in schema.fields])
+            aggs = partial_agg_exprs(pcols)
+            finish = partial_finish_exprs(pcols)
+
+            def _finish(won: DataFrame) -> DataFrame:
+                named = set(finish) | set(self.key) | {_BUCKET}
+                sel = [F.col(_BUCKET), *[F.col(k) for k in self.key]] + [
+                    expr.alias(name) for name, expr in finish.items()
+                ]
+                # schema fields the fold does not reconstruct: orphan
+                # version pairs are possible (a batch column arriving
+                # all-null gets its pair before the column itself earns a
+                # type) and are null by construction; anything else is a
+                # drift bug
+                for f in schema.fields:
+                    if f.name in named:
+                        continue
+                    if is_partial_internal(f.name):
+                        sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+                    else:
+                        raise RuntimeError(
+                            f"partial fold cannot reconstruct column {f.name!r}"
+                        )
+                return won.select(*sel)
+
+        else:
+            aggs = [F.max(big).alias("_w")]
+
+            def _finish(won: DataFrame) -> DataFrame:
+                return won.select(F.col(_BUCKET), F.col("_w.*"))
+
         if sort_output:
             key_cols = [F.col(k) for k in self.key]
             won = (
@@ -987,7 +1102,7 @@ class LocalSnapshotSink(SnapshotSink):
                     max(n_partitions, 1), F.col(_BUCKET), *key_cols
                 )
                 .groupBy(F.col(_BUCKET), *key_cols)
-                .agg(F.max(big).alias("_w"))
+                .agg(*aggs)
                 .sortWithinPartitions(F.col(_BUCKET), *key_cols)
             )
         elif fanout_map and any(k > 1 for k in fanout_map.values()):
@@ -1013,17 +1128,15 @@ class LocalSnapshotSink(SnapshotSink):
                     max(n_partitions, 1), F.col(_BUCKET), F.col("_salt")
                 )
                 .groupBy(F.col(_BUCKET), F.col("_salt"), *[F.col(k) for k in self.key])
-                .agg(F.max(big).alias("_w"))
+                .agg(*aggs)
             )
         else:
             won = (
                 aligned.repartition(max(n_partitions, 1), F.col(_BUCKET))
                 .groupBy(F.col(_BUCKET), *[F.col(k) for k in self.key])
-                .agg(F.max(big).alias("_w"))
+                .agg(*aggs)
             )
-        rows = won.select(F.col(_BUCKET), F.col("_w.*")).select(
-            *[f.name for f in schema.fields], _BUCKET
-        )
+        rows = _finish(won).select(*[f.name for f in schema.fields], _BUCKET)
         if purge_before is not None:
             rows = rows.filter(self._tombstone_keep_cond(purge_before))
         if expire_before is not None:
@@ -1907,9 +2020,10 @@ class LocalSnapshotSink(SnapshotSink):
                 how="left_semi",
             )
         if deltas:
-            # merge-on-read: the same max-(ts,_seq) reduction the writer
-            # would have applied at compaction time
-            df = dedup_latest(df, key=self.key, order=["ts", INTERNAL_SEQ])
+            # merge-on-read: the same per-key reduction the writer would
+            # have applied at compaction time (full-row LWW, or the
+            # per-column partial fold on merge_mode='partial' tables)
+            df = self._reduce(df)
         if not include_deleted:
             df = df.filter(~F.col(INTERNAL_DELETED))
         if range_hints:
@@ -1929,7 +2043,7 @@ class LocalSnapshotSink(SnapshotSink):
                 if hi is not None:
                     df = df.filter(F.col(c) <= F.lit(coerce(hi)))
         if not include_internal:
-            df = df.drop(*INTERNAL_COLUMNS)
+            df = df.drop(*_internal_names(df.columns))
         if logical:
             # row TTL (public face only -- internal/physical consumers such
             # as mirror replication and the change feed's pre-state read
@@ -1990,6 +2104,8 @@ class LocalSnapshotSink(SnapshotSink):
         so replicas stay coherent on both layers."""
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
             raise ValueError(f"invalid column name {new!r}")
+        if _is_internal_name(new):
+            raise ValueError(f"{new!r} is an engine-internal name")
         if old == "ts" or new == "ts":
             raise ValueError(
                 "'ts' cannot be renamed: it defines LWW ordering and the "
@@ -2000,7 +2116,7 @@ class LocalSnapshotSink(SnapshotSink):
             schema = T.StructType.fromJson(latest["schema"])
             lmap = dict(latest.get("logical_names") or {})
             physicals = [
-                f.name for f in schema.fields if f.name not in INTERNAL_COLUMNS
+                f.name for f in schema.fields if not _is_internal_name(f.name)
             ]
             logical_now = {lmap.get(p, p): p for p in physicals}
             if old not in logical_now:
@@ -2063,7 +2179,7 @@ class LocalSnapshotSink(SnapshotSink):
             logical_now = {
                 lmap.get(f.name, f.name): f.name
                 for f in schema.fields
-                if f.name not in INTERNAL_COLUMNS
+                if not _is_internal_name(f.name)
             }
             if name not in logical_now:
                 raise ValueError(
@@ -2075,11 +2191,21 @@ class LocalSnapshotSink(SnapshotSink):
                     f"cannot drop {name!r}: key columns define row identity "
                     "and 'ts' defines LWW ordering"
                 )
-            new_schema = T.StructType([f for f in schema.fields if f.name != p])
+            # a partial-mode column takes its per-column version pair
+            # with it (and retires the pair's names alongside its own)
+            dead = {p}
+            if self.merge_mode == "partial":
+                from fetchez_spark.operators.partial import pv_seq, pv_ts
+
+                dead |= {pv_ts(p), pv_seq(p)}
+            new_schema = T.StructType(
+                [f for f in schema.fields if f.name not in dead]
+            )
             lmap.pop(p, None)
             retired = list(latest.get("retired_columns") or [])
-            if p not in retired:
-                retired.append(p)
+            for d in sorted(dead):
+                if d not in retired:
+                    retired.append(d)
             sid = self._claim_sid(latest)
             manifest = {
                 **latest,
@@ -2223,7 +2349,7 @@ class LocalSnapshotSink(SnapshotSink):
             # consumers (mirror replication, engine internals) stay
             # PHYSICAL so replicas remain byte-coherent across renames
             return self._to_logical(
-                df.filter(~F.col(INTERNAL_DELETED)).drop(*INTERNAL_COLUMNS),
+                df.filter(~F.col(INTERNAL_DELETED)).drop(*_internal_names(df.columns)),
                 self.manifest(to_snapshot),
             )
         return df
@@ -2347,8 +2473,8 @@ class LocalSnapshotSink(SnapshotSink):
         m_to = self.manifest(to_snapshot)
         schema = T.StructType.fromJson(m_to["schema"])
         changes = self._read_files(spark, sorted(set(added)), schema)
-        net = dedup_latest(changes, key=self.key, order=["ts", INTERNAL_SEQ])
-        payload_cols = [f.name for f in schema.fields if f.name not in INTERNAL_COLUMNS]
+        net = self._reduce(changes)
+        payload_cols = [f.name for f in schema.fields if not _is_internal_name(f.name)]
         pre = self.read(
             spark,
             snapshot_id=from_snapshot,
@@ -2380,7 +2506,18 @@ class LocalSnapshotSink(SnapshotSink):
                 else []
             ),
         )
-        j = net.join(pre_sel, on=self.key, how="left")
+        post = net
+        if self.merge_mode == "partial":
+            # the range's net rows are SPARSE states (a column the range
+            # never set is null); the post-image a CDC consumer expects
+            # is the full coalesced row, i.e. the fold of the pre-state
+            # with the range -- O(changed keys), same associative fold.
+            # A range that only re-asserts older versions folds to
+            # exactly the pre-state and is filtered by `beats` below.
+            post = fold_partial_states(
+                net.unionByName(pre, allowMissingColumns=True), key=self.key
+            )
+        j = post.join(pre_sel, on=self.key, how="left")
         beats = (
             F.col("_pre_ts").isNull()
             | (F.col("ts") > F.col("_pre_ts"))
@@ -2406,7 +2543,9 @@ class LocalSnapshotSink(SnapshotSink):
             feed = feed.withColumn(
                 "_pre_image", F.when(pre_live, F.col("_pre_image"))
             )
-        feed = feed.drop("_pre_ts", "_pre_seq", "_pre_live", *INTERNAL_COLUMNS)
+        feed = feed.drop(
+            "_pre_ts", "_pre_seq", "_pre_live", *_internal_names(feed.columns)
+        )
         order = payload_cols + ["_change_type"] + (
             ["_pre_image"] if include_pre_image else []
         )
@@ -2612,7 +2751,7 @@ class LocalSnapshotSink(SnapshotSink):
         lcols = {
             self._logical_name(f.name, m): f
             for f in schema.fields
-            if f.name not in INTERNAL_COLUMNS
+            if not _is_internal_name(f.name)
         }
         bad = [c for c in set_ if c in lkey or c == "ts"]
         if bad:
@@ -3152,9 +3291,26 @@ class LocalSnapshotSink(SnapshotSink):
             }
             if ren:
                 batch = batch.withColumnsRenamed(ren)
-        if self.dedup_on_write or self.mode == "cow":
-            batch = dedup_latest(batch, key=self.key, order=["ts", "seq"], salt=self.dedup_salt)
-        rows = batch_to_target_rows(batch)
+        if self.merge_mode == "partial":
+            # events -> single-event partial states (per-column version
+            # pairs) FIRST; the within-batch consolidation is then the
+            # same associative fold the read/compaction paths run
+            bad = [c for c in batch.columns if _is_internal_name(c)]
+            if bad:
+                raise ValueError(
+                    f"batch column(s) {bad} collide with engine-internal "
+                    "names (the partial-update mode reserves _dts/_dseq/"
+                    "_pv_ts__*/_pv_seq__*)"
+                )
+            rows = events_to_partial_state(batch_to_target_rows(batch), self.key)
+            if self.dedup_on_write or self.mode == "cow":
+                rows = fold_partial_states(rows, key=self.key, salt=self.dedup_salt)
+        else:
+            if self.dedup_on_write or self.mode == "cow":
+                batch = dedup_latest(
+                    batch, key=self.key, order=["ts", "seq"], salt=self.dedup_salt
+                )
+            rows = batch_to_target_rows(batch)
         if use_observe:
             obs_out = Observation(f"out-{uuid.uuid4().hex[:8]}")
             rows = rows.observe(
@@ -3532,6 +3688,12 @@ class LocalSnapshotSink(SnapshotSink):
                 "parent": base["snapshot_id"],
                 "schema": schema_.jsonValue(),
                 "key": base.get("key", list(self.key)),
+                # the merge mode is table metadata, carried like the key
+                **(
+                    {"merge_mode": base["merge_mode"]}
+                    if base.get("merge_mode")
+                    else {}
+                ),
                 "num_buckets": int(base.get("num_buckets", nb)),
                 "files": self._pack_map(files_),
                 "deltas": self._pack_map(deltas_),
@@ -3850,6 +4012,14 @@ class LocalSnapshotSink(SnapshotSink):
 
             check_cluster_types(schema, list(cluster_by))
         local_eff = self.compact_bucket_local if local is None else local
+        if local_eff and self.merge_mode == "partial":
+            if local:
+                raise ValueError(
+                    "compact(local=True) is not supported on merge_mode="
+                    "'partial' tables: the Arrow bucket-local fold "
+                    "implements full-row LWW only"
+                )
+            local_eff = False
         use_local = local_eff and not (
             target_file_bytes or self.target_file_bytes or cluster_by
         )

@@ -43,7 +43,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
 from fetchez_spark.schema import INTERNAL_DELETED
-from fetchez_spark.sinks.local_snapshot import INTERNAL_COLUMNS, LocalSnapshotSink
+from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink, _is_internal_name
 
 FORMAT_NAME = "fetchez_changes"
 
@@ -73,7 +73,7 @@ class ChangesDataSource(DataSource):
         keep = [
             f
             for f in full.fields
-            if f.name not in INTERNAL_COLUMNS
+            if not _is_internal_name(f.name)
             or (include_deletes and f.name == INTERNAL_DELETED)
         ]
         return T.StructType(keep)
