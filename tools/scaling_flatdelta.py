@@ -33,11 +33,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from scaling_session import sha2_ceiling  # noqa: E402  (same-window ceiling)
+from scaling_session import PAIR, sha2_ceiling  # noqa: E402  (same-window ceiling)
 
 EVENTS = int(os.environ.get("FETCHEZ_SCALING_EVENTS", 32_000_000))
 TRIALS = int(os.environ.get("FETCHEZ_SCALING_TRIALS", 3))
-PAIR = (2, 8)
 
 CONFIGS = {
     # shipped default: per-batch clustered delta write (one O(batch)
@@ -98,12 +97,14 @@ def engine_runs(log_dir: str) -> dict:
                       f"{blob['value']:,.0f} ev/s", flush=True)
                 time.sleep(30)
     summary = {}
+    lo, hi = PAIR
     for cfg, by_cores in results.items():
-        m2 = statistics.median(by_cores[2])
-        m8 = statistics.median(by_cores[8])
+        m2 = statistics.median(by_cores[lo])
+        m8 = statistics.median(by_cores[hi])
         summary[cfg] = {
-            "rate2": m2, "rate8": m8, "eff": m8 / (4 * m2),
-            "trials2": by_cores[2], "trials8": by_cores[8],
+            "rate2": m2, "rate8": m8, "pair": list(PAIR),
+            "eff": m8 / ((hi / lo) * m2),
+            "trials2": by_cores[lo], "trials8": by_cores[hi],
             "shuffle": shuffles[cfg],
         }
     return summary

@@ -34,7 +34,11 @@ sys.path.insert(0, REPO)
 
 EVENTS = int(os.environ.get("FETCHEZ_SCALING_EVENTS", 32_000_000))
 TRIALS = int(os.environ.get("FETCHEZ_SCALING_TRIALS", 3))
-PAIR = (2, 8)
+PAIR = tuple(
+    int(x) for x in os.environ.get("FETCHEZ_SCALING_PAIR", "2,8").split(",")
+)
+assert len(PAIR) == 2 and PAIR[1] > PAIR[0]
+_SCALE = PAIR[1] / PAIR[0]
 
 
 def _busy(n_iters: int) -> int:
@@ -54,7 +58,9 @@ def busy_loop_ceiling() -> dict:
             p.map(_busy, [iters] * n)
         sec = time.monotonic() - t0
         out[n] = (n * iters) / sec
-    return {"rate2": out[2], "rate8": out[8], "eff": out[8] / (4 * out[2])}
+    lo, hi = PAIR
+    return {"rate2": out[lo], "rate8": out[hi],
+            "pair": list(PAIR), "eff": out[hi] / (_SCALE * out[lo])}
 
 
 def sha2_ceiling() -> dict:
@@ -87,7 +93,9 @@ spark.stop()
         )
         rates[n] = float([l for l in r.stdout.splitlines() if l.startswith("RATE")][0].split()[1])
         time.sleep(10)
-    return {"rate2": rates[2], "rate8": rates[8], "eff": rates[8] / (4 * rates[2])}
+    lo, hi = PAIR
+    return {"rate2": rates[lo], "rate8": rates[hi],
+            "pair": list(PAIR), "eff": rates[hi] / (_SCALE * rates[lo])}
 
 
 def engine_runs(log_dir: str) -> dict:
