@@ -557,6 +557,50 @@ def _q_partial_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select("user_id", "event_type", "event_id", "value")
 
 
+def _q_table_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY clone isolation, ORACLE-CHECKED: replay two thirds of
+    the events changelog into a source table, ``clone_to`` it (metadata
+    only -- the clone REFERENCES the source's files), then replay the
+    remaining third into the SOURCE and read the CLONE.  The clone must
+    still equal the LWW reduction of exactly the first two thirds --
+    i.e. post-clone source commits are invisible to it (the Delta
+    SHALLOW CLONE isolation contract).  (Reference analog: fetchez's
+    skip-if-exists local cache as an immutable working copy,
+    /root/reference/src/fetchez/core.py:557-562.)"""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-clone-read-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "src"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    sink.merge(
+        env.filter(F.pmod(F.col("seq"), F.lit(3)) < 2), batch_token="pre-clone-0"
+    )
+    clone = sink.clone_to(os.path.join(work, "clone"))
+    sink.merge(
+        env.filter(F.pmod(F.col("seq"), F.lit(3)) == 2), batch_token="post-clone-1"
+    )
+    return clone.read(spark).select("user_id", "event_type", "event_id", "value")
+
+
 def _q_cdc_mirror_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-to-table CDC replication, ORACLE-CHECKED end to end: replay
     the ``events`` changelog into a SOURCE table in two stages, mirroring
@@ -2258,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_snapshot": _q_cdc_replay_snapshot,
         "partial_update_fold": _q_partial_update_fold,
         "partial_update_replay": _q_partial_update_replay,
+        "table_clone_read": _q_table_clone_read,
         "cow_multiwriter_replay": _q_cow_multiwriter_replay,
         "cdc_mirror_replica": _q_cdc_mirror_replica,
         "cdc_change_feed": _q_cdc_change_feed,
@@ -2454,6 +2499,17 @@ def oracle_sql() -> dict[str, str]:
         # fold associative, so any batching must hash-match the single
         # global fold computed here
         "partial_update_replay": _PARTIAL_ORACLE,
+        # clone isolation: the zero-copy clone still equals the LWW
+        # reduction of exactly the pre-clone two thirds of the log --
+        # post-clone source commits are invisible to it
+        "table_clone_read": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id % 3 < 2
+            ) WHERE rn = 1 AND event_type <> 'error'
+        """,
         # two concurrent CoW writers over disjoint log halves: rebased
         # bucket rewrites must reproduce the SAME LWW reduction as one
         # serial replay -- no concurrent commit lost or duplicated

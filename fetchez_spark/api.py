@@ -333,6 +333,23 @@ def snapshot_as_of(table_dir: str, ts) -> str:
     return LocalSnapshotSink(table_dir).snapshot_as_of(ts)
 
 
+def clone(
+    table_dir: str,
+    target_dir: str,
+    ref: str | None = None,
+    tag_name: str | None = None,
+) -> dict[str, Any]:
+    """Zero-copy clone of a table (Delta SHALLOW CLONE analog): a new
+    independently-writable table at ``target_dir`` referencing the
+    source's data files, pinned against source expiry by an engine tag.
+    Metadata-only — no Spark session, no data movement.  See
+    :meth:`LocalSnapshotSink.clone_to`."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    c = LocalSnapshotSink(table_dir).clone_to(target_dir, ref=ref, tag_name=tag_name)
+    return dict(c.manifest()["cloned_from"], target_dir=target_dir)
+
+
 def table_report(table_dir: str) -> dict[str, Any]:
     """Driver-side table health report (per-bucket base/delta bytes and
     file counts, size skew, retained history) plus concrete maintenance

@@ -229,6 +229,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --auto: print the plan without executing")
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
+        "clone",
+        help="zero-copy clone: new table referencing the source's files "
+             "(SHALLOW CLONE analog; pinned against source expiry by a tag)",
+    )
+    p.add_argument("table_dir")
+    p.add_argument("target_dir")
+    p.add_argument("--ref", default=None,
+                   help="snapshot id / tag / branch to clone (default: head)")
+    p.add_argument("--tag-name", default=None,
+                   help="name of the protective source tag (default: clone-<hex>)")
+    p = sub.add_parser(
         "branch", help="WAP branches: create / publish / drop / list"
     )
     p.add_argument("table_dir")
@@ -543,6 +554,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.list_versions is not None or not out:
             out["versions"] = cat.versions(args.list_versions or 20)
         print(json.dumps(out, default=str))
+        return 0
+    if args.cmd == "clone":
+        from fetchez_spark import api
+
+        print(json.dumps(
+            api.clone(args.table_dir, args.target_dir, ref=args.ref,
+                      tag_name=args.tag_name),
+            default=str,
+        ))
         return 0
     if args.cmd == "branch":
         from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink

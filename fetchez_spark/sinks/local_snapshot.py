@@ -4605,6 +4605,124 @@ class LocalSnapshotSink(SnapshotSink):
     def _tag_path(self, name: str) -> str:
         return os.path.join(self.table_dir, f"TAG-{name}")
 
+    def clone_to(
+        self,
+        target_dir: str,
+        ref: str | None = None,
+        tag_name: str | None = None,
+    ) -> "LocalSnapshotSink":
+        """ZERO-COPY clone (the Delta ``SHALLOW CLONE`` / Iceberg
+        snapshot-export analog): create a NEW, independently-writable
+        table at ``target_dir`` whose first snapshot REFERENCES this
+        table's data files instead of copying them -- a dev/test sandbox
+        of a 100 TB table for the cost of one metadata commit.
+
+        Mechanics and why it is safe:
+
+        * file lists are absolute paths, so the clone's manifest simply
+          points at the source's parquet files; list/catalog blobs are
+          RE-PACKED into the clone's own blob store (blob GC is
+          per-table);
+        * maintenance is structurally isolated: ``vacuum_orphans`` /
+          ``expire_snapshots`` only ever condemn directories under their
+          OWN table's ``data/`` root, so clone-side maintenance can never
+          delete source files and vice versa;
+        * the cloned snapshot is protected from SOURCE expiry by an
+          engine tag (``tag_name``, default ``clone-<hex>``) created
+          atomically with the clone -- expiry retains tagged history.
+          Dropping the tag hands the files' lifetime back to the source:
+          do that only after the clone stops referencing them (e.g.
+          after a full ``compact()``, which rewrites every bucket into
+          clone-local files and makes the clone self-contained);
+        * writes to the clone land under the CLONE's dir (deltas, then
+          compaction progressively localizes buckets); the source never
+          sees them.  Schema, key, merge_mode, properties, expectations,
+          watermarks, and committed-token state all carry over, so a
+          replayed stream is idempotent against the clone exactly as it
+          would be against the source.
+
+        ``ref``: snapshot id / tag / branch to clone (default: current
+        head).  Returns a fresh sink opened on the clone."""
+        src_sid = self.resolve_ref(ref) if ref else self._version()
+        src = self.manifest(src_sid)
+        if os.path.exists(os.path.join(target_dir, "VERSION")):
+            raise ValueError(f"{target_dir} already holds a table")
+        data_root = os.path.abspath(os.path.join(self.table_dir, "data"))
+        if os.path.abspath(target_dir).startswith(data_root + os.sep):
+            raise ValueError(
+                "clone target cannot live under the source's data/ root "
+                "(source maintenance would condemn it)"
+            )
+        tag = tag_name or f"clone-{uuid.uuid4().hex[:8]}"
+        self.create_tag(tag, src_sid)  # pins the snapshot against expiry
+        try:
+            payload = T.StructType(
+                [
+                    f
+                    for f in T.StructType.fromJson(src["schema"]).fields
+                    if not _is_internal_name(f.name)
+                ]
+            )
+            clone = LocalSnapshotSink(
+                target_dir,
+                num_buckets=int(src["num_buckets"]),
+                key=list(src.get("key") or self.key),
+                base_schema=payload,
+                merge_mode=src.get("merge_mode"),
+            )
+            with clone._commit_lock():
+                root = clone.manifest()
+                sid = clone._claim_sid(root)
+                manifest = {
+                    "snapshot_id": sid,
+                    "parent": root["snapshot_id"],
+                    "schema": src["schema"],
+                    "key": list(src.get("key") or self.key),
+                    **(
+                        {"merge_mode": src["merge_mode"]}
+                        if src.get("merge_mode")
+                        else {}
+                    ),
+                    "num_buckets": int(src["num_buckets"]),
+                    # resolve via the SOURCE's blob store, re-pack into
+                    # the clone's: the clone must never depend on source
+                    # blob retention
+                    "files": clone._pack_map(self._resolve_map(src["files"])),
+                    "deltas": clone._pack_map(
+                        self._resolve_map(src.get("deltas", {}))
+                    ),
+                    "committed_batches": dict(src.get("committed_batches") or {}),
+                    "token_seq": dict(src.get("token_seq") or {}),
+                    "delta_bytes": dict(src.get("delta_bytes") or {}),
+                    "stats": dict(src.get("stats") or {}),
+                    "high_watermark": src.get("high_watermark"),
+                    "offsets": src.get("offsets"),
+                    "cloned_from": {
+                        "table_dir": os.path.abspath(self.table_dir),
+                        "snapshot_id": src_sid,
+                        "tag": tag,
+                    },
+                }
+                for k in CATALOG_KEYS:
+                    if k not in src:
+                        continue
+                    v = src[k]
+                    if isinstance(v, str) and v.startswith("ref:"):
+                        manifest[k] = clone._pack_blob(self._resolve_blob(v))
+                    else:
+                        manifest[k] = v
+                clone._commit(manifest)
+        except BaseException:
+            try:
+                self.drop_tag(tag)
+            except Exception:
+                pass
+            raise
+        # re-open so the returned sink ADOPTS the cloned metadata
+        # (properties, expectations, key, merge_mode) instead of the
+        # bootstrap defaults the staging instance saw
+        return LocalSnapshotSink(target_dir)
+
     def create_tag(self, name: str, snapshot_id: str | None = None) -> str:
         """Tag ``snapshot_id`` (default: current head) as ``name``.
         Tags are IMMUTABLE: re-tagging an existing name errors (drop it
