@@ -464,3 +464,39 @@ def test_mirror_replicates_partial_source(spark, tmp_path):
     mirror.sync_once(spark)
     assert mirror.target.merge_mode == "partial"
     assert _visible(spark, mirror.target) == _visible(spark, src)
+
+
+def test_two_concurrent_writers_partial_mor(spark, tmp_path):
+    """Two threads interleave MoR commits of disjoint log halves into ONE
+    partial-mode table: the associative fold + append reconciliation must
+    land on exactly the global fold, whatever the commit interleaving."""
+    import threading
+
+    events = _gen_events(seed=23)
+    sink = _mk(spark, tmp_path)
+    df = _df(spark, events)
+    halves = [
+        df.filter(F.pmod(F.xxhash64("seq"), F.lit(2)) == i) for i in range(2)
+    ]
+    errs = []
+
+    def writer(i):
+        try:
+            part = halves[i]
+            for j in range(3):
+                sink.merge(
+                    part.filter(F.pmod(F.xxhash64("conv_id"), F.lit(3)) == j),
+                    batch_token=f"w{i}-{j}",
+                )
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert _visible(spark, sink) == _norm(_expected(events))
+    sink.compact(spark)
+    assert _visible(spark, sink) == _norm(_expected(events))
