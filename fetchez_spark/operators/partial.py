@@ -33,8 +33,11 @@ whose version postdates it, silently resurrecting overwritten values.)
 
 Cost: 2 extra internal columns per payload column (a timestamp + a
 long) and, in the fold, one conditional max-struct aggregate per column
-instead of a single max-struct -- still ONE hash aggregate, one
-Exchange, pure codegen, map-side partial aggregation intact.
+instead of a single max-struct -- still ONE grouped aggregation with
+ONE Exchange and map-side partial aggregation (plan-identical in shape
+to the default mode's ``max(struct)`` reduction: Spark plans struct-max
+as a partial SortAggregate -> Exchange -> final SortAggregate; the
+duplicate/hot-key mass still collapses before the shuffle).
 
 Known limits (documented contract, same as Paimon's partial-update
 engine): an explicit NULL cannot be written in partial mode (null means
@@ -145,7 +148,7 @@ def _ver(ts_col: Column, seq_col: Column) -> Column:
 
 
 def partial_agg_exprs(cols: list[str]) -> list[Column]:
-    """The fold's aggregate list (ONE hash aggregate):
+    """The fold's aggregate list (ONE grouped aggregation):
 
     * ``_D``  -- max delete-watermark version across rows;
     * ``_Lv`` -- max version among LIVE rows (liveness candidate);
