@@ -500,3 +500,25 @@ def test_two_concurrent_writers_partial_mor(spark, tmp_path):
     assert _visible(spark, sink) == _norm(_expected(events))
     sink.compact(spark)
     assert _visible(spark, sink) == _norm(_expected(events))
+
+
+def test_partial_fold_single_exchange_with_partial_agg(spark, tmp_path):
+    """The partial fold must keep the LWW reduction's plan shape: partial
+    (map-side) aggregation below ONE hash Exchange, final aggregation
+    above it -- duplicate/hot-key mass collapses before the shuffle, and
+    compaction still moves the table exactly once."""
+    from fetchez_spark.operators.partial import fold_partial_states
+
+    events = _gen_events(seed=29, n_keys=10, n_events=60)
+    sink = _replay(spark, _mk(spark, tmp_path), events, n_batches=1)
+    m = sink.manifest()
+    schema = T.StructType.fromJson(m["schema"])
+    files = [f for fs in sink.delta_lists().values() for f in fs]
+    df = sink._read_files(spark, files, schema)
+    folded = fold_partial_states(df, key=sink.key)
+    plan = folded._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    # partial + final aggregate stages around that one Exchange
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2, (
+        plan[:2000]
+    )
