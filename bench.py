@@ -178,6 +178,12 @@ def run_bench(cores: int, log_dir: str | None = None, json_out: str | None = Non
             # folds (flat deltas minor-clustered first) -- steady-state
             # shuffle drops to one pass per event's bytes
             compact_bucket_local=os.environ.get("FETCHEZ_LOCAL_COMPACT", "0") == "1",
+            # FETCHEZ_MERGE_MODE=partial: replay under the per-column
+            # partial-update fold instead of full-row LWW -- measures the
+            # mode's overhead (wider delta rows: per-column version
+            # pairs; per-column conditional aggregates in compaction and
+            # the final read) on the same changelog
+            merge_mode=os.environ.get("FETCHEZ_MERGE_MODE") or None,
         )
         lineage = LineageLog(os.path.join(work, "lineage"))
         from fetchez_spark.plans import ShuffleMetrics
