@@ -27,6 +27,7 @@ from fetchez_spark.sinks import LocalSnapshotSink, SnapshotSink  # noqa: F401
 from fetchez_spark.streaming import (  # noqa: F401
     LineageLog,
     SchemaEvolvedError,
+    read_bad_records,
     replay_batches,
     run_stream,
     run_stream_supervised,

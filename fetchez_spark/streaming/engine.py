@@ -32,6 +32,10 @@ Transform = Callable[[DataFrame], DataFrame]
 # supervisor can tell "stop: the log evolved" from a real failure
 _EVOLVED_MARKER = "FETCHEZ_SCHEMA_EVOLVED"
 
+# internal column that captures a malformed text line verbatim
+# (Spark's columnNameOfCorruptRecord); never reaches the sink
+_CORRUPT_COL = "_corrupt_record"
+
 
 class SchemaEvolvedError(RuntimeError):
     """A micro-batch's files carry columns (or wider types) the running
@@ -246,6 +250,7 @@ def make_batch_fn(
     on_batch: Callable[[int, dict], None] | None = None,
     token_prefix: str = "",
     watch_schema: tuple[str, Any] | None = None,
+    bad_records: tuple[str, str] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch function: transform chain -> MERGE -> lineage.
 
@@ -263,7 +268,18 @@ def make_batch_fn(
     change schema mid-query, so without this a column first appearing in
     files added after stream start is silently read as absent.  Used by
     :func:`run_stream_supervised`, which catches the failure, widens the
-    schema, and restarts the query (the failed batch re-runs wide)."""
+    schema, and restarts the query (the failed batch re-runs wide).
+
+    ``bad_records=(mode, dir)`` arms text-tail malformed-line handling
+    (the batch arrives carrying ``_corrupt_record``): ``'drop'`` excludes
+    corrupt rows and counts them exactly (one extra pass over the
+    micro-batch's text files -- the parse is re-run, the table merge sees
+    only clean rows); ``'quarantine'`` additionally persists the raw lines
+    to ``<dir>/<token>`` as JSON lines BEFORE the merge, so a crash
+    between quarantine and commit replays both idempotently (the
+    quarantine write is mode=overwrite per batch token, the merge is
+    token-idempotent).  Corrupt rows NEVER advance the table: the
+    ``_corrupt_record`` column is stripped before the merge either way."""
 
     def _token(batch_id: int) -> str:
         return f"{token_prefix}-{batch_id}" if token_prefix else str(batch_id)
@@ -296,6 +312,69 @@ def make_batch_fn(
                         if known.get(f.name) != f.dataType
                     ]
                     raise SchemaEvolvedError(drift)
+        malformed: dict[str, Any] = {}
+        if bad_records is not None:
+            import logging
+            import os
+
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            mode, bdir = bad_records
+            # NOTE: every plan here references real payload columns too --
+            # Spark disallows raw text-source queries whose only referenced
+            # column is the internal corrupt-record column
+            # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+            corrupt = batch.filter(F.col(_CORRUPT_COL).isNotNull())
+            if mode == "quarantine":
+                # persist BEFORE the merge so a crash in between replays
+                # both sides idempotently (overwrite per token / committed
+                # token skip); the Observation rides the write job, so
+                # the count is free.  Full rows land: the raw line in
+                # ``_corrupt_record`` plus whatever fragments parsed (CSV
+                # keeps well-typed fields of a partially-bad row).
+                obs = Observation()
+                target = os.path.join(bdir, _token(batch_id))
+                (
+                    corrupt.observe(obs, F.count(F.lit(1)).alias("n"))
+                    .withColumn("_batch_token", F.lit(_token(batch_id)))
+                    .write.mode("overwrite")
+                    .json(target)
+                )
+                n_bad = int(obs.get["n"])
+                if n_bad == 0:
+                    # a clean batch leaves no empty part-file litter behind
+                    # (and read_bad_records never trips over schema-less
+                    # empty JSON dirs)
+                    import shutil
+
+                    shutil.rmtree(target, ignore_errors=True)
+                    malformed = {"malformed_rows": 0}
+                else:
+                    malformed = {"malformed_rows": n_bad, "bad_records_path": target}
+            else:  # drop: exact count, one extra pass, nothing persisted
+                anchor = next(c for c in batch.columns if c != _CORRUPT_COL)
+                n_bad = int(
+                    batch.select(
+                        F.sum(
+                            F.when(F.col(_CORRUPT_COL).isNotNull(), 1).otherwise(0)
+                        ).alias("n"),
+                        F.count(F.col(anchor)).alias("_anchor"),
+                    ).collect()[0]["n"]
+                    or 0
+                )
+                malformed = {"malformed_rows": n_bad}
+            if n_bad:
+                logging.getLogger("fetchez_spark").warning(
+                    "batch %s: %d malformed line(s) %s (%s)",
+                    _token(batch_id),
+                    n_bad,
+                    "quarantined to " + malformed.get("bad_records_path", "")
+                    if mode == "quarantine"
+                    else "dropped",
+                    "bad_records mode; raw lines are NOT in the table",
+                )
+            batch = batch.filter(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)
         batch = _apply_transforms(batch, transforms)
         # Spark's checkpoint owns source offsets keyed by batch_id; the
         # sink records the same batch_id so {offsets, snapshot} commit as
@@ -305,6 +384,8 @@ def make_batch_fn(
             batch_token=_token(batch_id),
             offsets={"stream_batch_id": int(batch_id), "token_prefix": token_prefix},
         )
+        if malformed:
+            metrics = {**metrics, **malformed}
         if lineage is not None:
             # per-partition counts arrive in the sink's commit metrics
             # (derived from the written delta files); no extra scan of the
@@ -332,6 +413,8 @@ def run_stream(
     watch_schema: bool = False,
     schema_sample_files: int | None = None,
     log_format: str = "parquet",
+    bad_records: str = "fail",
+    bad_records_dir: str | None = None,
 ):
     """Tail a file-backed change log with Structured Streaming.
 
@@ -344,6 +427,22 @@ def run_stream(
     become strings) and would silently corrupt the LWW order — and do not
     support ``watch_schema`` (the evolution guard reads parquet footers;
     text files have none).
+
+    ``bad_records`` (text formats only) decides what a MALFORMED line
+    does.  Spark's own default (PERMISSIVE) turns a corrupt line into an
+    all-null row that would merge into the table as garbage — silent
+    corruption — so this engine never runs it: ``'fail'`` (default) stops
+    the stream on the first malformed line (FAILFAST — nothing is
+    committed, the log gets fixed, the checkpoint resumes exactly-once);
+    ``'drop'`` excludes corrupt lines and reports an exact
+    ``malformed_rows`` count per batch (metrics + lineage + a logged
+    warning); ``'quarantine'`` additionally persists the raw lines (plus
+    any fragments that parsed) as JSON under
+    ``bad_records_dir/<token>/`` — default
+    ``<checkpoint_dir>/bad_records`` — BEFORE the merge, so crash-replay
+    is idempotent on both sides.  Read them back with
+    :func:`read_bad_records`.  Parquet logs reject anything but
+    ``'fail'``: a malformed parquet file always fails the read.
 
     ``available_now=True`` runs a bounded replay of everything currently in
     the log (resumable via ``checkpoint_dir``); ``False`` keeps tailing.
@@ -377,6 +476,15 @@ def run_stream(
     """
     if log_format not in ("parquet", "json", "csv"):
         raise ValueError(f"log_format must be parquet|json|csv, got {log_format!r}")
+    if bad_records not in ("fail", "drop", "quarantine"):
+        raise ValueError(
+            f"bad_records must be fail|drop|quarantine, got {bad_records!r}"
+        )
+    if log_format == "parquet" and bad_records != "fail":
+        raise ValueError(
+            "bad_records applies to text logs only: a malformed parquet "
+            "file always fails the read (there is no per-row recovery)"
+        )
     if log_format != "parquet":
         if schema is None:
             raise ValueError(
@@ -389,13 +497,40 @@ def run_stream(
                 "watch_schema / run_stream_supervised need parquet footers; "
                 f"log_format={log_format!r} has none"
             )
+        if _CORRUPT_COL in schema.fieldNames():
+            raise ValueError(
+                f"{_CORRUPT_COL!r} is reserved for malformed-line capture"
+            )
     if token_prefix is None:
         token_prefix = _default_token_prefix(checkpoint_dir)
     if schema is None:
         schema = _infer_log_schema(spark, log_dir, schema_sample_files)
-    reader = spark.readStream.schema(schema).option(
+    batch_bad_records = None
+    read_schema = schema
+    if log_format != "parquet":
+        import os
+
+        import pyspark.sql.types as T
+
+        if bad_records == "fail":
+            # never Spark's PERMISSIVE default: a corrupt line must not
+            # become an all-null row in the table
+            pass
+        else:
+            read_schema = T.StructType(
+                list(schema.fields) + [T.StructField(_CORRUPT_COL, T.StringType())]
+            )
+            batch_bad_records = (
+                bad_records,
+                bad_records_dir or os.path.join(checkpoint_dir, "bad_records"),
+            )
+    reader = spark.readStream.schema(read_schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
+    if log_format != "parquet":
+        reader = reader.option(
+            "mode", "FAILFAST" if bad_records == "fail" else "PERMISSIVE"
+        ).option("columnNameOfCorruptRecord", _CORRUPT_COL)
     if log_format == "json":
         stream = reader.json(log_dir)
     elif log_format == "csv":
@@ -411,6 +546,7 @@ def run_stream(
                 on_batch=on_batch,
                 token_prefix=token_prefix,
                 watch_schema=(checkpoint_dir, schema) if watch_schema else None,
+                bad_records=batch_bad_records,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -419,6 +555,43 @@ def run_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_bad_records(spark: SparkSession, bad_records_dir: str) -> DataFrame:
+    """Quarantined malformed lines across all batches of a text tail run
+    with ``bad_records='quarantine'``: one row per bad line, carrying the
+    raw line in ``_corrupt_record``, any fragments that parsed, and the
+    ``_batch_token`` that hit it.  Empty-safe (a clean run writes
+    nothing)."""
+    import os
+
+    import pyspark.sql.types as T
+
+    subdirs = (
+        [
+            os.path.join(bad_records_dir, d)
+            for d in sorted(os.listdir(bad_records_dir))
+            if os.path.isdir(os.path.join(bad_records_dir, d))
+        ]
+        if os.path.isdir(bad_records_dir)
+        else []
+    )
+    if not subdirs:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(_CORRUPT_COL, T.StringType()),
+                    T.StructField("_batch_token", T.StringType()),
+                ]
+            ),
+        )
+    # '_corrupt_record' is ALSO Spark's default corrupt-column NAME: without
+    # renaming it for this read, the JSON reader would treat the quarantined
+    # data field as its own internal column and return it as all-null
+    return spark.read.option("columnNameOfCorruptRecord", "_qq_corrupt").json(
+        subdirs
+    )
 
 
 def replay_batches(
