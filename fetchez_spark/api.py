@@ -359,6 +359,17 @@ def table_report(table_dir: str) -> dict[str, Any]:
     return LocalSnapshotSink(table_dir).table_report()
 
 
+def fsck(table_dir: str, deep: bool = False) -> dict[str, Any]:
+    """Read-only structural integrity check: refs resolve, manifests and
+    blobs parse, every referenced data file exists (``deep=True`` also
+    opens the head snapshot's parquet footers).  Returns
+    ``{"ok", "errors", "warnings", "checked"}``; never mutates the
+    table."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).fsck(deep=deep)
+
+
 def auto_maintain(
     table_dir: str,
     spark: SparkSession | None = None,

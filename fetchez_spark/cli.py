@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import inspect
 import json
+import os
 import sys
 
 
@@ -240,6 +241,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tag-name", default=None,
                    help="name of the protective source tag (default: clone-<hex>)")
     p = sub.add_parser(
+        "fsck",
+        help="read-only integrity check: refs/manifests/blobs/data files "
+             "all resolve (--deep also opens head parquet footers); exit "
+             "2 on errors, 0 otherwise",
+    )
+    p.add_argument("table_dir")
+    p.add_argument("--deep", action="store_true",
+                   help="also verify the head snapshot's parquet footers "
+                        "and per-file columns (reads every head file's "
+                        "metadata; still no Spark job)")
+    p = sub.add_parser(
         "branch", help="WAP branches: create / publish / drop / list"
     )
     p.add_argument("table_dir")
@@ -465,8 +477,6 @@ def main(argv: list[str] | None = None) -> int:
                           "snapshot": sink.current_snapshot_id}, default=str))
         return 0
     if args.cmd in ("snapshots", "index", "ingest-index"):
-        import os
-
         from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
         if not os.path.isfile(os.path.join(args.table_dir, "VERSION")):
@@ -564,6 +574,31 @@ def main(argv: list[str] | None = None) -> int:
             default=str,
         ))
         return 0
+    if args.cmd == "fsck":
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        # never bootstrap (a typo'd path must not create a table) and
+        # report a table too broken to open instead of crashing
+        if not os.path.exists(os.path.join(args.table_dir, "VERSION")):
+            report = {
+                "ok": False,
+                "errors": [
+                    f"{args.table_dir}: no VERSION pointer "
+                    "(not a table, or its head is lost)"
+                ],
+                "warnings": [], "checked": {},
+            }
+        else:
+            try:
+                report = LocalSnapshotSink(args.table_dir).fsck(deep=args.deep)
+            except Exception as e:
+                report = {
+                    "ok": False,
+                    "errors": [f"table does not open: {e}"],
+                    "warnings": [], "checked": {},
+                }
+        print(json.dumps(report, default=str))
+        return 0 if report["ok"] else 2
     if args.cmd == "branch":
         from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 

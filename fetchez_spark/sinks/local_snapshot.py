@@ -5147,6 +5147,244 @@ class LocalSnapshotSink(SnapshotSink):
             )
         return report
 
+    def fsck(self, deep: bool = False) -> dict[str, Any]:
+        """Read-only structural integrity check — the ``CHECK TABLE`` an
+        operator runs before trusting (or repairing) a table: every branch
+        and tag resolves to a live manifest, every retained manifest
+        parses with a valid schema/key/bucket layout, every list and
+        catalog blob it references resolves, and every data file it names
+        exists with nonzero size.  ``deep=True`` additionally opens the
+        HEAD snapshot's parquet footers (file magic + metadata — the
+        "bytes are intact" check a size-stat can't give) and verifies each
+        file's columns against the table schema.
+
+        Returns ``{"ok", "errors", "warnings", "checked"}``.  ``errors``
+        are integrity violations (unreadable state / lost data);
+        ``warnings`` are recoverable debris (orphan claim dirs, leftover
+        trash, unreferenced blobs) that :meth:`vacuum_orphans` /
+        :meth:`expire_snapshots` clean up — fsck itself never mutates
+        anything.
+
+        Locking: the metadata phase holds the commit lock (O(metadata),
+        same order as a commit swap) so a racing expire can't yank
+        manifests mid-listing and fabricate errors; the deep footer scan
+        runs OUTSIDE the lock against the captured head (head files are
+        always in every expire's keep set, so they can't be GC'd from
+        under it — a vanished file there is a real error)."""
+        errors: list[str] = []
+        warnings: list[str] = []
+        data_files: set[str] = set()
+        live_blobs: set[str] = set()
+        manifests: dict[str, dict] = {}
+
+        def _list_from_disk(val) -> list[str]:
+            # NEVER through _list_cache: fsck verifies what is ON DISK,
+            # and this session may have written (and cached) the blob
+            # whose file has since been lost
+            if isinstance(val, list):
+                return val
+            with open(os.path.join(self._lists_dir(), val[len("ref:"):])) as f:
+                return json.loads(f.read())
+
+        with self._commit_lock():
+            sids = self.snapshots()
+            heads = dict(self.branches())
+            tags = dict(self.tags())
+            head_sid = self._version()
+            if head_sid is None:
+                errors.append("no VERSION pointer: the table has no head")
+            for sid in sids:
+                try:
+                    with open(self._manifest_path(sid)) as f:
+                        manifests[sid] = json.load(f)
+                except (OSError, ValueError) as e:
+                    errors.append(f"manifest {sid} unreadable: {e}")
+            for kind, refs in (("branch", heads), ("tag", tags)):
+                for name, target in refs.items():
+                    if target not in manifests:
+                        errors.append(
+                            f"{kind} {name!r} points at {target} whose "
+                            "manifest does not exist"
+                        )
+            for sid, m in manifests.items():
+                if m.get("snapshot_id") != sid:
+                    errors.append(
+                        f"manifest {sid} records snapshot_id="
+                        f"{m.get('snapshot_id')!r} (file/content mismatch)"
+                    )
+                try:
+                    schema = T.StructType.fromJson(m["schema"])
+                except Exception as e:
+                    errors.append(f"manifest {sid} schema unparseable: {e}")
+                    schema = None
+                key = m.get("key") or list(self.key)
+                if schema is not None:
+                    missing = [k for k in key if k not in schema.fieldNames()]
+                    if missing:
+                        errors.append(
+                            f"manifest {sid}: key column(s) {missing} absent "
+                            "from the recorded schema"
+                        )
+                nb = int(m.get("num_buckets") or 0)
+                if nb <= 0:
+                    errors.append(f"manifest {sid}: num_buckets={nb!r}")
+                parent = m.get("parent")
+                if parent and parent not in manifests:
+                    # legitimate after expiry trimmed the chain; only worth
+                    # a warning (time travel past it is gone by policy)
+                    warnings.append(
+                        f"manifest {sid}: parent {parent} expired "
+                        "(history truncates there)"
+                    )
+                for field in ("files", "deltas"):
+                    for b, val in (m.get(field) or {}).items():
+                        if b != _FLAT:
+                            try:
+                                ok_label = 0 <= int(b) < nb
+                            except ValueError:
+                                ok_label = False
+                            if not ok_label:
+                                errors.append(
+                                    f"manifest {sid}: {field} bucket label "
+                                    f"{b!r} outside 0..{nb - 1}"
+                                )
+                        if isinstance(val, str):
+                            live_blobs.add(val[len("ref:"):])
+                        try:
+                            data_files.update(_list_from_disk(val))
+                        except OSError as e:
+                            errors.append(
+                                f"manifest {sid}: {field}[{b}] list blob "
+                                f"missing: {e}"
+                            )
+                cf = m.get("change_files")
+                if cf:
+                    if isinstance(cf, str):
+                        live_blobs.add(cf[len("ref:"):])
+                    try:
+                        data_files.update(_list_from_disk(cf))
+                    except OSError as e:
+                        errors.append(
+                            f"manifest {sid}: change_files blob missing: {e}"
+                        )
+                for k in CATALOG_KEYS + ("ts_stats_new",):
+                    ref = m.get(k)
+                    if isinstance(ref, str) and ref.startswith("ref:"):
+                        live_blobs.add(ref[len("ref:"):])
+                        try:
+                            self._resolve_blob(ref)
+                        except OSError as e:
+                            errors.append(
+                                f"manifest {sid}: catalog blob {k!r} "
+                                f"missing: {e}"
+                            )
+                if not isinstance(m.get("committed_batches"), dict):
+                    errors.append(
+                        f"manifest {sid}: committed_batches is not a "
+                        "token->snapshot map"
+                    )
+            # data-file existence + size (stat only; footers are `deep`)
+            bytes_total = 0
+            for path in sorted(data_files):
+                try:
+                    size = os.path.getsize(path)
+                except OSError:
+                    errors.append(f"data file missing: {path}")
+                    continue
+                if size == 0:
+                    errors.append(f"zero-byte data file: {path}")
+                bytes_total += size
+            # debris: orphan data dirs / leftover trash / unreferenced blobs
+            data_root = os.path.join(self.table_dir, "data")
+            orphan_dirs = in_flight = 0
+            for snap in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+                snap_dir = os.path.join(data_root, snap)
+                if any(f.startswith(snap_dir + os.sep) for f in data_files):
+                    continue
+                if self._claim_owner_alive(snap_dir):
+                    in_flight += 1
+                else:
+                    orphan_dirs += 1
+            if in_flight:
+                warnings.append(
+                    f"{in_flight} in-flight claim dir(s) (live writers — "
+                    "expected beside a running stream)"
+                )
+            if orphan_dirs:
+                warnings.append(
+                    f"{orphan_dirs} orphan data dir(s) from crashed commits "
+                    "(vacuum_orphans reclaims them)"
+                )
+            trash = self._trash_path()
+            if os.path.isdir(trash) and os.listdir(trash):
+                warnings.append(
+                    "leftover .trash from interrupted maintenance "
+                    "(the next expire/vacuum re-empties it)"
+                )
+            lists_dir = self._lists_dir()
+            stray_blobs = (
+                sum(
+                    1
+                    for fn in os.listdir(lists_dir)
+                    if fn.endswith(".json") and fn not in live_blobs
+                )
+                if os.path.isdir(lists_dir)
+                else 0
+            )
+            if stray_blobs:
+                warnings.append(
+                    f"{stray_blobs} unreferenced list/catalog blob(s) "
+                    "(expire_snapshots GCs them)"
+                )
+            head_m = manifests.get(head_sid)
+        if deep and head_m is not None:
+            import pyarrow.parquet as pq
+
+            phys = set()
+            try:
+                phys = set(
+                    T.StructType.fromJson(head_m["schema"]).fieldNames()
+                )
+            except Exception:
+                pass  # already reported above
+            head_files: set[str] = set()
+            for field in ("files", "deltas"):
+                for val in (head_m.get(field) or {}).values():
+                    try:
+                        head_files.update(_list_from_disk(val))
+                    except OSError:
+                        pass  # already reported above
+            for path in sorted(head_files):
+                try:
+                    meta = pq.ParquetFile(path)
+                except Exception as e:
+                    errors.append(f"head data file footer unreadable: {path}: {e}")
+                    continue
+                extra = [
+                    c
+                    for c in meta.schema_arrow.names
+                    if c not in phys and not _is_internal_name(c)
+                ]
+                if phys and extra:
+                    errors.append(
+                        f"head data file {path} carries column(s) {extra} "
+                        "absent from the table schema"
+                    )
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "warnings": warnings,
+            "checked": {
+                "snapshots": len(manifests),
+                "branches": len(heads),
+                "tags": len(tags),
+                "data_files": len(data_files),
+                "data_bytes": bytes_total,
+                "blobs": len(live_blobs),
+                "deep": bool(deep),
+            },
+        }
+
     def auto_maintain(
         self,
         spark: SparkSession | None = None,
