@@ -476,6 +476,68 @@ def _q_cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select("user_id", "event_type", "event_id", "value")
 
 
+def _q_badrecords_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-line handling END TO END, ORACLE-CHECKED: render the
+    ``events`` changelog as a JSON-lines text log (the Debezium-tail
+    shape), inject a file of corrupt lines, tail it through the real
+    streaming engine with ``bad_records='drop'``, and read the final
+    table back.  The corrupt lines carry no data, so the result must
+    hash-match the SAME last-writer-wins oracle as ``cdc_replay_snapshot``
+    -- i.e. the drop path excludes exactly the malformed lines and
+    nothing else (Spark's PERMISSIVE default would instead merge all-null
+    garbage rows and break the hash).  ts round-trips through the text
+    format as its exact string cast (micros preserved); value doubles
+    round-trip via Java's shortest-exact repr."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+    from fetchez_spark.streaming.engine import run_stream
+
+    ev = _t(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        F.col("ts").cast("string").alias("ts_s"),
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-badrec-tail-", dir=fast)
+    log_dir = os.path.join(work, "log")
+    env.repartition(4).write.json(log_dir)
+    with open(os.path.join(log_dir, "zz-malformed.json"), "w") as fh:
+        fh.write("{this line is not json\n")
+        fh.write('{"op": "U", "user_id": }\n')
+        fh.write("total garbage\n")
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value")]
+        + [T.StructField("ts", ts_type)]
+    )
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    q = run_stream(
+        spark,
+        log_dir,
+        sink,
+        os.path.join(work, "ckpt"),
+        schema=env.schema,
+        log_format="json",
+        bad_records="drop",
+        max_files_per_trigger=2,
+        transforms=[
+            lambda df: df.withColumn("ts", F.col("ts_s").cast(ts_type)).drop("ts_s")
+        ],
+    )
+    q.awaitTermination(600)
+    return sink.read(spark).select("user_id", "event_type", "event_id", "value")
+
+
 def _sparse_partial_env(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically SPARSIFIED change events for the partial-update
     mode: event_type / value are nulled by md5 rules inlined identically
@@ -2300,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": _q_cdc_final_state,
         "cdc_tombstone_counts": _q_cdc_tombstone_counts,
         "cdc_replay_snapshot": _q_cdc_replay_snapshot,
+        "badrecords_tail": _q_badrecords_tail,
         "partial_update_fold": _q_partial_update_fold,
         "partial_update_replay": _q_partial_update_replay,
         "table_clone_read": _q_table_clone_read,
@@ -2482,6 +2545,16 @@ def oracle_sql() -> dict[str, str]:
         # engine end-to-end: the sink's replay of the events changelog must
         # equal the plain last-writer-wins reduction (tombstones excluded)
         "cdc_replay_snapshot": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # the text tail with corrupt lines injected must land the SAME
+        # final state as the parquet replay: the drop path excludes
+        # exactly the malformed lines, nothing else
+        "badrecords_tail": """
             SELECT user_id, event_type, event_id, value FROM (
               SELECT user_id, event_type, event_id, value,
                      row_number() OVER (PARTITION BY user_id
