@@ -145,3 +145,58 @@ def test_cli_fsck_exit_codes(spark, tmp_path, capsys):
     # a non-table path reports instead of bootstrapping one
     assert main(["fsck", str(tmp_path / "nope")]) == 2
     assert not os.path.exists(tmp_path / "nope" / "VERSION")
+
+
+def test_fsck_never_reports_errors_beside_writers_and_expiry(spark, tmp_path):
+    """fsck's locking claim, pinned: with commits AND expire_snapshots
+    racing it, fsck may see debris warnings but must never fabricate an
+    integrity ERROR (the metadata phase holds the commit lock, so it
+    always sees a consistent manifest listing)."""
+    import threading
+
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4,
+                             compact_every=10**9)
+    sink.merge(
+        _batch(spark, [("c0", 0, "user", "seed", None, _ts(1), "I", 1)]), "b-0"
+    )
+    stop = threading.Event()
+    failures: list = []
+
+    def fsck_loop():
+        checker = LocalSnapshotSink(str(tmp_path / "t"))  # fresh session open
+        while not stop.is_set():
+            try:
+                r = checker.fsck()
+                if r["errors"]:
+                    failures.append(r["errors"])
+                    return
+            except Exception as e:  # pragma: no cover - the failure we hunt
+                failures.append(e)
+                return
+
+    def expire_loop():
+        while not stop.is_set():
+            try:
+                sink.expire_snapshots(keep_last=1, min_age_seconds=3600)
+            except Exception as e:  # pragma: no cover
+                failures.append(e)
+                return
+
+    threads = [
+        threading.Thread(target=fsck_loop, daemon=True),
+        threading.Thread(target=expire_loop, daemon=True),
+    ]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(1, 8):
+            sink.merge(
+                _batch(spark, [(f"c{i}", 0, "user", f"m{i}", None,
+                                _ts(i + 1), "I", i + 1)]),
+                f"b-{i}",
+            )
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(30)
+    assert not failures, f"fsck/expire raced into: {failures[0]!r}"
