@@ -476,6 +476,61 @@ def _q_cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select("user_id", "event_type", "event_id", "value")
 
 
+def _q_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General MERGE INTO end-to-end, ORACLE-CHECKED (the Delta/Iceberg
+    MERGE analog, sinks/local_snapshot.py merge_into): replay two thirds
+    of the events changelog into a table, reduce the last third to its
+    latest row per key, then MERGE it in one commit -- matched 'error'
+    rows delete, other matches update with a MIXED s./t. expression
+    (s.value + t.value), unmatched source rows insert ("all").  The
+    oracle computes the same outcome declaratively: LWW over the first
+    two thirds, joined/anti-joined against the latest-per-key last
+    third."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-merge-into-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) < 2), batch_token="tgt-0")
+    src = (
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 2)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("w"))
+        .select("user_id", "w.event_type", "w.event_id", "w.value", "w.ts")
+    )
+    sink.merge_into(
+        spark,
+        src,
+        when_matched_delete="s.event_type = 'error'",
+        when_matched_update={
+            "event_type": "s.event_type",
+            "event_id": "s.event_id",
+            "value": "s.value + t.value",
+        },
+        when_not_matched_insert="all",
+    )
+    return sink.read(spark).select("user_id", "event_type", "event_id", "value")
+
+
 def _q_badrecords_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-line handling END TO END, ORACLE-CHECKED: render the
     ``events`` changelog as a JSON-lines text log (the Debezium-tail
@@ -2363,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tombstone_counts": _q_cdc_tombstone_counts,
         "cdc_replay_snapshot": _q_cdc_replay_snapshot,
         "badrecords_tail": _q_badrecords_tail,
+        "merge_into_upsert": _q_merge_into_upsert,
         "partial_update_fold": _q_partial_update_fold,
         "partial_update_replay": _q_partial_update_replay,
         "table_clone_read": _q_table_clone_read,
@@ -2550,6 +2606,43 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # general MERGE INTO: LWW over the first two thirds of the log,
+        # then matched-'error' deletes / mixed-expression updates /
+        # unmatched inserts from the latest-per-key last third -- the
+        # declarative join computes what the engine's one-commit MERGE
+        # must land
+        "merge_into_upsert": """
+            WITH tbase AS (
+              SELECT user_id, event_type, event_id, value, ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id % 3 < 2),
+            tgt AS (
+              SELECT user_id, event_type, event_id, value FROM tbase
+              WHERE rn = 1 AND event_type <> 'error'),
+            sbase AS (
+              SELECT user_id, event_type, event_id, value, ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id % 3 = 2),
+            src AS (
+              SELECT user_id, event_type, event_id, value FROM sbase
+              WHERE rn = 1)
+            SELECT t.user_id,
+                   s.event_type AS event_type,
+                   s.event_id AS event_id,
+                   s.value + t.value AS value
+            FROM tgt t JOIN src s ON t.user_id = s.user_id
+            WHERE s.event_type <> 'error'
+            UNION ALL
+            SELECT t.user_id, t.event_type, t.event_id, t.value
+            FROM tgt t
+            WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.user_id = t.user_id)
+            UNION ALL
+            SELECT s.user_id, s.event_type, s.event_id, s.value
+            FROM src s
+            WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.user_id = s.user_id)
         """,
         # the text tail with corrupt lines injected must land the SAME
         # final state as the parquet replay: the drop path excludes

@@ -216,6 +216,31 @@ def update_where(
     return LocalSnapshotSink(table_dir).update_where(spark, condition, set)
 
 
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source,
+    on=None,
+    when_matched_update=None,
+    when_matched_delete=None,
+    when_not_matched_insert=None,
+) -> dict[str, Any]:
+    """General MERGE INTO facade (the Delta/Iceberg analog): matched
+    deletes, matched updates over ``s.``/``t.`` expressions, not-matched
+    inserts -- all in one change-event commit (see
+    LocalSnapshotSink.merge_into)."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).merge_into(
+        spark,
+        source,
+        on=on,
+        when_matched_update=when_matched_update,
+        when_matched_delete=when_matched_delete,
+        when_not_matched_insert=when_not_matched_insert,
+    )
+
+
 def purge_tombstones(spark: SparkSession, table_dir: str, before=None) -> dict[str, Any]:
     """Physical tombstone GC facade (GDPR erasure step 2): rewrite only
     the buckets whose parquet footer stats admit a tombstone older than

@@ -2784,6 +2784,248 @@ class LocalSnapshotSink(SnapshotSink):
         token = batch_token or f"update-where-{uuid.uuid4().hex}x"
         return self.merge(batch, batch_token=token)
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on=None,
+        when_matched_update: dict[str, Any] | str | None = None,
+        when_matched_delete=None,
+        when_not_matched_insert: dict[str, Any] | str | None = None,
+        batch_token: str | None = None,
+        error_on_multiple_matches: bool = True,
+    ) -> dict[str, Any]:
+        """General MERGE INTO (the Delta/Iceberg analog), expressed as ONE
+        change-event commit: join the CURRENTLY VISIBLE winners (alias
+        ``t``) against ``source`` (alias ``s``) and synthesize
+
+        * matched rows where ``when_matched_delete`` holds (a SQL
+          condition over ``s.``/``t.`` columns, or ``True``) -> delete
+          events;
+        * remaining matched rows, when ``when_matched_update`` is given
+          ({col: SQL expr over ``s.``/``t.``} or ``"all"`` = every
+          same-named non-key source column) -> upsert events carrying the
+          winner's payload with the assignments applied;
+        * source rows matching nothing, when ``when_not_matched_insert``
+          is given ({col: expr over ``s.``} or ``"all"``) -> insert
+          events (assignments MUST cover the key and ``ts``).
+
+        Update/delete events commit at the winner's own (ts, _seq+1) --
+        they beat the winner deterministically while any genuinely newer
+        change event still beats them (same LWW contract as
+        :meth:`update_where`: a MERGE is a change event, not a barrier);
+        inserts commit at their assigned ``ts`` (seq 0, assignable).
+
+        A key whose current winner is a TOMBSTONE is "not matched" (it
+        does not exist, the Delta semantics), and the insert must
+        actually land: when the table holds a tombstone NEWER than the
+        assigned ``ts``, the insert event commits at the tombstone's own
+        (ts, _seq+1) instead -- otherwise the "insert" would silently
+        stay dead under the LWW fold.  The row's PAYLOAD ts is whatever
+        the assignment produced only when it already beats the tombstone;
+        resurrection-over-a-newer-tombstone adopts the tombstone's ts
+        (MERGE visibility wins over strict event time, documented
+        trade-off).
+
+        ``on=None`` (default) joins on key equality, and the target read
+        is key-restricted via a broadcast semi-join on the source's keys
+        BEFORE the MoR reduction -- O(|source|) rows shuffled, never the
+        table.  An explicit ``on`` (arbitrary SQL condition) must read
+        every visible winner: fine for dimension-sized sources, document
+        the scan on a 100 TB table.  Multiple source rows matching ONE
+        target row make updates nondeterministic, so they raise by
+        default (the Delta semantics); pass
+        ``error_on_multiple_matches=False`` only when every duplicate
+        match is provably identical.
+
+        (Reference analog: conditional re-fetch/update of already-held
+        entries vs fresh fetches of unseen ones,
+        /root/reference/src/fetchez/core.py:557-562 + 1128-1137 -- the
+        fetch-or-refresh decision lifted to declarative MERGE clauses.)"""
+        if (
+            when_matched_update is None
+            and when_matched_delete is None
+            and when_not_matched_insert is None
+        ):
+            raise ValueError("merge_into needs at least one WHEN clause")
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        lkey = [self._logical_name(k, m) for k in self.key]
+        lcols = {
+            self._logical_name(f.name, m): f
+            for f in schema.fields
+            if not _is_internal_name(f.name)
+        }
+        if on is None:
+            missing_keys = [k for k in lkey if k not in source.columns]
+            if missing_keys:
+                raise ValueError(
+                    f"key-equality merge_into needs the source to carry the "
+                    f"key column(s) {missing_keys}"
+                )
+            keys_df = source.select(*lkey).dropDuplicates()
+            winners = self.read(
+                spark, include_internal=True, include_deleted=True, key_in=keys_df
+            )
+        else:
+            winners = self.read(spark, include_internal=True, include_deleted=True)
+        is_dead = F.coalesce(F.col(INTERNAL_DELETED), F.lit(False))
+        live = winners.filter(~is_dead)
+        dead = winners.filter(is_dead)
+        t = live.alias("t")
+        s = source.alias("s")
+        if on is None:
+            join_cond = F.lit(True)
+            for k in lkey:
+                join_cond = join_cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+        else:
+            join_cond = F.expr(on) if isinstance(on, str) else on
+        matched = t.join(s, join_cond, "inner")
+        if error_on_multiple_matches and (
+            when_matched_update is not None or when_matched_delete is not None
+        ):
+            dups = (
+                matched.groupBy(*[F.col(f"t.{k}") for k in lkey])
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dups:
+                raise ValueError(
+                    "multiple source rows match a single target row: the "
+                    "update/delete outcome would be nondeterministic -- "
+                    "de-duplicate the source (or pass "
+                    "error_on_multiple_matches=False if duplicates are "
+                    "provably identical)"
+                )
+        events: list[DataFrame] = []
+        del_cond = None
+        if when_matched_delete is not None:
+            if when_matched_delete is True:
+                del_cond = F.lit(True)
+            elif isinstance(when_matched_delete, str):
+                del_cond = F.expr(when_matched_delete)
+            else:
+                del_cond = when_matched_delete
+            events.append(
+                matched.filter(del_cond).select(
+                    F.lit("D").alias("op"),
+                    *[F.col(f"t.{c}").alias(c) for c in lcols],
+                    (F.col(f"t.{INTERNAL_SEQ}") + F.lit(1)).alias("seq"),
+                )
+            )
+        if when_matched_update is not None:
+            upd = when_matched_update
+            if upd == "all":
+                upd = {
+                    c: f"s.{c}"
+                    for c in lcols
+                    if c not in lkey and c != "ts" and c in source.columns
+                }
+            bad = [c for c in upd if c in lkey or c == "ts"]
+            if bad:
+                raise ValueError(
+                    f"cannot assign key/ordering columns {bad}: they define "
+                    "row identity (key) and LWW ordering (ts); use delete + "
+                    "insert to move a row"
+                )
+            unknown = [c for c in upd if c not in lcols]
+            if unknown:
+                raise ValueError(
+                    f"update targets not in the table schema: {unknown} "
+                    f"(columns: {sorted(lcols)})"
+                )
+            assigns = {
+                c: (F.expr(v) if isinstance(v, str) else v) for c, v in upd.items()
+            }
+            upd_src = matched
+            if del_cond is not None:
+                upd_src = matched.filter(
+                    ~F.coalesce(del_cond, F.lit(False))
+                )
+            events.append(
+                upd_src.select(
+                    F.lit("U").alias("op"),
+                    *[
+                        (
+                            assigns[c].cast(lcols[c].dataType)
+                            if c in assigns
+                            else F.col(f"t.{c}")
+                        ).alias(c)
+                        for c in lcols
+                    ],
+                    (F.col(f"t.{INTERNAL_SEQ}") + F.lit(1)).alias("seq"),
+                )
+            )
+        if when_not_matched_insert is not None:
+            ins = when_not_matched_insert
+            if ins == "all":
+                ins = {c: f"s.{c}" for c in lcols if c in source.columns}
+            unknown = [c for c in ins if c not in lcols and c != "seq"]
+            if unknown:
+                raise ValueError(
+                    f"insert targets not in the table schema: {unknown} "
+                    f"(columns: {sorted(lcols)})"
+                )
+            missing = [c for c in [*lkey, "ts"] if c not in ins]
+            if missing:
+                raise ValueError(
+                    f"when_not_matched_insert must assign the key and ts; "
+                    f"missing: {missing}"
+                )
+            iassigns = {
+                c: (F.expr(v) if isinstance(v, str) else v) for c, v in ins.items()
+            }
+            unmatched = s.join(t, join_cond, "left_anti")
+            ins_rows = unmatched.select(
+                F.lit("U").alias("op"),
+                *[
+                    (
+                        iassigns[c].cast(lcols[c].dataType)
+                        if c in iassigns
+                        else F.lit(None).cast(lcols[c].dataType)
+                    ).alias(c)
+                    for c in lcols
+                ],
+                (
+                    iassigns["seq"].cast("long")
+                    if "seq" in iassigns
+                    else F.lit(0).cast("long")
+                ).alias("seq"),
+            )
+            # a tombstoned key is "not matched", but the insert must BEAT
+            # the tombstone under the (ts, seq) fold or it silently stays
+            # dead -- override to (tombstone ts, tombstone seq + 1) when
+            # the assigned ts doesn't already win
+            dk = dead.select(
+                *[F.col(k).alias(f"__dk_{i}") for i, k in enumerate(lkey)],
+                F.col("ts").alias("__dts"),
+                F.col(INTERNAL_SEQ).alias("__dseq"),
+            )
+            dj = F.lit(True)
+            for i, k in enumerate(lkey):
+                dj = dj & (ins_rows[k] == dk[f"__dk_{i}"])
+            beats = F.col("__dts").isNull() | (F.col("ts") > F.col("__dts"))
+            events.append(
+                ins_rows.join(dk, dj, "left")
+                .withColumn(
+                    "__seq2",
+                    F.when(beats, F.col("seq")).otherwise(F.col("__dseq") + 1),
+                )
+                .withColumn(
+                    "ts", F.when(beats, F.col("ts")).otherwise(F.col("__dts"))
+                )
+                .drop("seq")
+                .withColumnRenamed("__seq2", "seq")
+                .drop(*[f"__dk_{i}" for i in range(len(lkey))], "__dts", "__dseq")
+            )
+        batch = events[0]
+        for e in events[1:]:
+            batch = batch.unionByName(e)
+        token = batch_token or f"merge-into-{uuid.uuid4().hex}x"
+        return self.merge(batch, batch_token=token)
+
     def purge_tombstones(self, spark: SparkSession, before=None) -> dict[str, Any]:
         """Targeted tombstone GC: rewrite ONLY the buckets whose files can
         hold a tombstone older than the horizon (``before`` or the sink's
