@@ -99,6 +99,12 @@ from fetchez_spark.sinks.base import SnapshotSink
 _BUCKET = "_bucket"
 # manifest "deltas" key for unclustered (flat) delta files
 _FLAT = "*"
+# read(include_provenance=True) metadata columns (the Iceberg `_file`
+# analog): the data file the row's LWW WINNER came from, and the
+# snapshot id that wrote that file.  Not internal columns -- they are
+# opt-in read outputs, never written to disk.
+PROVENANCE_FILE = "_file"
+PROVENANCE_SID = "_sid"
 INTERNAL_COLUMNS = (INTERNAL_SEQ, INTERNAL_DELETED, INTERNAL_SRC)
 
 
@@ -1912,6 +1918,7 @@ class LocalSnapshotSink(SnapshotSink):
         range_hints: dict | None = None,
         logical: bool = True,
         include_expired: bool = False,
+        include_provenance: bool = False,
     ) -> DataFrame:
         """``key_eq``: leading-key point-read hint.  Base files whose
         recorded key range (see :meth:`key_stats`) excludes the value are
@@ -1941,7 +1948,20 @@ class LocalSnapshotSink(SnapshotSink):
         those keys via a broadcast semi-join applied BEFORE the MoR
         reduction (correct because the per-key LWW winner is computed
         from that key's rows alone).  Turns a point-set read into a scan
-        + broadcast filter instead of a full-table dedup shuffle."""
+        + broadcast filter instead of a full-table dedup shuffle.
+
+        ``include_provenance=True`` appends two metadata columns (the
+        Iceberg ``_file`` analog): ``_file`` — the data file the row's
+        LWW winner was read from — and ``_sid`` — the snapshot id that
+        wrote that file (parsed from the engine's ``data/<sid>/d`` path
+        layout).  The column is attached at the scan and rides the MoR
+        reduction inside the winner struct, so it names the file of the
+        WINNING version, not an arbitrary one; on a compacted bucket it
+        names the compaction's output file (the row's bytes really do
+        live there — same as Iceberg after a rewrite).  Refused on
+        ``merge_mode='partial'`` tables: the per-column fold consolidates
+        one row from many files, so a single winning file does not
+        exist."""
         m = self.manifest(snapshot_id)
         schema = T.StructType.fromJson(m["schema"])
         lmap = m.get("logical_names") or {}
@@ -1994,6 +2014,20 @@ class LocalSnapshotSink(SnapshotSink):
             base = self._prune_by_blooms(spark, m, base, key_eq)
             deltas = self._prune_by_blooms(spark, m, deltas, key_eq)
         df = self._read_files(spark, base + deltas, schema)
+        if include_provenance:
+            if self.merge_mode == "partial":
+                raise ValueError(
+                    "include_provenance is not supported on "
+                    "merge_mode='partial' tables: the per-column fold "
+                    "consolidates one row from many files, so a single "
+                    "winning file does not exist"
+                )
+            clash = {PROVENANCE_FILE, PROVENANCE_SID} & set(df.columns)
+            if clash:
+                raise ValueError(
+                    f"include_provenance: table already has columns {sorted(clash)}"
+                )
+            df = df.withColumn(PROVENANCE_FILE, F.input_file_name())
         if key_eq is not None:
             # before the MoR reduction: the predicate is on a grouping key,
             # so it reaches the parquet scan (PushedFilters) and the
@@ -2066,6 +2100,13 @@ class LocalSnapshotSink(SnapshotSink):
                     )
                 )
             df = self._to_logical(df, m)
+        if include_provenance:
+            # data/<sid>/d/... layout (see _snap_payload_dir); compaction
+            # outputs carry the compacting snapshot's sid
+            df = df.withColumn(
+                PROVENANCE_SID,
+                F.regexp_extract(F.col(PROVENANCE_FILE), r"data/(snap-\d+)/", 1),
+            )
         return df
 
     # ------------------------------------------------------- column renames
