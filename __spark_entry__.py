@@ -1180,6 +1180,85 @@ def _q_cdc_changes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type", "event_id", "value")
 
 
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 projection of the events changelog: per user, one row
+    per run of equal ``event_type`` with [valid_from, valid_to) interval
+    bounds; 'error' events act as deletes that CLOSE the open interval
+    without opening one, and unchanged upserts are suppressed (no new
+    version).  One Exchange total -- all three window passes share the
+    key partitioning (plan pinned in tests/test_scd2.py).  (Reference
+    analog: version-preference grouping kept AS history,
+    /root/reference/src/fetchez/modules/multibeam.py:217-253.)"""
+    from fetchez_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "event_type",
+        "ts",
+        F.col("event_id").alias("seq"),
+    )
+    hist = scd2_history(log, key=["user_id"], attrs=["event_type"], order=["ts", "seq"])
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+def _q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained SCD-2 view through the real engine,
+    ORACLE-CHECKED: replay the events changelog into the snapshot sink in
+    three INTERLEAVED micro-batches (every batch carries events that are
+    late relative to the previous refresh) and refresh an
+    :class:`SCD2View` after every batch -- each refresh re-annotates only
+    the touched keys' event history (O(touched), broadcast-key-restricted
+    store read, one ordered-within-key Exchange).  The oracle is DuckDB's
+    one-shot batch SCD-2 window projection of the WHOLE log: three rounds
+    of incremental maintenance must be indistinguishable from it,
+    including late events turning previously-suppressed upserts into
+    change points.  (Reference analog: version-preference grouping kept
+    AS maintained history, /root/reference/src/fetchez/modules/
+    multibeam.py:217-253.)"""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.operators.scd_view import SCD2View
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType([env_fields[c] for c in ("user_id", "event_type", "ts")])
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-scd2-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    view = SCD2View(
+        os.path.join(work, "scd2"), sink, attrs=["event_type"], num_buckets=8
+    )
+    for i in range(3):
+        sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_token=f"replay-{i}")
+        view.refresh(spark)
+    return view.history(spark).select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
 def _q_zorder_slab_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering through the real sink, ORACLE-CHECKED: replay
     the events changelog, major-compact with ``cluster_by=["ts",
@@ -2432,6 +2511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_evolution": _q_drop_evolution,
         "row_ttl_read": _q_row_ttl_read,
         "cdc_changes_window": _q_cdc_changes_window,
+        "scd2_history": _q_scd2_history,
+        "scd2_incremental": _q_scd2_incremental,
         "zorder_slab_read": _q_zorder_slab_read,
         "metadata_count_read": _q_metadata_count_read,
         "metadata_minmax_read": _q_metadata_minmax_read,
@@ -2789,6 +2870,60 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type <> 'error'
               AND ts >= TIMESTAMP '2024-01-10 00:00:00'
               AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        # SCD-2 history: change points per user over event_type runs
+        # ('error' = delete closes the open interval; unchanged upserts
+        # suppressed), intervals closed by the next retained boundary
+        "scd2_history": """
+            WITH ev AS (
+              SELECT user_id,
+                     CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                     event_type, ts, event_id AS seq
+              FROM events),
+            m AS (
+              SELECT *, lag(op) OVER w AS prev_op,
+                     lag(event_type) OVER w AS prev_attr
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, seq)),
+            r AS (
+              SELECT * FROM m
+              WHERE (op = 'D' AND prev_op IS NOT NULL AND prev_op <> 'D')
+                 OR (op <> 'D' AND (prev_op IS NULL OR prev_op = 'D'
+                                    OR event_type IS DISTINCT FROM prev_attr))),
+            c AS (
+              SELECT user_id, event_type, op, epoch_us(ts) AS valid_from_us,
+                     lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, seq) AS valid_to_us
+              FROM r)
+            SELECT user_id, event_type, valid_from_us, valid_to_us,
+                   (valid_to_us IS NULL) AS is_current
+            FROM c WHERE op <> 'D'
+        """,
+        # incremental SCD-2 maintenance must equal the one-shot batch
+        # window projection of the whole changelog (same SQL as
+        # scd2_history: the VIEW is the thing under test on the Spark side)
+        "scd2_incremental": """
+            WITH ev AS (
+              SELECT user_id,
+                     CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                     event_type, ts, event_id AS seq
+              FROM events),
+            m AS (
+              SELECT *, lag(op) OVER w AS prev_op,
+                     lag(event_type) OVER w AS prev_attr
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, seq)),
+            r AS (
+              SELECT * FROM m
+              WHERE (op = 'D' AND prev_op IS NOT NULL AND prev_op <> 'D')
+                 OR (op <> 'D' AND (prev_op IS NULL OR prev_op = 'D'
+                                    OR event_type IS DISTINCT FROM prev_attr))),
+            c AS (
+              SELECT user_id, event_type, op, epoch_us(ts) AS valid_from_us,
+                     lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, seq) AS valid_to_us
+              FROM r)
+            SELECT user_id, event_type, valid_from_us, valid_to_us,
+                   (valid_to_us IS NULL) AS is_current
+            FROM c WHERE op <> 'D'
         """,
         # z-order slab read: LWW final state (tombstones out) restricted to
         # the same two-dimensional slab the pruned engine read applies

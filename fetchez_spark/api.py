@@ -375,6 +375,70 @@ def clone(
     return dict(c.manifest()["cloned_from"], target_dir=target_dir)
 
 
+def scd2_view(
+    store_dir: str,
+    table_dir: str | None = None,
+    attrs: list[str] | None = None,
+    num_buckets: int = 16,
+):
+    """Incrementally-maintained SCD Type-2 dimension view: with
+    ``table_dir``, define (or re-open) the view over that table; without
+    it, reconstruct from the store's persisted definition.  Call
+    ``.refresh(spark)`` per advance, read with ``.history(spark)`` /
+    ``.current(spark)`` / ``.lookup(spark, key)``.  See
+    :class:`fetchez_spark.operators.scd_view.SCD2View`."""
+    from fetchez_spark.operators.scd_view import SCD2View
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    if table_dir is None:
+        return SCD2View.load(store_dir)
+    return SCD2View(
+        store_dir, LocalSnapshotSink(table_dir), attrs=attrs, num_buckets=num_buckets
+    )
+
+
+def register_consumer(
+    table_dir: str, name: str, from_snapshot: str | None = None
+) -> str:
+    """Create a durable CDC subscriber cursor (the Kafka consumer-group
+    analog): ``expire_snapshots`` retains the history the subscriber
+    still needs, ``follow_changes(consumer=name)`` and the
+    ``fetchez_changes`` streaming source (option ``consumer``) resume
+    from it.  Returns the starting snapshot id.  No Spark session
+    needed."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).register_consumer(name, from_snapshot)
+
+
+def advance_consumer(
+    table_dir: str, name: str, snapshot_id: str, force: bool = False
+) -> str:
+    """Move a subscriber cursor forward (refuses rewinds unless
+    ``force=True``), releasing retention pins on the history before it."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).advance_consumer(
+        name, snapshot_id, force=force
+    )
+
+
+def drop_consumer(table_dir: str, name: str) -> None:
+    """Forget a subscriber cursor and release its retention pin."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    LocalSnapshotSink(table_dir).drop_consumer(name)
+
+
+def consumers(table_dir: str) -> dict[str, dict[str, Any]]:
+    """Every registered subscriber cursor with its lag:
+    ``{name: {"snapshot", "behind", "resumable"}}``."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    sink = LocalSnapshotSink(table_dir)
+    return {name: sink.consumer_lag(name) for name in sink.consumers()}
+
+
 def table_report(table_dir: str) -> dict[str, Any]:
     """Driver-side table health report (per-bucket base/delta bytes and
     file counts, size skew, retained history) plus concrete maintenance

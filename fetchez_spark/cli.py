@@ -273,6 +273,25 @@ def main(argv: list[str] | None = None) -> int:
                    help="snapshot for --tag (default: current head)")
     p.add_argument("--drop-tag", default=None, metavar="NAME")
     p = sub.add_parser(
+        "consumer",
+        help="durable CDC subscriber cursors (the Kafka consumer-group "
+        "analog): register/advance/drop named positions; expire retains "
+        "the history a lagging subscriber still needs",
+    )
+    p.add_argument("table_dir")
+    p.add_argument("--register", default=None, metavar="NAME",
+                   help="create a cursor at --at (default: current head)")
+    p.add_argument("--at", default=None, metavar="REF",
+                   help="snapshot/tag/branch for --register / --advance")
+    p.add_argument("--advance", default=None, metavar="NAME",
+                   help="move a cursor to --at (refuses rewinds without "
+                        "--force)")
+    p.add_argument("--force", action="store_true",
+                   help="allow --advance to rewind (deliberate reprocess)")
+    p.add_argument("--drop", default=None, metavar="NAME",
+                   help="release the cursor's retention pin")
+    p.add_argument("--list", action="store_true", dest="list_consumers")
+    p = sub.add_parser(
         "matview",
         help="incremental materialized aggregate views: define once "
         "(--create), then refresh/follow/show from the view dir alone "
@@ -293,6 +312,32 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--timeout", type=float, default=None,
                    help="stop --follow after this many seconds")
     p.add_argument("--show", action="store_true", help="print the view contents")
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--cores", type=int, default=4)
+    p = sub.add_parser(
+        "scd2",
+        help="incrementally-maintained SCD Type-2 dimension view: define "
+        "once (--create), then refresh/show from the view dir alone (the "
+        "definition persists in the view's catalog)",
+    )
+    p.add_argument("view_dir")
+    p.add_argument("--create", default=None, metavar="TABLE_DIR",
+                   help="define an SCD-2 view over a snapshot table")
+    p.add_argument("--attrs", default=None,
+                   help="comma-separated tracked columns (default: every "
+                        "payload column, evolving with the source)")
+    p.add_argument("--refresh", action="store_true",
+                   help="advance the view to the source's current snapshot")
+    p.add_argument("--follow", type=float, default=None, metavar="SECONDS",
+                   help="poll the source and refresh on every commit")
+    p.add_argument("--timeout", type=float, default=None,
+                   help="stop --follow after this many seconds")
+    p.add_argument("--show", action="store_true",
+                   help="print version intervals")
+    p.add_argument("--current", action="store_true",
+                   help="with --show: only the open version per key")
+    p.add_argument("--key", default=None,
+                   help="with --show: one key's history (bucket-pruned)")
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
@@ -624,6 +669,35 @@ def main(argv: list[str] | None = None) -> int:
             out["tags"] = sink.tags()
         print(json.dumps(out, default=str))
         return 0
+    if args.cmd == "consumer":
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        sink = LocalSnapshotSink(args.table_dir)
+        out = {}
+        if args.register:
+            out["registered"] = {
+                "consumer": args.register,
+                "snapshot": sink.register_consumer(args.register, args.at),
+            }
+        if args.advance:
+            if not args.at:
+                print("--advance wants --at REF", file=sys.stderr)
+                return 1
+            out["advanced"] = {
+                "consumer": args.advance,
+                "snapshot": sink.advance_consumer(
+                    args.advance, args.at, force=args.force
+                ),
+            }
+        if args.drop:
+            sink.drop_consumer(args.drop)
+            out["dropped"] = args.drop
+        if args.list_consumers or not out:
+            out["consumers"] = {
+                name: sink.consumer_lag(name) for name in sink.consumers()
+            }
+        print(json.dumps(out, default=str))
+        return 0
     if args.cmd == "maintain":
         from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
@@ -795,6 +869,42 @@ def main(argv: list[str] | None = None) -> int:
             for row in df.limit(args.limit).collect():
                 print(json.dumps(row.asDict(), default=str))
         out["applied"] = mv.last_applied()
+        print(json.dumps(out, default=str))
+        return 0
+    if args.cmd == "scd2":
+        from fetchez_spark.operators.scd_view import SCD2View
+        from fetchez_spark.session import get_spark
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        spark = get_spark(app_name="fetchez-scd2", master=f"local[{args.cores}]")
+        if args.create:
+            view = SCD2View(
+                args.view_dir,
+                LocalSnapshotSink(args.create),
+                attrs=args.attrs.split(",") if args.attrs else None,
+            )
+        else:
+            view = SCD2View.load(args.view_dir)
+        out = {"view": args.view_dir, "upstream": view.source.table_dir}
+        if args.follow is not None:
+            out["refreshes"] = list(
+                view.follow(
+                    spark, poll_seconds=args.follow, timeout_seconds=args.timeout or 60
+                )
+            )
+        elif args.refresh or args.create:
+            out["refresh"] = view.refresh(spark)
+        if args.show:
+            if args.key is not None:
+                df = view.lookup(spark, args.key)
+            elif args.current:
+                df = view.current(spark)
+            else:
+                df = view.history(spark)
+            out["rows"] = df.count()
+            for row in df.limit(args.limit).collect():
+                print(json.dumps(row.asDict(), default=str))
+        out["applied"] = view.last_applied()
         print(json.dumps(out, default=str))
         return 0
     if args.cmd == "mirror":

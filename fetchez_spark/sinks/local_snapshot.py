@@ -123,7 +123,7 @@ def _internal_names(columns) -> list[str]:
 # snapshot expiry keeps alive: table-resident catalog state
 CATALOG_KEYS = (
     "index", "ann_index", "key_stats", "col_stats", "key_blooms",
-    "bucket_rows", "matview_def", "mirror_def",
+    "bucket_rows", "matview_def", "mirror_def", "scd2_def",
     # column-rename indirection (physical -> logical), carried forward
     # by every commit like the other catalog payloads
     "logical_names",
@@ -198,6 +198,17 @@ class ExpectationFailed(RuntimeError):
     Raised BEFORE the manifest commit -- the table state is unchanged
     (the already-written uncommitted delta files are removed best-effort;
     ``vacuum_orphans`` covers the rest)."""
+
+
+class HistoryExpiredError(FileNotFoundError, ValueError):
+    """An incremental walk (``read_changes`` / ``change_feed``) needed a
+    manifest that ``expire_snapshots`` has removed: the range cannot be
+    served and the caller must re-read from current state (or register a
+    consumer cursor so expiry retains its chain).  Subclasses BOTH
+    FileNotFoundError (what the manifest read historically raised
+    mid-walk -- every rebuild-on-expiry fallback catches it) and
+    ValueError (the loud not-an-ancestor contract), so both kinds of
+    caller see the failure they were written for."""
 
 
 def _coerce_scalar(v):
@@ -2414,12 +2425,17 @@ class LocalSnapshotSink(SnapshotSink):
         ts_stats: dict[str, list] = {}
         sid = to_snapshot
         chain_ok = False
+        truncated = False
         nbs: set[int] = set()
         while sid is not None:
             if sid == from_snapshot:
                 chain_ok = True
                 break
-            m = self.manifest(sid)
+            try:
+                m = self.manifest(sid)
+            except FileNotFoundError:
+                truncated = True
+                break  # chain truncated by expiry -> the loud error below
             nbs.add(int(m["num_buckets"]))
             tsn = m.get("ts_stats_new")
             if tsn:
@@ -2442,7 +2458,11 @@ class LocalSnapshotSink(SnapshotSink):
                     parent = m.get("parent")
                     pfiles: set[str] = set()
                     if parent is not None:
-                        pm = self.manifest(parent)
+                        try:
+                            pm = self.manifest(parent)
+                        except FileNotFoundError:
+                            truncated = True
+                            break  # chain truncated -> the loud error below
                         for v in list(pm["files"].values()) + list(pm.get("deltas", {}).values()):
                             pfiles.update(self._resolve_list(v))
                     for b, v in list(m["files"].items()) + list(m.get("deltas", {}).items()):
@@ -2456,6 +2476,14 @@ class LocalSnapshotSink(SnapshotSink):
                                         buckets.add(int(b))
             sid = m.get("parent")
         if not chain_ok:
+            if truncated:
+                raise HistoryExpiredError(
+                    f"cannot read changes {from_snapshot!r} -> "
+                    f"{to_snapshot!r}: part of the parent chain expired "
+                    "(expire_snapshots removed it) before reaching the "
+                    "start snapshot -- re-read from current state, or "
+                    "register_consumer to retain the chain"
+                )
             raise ValueError(
                 f"{from_snapshot!r} is not an ancestor of {to_snapshot!r} "
                 "(expired or on an abandoned rollback branch)"
@@ -2600,6 +2628,7 @@ class LocalSnapshotSink(SnapshotSink):
         stop_event=None,
         timeout_seconds: float | None = None,
         typed: bool = False,
+        consumer: str | None = None,
     ):
         """Generator tailing the table's COMMITS: yields one
         ``{"from", "to", "changes"}`` dict per observed snapshot advance,
@@ -2614,8 +2643,28 @@ class LocalSnapshotSink(SnapshotSink):
         ``from_snapshot=None`` starts at the CURRENT snapshot (new
         changes only).  Stop via ``stop_event`` (threading.Event) or
         ``timeout_seconds``; polling is driver-side metadata only
-        (VERSION read per poll -- O(1))."""
-        last = from_snapshot or self._version()
+        (VERSION read per poll -- O(1)).
+
+        ``consumer="name"`` makes the subscription DURABLE (see
+        :meth:`register_consumer`): the walk resumes from the stored
+        cursor (auto-registered at the current head on first use;
+        ``from_snapshot`` overrides the stored position), and the cursor
+        advances AFTER the caller finishes each yielded range — i.e. when
+        it asks for the next one — so a subscriber that crashes
+        mid-processing re-receives that range on restart (at-least-once
+        per range, never silently skipped), and expiry retains the chain
+        the restart needs."""
+        if consumer is not None:
+            stored = self.consumer_cursor(consumer)
+            if from_snapshot is not None:
+                last = self.advance_consumer(consumer, from_snapshot, force=True)
+            elif stored is not None:
+                last = stored
+            else:
+                head = self._version()
+                last = self.register_consumer(consumer) if head else head
+        else:
+            last = from_snapshot or self._version()
         deadline = (
             (time.monotonic() + timeout_seconds) if timeout_seconds else None
         )
@@ -2632,6 +2681,10 @@ class LocalSnapshotSink(SnapshotSink):
                     else self.read_changes(spark, last, cur)
                 )
                 yield {"from": last, "to": cur, "changes": df}
+                if consumer is not None:
+                    # the caller has consumed the range (it asked for the
+                    # next one): persist the position before moving on
+                    self.advance_consumer(consumer, cur)
                 last = cur
             else:
                 time.sleep(poll_seconds)
@@ -5064,6 +5117,166 @@ class LocalSnapshotSink(SnapshotSink):
             return head
         raise ValueError(f"unknown ref {ref!r} (not a snapshot id, tag, or branch)")
 
+    # ------------------------------------------------- consumer cursors
+    # Durable named CDC subscriber positions (the Kafka consumer-group
+    # offset analog, stored table-side the way Kafka stores group offsets
+    # broker-side): one ``CONSUMER-<name>`` pointer file per subscriber
+    # holding the last snapshot it has fully processed.  Two jobs:
+    #
+    # * resume: ``follow_changes(consumer=...)`` and the
+    #   ``fetchez_changes`` streaming source (option ``consumer``) pick
+    #   up where the subscriber left off with no caller-side bookkeeping;
+    # * retention protection: :meth:`expire_snapshots` retains the
+    #   manifest chain from the current head back to every registered
+    #   cursor, so a LAGGING subscriber's ``read_changes(from=cursor)``
+    #   keeps working instead of dying with "expired" after maintenance.
+    #   A dead subscriber pins history exactly like an abandoned Kafka
+    #   group pins log segments — :meth:`table_report` surfaces the lag
+    #   and :meth:`drop_consumer` releases it.
+    #
+    # Cursors are movable refs: same pointer-file mechanics as tags
+    # (atomic replace, commit-lock serialization against expire's keep
+    # scan), but advance-only by default (a backward move silently
+    # re-delivers and usually signals two instances fighting over one
+    # name; ``force=True`` for deliberate rewind/reprocessing).
+    # (Reference analog: fetchez's resume-from-.part bookkeeping,
+    # /root/reference/src/fetchez/core.py:862-905 — lifted from one
+    # process's download queue to durable multi-subscriber positions.)
+    def _consumer_path(self, name: str) -> str:
+        return os.path.join(self.table_dir, f"CONSUMER-{name}")
+
+    @staticmethod
+    def _check_consumer_name(name: str) -> None:
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or name == "main":
+            raise ValueError(f"invalid consumer name {name!r}")
+
+    def register_consumer(
+        self, name: str, from_snapshot: str | None = None
+    ) -> str:
+        """Create cursor ``name`` at ``from_snapshot`` (default: current
+        head — i.e. 'subscribe to new changes only'; pass an older
+        snapshot/tag/branch to backfill from it).  Errors if the name
+        already exists: registration is the act that STARTS retention
+        protection, and two subscribers sharing a name would corrupt each
+        other's position — use distinct names."""
+        self._check_consumer_name(name)
+        with self._commit_lock():
+            if os.path.exists(self._consumer_path(name)):
+                raise ValueError(f"consumer {name!r} already exists")
+            sid = (
+                self.resolve_ref(from_snapshot)
+                if from_snapshot
+                else self._version()
+            )
+            if sid is None:
+                raise ValueError("table has no head to subscribe from")
+            with open(self._manifest_path(sid)):  # must exist
+                pass
+            self._write_consumer(name, sid)
+        return sid
+
+    def _write_consumer(self, name: str, sid: str) -> None:
+        tmp = self._consumer_path(name) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(sid)
+        os.replace(tmp, self._consumer_path(name))
+
+    def consumers(self) -> dict[str, str]:
+        """{consumer_name: cursor_snapshot_id} for every registered
+        subscriber."""
+        out: dict[str, str] = {}
+        for fn in sorted(os.listdir(self.table_dir)):
+            if fn.startswith("CONSUMER-") and ".tmp." not in fn:
+                with open(os.path.join(self.table_dir, fn)) as f:
+                    out[fn[len("CONSUMER-"):]] = f.read().strip()
+        return out
+
+    def consumer_cursor(self, name: str) -> str | None:
+        """The snapshot id consumer ``name`` has processed through, or
+        None if not registered."""
+        try:
+            with open(self._consumer_path(name)) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
+    def advance_consumer(
+        self, name: str, snapshot_id: str, force: bool = False
+    ) -> str:
+        """Move cursor ``name`` to ``snapshot_id`` (auto-registers a
+        missing name: the streaming source's commit callback must be able
+        to create its own cursor).  Refuses a move to a STRICT ANCESTOR
+        of the current cursor — that rewinds the subscription, which is
+        either an accident (two instances sharing a name) or a deliberate
+        reprocess (``force=True``).  Moves to a non-ancestor, non-
+        descendant sid (a rollback landed in between) are allowed: the
+        cursor must be able to follow the table's actual head."""
+        self._check_consumer_name(name)
+        with self._commit_lock():
+            sid = self.resolve_ref(snapshot_id)
+            cur = self.consumer_cursor(name)
+            if cur == sid:
+                return sid  # no-op stamp (per-poll callers): skip the IO
+            with open(self._manifest_path(sid)):  # must exist
+                pass
+            if cur is not None and not force:
+                # rewind iff sid is a strict ancestor of the current
+                # cursor: walk cur's parent chain (O(retained history),
+                # driver-side metadata).  Anything NOT on that chain is
+                # a legitimate move (forward, or across a rollback).
+                walk: str | None = cur
+                seen: set[str] = set()
+                while walk is not None and walk not in seen:
+                    seen.add(walk)
+                    try:
+                        walk = self.manifest(walk).get("parent")
+                    except FileNotFoundError:
+                        break
+                    if walk == sid:
+                        raise ValueError(
+                            f"advance_consumer({name!r}) would REWIND the "
+                            f"cursor from {cur} to its ancestor {sid} "
+                            "(re-delivering that range); pass force=True "
+                            "to reprocess deliberately"
+                        )
+            self._write_consumer(name, sid)
+        return sid
+
+    def drop_consumer(self, name: str) -> None:
+        """Release ``name``'s retention pin and forget its position."""
+        try:
+            os.remove(self._consumer_path(name))
+        except FileNotFoundError:
+            raise ValueError(f"no consumer named {name!r}") from None
+
+    def consumer_lag(self, name: str) -> dict[str, Any]:
+        """How far behind the head cursor ``name`` is:
+        ``{"snapshot", "behind", "resumable"}`` where ``behind`` counts
+        commits between cursor and head (None when the cursor is off the
+        head's retained chain) and ``resumable`` says whether
+        ``read_changes(from=cursor)`` would succeed right now."""
+        cur = self.consumer_cursor(name)
+        if cur is None:
+            raise ValueError(f"no consumer named {name!r}")
+        behind: int | None = 0
+        sid = self._version()
+        seen: set[str] = set()
+        while sid is not None and sid != cur and sid not in seen:
+            seen.add(sid)
+            try:
+                sid = self.manifest(sid).get("parent")
+            except FileNotFoundError:
+                sid = None
+                break
+            behind += 1
+        if sid != cur:
+            behind = None
+        return {
+            "snapshot": cur,
+            "behind": behind,
+            "resumable": behind is not None,
+        }
+
     # ------------------------------------------------ time-based time travel
     def committed_at(self, snapshot_id: str) -> float:
         """Wall-clock commit time (epoch seconds).  Manifests written
@@ -5391,6 +5604,14 @@ class LocalSnapshotSink(SnapshotSink):
             ),
             "event_time_high_watermark": m.get("high_watermark"),
         }
+        # subscriber lag: every registered consumer cursor pins retained
+        # history (see register_consumer) — an operator reads this block
+        # to find the dead subscriber holding snapshots hostage
+        cons = self.consumers()
+        if cons:
+            report["consumers"] = {
+                name: self.consumer_lag(name) for name in cons
+            }
         rec = report["recommendations"]
         thresh = self._per_bucket_compact_threshold()
         hot = [
@@ -5428,6 +5649,24 @@ class LocalSnapshotSink(SnapshotSink):
                  "reason": f"{n_snapshots} snapshots retained > "
                            f"snapshot_keep_last={self.snapshot_keep_last}"}
             )
+        for name, lag in (report.get("consumers") or {}).items():
+            if not lag["resumable"]:
+                rec.append(
+                    {"action": "drop_consumer", "consumer": name,
+                     "reason": "cursor off retained history; the "
+                               "subscription cannot resume"}
+                )
+            elif (
+                self.snapshot_keep_last is not None
+                and lag["behind"] is not None
+                and lag["behind"] > self.snapshot_keep_last
+            ):
+                rec.append(
+                    {"action": "investigate_consumer", "consumer": name,
+                     "reason": f"{lag['behind']} commits behind head — "
+                               "its pin keeps expire from trimming to "
+                               f"snapshot_keep_last={self.snapshot_keep_last}"}
+                )
         return report
 
     def fsck(self, deep: bool = False) -> dict[str, Any]:
@@ -5489,6 +5728,16 @@ class LocalSnapshotSink(SnapshotSink):
                             f"{kind} {name!r} points at {target} whose "
                             "manifest does not exist"
                         )
+            # a dangling consumer cursor is an unresumable SUBSCRIPTION,
+            # not table corruption: the table reads fine; the subscriber
+            # must re-register (full re-read) or be dropped
+            for name, target in self.consumers().items():
+                if target not in manifests:
+                    warnings.append(
+                        f"consumer {name!r} cursor points at expired "
+                        f"snapshot {target}; the subscription cannot "
+                        "resume (drop_consumer or re-register it)"
+                    )
             for sid, m in manifests.items():
                 if m.get("snapshot_id") != sid:
                     errors.append(
@@ -6030,6 +6279,54 @@ class LocalSnapshotSink(SnapshotSink):
                     if sid not in keep:
                         keep.append(sid)
                     sid = parent
+            # consumer cursors pin the head->cursor SEGMENT: that chain is
+            # exactly what read_changes(from=cursor) walks, so retaining
+            # it keeps every lagging subscriber resumable (the Kafka
+            # consumer-group retention semantic).  Walk from EVERY ref
+            # head (main first, then branches/tags — a subscriber may be
+            # tailing a branch) until the cursor is found.  A cursor whose
+            # chain is already broken (registered before this expiry
+            # discipline, or orphaned by a rollback) can't be repaired by
+            # retention — warn and move on; reads via it already fail
+            # loudly and drop_consumer releases it.
+            for name, cur in self.consumers().items():
+                if not os.path.exists(self._manifest_path(cur)):
+                    _LOG.warning(
+                        "consumer %r cursor points at expired snapshot %s; "
+                        "its subscription is already unresumable (drop the "
+                        "consumer or re-register it)",
+                        name,
+                        cur,
+                    )
+                    continue
+                found = False
+                for start in dict.fromkeys([main_head, *heads.values()]):
+                    sid = start
+                    seg: list[str] = []
+                    walked_c: set[str] = set()
+                    while (
+                        sid is not None and sid != cur and sid not in walked_c
+                    ):
+                        walked_c.add(sid)
+                        seg.append(sid)
+                        try:
+                            sid = self.manifest(sid).get("parent")
+                        except FileNotFoundError:
+                            sid = None
+                            break
+                    if sid == cur:
+                        for s in seg + [cur]:
+                            if s not in keep:
+                                keep.append(s)
+                        found = True
+                        break
+                if not found:
+                    _LOG.warning(
+                        "consumer %r cursor %s is not on any ref's retained "
+                        "history; cannot protect its resume chain",
+                        name,
+                        cur,
+                    )
             referenced: set[str] = set()
             live_blobs: set[str] = set()
             for sid in keep:

@@ -59,7 +59,15 @@ class ChangesDataSource(DataSource):
     * ``table_dir`` (required): the snapshot table;
     * ``from_snapshot``: start offset (default: current -- new changes
       only; use the oldest retained snapshot id for history);
-    * ``include_deletes``: 'true' exposes tombstones with ``_deleted``.
+    * ``include_deletes``: 'true' exposes tombstones with ``_deleted``;
+    * ``consumer``: a durable cursor name (see
+      ``LocalSnapshotSink.register_consumer``) -- the reader starts from
+      the stored cursor when no ``from_snapshot``/checkpoint says
+      otherwise, and Spark's ``commit(end)`` callback advances it after
+      each epoch completes, so the table's ``expire_snapshots`` retains
+      the chain this subscription still needs even while it lags.
+      Exactly-once delivery is still the consumer-side checkpoint's job;
+      the cursor is the TABLE-side retention contract.
     """
 
     @classmethod
@@ -86,6 +94,7 @@ class _ChangesStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, schema: T.StructType, options) -> None:
         self.table_dir = options["table_dir"]
         self.from_snapshot = options.get("from_snapshot")
+        self.consumer = options.get("consumer")
         self.include_deletes = (
             str(options.get("include_deletes", "")).lower() == "true"
         )
@@ -97,11 +106,33 @@ class _ChangesStreamReader(SimpleDataSourceStreamReader):
 
     # ---- offsets are snapshot ids -------------------------------------
     def initialOffset(self) -> dict:
-        sid = self.from_snapshot or self._sink().current_snapshot_id
+        # only consulted on a FRESH checkpoint; precedence: explicit
+        # option, then the durable cursor, then the current head
+        sink = self._sink()
+        sid = self.from_snapshot
+        if sid is None and self.consumer:
+            sid = sink.consumer_cursor(self.consumer)
+        sid = sid or sink.current_snapshot_id
+        if self.consumer:
+            # pin retention NOW: without this, history between the start
+            # offset and the first commit() could expire mid-first-epoch
+            sink.advance_consumer(self.consumer, sid, force=True)
         return {"snapshot": sid}
 
     def read(self, start: dict) -> tuple[list[tuple], dict]:
         sink = self._sink()
+        if self.consumer:
+            # `start` is durable progress by construction: everything
+            # before it is either committed downstream or carried in
+            # Spark's own checkpoint (the simple-reader prefetch cache),
+            # so the table no longer needs to serve it.  Advancing here
+            # (not just in commit()) keeps the cursor honest even under
+            # the availableNow single-batch fallback, where the final
+            # commit() can race query shutdown.
+            try:
+                sink.advance_consumer(self.consumer, start["snapshot"], force=True)
+            except FileNotFoundError:
+                pass  # start already expired: _rows_between raises the loud error
         cur = sink.current_snapshot_id
         if cur == start["snapshot"]:
             return [], start
@@ -113,7 +144,22 @@ class _ChangesStreamReader(SimpleDataSourceStreamReader):
         return self._rows_between(self._sink(), start["snapshot"], end["snapshot"])
 
     def commit(self, end: dict) -> None:
-        pass  # nothing to release: offsets are immutable snapshot ids
+        # offsets themselves are immutable snapshot ids (nothing to
+        # release), but a named consumer advances its durable cursor here
+        # so table-side retention tracks what this subscription has
+        # actually finished.  force=True: Spark may replay commit() for
+        # an epoch the cursor already passed (restart races), and a
+        # no-op/backward stamp must not kill the stream.
+        if self.consumer:
+            try:
+                self._sink().advance_consumer(
+                    self.consumer, end["snapshot"], force=True
+                )
+            except FileNotFoundError:
+                # a replayed commit() for an epoch so old its manifest is
+                # gone: the cursor is already past it; never kill the
+                # stream over a bookkeeping stamp
+                pass
 
     # ---- driver-side row production over the range's change files -----
     # Returns a LIST: Spark pickles the prefetched batch for replay-after
