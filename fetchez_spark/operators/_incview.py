@@ -15,9 +15,14 @@ A subclass provides ``self.source`` (the upstream ``LocalSnapshotSink``),
 
 from __future__ import annotations
 
+import hashlib as _hashlib
+import logging as _logging
+import os as _os
 import time as _time
 from datetime import datetime, timedelta
 from typing import Any
+
+_LOG = _logging.getLogger("fetchez_spark.incview")
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -57,11 +62,92 @@ def ord_ts_lit(ordinal: int):
     return F.lit(EPOCH + timedelta(seconds=int(ordinal))).cast("timestamp")
 
 
-class IncrementalView:
+class RetentionPinMixin:
+    """Durable source-side retention pin shared by every table-derived
+    incremental consumer (the view family below, and TableMirror)."""
+
+    source: Any
+    store: Any
+
+    # ------------------------------------------------------ retention pin
+    # A view IS a CDC subscriber: its next refresh needs the source's
+    # manifest chain back to its applied cursor, and without protection an
+    # aggressive `expire_snapshots` on the source trims that chain out
+    # from under a lagging view (mirror resyncs from scratch; the others
+    # fail loudly).  Each refresh therefore stamps a durable consumer
+    # cursor on the SOURCE (see LocalSnapshotSink.register_consumer) at
+    # the view's applied position -- expiry then retains exactly the
+    # head->cursor chain the view still needs, and the source's
+    # table_report/fsck surface the view as a named lagging subscriber
+    # instead of an invisible time bomb.  Same trade as any consumer
+    # group: an ABANDONED view pins history until its pin is dropped
+    # (`release_retention_pin()`, or `drop_consumer` on the source).
+    # Set ``pin_retention = False`` on an instance to opt out.
+    pin_retention: bool = True
+    PIN_PREFIX: str = "view"
+
+    def retention_pin_name(self) -> str:
+        """Stable per-store consumer name on the source table."""
+        h = _hashlib.sha1(
+            _os.path.abspath(self.store.table_dir).encode()
+        ).hexdigest()[:12]
+        return f"{self.PIN_PREFIX}-{h}"
+
+    def pin_source_retention(self, snapshot_id: str | None = None) -> str | None:
+        """Stamp the retention pin at ``snapshot_id`` (default: the view's
+        applied cursor).  Idempotent; auto-registers; force=True because a
+        crash-replayed refresh may legitimately re-stamp an older position.
+        Best-effort: a source without that manifest (already expired, or
+        not a cursor-capable sink) logs and moves on -- the refresh itself
+        still fails loudly if the chain it NEEDS is gone."""
+        if not self.pin_retention:
+            return None
+        sid = snapshot_id or self.last_applied()
+        try:
+            # fast path: an unchanged stamp (every idle follow poll) must
+            # not take the source's commit lock
+            if self.source.consumer_cursor(self.retention_pin_name()) == sid:
+                return sid
+            return self.source.advance_consumer(
+                self.retention_pin_name(), sid, force=True
+            )
+        except AttributeError:
+            return None  # source has no consumer surface
+        except (FileNotFoundError, ValueError) as e:
+            _LOG.warning(
+                "view retention pin %r not stamped at %s: %s",
+                self.retention_pin_name(), sid, e,
+            )
+            return None
+
+    def release_retention_pin(self) -> None:
+        """Drop the view's consumer cursor on the source (stop pinning
+        history; an abandoned view should call this or be dropped via
+        ``drop_consumer`` source-side)."""
+        try:
+            self.source.drop_consumer(self.retention_pin_name())
+        except (AttributeError, ValueError):
+            pass
+
+
+class IncrementalView(RetentionPinMixin):
     """Cursor + follow contract shared by the incremental views."""
 
     source: Any
     store: Any
+
+    def refresh(self, spark: SparkSession) -> dict[str, Any]:
+        """Advance the view to the source's current snapshot (subclass
+        logic in ``_refresh``), bracketed by the retention pin: stamped at
+        the applied cursor BEFORE reading (a racing source expire cannot
+        trim the range mid-refresh beyond what the pin allows) and at the
+        newly-applied snapshot after."""
+        self.pin_source_retention()
+        out = self._refresh(spark)
+        to = out.get("to")
+        if to:
+            self.pin_source_retention(to)
+        return out
 
     # -------------------------------------------------------------- cursor
     def last_applied(self) -> str:
@@ -91,7 +177,7 @@ class IncrementalView:
             return int(off["refresh_seq"]) + 1
         return snap_num(off.get("upstream", ROOT_SNAPSHOT)) + 1
 
-    def refresh(self, spark: SparkSession) -> dict[str, Any]:  # pragma: no cover
+    def _refresh(self, spark: SparkSession) -> dict[str, Any]:  # pragma: no cover
         raise NotImplementedError
 
     # ------------------------------------------------------------- follow

@@ -239,7 +239,7 @@ class ConversationView(IncrementalView):
         )
 
     # ------------------------------------------------------------- refresh
-    def refresh(self, spark: SparkSession) -> dict[str, Any]:
+    def _refresh(self, spark: SparkSession) -> dict[str, Any]:
         """Advance the view to the source's current snapshot: reassemble
         ONLY the conversations the unseen range touched, in one atomic
         merge (upserts + tombstones + cursor)."""

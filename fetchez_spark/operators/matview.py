@@ -205,7 +205,7 @@ class MaterializedAggregate(IncrementalView):
     # build)
 
     # -------------------------------------------------------------- refresh
-    def refresh(self, spark: SparkSession) -> dict[str, Any]:
+    def _refresh(self, spark: SparkSession) -> dict[str, Any]:
         frm = self.last_applied()
         to = self.source.current_snapshot_id
         if frm == to:

@@ -47,6 +47,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fetchez_spark.operators._incview import RetentionPinMixin
 from fetchez_spark.sinks.local_snapshot import (
     INTERNAL_DELETED,
     INTERNAL_SEQ,
@@ -62,12 +63,23 @@ def _snap_num(snapshot_id: str) -> int:
     return int(snapshot_id.rsplit("-", 1)[1])
 
 
-class TableMirror:
+class TableMirror(RetentionPinMixin):
     """Replicate ``source`` into the snapshot table at ``target_dir``.
 
     ``sync_once`` applies one commit range; ``follow`` keeps the replica
     continuously current (driver-side O(1) polling of the source's
-    commit pointer, same as ``follow_changes``)."""
+    commit pointer, same as ``follow_changes``).  Each sync stamps a
+    durable consumer cursor on the source (``mirror-<store hash>``), so
+    a lagging replica's next range survives source ``expire_snapshots``
+    instead of falling back to a full resync; ``pin_retention = False``
+    opts out."""
+
+    PIN_PREFIX = "mirror"
+
+    @property
+    def store(self):
+        # the mixin derives the pin name from the consumer's own store dir
+        return self.target
 
     def __init__(
         self,
@@ -126,6 +138,9 @@ class TableMirror:
         to = self.source.current_snapshot_id
         if frm == to:
             return {"from": frm, "to": to, "skipped": True}
+        # retention pin at the applied position BEFORE reading the range
+        # (a racing source expire can no longer force a resync mid-sync)
+        self.pin_source_retention(frm)
         if frm == _ROOT_SNAPSHOT:
             # first sync: snapshot copy (tombstones included -- a late
             # pre-delete replay into the TARGET must still lose)
@@ -164,6 +179,7 @@ class TableMirror:
         src_map = self.source.manifest(to).get("logical_names") or {}
         if (self.target.manifest().get("logical_names") or {}) != src_map:
             self.target.set_logical_names(src_map)
+        self.pin_source_retention(to)
         return {
             "from": frm,
             "to": to,
@@ -206,6 +222,7 @@ class TableMirror:
         src_map = self.source.manifest(to).get("logical_names") or {}
         if (self.target.manifest().get("logical_names") or {}) != src_map:
             self.target.set_logical_names(src_map)
+        self.pin_source_retention(to)
         return {
             "from": "<resync>",
             "to": to,

@@ -150,7 +150,7 @@ class SCD2View(IncrementalView):
         )
 
     # ------------------------------------------------------------- refresh
-    def refresh(self, spark: SparkSession) -> dict[str, Any]:
+    def _refresh(self, spark: SparkSession) -> dict[str, Any]:
         """Advance the view to the source's current snapshot: re-annotate
         the touched keys' full event history (stored events + the range's
         new ones) and upsert it in ONE atomic merge with the cursor."""

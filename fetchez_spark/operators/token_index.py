@@ -72,7 +72,7 @@ class TokenIndexView(IncrementalView):
         )
 
     # ------------------------------------------------------------- refresh
-    def refresh(self, spark: SparkSession) -> dict[str, Any]:
+    def _refresh(self, spark: SparkSession) -> dict[str, Any]:
         """Advance the index to the source's current snapshot by applying
         the typed change feed of the unseen range.  One atomic merge:
         postings upserts + tombstones + the cursor commit together."""

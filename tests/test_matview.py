@@ -185,6 +185,9 @@ def test_matview_rebuild_after_source_expiry(spark, tmp_path):
     tombstoning groups that vanished since the stale view state."""
     sink = _sink(spark, tmp_path / "t")
     mv = MaterializedAggregate(sink, str(tmp_path / "mv"), ["grp"], AGGS)
+    # opt out of the retention pin: this test exercises the fallback that
+    # fires when the pin is absent/dropped and expiry outruns the view
+    mv.pin_retention = False
     _merge(spark, sink, [
         ("U", 1, "a", "x", 1.0, 1, _ts(0), 1),
         ("U", 2, "gone", "x", 5.0, 5, _ts(0), 2),

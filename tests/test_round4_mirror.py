@@ -130,6 +130,10 @@ def test_sync_skips_when_current_and_replayed_range_is_exactly_once(
 
 def test_resync_after_source_history_expired(spark, source, tmp_path):
     mirror = TableMirror(source, str(tmp_path / "replica"))
+    # opt out of the retention pin: this test exercises the resync repair
+    # that fires when the pin is absent/dropped and expiry outruns the
+    # replica (test_view_retention_pin covers the pinned no-resync path)
+    mirror.pin_retention = False
     mirror.sync_once(spark)
     # replica drifts: a key the source never had (simulates divergence the
     # resync must repair by tombstoning)
