@@ -10,7 +10,8 @@ every observed advance.  That contract lives here ONCE so the three views
 cannot drift on poll/stop/cursor semantics.
 
 A subclass provides ``self.source`` (the upstream ``LocalSnapshotSink``),
-``self.store`` (the view's own sink) and ``refresh(spark) -> dict``.
+``self.store`` (the view's own sink) and ``_refresh(spark) -> dict``;
+the base ``refresh()`` wraps it with the source retention pin.
 """
 
 from __future__ import annotations

@@ -70,6 +70,12 @@ from fetchez_spark.operators._incview import (
 from fetchez_spark.operators.scd import scd2_annotate
 
 _ANN_COLS = ["opens", "valid_from", "valid_to", "is_current"]
+# names the store claims for itself: event identity/op, the annotation
+# columns, the store's own LWW pair, and the merge envelope
+_RESERVED = {
+    "evt_ts", "evt_seq", "evt_op", "ts", "seq", "op", "src_partition",
+    *_ANN_COLS,
+}
 
 
 class SCD2View(IncrementalView):
@@ -101,6 +107,13 @@ class SCD2View(IncrementalView):
         self.source = source
         self.src_key = list(source.key)
         self.attrs = list(attrs) if attrs is not None else None
+        if self.attrs:
+            clash = sorted(set(self.attrs) & _RESERVED)
+            if clash:
+                raise ValueError(
+                    f"attrs {clash} collide with the SCD-2 store's "
+                    "reserved names; rename the source columns"
+                )
         self.suppress_unchanged = bool(suppress_unchanged)
         self.store = LocalSnapshotSink(
             store_dir,
@@ -125,12 +138,20 @@ class SCD2View(IncrementalView):
         schema = T.StructType.fromJson(m["schema"])
         from fetchez_spark.sinks.local_snapshot import _is_internal_name
 
-        return [
+        out = [
             lmap.get(f.name, f.name)
             for f in schema.fields
             if not _is_internal_name(f.name)
             and lmap.get(f.name, f.name) not in skip
         ]
+        clash = sorted(set(out) & _RESERVED)
+        if clash:
+            raise ValueError(
+                f"source columns {clash} collide with the SCD-2 store's "
+                "reserved names; pass attrs= excluding them or rename the "
+                "source columns"
+            )
+        return out
 
     def _to_events(self, raw: DataFrame, attrs: list[str]) -> DataFrame:
         """Raw physical change rows -> the store's event shape."""
@@ -272,13 +293,32 @@ class SCD2View(IncrementalView):
         )
 
     # ----------------------------------------------------------- definition
+    def _check_definition(self, ref) -> bool:
+        """True if a persisted definition exists; LOUD if it names a
+        different source (mixing two tables' events into one store would
+        corrupt every touched key's history, so never silently adopt)."""
+        if not ref:
+            return False
+        import os
+
+        d = self.store._resolve_blob(ref)
+        if os.path.abspath(d["source_dir"]) != os.path.abspath(
+            self.source.table_dir
+        ):
+            raise ValueError(
+                f"{self.store.table_dir} is an SCD-2 store over "
+                f"{d['source_dir']!r}, not {self.source.table_dir!r}; "
+                "use SCD2View.load(store_dir) or a fresh store dir"
+            )
+        return True
+
     def _ensure_definition(self) -> None:
         sink = self.store
-        if sink.manifest().get("scd2_def"):
+        if self._check_definition(sink.manifest().get("scd2_def")):
             return
         with sink._commit_lock():
             latest = sink.manifest()
-            if latest.get("scd2_def"):
+            if self._check_definition(latest.get("scd2_def")):
                 return
             sid = sink._claim_sid(latest)
             manifest = {

@@ -265,6 +265,28 @@ def test_api_and_cli_surface(spark, tmp_path):
     assert summary["rows"] == len(_oracle_set(spark, ALL_ROWS[:5]))
 
 
+def test_reserved_name_collisions_are_loud(spark, tmp_path):
+    src = _mk_source(tmp_path)
+    with pytest.raises(ValueError, match="reserved"):
+        SCD2View(str(tmp_path / "scd2a"), src, attrs=["opens"])
+    # attrs=None resolving to a reserved source column is equally loud
+    src.merge(
+        _env(spark, [("a", "U", "x", 1)]).withColumn("valid_to", F.lit("v")),
+        batch_token="b-0",
+    )
+    view = SCD2View(str(tmp_path / "scd2b"), src)
+    with pytest.raises(ValueError, match="reserved"):
+        view.refresh(spark)
+
+
+def test_wrong_source_for_existing_store_is_loud(spark, tmp_path):
+    src = _mk_source(tmp_path)
+    SCD2View(str(tmp_path / "scd2"), src, attrs=["attr"])
+    other = _mk_source(tmp_path, name="other")
+    with pytest.raises(ValueError, match="SCD-2 store over"):
+        SCD2View(str(tmp_path / "scd2"), other, attrs=["attr"])
+
+
 def test_store_survives_compaction_and_expiry(spark, tmp_path):
     src = _mk_source(tmp_path)
     view = _mk_view(tmp_path, src)
