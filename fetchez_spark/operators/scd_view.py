@@ -53,6 +53,15 @@ consolidates each batch to per-key winners before the changelog is
 written, so intermediate versions WITHIN one batch never reach any
 downstream consumer, this view included.  MoR tables (the default)
 retain every event.
+
+Rename evolution: the store's columns keep the source's PHYSICAL
+names (which never change -- same contract as ConversationView's
+conv key), each refresh maps them through the source's CURRENT
+``logical_names`` before selecting, and :meth:`history` /
+:meth:`current` / :meth:`lookup` present the current logical names --
+so ``rename_column`` on the source (key or tracked attribute, before
+or after the view exists) flows through without corrupting stored
+history and without any store-side metadata commits.
 """
 
 from __future__ import annotations
@@ -105,15 +114,38 @@ class SCD2View(IncrementalView):
                 "which whole-row version intervals are not defined"
             )
         self.source = source
+        # PHYSICAL key names (manifest "key"): they never change, so the
+        # store's own key/columns anchor to them; refreshes map through
+        # the source's current logical_names before selecting
         self.src_key = list(source.key)
         self.attrs = list(attrs) if attrs is not None else None
-        if self.attrs:
-            clash = sorted(set(self.attrs) & _RESERVED)
+        if self.attrs is not None:
+            # pinned attrs arrive as CURRENT logical names; resolve to the
+            # stable physical identity once, here
+            m0 = source.manifest()
+            lmap0 = m0.get("logical_names") or {}
+            from pyspark.sql import types as T
+            from fetchez_spark.sinks.local_snapshot import _is_internal_name
+
+            physicals = [
+                f.name
+                for f in T.StructType.fromJson(m0["schema"]).fields
+                if not _is_internal_name(f.name)
+            ]
+            logical_now = {lmap0.get(p, p): p for p in physicals}
+            # an attr the source doesn't have YET is a future additive
+            # column: its physical name is the name itself
+            self._attrs_physical: list[str] | None = [
+                logical_now.get(a, a) for a in self.attrs
+            ]
+            clash = sorted(set(self._attrs_physical) & _RESERVED)
             if clash:
                 raise ValueError(
                     f"attrs {clash} collide with the SCD-2 store's "
                     "reserved names; rename the source columns"
                 )
+        else:
+            self._attrs_physical = None
         self.suppress_unchanged = bool(suppress_unchanged)
         self.store = LocalSnapshotSink(
             store_dir,
@@ -127,22 +159,23 @@ class SCD2View(IncrementalView):
         self._ensure_definition()
 
     # ------------------------------------------------------------- schema
-    def _resolve_attrs(self, to: str) -> list[str]:
-        if self.attrs is not None:
-            return self.attrs
-        m = self.source.manifest(to)
-        lmap = m.get("logical_names") or {}
-        skip = set(self.src_key) | {"ts"}
+    def _resolve_attrs(self, m: dict) -> list[str]:
+        """Tracked attributes as PHYSICAL source names (the store's own
+        column names): the pinned physical set, or -- with ``attrs=None``
+        -- every non-internal payload field outside the key and ``ts``,
+        re-resolved per refresh so additive evolution flows through."""
+        if self._attrs_physical is not None:
+            return list(self._attrs_physical)
         from pyspark.sql import types as T
 
-        schema = T.StructType.fromJson(m["schema"])
         from fetchez_spark.sinks.local_snapshot import _is_internal_name
 
+        schema = T.StructType.fromJson(m["schema"])
+        skip = set(self.src_key) | {"ts"}
         out = [
-            lmap.get(f.name, f.name)
+            f.name
             for f in schema.fields
-            if not _is_internal_name(f.name)
-            and lmap.get(f.name, f.name) not in skip
+            if not _is_internal_name(f.name) and f.name not in skip
         ]
         clash = sorted(set(out) & _RESERVED)
         if clash:
@@ -153,18 +186,22 @@ class SCD2View(IncrementalView):
             )
         return out
 
-    def _to_events(self, raw: DataFrame, attrs: list[str]) -> DataFrame:
-        """Raw physical change rows -> the store's event shape."""
+    def _to_events(
+        self, raw: DataFrame, attrs: list[str], lmap: dict[str, str]
+    ) -> DataFrame:
+        """Logical change rows -> the store's event shape (PHYSICAL
+        column names: ``lmap`` maps each tracked physical name to the
+        logical name the frame currently carries)."""
         from fetchez_spark.sinks.local_snapshot import (
             INTERNAL_DELETED,
             INTERNAL_SEQ,
         )
 
         return raw.select(
-            *self.src_key,
+            *[F.col(lmap.get(p, p)).alias(p) for p in self.src_key],
             F.col("ts").alias("evt_ts"),
             F.col(INTERNAL_SEQ).cast("long").alias("evt_seq"),
-            *attrs,
+            *[F.col(lmap.get(p, p)).alias(p) for p in attrs],
             F.when(F.col(INTERNAL_DELETED), F.lit("D"))
             .otherwise(F.lit("U"))
             .alias("evt_op"),
@@ -179,7 +216,9 @@ class SCD2View(IncrementalView):
         to = self.source.current_snapshot_id
         if frm == to:
             return {"from": frm, "to": to, "skipped": True}
-        attrs = self._resolve_attrs(to)
+        m_to = self.source.manifest(to)
+        lmap = m_to.get("logical_names") or {}
+        attrs = self._resolve_attrs(m_to)
         if frm == ROOT_SNAPSHOT:
             # bootstrap: the WHOLE retained changelog (root is a real
             # manifest, so the incremental walk covers it); if early
@@ -201,8 +240,8 @@ class SCD2View(IncrementalView):
                 )
         else:
             raw = self.source.read_changes(spark, frm, to, include_internal=True)
-        raw = self.source._to_logical(raw, self.source.manifest(to))
-        new_evt = self._to_events(raw, attrs).localCheckpoint(eager=True)
+        raw = self.source._to_logical(raw, m_to)
+        new_evt = self._to_events(raw, attrs, lmap).localCheckpoint(eager=True)
 
         if frm == ROOT_SNAPSHOT:
             # first refresh: the store holds no events yet (the cursor
@@ -256,23 +295,43 @@ class SCD2View(IncrementalView):
         }
 
     # -------------------------------------------------------------- reading
-    def history(self, spark: SparkSession) -> DataFrame:
-        """All version intervals: one row per (key, valid_from) with
-        ``valid_to``/``is_current`` -- stored columns, no window at read."""
-        df = self.store.read(spark).filter(F.col("opens"))
+    def _present(self, df: DataFrame) -> DataFrame:
+        """Store (physical-named) interval rows -> the user-facing
+        projection under the source's CURRENT logical names."""
         attrs = [
             c
             for c in df.columns
             if c
             not in {*self.src_key, "evt_ts", "evt_seq", "evt_op", "ts", *_ANN_COLS}
         ]
-        return df.select(
+        out = df.select(
             *self.src_key,
             *attrs,
             F.col("valid_from"),
             F.col("valid_to"),
             F.col("is_current"),
         )
+        lmap = self.source.manifest().get("logical_names") or {}
+        ren = {
+            p: lmap[p]
+            for p in [*self.src_key, *attrs]
+            if p in lmap and lmap[p] != p
+        }
+        if not ren:
+            return out
+        clash = sorted(set(ren.values()) & {"valid_from", "valid_to", "is_current"})
+        if clash:
+            raise ValueError(
+                f"source column(s) renamed to {clash} collide with the "
+                "SCD-2 interval columns; rename them on the source"
+            )
+        return out.withColumnsRenamed(ren)
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """All version intervals: one row per (key, valid_from) with
+        ``valid_to``/``is_current`` -- stored columns, no window at read.
+        Key/attribute columns carry the source's CURRENT logical names."""
+        return self._present(self.store.read(spark).filter(F.col("opens")))
 
     def current(self, spark: SparkSession) -> DataFrame:
         """The open version per key (the live dimension)."""
@@ -281,22 +340,19 @@ class SCD2View(IncrementalView):
     def lookup(self, spark: SparkSession, key_value) -> DataFrame:
         """One key's version history -- manifest-level bucket pruning on
         the leading key column (the point-lookup path)."""
-        df = self.store.lookup(spark, key_value).filter(F.col("opens"))
-        attrs = [
-            c
-            for c in df.columns
-            if c
-            not in {*self.src_key, "evt_ts", "evt_seq", "evt_op", "ts", *_ANN_COLS}
-        ]
-        return df.select(
-            *self.src_key, *attrs, "valid_from", "valid_to", "is_current"
+        return self._present(
+            self.store.lookup(spark, key_value).filter(F.col("opens"))
         )
 
     # ----------------------------------------------------------- definition
     def _check_definition(self, ref) -> bool:
         """True if a persisted definition exists; LOUD if it names a
         different source (mixing two tables' events into one store would
-        corrupt every touched key's history, so never silently adopt)."""
+        corrupt every touched key's history, so never silently adopt) or
+        a different tracked-attribute set / suppression mode (the stored
+        intervals were computed under the persisted definition -- a
+        session silently reading them under another one would present
+        history the store never computed)."""
         if not ref:
             return False
         import os
@@ -309,6 +365,22 @@ class SCD2View(IncrementalView):
                 f"{self.store.table_dir} is an SCD-2 store over "
                 f"{d['source_dir']!r}, not {self.source.table_dir!r}; "
                 "use SCD2View.load(store_dir) or a fresh store dir"
+            )
+        rec_phys = d.get("attrs_physical", d.get("attrs"))
+        if rec_phys is not None or self._attrs_physical is not None:
+            if rec_phys != self._attrs_physical:
+                raise ValueError(
+                    f"{self.store.table_dir} persists tracked attrs "
+                    f"{rec_phys!r} (physical names); this session asked "
+                    f"for {self._attrs_physical!r} -- reopen without "
+                    "attrs= (or with the same set), or use a fresh store"
+                )
+        if bool(d.get("suppress_unchanged", True)) != self.suppress_unchanged:
+            raise ValueError(
+                f"{self.store.table_dir} persists suppress_unchanged="
+                f"{d.get('suppress_unchanged', True)}; this session asked "
+                f"for {self.suppress_unchanged} -- the stored intervals "
+                "were computed under the persisted mode"
             )
         return True
 
@@ -329,6 +401,9 @@ class SCD2View(IncrementalView):
                     {
                         "source_dir": self.source.table_dir,
                         "attrs": self.attrs,
+                        # the stable identity of a pinned set: physical
+                        # names survive source rename_column
+                        "attrs_physical": self._attrs_physical,
                         "suppress_unchanged": self.suppress_unchanged,
                     }
                 ),
@@ -355,10 +430,17 @@ class SCD2View(IncrementalView):
         if not ref:
             raise KeyError(f"{store_dir} has no persisted SCD2 definition")
         d = store._resolve_blob(ref)
+        source = LocalSnapshotSink(d["source_dir"])
+        attrs = d.get("attrs_physical", d.get("attrs"))
+        if attrs is not None:
+            # the constructor takes CURRENT logical names; the persisted
+            # set is physical, so map it forward across source renames
+            lmap = source.manifest().get("logical_names") or {}
+            attrs = [lmap.get(p, p) for p in attrs]
         return cls(
             store_dir,
-            LocalSnapshotSink(d["source_dir"]),
-            attrs=d.get("attrs"),
+            source,
+            attrs=attrs,
             num_buckets=store.manifest()["num_buckets"],
             suppress_unchanged=d.get("suppress_unchanged", True),
         )

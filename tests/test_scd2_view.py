@@ -296,3 +296,98 @@ def test_store_survives_compaction_and_expiry(spark, tmp_path):
     view.store.compact(spark)
     view.store.expire_snapshots(keep_last=1, min_age_seconds=0)
     assert _hist_set(view.history(spark)) == _oracle_set(spark, ALL_ROWS)
+
+
+# --------------------------------------------------------------- renames
+def _hist_set_named(df, key="k", attr="attr"):
+    return {
+        (
+            r[key],
+            r[attr],
+            r["valid_from"].minute,
+            r["valid_to"].minute if r["valid_to"] is not None else None,
+            r["is_current"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_attr_rename_mid_life_keeps_history_exact(spark, tmp_path):
+    """rename_column on a tracked source attribute must not corrupt the
+    touched keys' stored history: a post-rename upsert carrying the SAME
+    value stays suppressed (pre-fix, the prior events lost their values
+    to the new column name and the unchanged upsert opened a spurious
+    null->x interval)."""
+    src = _mk_source(tmp_path)
+    view = SCD2View(str(tmp_path / "scd2"), src)  # auto attrs
+    src.merge(_env(spark, ALL_ROWS[:5]), batch_token="b-0")
+    view.refresh(spark)
+    src.rename_column("attr", "attribute")
+    # ("a","U","x",9): same value as the open interval -> must suppress
+    late = [("a", "U", "x", 9), ("b", "U", "r", 9)]
+    env2 = _env(spark, late).withColumnRenamed("attr", "attribute")
+    src.merge(env2, batch_token="b-1")
+    view.refresh(spark)
+    got = _hist_set_named(view.history(spark), attr="attribute")
+    assert got == _oracle_set(spark, ALL_ROWS[:5] + late)
+    # the presented frame speaks the CURRENT logical name
+    assert "attribute" in view.history(spark).columns
+    assert "attr" not in view.history(spark).columns
+
+
+def test_key_rename_mid_life_flows_through(spark, tmp_path):
+    src = _mk_source(tmp_path)
+    view = SCD2View(str(tmp_path / "scd2"), src)
+    src.merge(_env(spark, ALL_ROWS[:5]), batch_token="b-0")
+    view.refresh(spark)
+    src.rename_column("k", "kid")
+    env2 = _env(spark, ALL_ROWS[5:]).withColumnRenamed("k", "kid")
+    src.merge(env2, batch_token="b-1")
+    view.refresh(spark)
+    got = _hist_set_named(view.history(spark), key="kid")
+    assert got == _oracle_set(spark, ALL_ROWS)
+    assert view.lookup(spark, "a").count() > 0  # bucket-pruned path intact
+
+
+def test_view_over_already_renamed_source(spark, tmp_path):
+    """Creating the view AFTER the source renamed its key and attr must
+    anchor to physical names and present logical ones."""
+    src = _mk_source(tmp_path)
+    src.merge(_env(spark, ALL_ROWS[:5]), batch_token="b-0")
+    src.rename_column("k", "kid")
+    src.rename_column("attr", "attribute")
+    view = SCD2View(str(tmp_path / "scd2"), src, attrs=["attribute"])
+    view.refresh(spark)
+    got = _hist_set_named(view.history(spark), key="kid", attr="attribute")
+    assert got == _oracle_set(spark, ALL_ROWS[:5])
+    # load() maps the persisted physical set forward across the rename
+    again = SCD2View.load(str(tmp_path / "scd2"))
+    assert again._attrs_physical == ["attr"]
+    assert _hist_set_named(
+        again.history(spark), key="kid", attr="attribute"
+    ) == _oracle_set(spark, ALL_ROWS[:5])
+
+
+def test_reopen_with_conflicting_definition_is_loud(spark, tmp_path):
+    src = _mk_source(tmp_path)
+    src.merge(_env(spark, ALL_ROWS[:3]), batch_token="b-0")
+    SCD2View(str(tmp_path / "scd2"), src, attrs=["attr"])
+    with pytest.raises(ValueError, match="persists tracked attrs"):
+        SCD2View(str(tmp_path / "scd2"), src)  # auto vs pinned
+    with pytest.raises(ValueError, match="suppress_unchanged"):
+        SCD2View(
+            str(tmp_path / "scd2"), src, attrs=["attr"],
+            suppress_unchanged=False,
+        )
+    # same definition reopens fine
+    SCD2View(str(tmp_path / "scd2"), src, attrs=["attr"])
+
+
+def test_rename_onto_interval_column_is_loud(spark, tmp_path):
+    src = _mk_source(tmp_path)
+    view = SCD2View(str(tmp_path / "scd2"), src)
+    src.merge(_env(spark, ALL_ROWS[:3]), batch_token="b-0")
+    view.refresh(spark)
+    src.rename_column("attr", "valid_from")
+    with pytest.raises(ValueError, match="interval columns"):
+        view.history(spark).collect()
