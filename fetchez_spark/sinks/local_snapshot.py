@@ -3627,6 +3627,35 @@ class LocalSnapshotSink(SnapshotSink):
             }
             if ren:
                 batch = batch.withColumnsRenamed(ren)
+        # key-type normalization BEFORE anything hashes a key value:
+        # bucket clustering, file key-range stats, and blooms all record
+        # the key under its table type, and Murmur3 of int(5) (4 bytes)
+        # != long(5) (8 bytes) -- a batch key under another width would
+        # cluster rows into buckets lookups never probe (silent empty
+        # lookups).  A NARROWER batch key casts up to the recorded type;
+        # a WIDER one is refused (widening the table's key type would
+        # strand every already-clustered file under the narrow hash).
+        _cur_types = {f.name: f.dataType for f in cur_schema.fields}
+        for _k in self.key:
+            _bt = next(
+                (f.dataType for f in batch.schema.fields if f.name == _k), None
+            )
+            _ct = _cur_types.get(_k)
+            if _bt is None or _ct is None or _bt == _ct:
+                continue
+            from fetchez_spark.schema import _WIDENINGS
+
+            if _WIDENINGS.get((_bt.simpleString(), _ct.simpleString())) == _ct:
+                batch = batch.withColumn(_k, F.col(_k).cast(_ct))
+            else:
+                raise ValueError(
+                    f"key column {_k!r} cannot change type "
+                    f"({_ct.simpleString()} -> {_bt.simpleString()}): bucket "
+                    "clustering and file key-range stats hash/record the key "
+                    "under its recorded type, and files already clustered "
+                    "under the old hash would silently miss lookups; load "
+                    "into a fresh table (or rebucket a copy) to re-key"
+                )
         if self.merge_mode == "partial":
             # events -> single-event partial states (per-column version
             # pairs) FIRST; the within-batch consolidation is then the
