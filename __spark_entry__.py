@@ -531,6 +531,56 @@ def _q_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select("user_id", "event_type", "event_id", "value")
 
 
+def _q_import_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy file onboarding END TO END, ORACLE-CHECKED (the Iceberg
+    ``add_files`` analog, sinks/local_snapshot.py import_files): replay
+    two thirds of the events changelog through the sink, write the last
+    third's latest-per-key rows as a FOREIGN parquet directory (payload
+    columns only -- no engine envelope), then adopt it in place with one
+    metadata commit and read the final state.  The oracle computes the
+    same LWW outcome declaratively with the imported rows as seq=-1
+    backfill inserts (they lose same-ts ties to engine events, are never
+    deletes, and a newer engine tombstone still kills them)."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-import-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) < 2), batch_token="eng-0")
+    # the foreign dataset: latest row per key of the last third (unique
+    # keys keep the oracle's tie-break total), payload columns only
+    foreign_dir = os.path.join(work, "foreign")
+    (
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 2)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("w"))
+        .select("user_id", "w.event_type", "w.event_id", "w.value", "w.ts")
+        .write.parquet(foreign_dir)
+    )
+    res = sink.import_files(spark, foreign_dir)
+    assert res["skipped"] is False and res["imported_files"] >= 1
+    return sink.read(spark).select("user_id", "event_type", "event_id", "value")
+
+
 def _q_badrecords_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-line handling END TO END, ORACLE-CHECKED: render the
     ``events`` changelog as a JSON-lines text log (the Debezium-tail
@@ -2498,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_snapshot": _q_cdc_replay_snapshot,
         "badrecords_tail": _q_badrecords_tail,
         "merge_into_upsert": _q_merge_into_upsert,
+        "import_zero_copy": _q_import_zero_copy,
         "partial_update_fold": _q_partial_update_fold,
         "partial_update_replay": _q_partial_update_replay,
         "table_clone_read": _q_table_clone_read,
@@ -2687,6 +2738,34 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # zero-copy import: LWW over the union of the engine-replayed two
+        # thirds (seq = event_id) and the foreign latest-per-key last
+        # third adopted as seq=-1 backfill inserts -- imported rows lose
+        # same-ts ties, never delete, and newer engine tombstones win
+        "import_zero_copy": """
+            WITH eng AS (
+              SELECT user_id, event_type, event_id, value, ts,
+                     CAST(event_id AS BIGINT) AS s,
+                     (event_type = 'error') AS deleted
+              FROM events WHERE event_id % 3 < 2
+            ), imp_src AS (
+              SELECT user_id, event_type, event_id, value, ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id % 3 = 2
+            ), imp AS (
+              SELECT user_id, event_type, event_id, value, ts,
+                     CAST(-1 AS BIGINT) AS s, FALSE AS deleted
+              FROM imp_src WHERE rn = 1
+            ), uni AS (
+              SELECT * FROM eng UNION ALL SELECT * FROM imp
+            )
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value, deleted,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, s DESC) AS rn
+              FROM uni) WHERE rn = 1 AND NOT deleted
         """,
         # general MERGE INTO: LWW over the first two thirds of the log,
         # then matched-'error' deletes / mixed-expression updates /

@@ -241,6 +241,33 @@ def merge_into(
     )
 
 
+def import_files(
+    spark: SparkSession,
+    table_dir: str,
+    paths,
+    batch_token: str | None = None,
+    validate: bool = True,
+    incremental: bool = False,
+    collect_stats: bool = False,
+) -> dict[str, Any]:
+    """Zero-copy onboarding of existing parquet files (the Iceberg
+    ``add_files`` analog): register them as flat delta files in one
+    metadata commit -- no rewrite, no copy.  ``incremental=True`` is the
+    drop-folder tail (only never-imported files register);
+    ``collect_stats=True`` records per-file key ranges so point lookups
+    prune imported files (see LocalSnapshotSink.import_files)."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).import_files(
+        spark,
+        paths,
+        batch_token=batch_token,
+        validate=validate,
+        incremental=incremental,
+        collect_stats=collect_stats,
+    )
+
+
 def purge_tombstones(spark: SparkSession, table_dir: str, before=None) -> dict[str, Any]:
     """Physical tombstone GC facade (GDPR erasure step 2): rewrite only
     the buckets whose parquet footer stats admit a tombstone older than

@@ -241,6 +241,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tag-name", default=None,
                    help="name of the protective source tag (default: clone-<hex>)")
     p = sub.add_parser(
+        "import",
+        help="zero-copy onboarding of existing parquet files (Iceberg "
+             "add_files analog): register them as flat deltas in one "
+             "metadata commit -- no rewrite, no copy",
+    )
+    p.add_argument("table_dir")
+    p.add_argument("paths", nargs="+",
+                   help="parquet files or directories to adopt in place")
+    p.add_argument("--token", default=None,
+                   help="idempotence token (default: content-addressed "
+                        "from the file list)")
+    p.add_argument("--no-validate", action="store_true",
+                   help="skip the one-pass null-key/null-ts scan")
+    p.add_argument("--incremental", action="store_true",
+                   help="drop-folder tail: silently skip files this table "
+                        "has ever imported (poll a growing directory)")
+    p.add_argument("--stats", action="store_true",
+                   help="record per-file leading-key ranges so point "
+                        "lookups prune imported files before compaction")
+    p.add_argument("--cores", type=int, default=4)
+    p = sub.add_parser(
         "fsck",
         help="read-only integrity check: refs/manifests/blobs/data files "
              "all resolve (--deep also opens head parquet footers); exit "
@@ -616,6 +637,26 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(
             api.clone(args.table_dir, args.target_dir, ref=args.ref,
                       tag_name=args.tag_name),
+            default=str,
+        ))
+        return 0
+    if args.cmd == "import":
+        from fetchez_spark import api
+        from fetchez_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="fetchez-import", master=f"local[{args.cores}]"
+        )
+        print(json.dumps(
+            api.import_files(
+                spark,
+                args.table_dir,
+                args.paths,
+                batch_token=args.token,
+                validate=not args.no_validate,
+                incremental=args.incremental,
+                collect_stats=args.stats,
+            ),
             default=str,
         ))
         return 0

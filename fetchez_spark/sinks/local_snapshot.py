@@ -124,6 +124,10 @@ def _internal_names(columns) -> list[str]:
 CATALOG_KEYS = (
     "index", "ann_index", "key_stats", "col_stats", "key_blooms",
     "bucket_rows", "matview_def", "mirror_def", "scd2_def",
+    # zero-copy onboarded files (import_files): the marker that tells the
+    # read paths which delta files never carried the engine's internal
+    # columns and need scan-time normalization
+    "imported_files",
     # column-rename indirection (physical -> logical), carried forward
     # by every commit like the other catalog payloads
     "logical_names",
@@ -756,12 +760,48 @@ class LocalSnapshotSink(SnapshotSink):
     def _bucket_expr(self, num_buckets: int):
         return F.pmod(F.hash(F.col(self.key[0])), F.lit(num_buckets))
 
+    def _imported_set(self, m: dict | None = None) -> frozenset:
+        """Files onboarded by :meth:`import_files` for a snapshot (empty
+        for tables that never imported -- the common case, where every
+        read plan stays byte-identical to the pre-feature one)."""
+        ref = (m or self.manifest()).get("imported_files")
+        if not ref:
+            return frozenset()
+        return frozenset(self._resolve_list(ref))
+
     def _read_files(
-        self, spark: SparkSession, files: list[str], schema: T.StructType
+        self,
+        spark: SparkSession,
+        files: list[str],
+        schema: T.StructType,
+        imported: frozenset | None = None,
     ) -> DataFrame:
         if not files:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*files)
+        df = spark.read.schema(schema).parquet(*files)
+        if imported and any(f in imported for f in files):
+            # zero-copy imported files never carried the engine-internal
+            # columns; name-based projection reads them as null.  Normalize
+            # at the scan so EVERY consumer (MoR fold, change feed,
+            # compaction, views) sees the baseline semantics: seq=-1 (an
+            # imported row loses a same-ts tie to any engine event),
+            # _deleted=false (imported rows are live), _src=-1 (no source
+            # partition).  Engine-written rows are never null here, so the
+            # coalesce is a no-op for them.
+            names = set(schema.fieldNames())
+            defaults = {
+                INTERNAL_SEQ: F.lit(-1).cast("long"),
+                INTERNAL_DELETED: F.lit(False),
+                INTERNAL_SRC: F.lit(-1).cast("int"),
+            }
+            df = df.withColumns(
+                {
+                    c: F.coalesce(F.col(c), v)
+                    for c, v in defaults.items()
+                    if c in names
+                }
+            )
+        return df
 
     def _next_sid(self, cur: dict) -> str:
         # Allocate from max(existing manifest ids) + 1, NOT parent + 1:
@@ -2024,7 +2064,9 @@ class LocalSnapshotSink(SnapshotSink):
             # deltas and hash-mode bases (compact(bloom=True))
             base = self._prune_by_blooms(spark, m, base, key_eq)
             deltas = self._prune_by_blooms(spark, m, deltas, key_eq)
-        df = self._read_files(spark, base + deltas, schema)
+        df = self._read_files(
+            spark, base + deltas, schema, imported=self._imported_set(m)
+        )
         if include_provenance:
             if self.merge_mode == "partial":
                 raise ValueError(
@@ -2391,7 +2433,10 @@ class LocalSnapshotSink(SnapshotSink):
 
             files = [f for f in files if _keep(f)]
         schema = T.StructType.fromJson(self.manifest(to_snapshot)["schema"])
-        df = self._read_files(spark, files, schema)
+        df = self._read_files(
+            spark, files, schema,
+            imported=self._imported_set(self.manifest(to_snapshot)),
+        )
         if ts_min is not None:
             df = df.filter(F.col("ts") >= F.lit(str(ts_min)).cast("timestamp"))
         if ts_max is not None:
@@ -2541,7 +2586,10 @@ class LocalSnapshotSink(SnapshotSink):
         added, buckets, _tss = self._added_change_files(from_snapshot, to_snapshot)
         m_to = self.manifest(to_snapshot)
         schema = T.StructType.fromJson(m_to["schema"])
-        changes = self._read_files(spark, sorted(set(added)), schema)
+        changes = self._read_files(
+            spark, sorted(set(added)), schema,
+            imported=self._imported_set(m_to),
+        )
         net = self._reduce(changes)
         payload_cols = [f.name for f in schema.fields if not _is_internal_name(f.name)]
         pre = self.read(
@@ -3781,7 +3829,10 @@ class LocalSnapshotSink(SnapshotSink):
             read_schema = T.StructType(list(new_schema.fields))  # null-backfill
             existing = None
             if existing_files:
-                existing = self._read_files(spark, existing_files, read_schema).withColumn(
+                existing = self._read_files(
+                    spark, existing_files, read_schema,
+                    imported=self._imported_set(cur),
+                ).withColumn(
                     _BUCKET, self._bucket_expr(nb)
                 )
                 if cur.get("deltas", {}).get(_FLAT):
@@ -4183,6 +4234,310 @@ class LocalSnapshotSink(SnapshotSink):
         metrics["seconds"] = time.monotonic() - t0
         return metrics
 
+    def import_files(
+        self,
+        spark: SparkSession,
+        paths: str | list[str],
+        batch_token: str | None = None,
+        validate: bool = True,
+        incremental: bool = False,
+        collect_stats: bool = False,
+    ) -> dict[str, Any]:
+        """Zero-copy onboarding of existing parquet files -- the Iceberg
+        ``add_files`` analog (reference analog: fetchez's local file
+        injection, which registers already-downloaded files instead of
+        re-fetching them -- /root/reference/src/fetchez/path.py).  The
+        files are registered as FLAT delta files in ONE metadata commit:
+        no rewrite, no data movement, O(files) footer reads.  At 100 TB
+        this is the difference between "load the lake into the table"
+        (a full copy) and "adopt it where it lies".
+
+        Semantics: every imported row is a live insert that loses a
+        same-``ts`` tie to any engine event (scan-time normalization
+        gives imported rows ``_seq = -1``, ``_deleted = false`` -- see
+        :meth:`_read_files`), so imports behave as backfill under the
+        LWW fold.  The high watermark does NOT advance (backfill must
+        not shift the late-event cutoff), and the table's key/``ts``
+        types must hold exactly (narrower file columns upcast on read;
+        genuinely new payload columns evolve the schema additively,
+        same as a merge).  Compaction folds imported rows into owned
+        base files like any other deltas; the source files themselves
+        are user-owned and NEVER deleted by maintenance (expiry only
+        removes dirs under ``<table_dir>/data``).
+
+        Idempotence is committed-token-window only (the default token is
+        content-addressed from the file list, so re-running the same
+        import skips); the token-sequence watermark does not apply --
+        import tokens carry no engine-issued sequence.
+
+        ``validate=True`` (default) runs ONE column-pruned scan
+        asserting no imported row has a null key or null ``ts`` (null
+        keys would silently vanish into hash(null) bucketing).  Pass
+        ``False`` to skip when the source is already trusted.
+
+        ``incremental=True`` makes the call a DROP-FOLDER tail (the
+        cloud-files auto-ingest shape, zero-copy): files this table has
+        EVER imported are silently skipped instead of raising, so a
+        cron/loop can point at a growing directory and each call adopts
+        only the new files -- one metadata commit per call, nothing
+        when the directory is quiet.
+
+        ``collect_stats=True`` additionally runs one column-pruned job
+        recording each imported file's leading-key [min, max] into the
+        table's ``key_stats`` -- point lookups then PRUNE imported
+        files before any compaction localizes them (without it, every
+        flat delta joins every lookup's scan until the next fold; with
+        a 10 TB adoption that is the difference between a point read
+        touching 2 files and touching 10 TB).
+        """
+        if self.merge_mode == "partial":
+            raise ValueError(
+                "import_files is not supported on partial-update tables: "
+                "imported whole rows have no per-column version pairs; "
+                "replay them through merge() as change events instead"
+            )
+        if isinstance(paths, str):
+            paths = [paths]
+        files: list[str] = []
+        for p in paths:
+            p = os.path.abspath(p)
+            if os.path.isdir(p):
+                for root, _dirs, fns in os.walk(p):
+                    files.extend(
+                        os.path.join(root, fn)
+                        for fn in fns
+                        if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+                    )
+            elif os.path.isfile(p):
+                files.append(p)
+            else:
+                raise FileNotFoundError(f"import path does not exist: {p}")
+        files = sorted(set(files))
+        if not files:
+            raise ValueError(f"no parquet files found under {paths!r}")
+        table_root = os.path.abspath(self.table_dir) + os.sep
+        owned = [f for f in files if f.startswith(table_root)]
+        if owned:
+            raise ValueError(
+                f"cannot import the table's own files: {owned[:3]} -- they "
+                "are already referenced (or are maintenance debris)"
+            )
+        empty = [f for f in files if os.path.getsize(f) == 0]
+        if empty:
+            raise ValueError(f"zero-byte parquet file(s): {empty[:3]}")
+
+        cur = self.manifest()
+        files_skipped = 0
+        if incremental:
+            # drop-folder mode: everything EVER imported is skipped up
+            # front, so validation/stats below stay O(new files) on a
+            # growing directory (re-checked against the latest manifest
+            # under the commit lock)
+            seen = self._imported_set(cur)
+            kept = [f for f in files if f not in seen]
+            files_skipped = len(files) - len(kept)
+            files = kept
+            if not files:
+                return {
+                    "snapshot_id": cur["snapshot_id"],
+                    "skipped": True,
+                    "batch_token": None,
+                    "imported_files": 0,
+                    "imported_bytes": 0,
+                    "files_skipped": files_skipped,
+                }
+        cur_schema = T.StructType.fromJson(cur["schema"])
+        # ONE distributed footer-merge job: the union schema across all
+        # imported files (and the incompatible-types error if they clash)
+        imp_schema = (
+            spark.read.option("mergeSchema", "true").parquet(*files).schema
+        )
+        names = imp_schema.fieldNames()
+        bad = [c for c in names if _is_internal_name(c) or c == _BUCKET]
+        if bad:
+            raise ValueError(
+                f"imported file(s) carry engine-internal column(s) {bad}; "
+                "strip them (files exported from another table should be "
+                "replayed through merge(), not imported)"
+            )
+        retired = [c for c in names if c in (cur.get("retired_columns") or [])]
+        if retired:
+            raise ValueError(
+                f"imported column(s) {retired} were DROPPED from this table; "
+                "importing them would resurrect the name with stale "
+                "pre-drop semantics -- rename them first"
+            )
+        # imports join the PHYSICAL layer (files at rest keep physical
+        # names); a file speaking a LOGICAL name of a renamed column would
+        # silently create a new physical column
+        lmap = cur.get("logical_names") or {}
+        misuse = [
+            c for c in names if any(l == c and p != c for p, l in lmap.items())
+        ]
+        if misuse:
+            raise ValueError(
+                f"imported column(s) {misuse} are LOGICAL names of renamed "
+                "columns; imported files must use the physical name(s) "
+                f"({ {lmap[p]: p for p in lmap if lmap[p] in misuse} })"
+            )
+        required = list(self.key) + ["ts"]
+        missing = [c for c in required if c not in names]
+        if missing:
+            raise ValueError(
+                f"imported files lack required column(s) {missing} "
+                f"(key {list(self.key)} + the LWW order column 'ts')"
+            )
+        if not isinstance(
+            imp_schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)
+        ):
+            raise TypeError(
+                f"imported 'ts' must be timestamp (the LWW order column), "
+                f"got {imp_schema['ts'].dataType.simpleString()}"
+            )
+        # raises on incompatible overlapping types; widens/appends otherwise
+        probe = merge_schemas(cur_schema, imp_schema)
+        for k in self.key:
+            if probe[k].dataType != cur_schema[k].dataType:
+                raise TypeError(
+                    f"imported key column {k!r} is WIDER than the table's "
+                    f"recorded type ({imp_schema[k].dataType.simpleString()}"
+                    f" vs {cur_schema[k].dataType.simpleString()}): base "
+                    "files are bucket-clustered under the recorded type's "
+                    "hash; load into a fresh table to re-key"
+                )
+        if validate:
+            # one column-pruned scan: null keys/ts would vanish into
+            # hash(null) buckets / lose every LWW comparison silently
+            pruned = T.StructType([probe[c] for c in required])
+            cond = F.lit(False)
+            for c in required:
+                cond = cond | F.col(c).isNull()
+            n_bad = (
+                spark.read.schema(pruned)
+                .parquet(*files)
+                .filter(cond)
+                .limit(1)
+                .count()
+            )
+            if n_bad:
+                raise ValueError(
+                    "imported files contain row(s) with a null key or null "
+                    "ts; clean them first (or replay through merge() with "
+                    "an explicit filter)"
+                )
+        imported_bytes = sum(os.path.getsize(f) for f in files)
+        # per-commit event-time stats (footer reads, outside the lock):
+        # windowed incremental reads prune imported files like any others
+        ts_stats_new = self._harvest_ts_stats(files)
+        # optional per-file leading-key ranges: one column-pruned job so
+        # point lookups prune imported files BEFORE compaction localizes
+        # them (entries are keyed by immutable paths -- never stale-wrong)
+        new_key_stats = (
+            self._collect_key_stats(spark, files) if collect_stats else {}
+        )
+
+        with self._commit_lock():
+            latest = self.manifest()
+            if incremental:
+                # a concurrent poller may have adopted some of these files
+                # since the pre-filter above: keep only the still-new ones
+                seen = self._imported_set(latest)
+                kept = [f for f in files if f not in seen]
+                files_skipped += len(files) - len(kept)
+                files = kept
+                if not files:
+                    return {
+                        "snapshot_id": latest["snapshot_id"],
+                        "skipped": True,
+                        "batch_token": None,
+                        "imported_files": 0,
+                        "imported_bytes": 0,
+                        "files_skipped": files_skipped,
+                    }
+                imported_bytes = sum(os.path.getsize(f) for f in files)
+                fset = set(files)
+                ts_stats_new = {
+                    f: v for f, v in ts_stats_new.items() if f in fset
+                }
+            if batch_token is None:
+                import hashlib
+
+                h = hashlib.sha1("\n".join(files).encode()).hexdigest()[:16]
+                batch_token = f"import:{h}"
+            token = str(batch_token)
+            if token in latest["committed_batches"]:
+                return {
+                    "snapshot_id": latest["committed_batches"][token],
+                    "skipped": True,
+                    "batch_token": token,
+                }
+            # re-derive against the manifest that wins the race: imports
+            # only ADD flat deltas, so they commute with any concurrent
+            # commit (same reconcile argument as MoR appends)
+            new_schema = merge_schemas(
+                T.StructType.fromJson(latest["schema"]), imp_schema
+            )
+            deltas_ = dict(latest.get("deltas", {}))
+            flat_now = self._resolve_list(deltas_.get(_FLAT, []))
+            dup = set(files) & set(flat_now)
+            if dup:
+                raise ValueError(
+                    f"file(s) already imported and still pending: "
+                    f"{sorted(dup)[:3]} (reads would double-scan them)"
+                )
+            sid = self._claim_sid(latest)
+            deltas_[_FLAT] = flat_now + files
+            delta_bytes = {
+                k: int(v) for k, v in (latest.get("delta_bytes") or {}).items()
+            }
+            delta_bytes[_FLAT] = delta_bytes.get(_FLAT, 0) + imported_bytes
+            committed = dict(latest["committed_batches"])
+            committed[token] = sid
+            if len(committed) > self.max_committed_tokens:
+                for k in list(committed)[: len(committed) - self.max_committed_tokens]:
+                    del committed[k]
+            manifest = {
+                **latest,
+                "snapshot_id": sid,
+                "parent": latest["snapshot_id"],
+                "schema": new_schema.jsonValue(),
+                "deltas": self._pack_map(deltas_),
+                "committed_batches": committed,
+                "delta_bytes": delta_bytes,
+                "imported_files": self._pack_list(
+                    sorted(self._imported_set(latest) | set(files))
+                ),
+                "stats": {
+                    "delta_files": self._count_files(deltas_),
+                    "delta_commits": int(
+                        latest.get("stats", {}).get("delta_commits", 0)
+                    )
+                    + 1,
+                    "imported_files": len(files),
+                    "imported_bytes": imported_bytes,
+                },
+            }
+            manifest.pop("change_files", None)
+            manifest.pop("ts_stats_new", None)
+            if ts_stats_new:
+                manifest["ts_stats_new"] = self._pack_key_stats(ts_stats_new)
+            if new_key_stats:
+                ks = dict(self.key_stats(latest))
+                fset = set(files)
+                ks.update(
+                    {f: v for f, v in new_key_stats.items() if f in fset}
+                )
+                manifest["key_stats"] = self._pack_key_stats(ks)
+            self._commit(manifest)
+        return {
+            "snapshot_id": sid,
+            "skipped": False,
+            "batch_token": token,
+            "imported_files": len(files),
+            "imported_bytes": imported_bytes,
+            "files_skipped": files_skipped,
+        }
+
     @staticmethod
     def _sizes_by_bucket(resolved_map: dict[str, list[str]]) -> dict[str, int]:
         """Exact on-disk bytes per bucket for a resolved file map
@@ -4298,7 +4653,10 @@ class LocalSnapshotSink(SnapshotSink):
             sid = self._claim_sid(cur)
             with self._claim_guard(sid):
                 written = self._dedup_write_bucketed(
-                    self._read_files(spark, delta_files, schema).withColumn(
+                    self._read_files(
+                        spark, delta_files, schema,
+                        imported=self._imported_set(cur),
+                    ).withColumn(
                         _BUCKET, self._bucket_expr(cur["num_buckets"])
                     ),
                     sid,
@@ -4445,7 +4803,9 @@ class LocalSnapshotSink(SnapshotSink):
             # they only shape the cells -- correctness comes from the
             # written files' own footer stats, never from the sample
             boundaries = quantile_boundaries(
-                self._read_files(spark, files, schema).select(*cluster_by),
+                self._read_files(
+                    spark, files, schema, imported=self._imported_set(cur)
+                ).select(*cluster_by),
                 list(cluster_by),
             )
             cluster_expr = zorder_column(schema, boundaries, list(cluster_by))
@@ -4494,7 +4854,10 @@ class LocalSnapshotSink(SnapshotSink):
                 fanout_map = None
             with self._claim_guard(sid):
                 written = self._dedup_write_bucketed(
-                    self._read_files(spark, files, schema).withColumn(
+                    self._read_files(
+                        spark, files, schema,
+                        imported=self._imported_set(cur),
+                    ).withColumn(
                         _BUCKET, self._bucket_expr(cur["num_buckets"])
                     ),
                     sid,
@@ -4693,7 +5056,10 @@ class LocalSnapshotSink(SnapshotSink):
         with self._claim_guard(sid):
             if all_files:
                 written = self._dedup_write_bucketed(
-                    self._read_files(spark, all_files, schema).withColumn(
+                    self._read_files(
+                        spark, all_files, schema,
+                        imported=self._imported_set(cur),
+                    ).withColumn(
                         _BUCKET, self._bucket_expr(int(new_num_buckets))
                     ),
                     sid,
