@@ -4486,49 +4486,56 @@ class LocalSnapshotSink(SnapshotSink):
                     f"{sorted(dup)[:3]} (reads would double-scan them)"
                 )
             sid = self._claim_sid(latest)
-            deltas_[_FLAT] = flat_now + files
-            delta_bytes = {
-                k: int(v) for k, v in (latest.get("delta_bytes") or {}).items()
-            }
-            delta_bytes[_FLAT] = delta_bytes.get(_FLAT, 0) + imported_bytes
-            committed = dict(latest["committed_batches"])
-            committed[token] = sid
-            if len(committed) > self.max_committed_tokens:
-                for k in list(committed)[: len(committed) - self.max_committed_tokens]:
-                    del committed[k]
-            manifest = {
-                **latest,
-                "snapshot_id": sid,
-                "parent": latest["snapshot_id"],
-                "schema": new_schema.jsonValue(),
-                "deltas": self._pack_map(deltas_),
-                "committed_batches": committed,
-                "delta_bytes": delta_bytes,
-                "imported_files": self._pack_list(
-                    sorted(self._imported_set(latest) | set(files))
-                ),
-                "stats": {
-                    "delta_files": self._count_files(deltas_),
-                    "delta_commits": int(
-                        latest.get("stats", {}).get("delta_commits", 0)
+            with self._claim_guard(sid):
+                deltas_[_FLAT] = flat_now + files
+                delta_bytes = {
+                    k: int(v) for k, v in (latest.get("delta_bytes") or {}).items()
+                }
+                delta_bytes[_FLAT] = delta_bytes.get(_FLAT, 0) + imported_bytes
+                committed = dict(latest["committed_batches"])
+                committed[token] = sid
+                if len(committed) > self.max_committed_tokens:
+                    for k in list(committed)[: len(committed) - self.max_committed_tokens]:
+                        del committed[k]
+                manifest = {
+                    **latest,
+                    "snapshot_id": sid,
+                    "parent": latest["snapshot_id"],
+                    "schema": new_schema.jsonValue(),
+                    "deltas": self._pack_map(deltas_),
+                    "committed_batches": committed,
+                    "delta_bytes": delta_bytes,
+                    # the EVER-imported set: dedup memory for incremental
+                    # mode and the scan-normalization marker.  Grows with
+                    # files ever adopted (O(files), content-addressed blob
+                    # rewritten only by import commits) -- the same order
+                    # as the manifest's own file metadata, and the cost of
+                    # "never adopt the same file twice" being exact.
+                    "imported_files": self._pack_list(
+                        sorted(self._imported_set(latest) | set(files))
+                    ),
+                    "stats": {
+                        "delta_files": self._count_files(deltas_),
+                        "delta_commits": int(
+                            latest.get("stats", {}).get("delta_commits", 0)
+                        )
+                        + 1,
+                        "imported_files": len(files),
+                        "imported_bytes": imported_bytes,
+                    },
+                }
+                manifest.pop("change_files", None)
+                manifest.pop("ts_stats_new", None)
+                if ts_stats_new:
+                    manifest["ts_stats_new"] = self._pack_key_stats(ts_stats_new)
+                if new_key_stats:
+                    ks = dict(self.key_stats(latest))
+                    fset = set(files)
+                    ks.update(
+                        {f: v for f, v in new_key_stats.items() if f in fset}
                     )
-                    + 1,
-                    "imported_files": len(files),
-                    "imported_bytes": imported_bytes,
-                },
-            }
-            manifest.pop("change_files", None)
-            manifest.pop("ts_stats_new", None)
-            if ts_stats_new:
-                manifest["ts_stats_new"] = self._pack_key_stats(ts_stats_new)
-            if new_key_stats:
-                ks = dict(self.key_stats(latest))
-                fset = set(files)
-                ks.update(
-                    {f: v for f, v in new_key_stats.items() if f in fset}
-                )
-                manifest["key_stats"] = self._pack_key_stats(ks)
-            self._commit(manifest)
+                    manifest["key_stats"] = self._pack_key_stats(ks)
+                self._commit(manifest)
         return {
             "snapshot_id": sid,
             "skipped": False,

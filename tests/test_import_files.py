@@ -297,6 +297,38 @@ def test_import_collect_stats_prunes_lookups(spark, tmp_path):
     assert [r["text"] for r in row] == ["z"]
 
 
+def test_import_commit_failure_reclaims_claim(spark, tmp_path, monkeypatch):
+    """A failure between the sid claim and the manifest swap must not
+    leave a live-pid-shielded claim dir behind (vacuum could never age
+    it out while this driver lives) -- same contract as merge()."""
+    sink = _seed(spark, tmp_path, n=5)
+    ext = _ext(spark, tmp_path, [("k", 0, "user", "x", None, _ts(1))])
+    head = sink.manifest()["snapshot_id"]
+
+    def boom(manifest):
+        raise RuntimeError("injected commit failure")
+
+    monkeypatch.setattr(sink, "_commit", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        sink.import_files(spark, ext)
+    monkeypatch.undo()
+    data_root = tmp_path / "t" / "data"
+    referenced = [
+        f
+        for mp in (sink.manifest()["files"], sink.manifest().get("deltas", {}))
+        for fs in mp.values()
+        for f in sink._resolve_list(fs)
+    ]
+    leftover = [
+        d for d in os.listdir(data_root)
+        if not any(f.startswith(str(data_root / d) + os.sep) for f in referenced)
+    ]
+    assert leftover == [], f"orphan claim dirs: {leftover}"
+    assert sink.manifest()["snapshot_id"] == head  # nothing committed
+    # and the table still imports fine afterwards
+    assert sink.import_files(spark, ext)["skipped"] is False
+
+
 def test_import_cli_round_trip(spark, tmp_path, capsys):
     import json
 
