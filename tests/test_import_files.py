@@ -329,6 +329,30 @@ def test_import_commit_failure_reclaims_claim(spark, tmp_path, monkeypatch):
     assert sink.import_files(spark, ext)["skipped"] is False
 
 
+def test_import_is_covered_by_auto_maintenance(spark, tmp_path):
+    """A many-file adoption must surface in table_report (read
+    amplification) and be localized by the one-button auto_maintain --
+    imports join the table's normal maintenance lifecycle, they are not
+    a parallel universe of files."""
+    sink = _seed(spark, tmp_path, n=5, compact_every=10_000)
+    drop = tmp_path / "many"
+    drop.mkdir()
+    for i in range(17):
+        _ext(spark, tmp_path, [(f"mf{i}", 0, "user", f"v{i}", None, _ts(i))],
+             name=f"many/f{i}")
+    sink.import_files(spark, str(drop), incremental=True)
+    rep = sink.table_report()
+    assert any(
+        r["action"] in ("minor_compact", "compact")
+        for r in rep["recommendations"]
+    ), rep["recommendations"]
+    before = _state(spark, sink)
+    sink.auto_maintain(spark)
+    assert _state(spark, sink) == before
+    m = sink.manifest()
+    assert not m.get("deltas", {}).get("*"), "flat imports were localized"
+
+
 def test_import_cli_round_trip(spark, tmp_path, capsys):
     import json
 
