@@ -2005,6 +2005,68 @@ def _q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio codec end to end, ORACLE-CHECKED: synthesize a
+    genuine RIFF/WAVE file per document (stdlib ``wave`` writer, 8 kHz
+    mono 16-bit PCM, (len(text) % 500) + 16 frames of constant amplitude
+    16384) in one Arrow batch pass, then decode it with
+    ``extract_features``'s real ``wave`` + numpy path.  Every output is
+    predictable arithmetic over length(text), so DuckDB verifies that
+    the bytes written ARE the bytes parsed: frame count, duration,
+    44-byte PCM header + 2 bytes/frame, and RMS/peak exactly 0.5 (the
+    constant 16384/32768 amplitude)."""
+    from fetchez_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.length("text").alias("_n"),
+        F.lit("audio/wav").alias("mime"),
+    )
+
+    def synth(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for n in pdf["_n"]:
+                frames = (int(n) % 500) + 16
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(
+                        np.full(frames, 16384, dtype="<i2").tobytes()
+                    )
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "mime": pdf["mime"],
+                }
+            )
+
+    media = d.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return extract_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        "decoder",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "duration_s",
+        "byte_len",
+        "rms",
+        "peak",
+    )
+
+
 def _q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fetchez_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -2615,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "shard_assignment": _q_shard_assignment,
         "multimodal_binary_meta": _q_multimodal_binary_meta,
+        "multimodal_wav_decode": _q_multimodal_wav_decode,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "minhash_portable": _q_minhash_portable,
         "minhash_lsh_dups": _q_minhash_lsh_dups,
@@ -3381,6 +3444,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_binary_meta": """
             SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum
+            FROM documents
+        """,
+        # the real WAV codec round trip: every decoded field is arithmetic
+        # over length(text) (8 kHz mono 16-bit PCM, (len%500)+16 frames of
+        # constant amplitude 16384 -> rms/peak exactly 0.5, 44-byte PCM
+        # header + 2 bytes/frame)
+        "multimodal_wav_decode": """
+            SELECT doc_id,
+                   'wav' AS decoder,
+                   8000 AS sample_rate,
+                   1 AS channels,
+                   (length(text) % 500) + 16 AS n_frames,
+                   ((length(text) % 500) + 16) / 8000.0 AS duration_s,
+                   44 + 2 * ((length(text) % 500) + 16) AS byte_len,
+                   0.5 AS rms,
+                   0.5 AS peak
             FROM documents
         """,
         "ngram_jaccard_dups": """

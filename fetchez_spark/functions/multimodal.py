@@ -1,9 +1,23 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real and tested -- schema, ``mapInPandas``
-batch shape, partitioning -- while the actual codec step is stubbed
-(image/audio libraries are not in this container).  Swap ``_decode_stub``
-for PIL/soundfile/ffmpeg in a real deployment; nothing else changes.
+The Spark-side plumbing -- schema, ``mapInPandas`` Arrow batch shape,
+partitioning -- is format-agnostic, and the codec layer is REAL for every
+format this container can decode without third-party libraries:
+
+* **WAV audio** (RIFF/WAVE PCM) via the stdlib ``wave`` module: sample
+  rate, channels, frame count, duration, and numpy RMS/peak over the PCM
+  samples;
+* **netpbm images** (binary ``P5`` graymap / ``P6`` pixmap): header parse
+  for dimensions, numpy pixel decode for luminance statistics and
+  nearest-neighbor resize (re-encoded as P6);
+* **BMP images** (uncompressed 24-bit): BITMAPINFOHEADER parse + numpy
+  row decode (stride padding, bottom-up order).
+
+Anything else (PNG/JPEG/MP4/...) falls through to the deterministic
+``_decode_stub`` so the pipeline shape stays testable end to end -- swap
+in PIL/soundfile/ffmpeg in a deployment with those libraries and nothing
+but the dispatch table changes.  The ``decoder`` output column says per
+row which path ran ("wav"/"ppm"/"pgm"/"bmp"/"stub").
 
 Pattern: binary payloads stay in executor memory as Arrow buffers end to
 end; per-batch (not per-row) Python via ``mapInPandas``; metadata columns
@@ -12,8 +26,11 @@ end; per-batch (not per-row) Python via ``mapInPandas``; metadata columns
 
 from __future__ import annotations
 
+import io
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,57 +53,347 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("decoder", T.StringType(), True),
     ]
 )
 
-REAL_CODECS_AVAILABLE = False  # no PIL/ffmpeg in this container
+FEATURES_SCHEMA = T.StructType(
+    list(DECODED_SCHEMA.fields)
+    + [
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("luma_mean", T.DoubleType(), True),
+        T.StructField("luma_std", T.DoubleType(), True),
+    ]
+)
+
+# formats decodable in THIS container (stdlib + numpy only)
+REAL_CODECS = ("wav", "ppm", "pgm", "bmp")
+REAL_CODECS_AVAILABLE = True
+
+
+def _sniff(payload: bytes | None) -> str | None:
+    """Magic-byte format detection for the natively decodable formats."""
+    if not payload or len(payload) < 12:
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:2] == b"P6" and payload[2:3].isspace():
+        return "ppm"
+    if payload[:2] == b"P5" and payload[2:3].isspace():
+        return "pgm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """Stdlib ``wave`` header decode: exact frame/rate/channel metadata."""
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        rate, ch, nf = w.getframerate(), w.getnchannels(), w.getnframes()
+    return {
+        "width": None,
+        "height": None,
+        "n_frames": int(nf),
+        "sample_rate": int(rate),
+        "channels": int(ch),
+        "duration_s": (nf / rate) if rate else None,
+        "decoder": "wav",
+    }
+
+
+def _wav_samples(payload: bytes) -> np.ndarray | None:
+    """PCM samples as float in [-1, 1] (16-bit and 8-bit supported)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        sw, nf = w.getsampwidth(), w.getnframes()
+        raw = w.readframes(nf)
+    if sw == 2:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if sw == 1:  # unsigned 8-bit
+        return (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    return None
+
+
+def _netpbm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary netpbm header -> (width, height, maxval,
+    pixel_data_offset).  Handles whitespace runs and ``#`` comments."""
+    pos = 2  # past the magic
+    vals: list[int] = []
+    n = len(payload)
+    while len(vals) < 3 and pos < n:
+        c = payload[pos:pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            while pos < n and payload[pos:pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < n and payload[pos:pos + 1].isdigit():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        else:
+            raise ValueError("malformed netpbm header")
+    if len(vals) < 3 or pos >= n or not payload[pos:pos + 1].isspace():
+        raise ValueError("truncated netpbm header")
+    return vals[0], vals[1], vals[2], pos + 1  # exactly ONE ws after maxval
+
+
+def _decode_netpbm(payload: bytes, fmt: str) -> dict:
+    w, h, _maxval, _off = _netpbm_header(payload)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": 1,
+        "sample_rate": None,
+        "channels": 3 if fmt == "ppm" else 1,
+        "duration_s": None,
+        "decoder": fmt,
+    }
+
+
+def _netpbm_pixels(payload: bytes, fmt: str) -> np.ndarray:
+    """(h, w, c) uint8 pixel array for a binary P5/P6 image."""
+    w, h, maxval, off = _netpbm_header(payload)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    c = 3 if fmt == "ppm" else 1
+    need = w * h * c
+    arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    return arr.reshape(h, w, c)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 bytes (the module's interchange
+    encoding for resized output)."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    if len(payload) < 26:
+        raise ValueError("truncated BMP header")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    return {
+        "width": int(abs(w)),
+        "height": int(abs(h)),
+        "n_frames": 1,
+        "sample_rate": None,
+        "channels": 3,
+        "duration_s": None,
+        "decoder": "bmp",
+    }
+
+
+def _bmp_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB for an uncompressed 24-bit BMP (bottom-up or
+    top-down), honoring the 4-byte row stride padding."""
+    off, = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp, = struct.unpack_from("<H", payload, 28)
+    comp, = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
 
 
 def _decode_stub(kind: str, payload: bytes | None) -> dict:
-    """Deterministic fake decode. Replace with a real codec.
-
-    Raises for unknown kinds the way a real decoder would."""
+    """Deterministic fake decode for formats this container has no codec
+    for (PNG/JPEG/MP4/...).  Raises for unknown kinds the way a real
+    decoder would."""
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for kind={kind!r}")
+    none = {
+        "width": None, "height": None, "n_frames": None,
+        "sample_rate": None, "channels": None, "duration_s": None,
+        "decoder": "stub",
+    }
     if payload is None:
-        return {"width": None, "height": None, "n_frames": None}
+        return none
     h = len(payload)
     if kind == "image":
-        return {"width": (h % 64) + 1, "height": (h % 48) + 1, "n_frames": 1}
+        return {**none, "width": (h % 64) + 1, "height": (h % 48) + 1, "n_frames": 1}
     if kind == "video":
-        return {"width": (h % 64) + 1, "height": (h % 48) + 1, "n_frames": (h % 30) + 1}
-    return {"width": None, "height": None, "n_frames": None}
+        return {
+            **none,
+            "width": (h % 64) + 1,
+            "height": (h % 48) + 1,
+            "n_frames": (h % 30) + 1,
+        }
+    return none
+
+
+def _decode_one(kind: str, payload: bytes | None) -> dict:
+    fmt = _sniff(bytes(payload) if payload is not None else None)
+    try:
+        if fmt == "wav":
+            return _decode_wav(bytes(payload))
+        if fmt in ("ppm", "pgm"):
+            return _decode_netpbm(bytes(payload), fmt)
+        if fmt == "bmp":
+            return _decode_bmp(bytes(payload))
+    except Exception:  # noqa: BLE001 - malformed container of a known
+        pass  # magic (wave.Error/EOFError/ValueError/...): fall to the stub
+    return _decode_stub(kind, payload)
+
+
+_META_COLS = (
+    "width", "height", "n_frames", "sample_rate", "channels",
+    "duration_s", "decoder",
+)
+
+
+def _attach_meta(pdf: pd.DataFrame) -> pd.DataFrame:
+    import hashlib
+
+    meta = [_decode_one(k, p) for k, p in zip(pdf["kind"], pdf["payload"])]
+    pdf = pdf.copy()
+    pdf["byte_len"] = [len(p) if p is not None else 0 for p in pdf["payload"]]
+    pdf["checksum"] = [
+        hashlib.md5(p).hexdigest() if p is not None else None
+        for p in pdf["payload"]
+    ]
+    for c in ("width", "height", "n_frames", "sample_rate", "channels"):
+        pdf[c] = pd.array([m[c] for m in meta], dtype="Int32")
+    pdf["duration_s"] = pd.array(
+        [m["duration_s"] for m in meta], dtype="Float64"
+    )
+    pdf["decoder"] = [m["decoder"] for m in meta]
+    return pdf
 
 
 def decode_metadata(df: DataFrame) -> DataFrame:
-    """Arrow-batched metadata extraction over binary media columns."""
-    import hashlib
+    """Arrow-batched metadata extraction over binary media columns: real
+    codecs for WAV/netpbm/BMP, the deterministic stub for the rest."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [
-                _decode_stub(k, p) for k, p in zip(pdf["kind"], pdf["payload"])
-            ]
-            pdf = pdf.copy()
-            pdf["byte_len"] = [len(p) if p is not None else 0 for p in pdf["payload"]]
-            pdf["checksum"] = [
-                hashlib.md5(p).hexdigest() if p is not None else None for p in pdf["payload"]
-            ]
-            pdf["width"] = pd.array([m["width"] for m in meta], dtype="Int32")
-            pdf["height"] = pd.array([m["height"] for m in meta], dtype="Int32")
-            pdf["n_frames"] = pd.array([m["n_frames"] for m in meta], dtype="Int32")
-            yield pdf
+            yield _attach_meta(pdf)
 
     return df.mapInPandas(fn, schema=DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Decode + numeric content features in ONE Arrow pass: audio RMS and
+    peak amplitude over the PCM samples, image luminance mean/std over
+    the decoded pixels (ITU-R 601 luma for color).  Null for rows only
+    the stub can handle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = _attach_meta(pdf)
+            rms, peak, lmean, lstd = [], [], [], []
+            for p, dec in zip(pdf["payload"], pdf["decoder"]):
+                r = pk = mu = sd = None
+                if p is not None and dec != "stub":
+                    b = bytes(p)
+                    try:
+                        if dec == "wav":
+                            s = _wav_samples(b)
+                            if s is not None and len(s):
+                                r = float(np.sqrt(np.mean(s * s)))
+                                pk = float(np.max(np.abs(s)))
+                        else:
+                            px = (
+                                _bmp_pixels(b)
+                                if dec == "bmp"
+                                else _netpbm_pixels(b, dec)
+                            ).astype(np.float64)
+                            luma = (
+                                0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+                                if px.shape[-1] == 3
+                                else px[..., 0]
+                            )
+                            mu, sd = float(luma.mean()), float(luma.std())
+                    except Exception:  # noqa: BLE001 - malformed payload:
+                        pass  # metadata row stands, features stay null
+                rms.append(r)
+                peak.append(pk)
+                lmean.append(mu)
+                lstd.append(sd)
+            pdf["rms"] = pd.array(rms, dtype="Float64")
+            pdf["peak"] = pd.array(peak, dtype="Float64")
+            pdf["luma_mean"] = pd.array(lmean, dtype="Float64")
+            pdf["luma_std"] = pd.array(lstd, dtype="Float64")
+            yield pdf
+
+    return df.mapInPandas(fn, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),  # P6 re-encode
+        T.StructField("resized", T.BooleanType(), False),
+    ]
+)
+
+
+def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Nearest-neighbor resize of every natively decodable image to
+    (width, height), re-encoded as binary P6 -- a REAL vectorized image
+    transform with no imaging library.  Rows the codec can't decode pass
+    through with ``resized=false`` and their original payload."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "payload": [], "resized": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                fmt = _sniff(bytes(p) if p is not None else None)
+                px = None
+                if fmt in ("ppm", "pgm", "bmp"):
+                    try:
+                        b = bytes(p)
+                        px = _bmp_pixels(b) if fmt == "bmp" else _netpbm_pixels(b, fmt)
+                    except Exception:  # noqa: BLE001 - malformed: pass through
+                        px = None
+                if px is None:
+                    out["media_id"].append(mid)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["payload"].append(p)
+                    out["resized"].append(False)
+                    continue
+                if px.shape[-1] == 1:
+                    px = np.repeat(px, 3, axis=-1)
+                ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
+                xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
+                out["media_id"].append(mid)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["payload"].append(encode_ppm(px[np.ix_(ys, xs)]))
+                out["resized"].append(True)
+            res = pd.DataFrame(out)
+            res["width"] = pd.array(res["width"], dtype="Int32")
+            res["height"] = pd.array(res["height"], dtype="Int32")
+            yield res
+
+    return df.mapInPandas(fn, schema=RESIZED_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled frame index.
 
-    The frame extraction itself is the stubbed codec; the explode shape
-    (one media row -> n frame rows, provenance retained) mirrors the
-    reference's unzip flatMap (/root/reference/src/fetchez/hooks/builtins/
-    file_ops/unzip.py:57-113)."""
+    The frame extraction itself is the stubbed codec (no video codec in
+    this container); the explode shape (one media row -> n frame rows,
+    provenance retained) mirrors the reference's unzip flatMap
+    (/root/reference/src/fetchez/hooks/builtins/file_ops/unzip.py:57-113)."""
     decoded = decode_metadata(df)
     return decoded.select(
         "media_id",

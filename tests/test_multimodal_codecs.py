@@ -1,0 +1,161 @@
+"""REAL multimodal codecs (no third-party libraries): WAV via the stdlib
+``wave`` module, binary netpbm (P5/P6) and uncompressed 24-bit BMP via
+numpy.  The tests build genuine files byte-for-byte and assert exact
+decoded metadata, content features (RMS/peak, luminance stats), and the
+nearest-neighbor resize round trip -- plus that unknown formats still
+fall through to the deterministic stub so the pipeline shape never
+breaks."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from fetchez_spark.functions.multimodal import (
+    MEDIA_SCHEMA,
+    decode_metadata,
+    encode_ppm,
+    extract_features,
+    resize_image,
+)
+
+
+def wav_bytes(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((samples * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def ppm_bytes(pixels: np.ndarray) -> bytes:
+    return encode_ppm(pixels)
+
+
+def pgm_bytes(pixels: np.ndarray) -> bytes:
+    h, w = pixels.shape[:2]
+    return b"P5\n# a comment\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def bmp_bytes(rgb: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit bottom-up BMP."""
+    h, w = rgb.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):
+        row = rgb[y][..., ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return header + info + rows
+
+
+def test_wav_decode_and_features(spark):
+    t = np.arange(1600) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav_bytes(sine)), "audio/wav")], MEDIA_SCHEMA
+    )
+    row = extract_features(df).collect()[0]
+    assert row["decoder"] == "wav"
+    assert row["sample_rate"] == 8000 and row["channels"] == 1
+    assert row["n_frames"] == 1600
+    assert row["duration_s"] == pytest.approx(0.2)
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2); peak ~0.5
+    assert row["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=0.01)
+    assert row["peak"] == pytest.approx(0.5, rel=0.01)
+
+
+def test_netpbm_decode_features_and_comments(spark):
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(12, 20, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(7, 9), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(ppm_bytes(rgb)), "image/x-portable-pixmap"),
+            (2, "image", bytearray(pgm_bytes(gray)), "image/x-portable-graymap"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert rows[1]["decoder"] == "ppm" and (rows[1]["width"], rows[1]["height"]) == (20, 12)
+    assert rows[2]["decoder"] == "pgm" and (rows[2]["width"], rows[2]["height"]) == (9, 7)
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    assert rows[1]["luma_mean"] == pytest.approx(float(luma.mean()), rel=1e-9)
+    assert rows[1]["luma_std"] == pytest.approx(float(luma.std()), rel=1e-9)
+    assert rows[2]["luma_mean"] == pytest.approx(float(gray.mean()), rel=1e-9)
+
+
+def test_bmp_decode_matches_source_pixels(spark):
+    rgb = np.zeros((5, 3, 3), dtype=np.uint8)
+    rgb[0, 0] = (255, 0, 0)  # top-left red: catches bottom-up flips
+    rgb[4, 2] = (0, 0, 255)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(bmp_bytes(rgb)), "image/bmp")], MEDIA_SCHEMA
+    )
+    row = extract_features(df).collect()[0]
+    assert row["decoder"] == "bmp"
+    assert (row["width"], row["height"]) == (3, 5)
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    assert row["luma_mean"] == pytest.approx(float(luma.mean()), rel=1e-9)
+
+
+def test_resize_round_trip(spark):
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(ppm_bytes(rgb)), "image/x-portable-pixmap"),
+            (2, "image", bytearray(b"\x89PNG-not-decodable"), "image/png"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in resize_image(df, 8, 4).collect()}
+    assert out[1]["resized"] is True and (out[1]["width"], out[1]["height"]) == (8, 4)
+    # the resized payload is itself a decodable P6 of the new size, and
+    # nearest-neighbor at 2:1 / 4:1 picks exact source pixels
+    re = {r["media_id"]: r for r in decode_metadata(
+        spark.createDataFrame(
+            [(1, "image", out[1]["payload"], "image/x-portable-pixmap")], MEDIA_SCHEMA
+        )
+    ).collect()}
+    assert (re[1]["width"], re[1]["height"], re[1]["decoder"]) == (8, 4, "ppm")
+    ys = (np.arange(4) * 16 // 4).clip(0, 15)
+    xs = (np.arange(8) * 16 // 8).clip(0, 15)
+    expect = rgb[np.ix_(ys, xs)]
+    got = np.frombuffer(bytes(out[1]["payload"]).split(b"\n255\n", 1)[1], dtype=np.uint8)
+    assert np.array_equal(got.reshape(4, 8, 3), expect)
+    # non-decodable rows pass through untouched
+    assert out[2]["resized"] is False and bytes(out[2]["payload"]).startswith(b"\x89PNG")
+
+
+def test_malformed_known_magic_falls_to_stub(spark):
+    # RIFF/WAVE magic but garbage body: the real decoder raises inside,
+    # the dispatch falls back to the stub instead of failing the batch
+    junk = b"RIFF\x00\x00\x00\x00WAVEjunkjunkjunk"
+    df = spark.createDataFrame([(1, "audio", bytearray(junk), "audio/wav")], MEDIA_SCHEMA)
+    row = decode_metadata(df).collect()[0]
+    assert row["decoder"] == "stub" and row["byte_len"] == len(junk)
+
+
+def test_wav_stereo_and_8bit(spark):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(1)
+        w.setframerate(16000)
+        w.writeframes(bytes([128, 128, 255, 0] * 100))
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()), "audio/wav")], MEDIA_SCHEMA
+    )
+    row = extract_features(df).collect()[0]
+    assert row["channels"] == 2 and row["sample_rate"] == 16000
+    assert row["n_frames"] == 200
+    assert row["peak"] == pytest.approx(1.0, rel=0.01)
