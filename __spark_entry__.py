@@ -2067,6 +2067,64 @@ def _q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio windowing end to end, ORACLE-CHECKED: the same
+    synthesized-WAV corpus as ``multimodal_wav_decode``, chunked by
+    ``audio_windows`` into 8-frame windows with genuine payload slicing
+    (each window re-encoded as a standalone WAV).  The explode shape --
+    one media row -> ceil(frames/8) window rows with exact boundaries --
+    is pure arithmetic over length(text), so DuckDB predicts every row."""
+    from fetchez_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_windows,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.length("text").alias("_n"),
+        F.lit("audio/wav").alias("mime"),
+    )
+
+    def synth(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for n in pdf["_n"]:
+                frames = (int(n) % 500) + 16
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(
+                        np.full(frames, 16384, dtype="<i2").tobytes()
+                    )
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "mime": pdf["mime"],
+                }
+            )
+
+    media = d.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return audio_windows(media, window_s=8 / 8000.0).select(
+        F.col("media_id").alias("doc_id"),
+        "window_idx",
+        "n_frames",
+        "start_s",
+        "end_s",
+    )
+
+
 def _q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fetchez_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -2678,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assignment": _q_shard_assignment,
         "multimodal_binary_meta": _q_multimodal_binary_meta,
         "multimodal_wav_decode": _q_multimodal_wav_decode,
+        "multimodal_audio_windows": _q_multimodal_audio_windows,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "minhash_portable": _q_minhash_portable,
         "minhash_lsh_dups": _q_minhash_lsh_dups,
@@ -3445,6 +3504,23 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_binary_meta": """
             SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum
             FROM documents
+        """,
+        # real audio windowing: ceil(frames/8) windows per doc, boundaries
+        # and last-window remainder all arithmetic over length(text)
+        "multimodal_audio_windows": """
+            WITH d AS (
+              SELECT doc_id, (length(text) % 500) + 16 AS fr FROM documents
+            ), w AS (
+              SELECT doc_id, fr,
+                     unnest(range(0, CAST(ceil(fr / 8.0) AS BIGINT))) AS wi
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(wi AS INT) AS window_idx,
+                   CAST(least(8, fr - wi * 8) AS INT) AS n_frames,
+                   (wi * 8) / 8000.0 AS start_s,
+                   (wi * 8 + least(8, fr - wi * 8)) / 8000.0 AS end_s
+            FROM w
         """,
         # the real WAV codec round trip: every decoded field is arithmetic
         # over length(text) (8 kHz mono 16-bit PCM, (len%500)+16 frames of

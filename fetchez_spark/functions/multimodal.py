@@ -387,6 +387,81 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(fn, schema=RESIZED_SCHEMA)
 
 
+AUDIO_WINDOWS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("start_s", T.DoubleType(), False),
+        T.StructField("end_s", T.DoubleType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),  # standalone WAV
+    ]
+)
+
+
+def audio_windows(
+    df: DataFrame, window_s: float = 5.0, hop_s: float | None = None
+) -> DataFrame:
+    """Chunk WAV audio into fixed-length window rows with REAL payload
+    slicing -- the training-pipeline explode for audio (one media row ->
+    n window rows, provenance retained), same shape as
+    :func:`frame_sample` but with genuine bytes: each output payload is
+    a standalone WAV of that window's PCM frames, decodable by this same
+    module.  ``hop_s`` < ``window_s`` gives overlapping windows
+    (defaults to ``window_s``: contiguous, no overlap).  Non-WAV rows
+    are dropped (they have no frame axis to window)."""
+    import wave
+
+    hop = window_s if hop_s is None else hop_s
+    if hop <= 0 or window_s <= 0:
+        raise ValueError("window_s and hop_s must be positive")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_WINDOWS_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if _sniff(bytes(p) if p is not None else None) != "wav":
+                    continue
+                try:
+                    b = bytes(p)
+                    with wave.open(io.BytesIO(b)) as w:
+                        rate, ch, sw = (
+                            w.getframerate(), w.getnchannels(), w.getsampwidth(),
+                        )
+                        raw = w.readframes(w.getnframes())
+                except Exception:  # noqa: BLE001 - malformed: no windows
+                    continue
+                frame_bytes = ch * sw
+                total = len(raw) // frame_bytes if frame_bytes else 0
+                win = max(int(window_s * rate), 1)
+                step = max(int(hop * rate), 1)
+                idx = 0
+                for start in range(0, max(total, 1), step):
+                    chunk = raw[start * frame_bytes:(start + win) * frame_bytes]
+                    if not chunk:
+                        break
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(ch)
+                        w.setsampwidth(sw)
+                        w.setframerate(rate)
+                        w.writeframes(chunk)
+                    nf = len(chunk) // frame_bytes
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(idx)
+                    out["start_s"].append(start / rate)
+                    out["end_s"].append((start + nf) / rate)
+                    out["n_frames"].append(nf)
+                    out["payload"].append(buf.getvalue())
+                    idx += 1
+            res = pd.DataFrame(out)
+            res["window_idx"] = pd.array(res["window_idx"], dtype="Int32")
+            res["n_frames"] = pd.array(res["n_frames"], dtype="Int32")
+            yield res
+
+    return df.mapInPandas(fn, schema=AUDIO_WINDOWS_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled frame index.
 

@@ -145,6 +145,43 @@ def test_malformed_known_magic_falls_to_stub(spark):
     assert row["decoder"] == "stub" and row["byte_len"] == len(junk)
 
 
+def test_audio_windows_real_slicing(spark):
+    from fetchez_spark.functions.multimodal import audio_windows, extract_features
+
+    # 2.5 s at 8 kHz: 1 s windows -> 3 windows (last one 0.5 s)
+    t = np.arange(20000) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 100 * t)
+    df = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav_bytes(sine)), "audio/wav"),
+            (2, "image", bytearray(b"\x89PNG-not-audio00"), "image/png"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    wins = sorted(
+        audio_windows(df, window_s=1.0).collect(), key=lambda r: r["window_idx"]
+    )
+    assert [r["media_id"] for r in wins] == [1, 1, 1]  # non-WAV rows dropped
+    assert [r["n_frames"] for r in wins] == [8000, 8000, 4000]
+    assert [r["start_s"] for r in wins] == [0.0, 1.0, 2.0]
+    assert wins[2]["end_s"] == pytest.approx(2.5)
+    # each window payload is itself a decodable standalone WAV whose
+    # samples are the exact slice of the source
+    redec = extract_features(
+        spark.createDataFrame(
+            [(10 + i, "audio", w["payload"], "audio/wav") for i, w in enumerate(wins)],
+            MEDIA_SCHEMA,
+        )
+    ).collect()
+    assert all(r["decoder"] == "wav" for r in redec)
+    got = np.frombuffer(bytes(wins[1]["payload"])[44:], dtype="<i2")
+    expect = (sine * 32767).astype("<i2")[8000:16000]
+    assert np.array_equal(got, expect)
+    # overlapping hop: 1 s windows every 0.5 s -> starts 0, .5, 1, 1.5, 2
+    ov = audio_windows(df, window_s=1.0, hop_s=0.5).collect()
+    assert sorted(r["start_s"] for r in ov) == [0.0, 0.5, 1.0, 1.5, 2.0]
+
+
 def test_wav_stereo_and_8bit(spark):
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
