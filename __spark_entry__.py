@@ -2125,6 +2125,72 @@ def _q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_dhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image perceptual hash end to end, ORACLE-CHECKED:
+    synthesize a genuine 9x8 binary graymap (P5) per document whose
+    pixel bytes are the text's first 72 character codes (mod 256,
+    'x'-padded), decode it with the real netpbm codec, and dHash it
+    (multimodal.image_dhash64).  A 9x8 image is its own downsample, so
+    the 64 neighbor-comparison bits -- including the signed-int64
+    wraparound of bit 63 -- are recomputable in DuckDB character by
+    character; the oracle predicts every fingerprint exactly."""
+    from fetchez_spark.functions.multimodal import MEDIA_SCHEMA, image_dhash64
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").alias("_t"),
+        F.lit("image/x-portable-graymap").alias("mime"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["_t"]:
+                s = (t or "").ljust(72, "x")[:72]
+                payloads.append(
+                    b"P5\n9 8\n255\n" + bytes(ord(c) % 256 for c in s)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "mime": pdf["mime"],
+                }
+            )
+
+    media = d.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return image_dhash64(media).select(
+        F.col("media_id").alias("doc_id"), "dhash", "decoder"
+    )
+
+
+def _image_dhash_oracle_sql() -> str:
+    """DuckDB twin of _q_image_dhash64: the 64 dHash bits as CASE terms
+    over character codes (bit 63 carries the signed-int64 wraparound)."""
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            k = r * 8 + c
+            i = r * 9 + c + 1  # substr is 1-based
+            cond = (
+                f"(ascii(substr(p, {i}, 1)) % 256) > "
+                f"(ascii(substr(p, {i + 1}, 1)) % 256)"
+            )
+            val = "-9223372036854775808" if k == 63 else str(1 << k)
+            terms.append(f"CASE WHEN {cond} THEN {val} ELSE 0 END")
+    body = "\n                 + ".join(terms)
+    return f"""
+            SELECT doc_id,
+                   CAST({body} AS BIGINT) AS dhash,
+                   'pgm' AS decoder
+            FROM (SELECT doc_id, rpad(text, 72, 'x') AS p FROM documents)
+        """
+
+
 def _q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fetchez_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -2737,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_meta": _q_multimodal_binary_meta,
         "multimodal_wav_decode": _q_multimodal_wav_decode,
         "multimodal_audio_windows": _q_multimodal_audio_windows,
+        "image_dhash64_docs": _q_image_dhash64,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "minhash_portable": _q_minhash_portable,
         "minhash_lsh_dups": _q_minhash_lsh_dups,
@@ -3505,6 +3572,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum
             FROM documents
         """,
+        # real image perceptual hash: the 64 dHash neighbor-comparison
+        # bits recomputed character by character (SQL generated by
+        # _image_dhash_oracle_sql; bit 63 = signed wraparound)
+        "image_dhash64_docs": _image_dhash_oracle_sql(),
         # real audio windowing: ceil(frames/8) windows per doc, boundaries
         # and last-window remainder all arithmetic over length(text)
         "multimodal_audio_windows": """

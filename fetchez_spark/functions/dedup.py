@@ -353,11 +353,37 @@ def simhash_hamming_pairs(
     ``max_bucket_size`` additionally hard-caps degenerate buckets
     (:func:`cap_bucket_size`) -- a boilerplate-heavy corpus can still
     concentrate one block value."""
+    sim = df.select(F.col(id_col).alias("_id"), simhash_portable(text_col, bits, k).alias("_sh"))
+    return fingerprint_hamming_pairs(
+        sim,
+        fp_col="_sh",
+        id_col="_id",
+        max_hamming=max_hamming,
+        bits=bits,
+        n_bands=n_bands,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def fingerprint_hamming_pairs(
+    df: DataFrame,
+    fp_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The bit-band hamming join over a PRECOMPUTED integer fingerprint
+    column -- the machinery behind :func:`simhash_hamming_pairs`,
+    factored out so any 64-bit fingerprint family (text SimHash, image
+    dHash, audio chromaprint-style hashes) reuses the same linear-scale
+    candidate join and exact ``bit_count`` verification."""
     width = bits // n_bands  # 16-bit blocks at the 64/4 default
     assert bits % n_bands == 0, "bits must split evenly into n_bands blocks"
     assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
     mask = F.lit((1 << width) - 1).cast("long")
-    sim = df.select(F.col(id_col).alias("_id"), simhash_portable(text_col, bits, k).alias("_sh"))
+    sim = df.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_sh"))
     bands = sim.select(
         "_id",
         "_sh",

@@ -387,6 +387,96 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(fn, schema=RESIZED_SCHEMA)
 
 
+def dhash64_pixels(px: np.ndarray) -> int:
+    """The classic 64-bit difference hash over a decoded pixel array:
+    luma -> nearest-neighbor downsample to 9x8 -> bit (r,c) set iff
+    luma[r,c] > luma[r,c+1], packed at bit index r*8+c (signed-int64
+    wraparound for bit 63, so the value round-trips through a Spark
+    LongType column)."""
+    px = px.astype(np.float64)
+    luma = (
+        0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        if px.shape[-1] == 3
+        else px[..., 0]
+    )
+    h, w = luma.shape
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(9) * w // 9).clip(0, w - 1)
+    g = luma[np.ix_(ys, xs)]
+    bits = (g[:, :-1] > g[:, 1:]).flatten()  # row-major, 8x8
+    v = 0
+    for k, b in enumerate(bits):
+        if b:
+            v |= 1 << k
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("decoder", T.StringType(), True),
+    ]
+)
+
+
+def image_dhash64(df: DataFrame) -> DataFrame:
+    """Perceptual image fingerprints (difference hash) over the natively
+    decodable formats -- REAL pixels, no imaging library.  Null dhash for
+    rows the codec can't decode (the ``decoder`` column says why).  Feed
+    the output to :func:`image_neardup_pairs` for near-duplicate
+    detection at corpus scale."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, decs = [], []
+            for p in pdf["payload"]:
+                fmt = _sniff(bytes(p) if p is not None else None)
+                v, dec = None, "stub"
+                if fmt in ("ppm", "pgm", "bmp"):
+                    try:
+                        b = bytes(p)
+                        px = _bmp_pixels(b) if fmt == "bmp" else _netpbm_pixels(b, fmt)
+                        v, dec = dhash64_pixels(px), fmt
+                    except Exception:  # noqa: BLE001 - malformed: null hash
+                        v, dec = None, "stub"
+                hashes.append(v)
+                decs.append(dec)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                    "decoder": decs,
+                }
+            )
+
+    return df.mapInPandas(fn, schema=DHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: real dHash fingerprints through the
+    same linear-scale bit-band hamming join the text SimHash family uses
+    (dedup.fingerprint_hamming_pairs) -- by pigeonhole, any pair within
+    hamming d agrees on a whole 16-bit block, so candidates come from
+    equi-joins, never an all-pairs scan."""
+    from fetchez_spark.functions.dedup import fingerprint_hamming_pairs
+
+    fps = image_dhash64(df).filter(F.col("dhash").isNotNull())
+    return fingerprint_hamming_pairs(
+        fps,
+        fp_col="dhash",
+        id_col="media_id",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        max_bucket_size=max_bucket_size,
+    )
+
+
 AUDIO_WINDOWS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

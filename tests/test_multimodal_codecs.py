@@ -182,6 +182,54 @@ def test_audio_windows_real_slicing(spark):
     assert sorted(r["start_s"] for r in ov) == [0.0, 0.5, 1.0, 1.5, 2.0]
 
 
+def test_image_dhash64_bit_exact(spark):
+    from fetchez_spark.functions.multimodal import dhash64_pixels, image_dhash64
+
+    # a 9x8 grayscale image IS its own downsample: the hash is pure
+    # neighbor comparisons, independently recomputed here
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, size=(8, 9), dtype=np.uint8)
+    expect = 0
+    for r in range(8):
+        for c in range(8):
+            if g[r, c] > g[r, c + 1]:
+                expect |= 1 << (r * 8 + c)
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(pgm_bytes(g)), "image/x-portable-graymap"),
+            (2, "image", bytearray(b"\x89PNG-opaque-bytes"), "image/png"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in image_dhash64(df).collect()}
+    assert rows[1]["dhash"] == expect and rows[1]["decoder"] == "pgm"
+    assert rows[2]["dhash"] is None and rows[2]["decoder"] == "stub"
+    assert dhash64_pixels(g.reshape(8, 9, 1)) == expect
+
+
+def test_image_neardup_pairs(spark):
+    from fetchez_spark.functions.multimodal import image_neardup_pairs
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = 255 - near[0, 0]  # tiny perturbation
+    far = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(ppm_bytes(base)), "image/x-portable-pixmap"),
+            (2, "image", bytearray(ppm_bytes(near)), "image/x-portable-pixmap"),
+            (3, "image", bytearray(ppm_bytes(far)), "image/x-portable-pixmap"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in image_neardup_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_wav_stereo_and_8bit(spark):
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
