@@ -134,7 +134,17 @@ class Recipe:
         # normalize `source:` (single) and `sources:` (list) into units;
         # per-source selection/transforms fall back to the globals (the
         # reference's per-module region override, recipe.py:207-237)
-        raw_units = cfg.get("sources") or [dict(cfg["source"])]
+        # `import` mode adopts files in place -- it has no change SOURCE,
+        # so the source section is optional there (and only there)
+        if cfg.get("sources") or cfg.get("source"):
+            raw_units = cfg.get("sources") or [dict(cfg["source"])]
+        elif cfg.get("run", {}).get("mode") == "import":
+            raw_units = []
+        else:
+            raise KeyError(
+                "recipe needs a `source:`/`sources:` section "
+                "(only run mode `import` works without one)"
+            )
         units = []
         for raw in raw_units:
             raw = dict(raw)
@@ -362,6 +372,21 @@ class Recipe:
             for q in queries:
                 q.awaitTermination(timeout)
             out = {"mode": mode, "query_ids": [str(q.id) for q in queries]}
+            self._catalog_pin(sink, out)
+            return out
+        if mode == "import":
+            # declarative zero-copy adoption (the add_files analog as a
+            # job spec): point the recipe at parquet paths; incremental
+            # recipes re-run as drop-folder polls
+            res = sink.import_files(
+                spark,
+                [self._resolve_path(p) for p in run_cfg["paths"]],
+                batch_token=run_cfg.get("token"),
+                validate=run_cfg.get("validate", True),
+                incremental=run_cfg.get("incremental", False),
+                collect_stats=run_cfg.get("collect_stats", False),
+            )
+            out = {"mode": mode, **res}
             self._catalog_pin(sink, out)
             return out
         raise ValueError(f"unknown run mode {mode!r}")

@@ -353,6 +353,33 @@ def test_import_is_covered_by_auto_maintenance(spark, tmp_path):
     assert not m.get("deltas", {}).get("*"), "flat imports were localized"
 
 
+def test_import_recipe_mode(spark, tmp_path):
+    """`run: {mode: import}` — the declarative zero-copy adoption; a
+    recipe with no source section is legal only for this mode, and
+    re-running an incremental recipe is the drop-folder poll."""
+    from fetchez_spark.recipe import Recipe
+
+    sink = _seed(spark, tmp_path, n=5)
+    ext = _ext(spark, tmp_path, [("rc", 0, "user", "via-recipe", None, _ts(90))])
+    cfg = {
+        "project": "import-test",
+        "sink": {"name": "local_snapshot", "args": {"table_dir": str(tmp_path / "t")}},
+        "run": {"mode": "import", "paths": [ext], "incremental": True},
+    }
+    out = Recipe(cfg, base_dir=str(tmp_path)).run(spark)
+    assert out["mode"] == "import" and out["imported_files"] == 1
+    assert _state(spark, sink)[("rc", 0)] == ("user", "via-recipe")
+    again = Recipe(cfg, base_dir=str(tmp_path)).run(spark)
+    assert again["skipped"] is True and again["imported_files"] == 0
+    # non-import recipes still demand a source section
+    bad = {
+        "sink": {"name": "local_snapshot", "args": {"table_dir": str(tmp_path / "t")}},
+        "run": {"mode": "replay"},
+    }
+    with pytest.raises(KeyError, match="source"):
+        Recipe(bad, base_dir=str(tmp_path)).run(spark)
+
+
 def test_import_cli_round_trip(spark, tmp_path, capsys):
     import json
 
