@@ -521,6 +521,8 @@ def audio_windows(
                         raw = w.readframes(w.getnframes())
                 except Exception:  # noqa: BLE001 - malformed: no windows
                     continue
+                if rate <= 0:  # parseable container, nonsense header:
+                    continue  # no time axis to window
                 frame_bytes = ch * sw
                 total = len(raw) // frame_bytes if frame_bytes else 0
                 win = max(int(window_s * rate), 1)

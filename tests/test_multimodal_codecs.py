@@ -244,3 +244,29 @@ def test_wav_stereo_and_8bit(spark):
     assert row["channels"] == 2 and row["sample_rate"] == 16000
     assert row["n_frames"] == 200
     assert row["peak"] == pytest.approx(1.0, rel=0.01)
+
+
+def test_zero_rate_wav_yields_no_windows(spark):
+    # the stdlib wave module parses a sample_rate=0 header without
+    # complaint (setframerate refuses to WRITE one, so craft the bytes):
+    # such a file has no time axis -- audio_windows must drop the row,
+    # not ZeroDivisionError the whole Arrow batch
+    from fetchez_spark.functions.multimodal import audio_windows, decode_metadata
+
+    data = b"\x00\x01" * 100
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    df = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(payload), "audio/wav"),
+            (2, "audio", bytearray(wav_bytes(np.zeros(100) + 0.25)), "audio/wav"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    wins = audio_windows(df, window_s=1.0).collect()
+    assert {r["media_id"] for r in wins} == {2}  # rate-0 row dropped, good row windowed
+    # decode_metadata on the same row keeps its guarded null duration
+    meta = {r["media_id"]: r for r in decode_metadata(df).collect()}
+    assert meta[1]["decoder"] == "wav" and meta[1]["duration_s"] is None
