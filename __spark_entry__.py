@@ -229,6 +229,51 @@ def _neardup_clusters_sql(**neardup_kwargs) -> str:
     """
 
 
+def _semantic_dedup_sql(**neardup_kwargs) -> str:
+    """DuckDB mirror of functions.similarity.semantic_dedup: components
+    over the near-dup pairs, per-position AVG centroid per cluster,
+    argmin(rounded cos, id) representative, singletons kept at 1.0."""
+    pairs_sql = _embedding_neardup_sql(**neardup_kwargs)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+        ),
+        clusters AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node),
+        members AS (
+            SELECT c.vec_id, c.cluster_id, e.embedding::DOUBLE[] AS v
+            FROM clusters c JOIN embeddings e USING (vec_id)
+        ),
+        comp AS (
+            SELECT cluster_id, unnest(v) AS val, generate_subscripts(v, 1) AS p
+            FROM members
+        ),
+        cmean AS (SELECT cluster_id, p, avg(val) AS m FROM comp GROUP BY 1, 2),
+        cent AS (SELECT cluster_id, list(m ORDER BY p) AS centroid FROM cmean GROUP BY 1),
+        scored AS (
+            SELECT m.vec_id, m.cluster_id,
+                   round(list_cosine_similarity(m.v, c.centroid), 6) AS cos_centroid
+            FROM members m JOIN cent c USING (cluster_id)
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY cluster_id ORDER BY cos_centroid ASC, vec_id ASC
+            ) AS rn FROM scored
+        )
+        SELECT vec_id, cluster_id, cos_centroid, (rn = 1) AS keep FROM ranked
+        UNION ALL
+        SELECT vec_id, vec_id AS cluster_id, 1.0 AS cos_centroid, TRUE AS keep
+        FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM clusters)
+    """
+
+
 def _embedding_neardup_sql(
     dim: int = 64,
     bands: int = 8,
@@ -2399,6 +2444,23 @@ def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) keep/drop decisions over the
+    embeddings corpus: near-dup groups from the banded-LSH pair graph,
+    one survivor per group = the member with the LOWEST cosine to the
+    group centroid (the paper's diversity-preserving rule), singletons
+    kept.  The oracle recomputes the full chain declaratively -- the
+    same inlined hyperplanes, recursive-CTE components, per-position
+    AVG centroid, and (rounded cos, id) argmin -- so the hash pins
+    clustering, centroid math, and the representative rule at once."""
+    from fetchez_spark.functions.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, dim=64, bands=8, planes_per_band=3, threshold=0.42, seed=7
+    )
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH near-dup pairs + exact cosine verify,
     ORACLE-CHECKED with the same inlined plane constants (threshold 0.42:
@@ -2821,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_capped": _q_embedding_neardup_capped,
         "neardup_clusters": _q_neardup_clusters,
+        "semantic_dedup_keep": _q_semantic_dedup,
     }
 
 
@@ -3674,6 +3737,9 @@ def oracle_sql() -> dict[str, str]:
             max_bucket_size=70,
         ),
         "neardup_clusters": _neardup_clusters_sql(
+            dim=64, bands=8, planes_per_band=3, threshold=0.42, seed=7
+        ),
+        "semantic_dedup_keep": _semantic_dedup_sql(
             dim=64, bands=8, planes_per_band=3, threshold=0.42, seed=7
         ),
         "cosine_topk": """

@@ -523,3 +523,70 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    max_rounds: int = 20,
+    **neardup_kwargs,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): group semantically
+    near-duplicate documents, then KEEP exactly one representative per
+    group -- the member with the LOWEST cosine similarity to its group
+    centroid (the paper's low-similarity rule: the survivor is the most
+    diverse member, not the most typical), ties broken by smallest id.
+    Documents in no near-dup pair are their own singleton (kept, with
+    ``cos_centroid`` 1.0 by definition).
+
+    Returns one row per input document:
+    ``(id, cluster_id, cos_centroid, keep)``.
+
+    Scale shape (everything linear in corpus size, nothing all-pairs):
+    groups come from the banded-LSH pair graph (:func:`neardup_clusters`
+    -- candidate mass bounded by band buckets + ``max_bucket_size``) via
+    O(log diameter) connected components; the centroid is ONE hash
+    aggregate of ``dim`` per-element ``avg`` expressions (pure codegen,
+    map-side partial agg, no explode and no window); the representative
+    is a ``min(struct)`` aggregate re-joined on ``cluster_id``; the
+    singleton pass is a left-anti join against the (small) clustered-id
+    set.  Every shuffle keys on ``cluster_id`` or ``id`` -- O(n) rows.
+    """
+    clusters = neardup_clusters(
+        df, vec_col, id_col, max_rounds=max_rounds, dim=dim, **neardup_kwargs
+    )
+    base = df.select(F.col(id_col), F.col(vec_col))
+    mem = base.join(clusters, id_col)
+    cent = mem.groupBy("cluster_id").agg(
+        F.array(
+            *[F.avg(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+        ).alias("_centroid")
+    )
+    scored = mem.join(cent, "cluster_id").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.round(cosine(F.col(vec_col), F.col("_centroid")), 6).alias("cos_centroid"),
+    )
+    # representative = argmin(rounded cos, id): min over a 2-field struct,
+    # no window -- the ROUNDED value ranks so an oracle ranking the same
+    # 6-decimal quantity agrees bit-for-bit
+    win = scored.groupBy("cluster_id").agg(
+        F.min(F.struct(F.col("cos_centroid"), F.col(id_col))).alias("_w")
+    )
+    clustered = (
+        scored.join(win, "cluster_id")
+        .withColumn(
+            "keep", F.struct(F.col("cos_centroid"), F.col(id_col)) == F.col("_w")
+        )
+        .select(id_col, "cluster_id", "cos_centroid", "keep")
+    )
+    singletons = base.join(clusters, id_col, "left_anti").select(
+        F.col(id_col),
+        F.col(id_col).alias("cluster_id"),
+        F.lit(1.0).alias("cos_centroid"),
+        F.lit(True).alias("keep"),
+    )
+    return clustered.unionByName(singletons)

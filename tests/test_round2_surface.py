@@ -382,3 +382,45 @@ def test_cli_changes(spark, tmp_path, capsys):
     lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert lines[-1] == {"total_changed_rows": 1}
     assert lines[0]["conv_id"] == "c2"
+
+
+def test_semantic_dedup_keeps_the_most_diverse_member(spark):
+    # SemDeDup rule: within a near-dup group the survivor is the member
+    # FARTHEST from the group centroid (lowest cosine), not the most
+    # typical one; singletons always keep with cos_centroid 1.0
+    import numpy as np
+
+    from fetchez_spark.functions.similarity import semantic_dedup
+
+    vecs = {
+        1: [1.0, 0.0, 0.0, 0.0],
+        2: [0.999, 0.045, 0.0, 0.0],
+        3: [0.99, -0.14, 0.0, 0.0],  # farthest from the trio centroid
+        4: [0.0, 1.0, 0.0, 0.0],  # singleton
+    }
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in vecs.items()],
+        "vec_id: long, embedding: array<float>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, dim=4, bands=4, planes_per_band=2, threshold=0.9, seed=7
+        ).collect()
+    }
+    assert len(rows) == 4  # one verdict per input doc
+    assert all(rows[k]["cluster_id"] == 1 for k in (1, 2, 3))
+    assert rows[4]["keep"] and rows[4]["cluster_id"] == 4
+    assert rows[4]["cos_centroid"] == 1.0
+    # the keeper matches an independent numpy argmin over the centroid
+    c = np.mean([vecs[1], vecs[2], vecs[3]], axis=0)
+    cos = {
+        k: round(
+            float(np.dot(vecs[k], c) / (np.linalg.norm(vecs[k]) * np.linalg.norm(c))),
+            6,
+        )
+        for k in (1, 2, 3)
+    }
+    expect = min((v, k) for k, v in cos.items())[1]
+    assert [k for k in (1, 2, 3) if rows[k]["keep"]] == [expect]
+    assert rows[expect]["cos_centroid"] == cos[expect]
