@@ -375,6 +375,16 @@ def history(table_dir: str, limit: int | None = None) -> list[dict[str, Any]]:
     return LocalSnapshotSink(table_dir).history(limit=limit)
 
 
+def files(table_dir: str, snapshot: str | None = None) -> list[dict[str, Any]]:
+    """One record per data file a snapshot references — the Iceberg
+    ``$files`` metadata-table analog (path, kind, bucket, bytes, import
+    marker, recorded key/column ranges).  Driver-side from the manifest,
+    no Spark session needed."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).files(snapshot_id=snapshot)
+
+
 def snapshot_as_of(table_dir: str, ts) -> str:
     """Resolve a wall-clock timestamp (epoch float, ISO-8601 string, or
     datetime) to the newest snapshot committed at-or-before it — the

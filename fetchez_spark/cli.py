@@ -125,6 +125,11 @@ def main(argv: list[str] | None = None) -> int:
                    metavar="N",
                    help="print the commit history (newest first, optionally "
                         "limited to N entries) instead of searching")
+    p.add_argument("--files", nargs="?", const="", default=None,
+                   metavar="SNAPSHOT",
+                   help="print one JSON record per referenced data file "
+                        "(the $files metadata table; optionally AS-OF a "
+                        "snapshot/tag/branch) instead of searching")
     p = sub.add_parser(
         "ingest-index",
         help="import an external CSV/JSON inventory into a table's catalog "
@@ -552,6 +557,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "snapshots" and args.history is not None:
             limit = None if args.history < 0 else args.history
             for rec in sink.history(limit=limit):
+                print(json.dumps(rec, default=str))
+            return 0
+        if args.cmd == "snapshots" and args.files is not None:
+            for rec in sink.files(snapshot_id=args.files or None):
                 print(json.dumps(rec, default=str))
             return 0
         if args.cmd == "ingest-index":

@@ -5765,6 +5765,58 @@ class LocalSnapshotSink(SnapshotSink):
             sid = m.get("parent")
         return out
 
+    def files(self, snapshot_id: str | None = None) -> list[dict[str, Any]]:
+        """The Iceberg ``$files`` metadata-table analog: one record per
+        data file a snapshot references, driver-side from the manifest --
+        no Spark job, O(files) work.  Accepts a snapshot id, tag, or
+        branch name like every other read.  Fields per record:
+
+        * ``path``, ``kind`` (``base`` | ``delta`` | ``flat``),
+          ``bucket`` (int; ``None`` for flat fast-append deltas),
+        * ``bytes`` (on-disk size; ``None`` if the file is unreadable --
+          :meth:`fsck` is the loud version of that condition),
+        * ``imported`` (onboarded zero-copy by :meth:`import_files`),
+        * ``key_min``/``key_max`` (leading-key range when sorted
+          compaction or ``collect_stats`` recorded one),
+        * ``col_stats`` (z-order multi-column ranges when recorded).
+
+        The operational companion to :meth:`table_report`'s aggregates:
+        this is the per-file breakdown an operator sizes compaction and
+        skew decisions by."""
+        m = self.manifest(snapshot_id)
+        kstats = self.key_stats(m)
+        cstats = self.col_stats(m)
+        imported = self._imported_set(m)
+
+        def _size(p: str) -> int | None:
+            try:
+                return os.path.getsize(p)
+            except OSError:
+                return None
+
+        out: list[dict[str, Any]] = []
+        for kind, fmap in (
+            ("base", self._resolve_map(m["files"])),
+            ("delta", self._resolve_map(m.get("deltas", {}))),
+        ):
+            for b, fl in sorted(fmap.items()):
+                flat = kind == "delta" and b == _FLAT
+                for p in fl:
+                    rng = kstats.get(p)
+                    out.append(
+                        {
+                            "path": p,
+                            "kind": "flat" if flat else kind,
+                            "bucket": None if flat else int(b),
+                            "bytes": _size(p),
+                            "imported": p in imported,
+                            "key_min": rng[0] if rng else None,
+                            "key_max": rng[1] if rng else None,
+                            "col_stats": cstats.get(p),
+                        }
+                    )
+        return out
+
     # ------------------------------------------------ table properties
     def properties(self) -> dict[str, Any]:
         """The table's recorded properties (see ``_TABLE_PROPERTIES``) --

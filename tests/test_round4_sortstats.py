@@ -157,3 +157,59 @@ def test_key_stats_blob_survives_expire(spark, tmp_path):
     assert stats, "expire must retain the key_stats blob of kept manifests"
     got = sink.lookup(spark, "c0001").collect()
     assert any(r["text"] == "post" for r in got)
+
+
+def test_files_metadata_table(spark, tmp_path):
+    # the $files analog: one record per referenced file, deltas before
+    # compaction, base files with key ranges after sorted compaction,
+    # AS-OF any retained snapshot -- all driver-side, no Spark job
+    import os
+
+    from fetchez_spark import api
+
+    sink = _mk_sorted_table(spark, tmp_path)
+    pre_sid = sink.current_snapshot_id
+    pre = sink.files()
+    assert pre and all(r["kind"] in ("base", "delta", "flat") for r in pre)
+    assert any(r["kind"] != "base" for r in pre)  # uncompacted deltas visible
+    assert all(r["bytes"] and r["bytes"] > 0 for r in pre)
+    assert not any(r["imported"] for r in pre)
+
+    sink.compact(spark, target_file_bytes=4096)
+    post = sink.files()
+    assert all(r["kind"] == "base" for r in post)
+    assert all(r["bucket"] in (0, 1) for r in post)
+    # sorted compaction recorded leading-key ranges on every base file
+    assert all(r["key_min"] is not None and r["key_max"] <= "c0119" for r in post)
+    # the record set matches the manifest's resolved lists exactly
+    assert sorted(r["path"] for r in post) == sorted(
+        f for fl in sink.file_lists().values() for f in fl
+    )
+    # AS-OF the pre-compaction snapshot reproduces the old breakdown
+    assert sorted(r["path"] for r in sink.files(pre_sid)) == sorted(
+        r["path"] for r in pre
+    )
+    # api twin + a missing file reports bytes=None (fsck is the loud path)
+    os.remove(post[0]["path"])
+    rec = [r for r in api.files(str(tmp_path / "t")) if r["path"] == post[0]["path"]]
+    assert rec and rec[0]["bytes"] is None
+
+
+def test_cli_files_listing(spark, tmp_path, capsys):
+    import json
+
+    from fetchez_spark.cli import main
+
+    sink = _mk_sorted_table(spark, tmp_path, n_keys=20)
+    pre_sid = sink.current_snapshot_id
+    sink.compact(spark)
+    rc = main(["snapshots", sink.table_dir, "--files"])
+    assert rc == 0
+    recs = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert recs == sink.files()
+    rc = main(["snapshots", sink.table_dir, "--files", pre_sid])
+    assert rc == 0
+    recs = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert sorted(r["path"] for r in recs) == sorted(
+        r["path"] for r in sink.files(pre_sid)
+    )
