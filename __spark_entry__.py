@@ -2461,6 +2461,17 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass exact column profile of the events table (row/null/
+    distinct counts per column; min/max/avg-length for strings) -- the
+    dataset-summary surface (inventory's statistical sibling).  The
+    oracle is the same profile as a per-column UNION ALL."""
+    from fetchez_spark.transforms import profile_columns
+
+    e = _t(spark, sf_dir, "events")
+    return profile_columns(e, ["event_id", "user_id", "event_type", "value", "props"])
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH near-dup pairs + exact cosine verify,
     ORACLE-CHECKED with the same inlined plane constants (threshold 0.42:
@@ -2884,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_capped": _q_embedding_neardup_capped,
         "neardup_clusters": _q_neardup_clusters,
         "semantic_dedup_keep": _q_semantic_dedup,
+        "profile_events": _q_profile_events,
     }
 
 
@@ -3741,6 +3753,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "semantic_dedup_keep": _semantic_dedup_sql(
             dim=64, bands=8, planes_per_band=3, threshold=0.42, seed=7
+        ),
+        "profile_events": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+                   (count(*) - count({c}))::BIGINT AS n_nulls,
+                   count(DISTINCT {c})::BIGINT AS n_distinct,
+                   {f"min({c})" if is_str else "NULL::VARCHAR"} AS min_str,
+                   {f"max({c})" if is_str else "NULL::VARCHAR"} AS max_str,
+                   {f"round(avg(length({c})), 4)::DOUBLE" if is_str else "NULL::DOUBLE"}
+                     AS avg_len
+            FROM events"""
+            for c, is_str in [
+                ("event_id", False), ("user_id", False), ("event_type", True),
+                ("value", False), ("props", True),
+            ]
         ),
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

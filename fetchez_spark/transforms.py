@@ -421,3 +421,49 @@ def _inventory(out_dir: str, columns: list | None = None, fmt: str = "json") -> 
         return df
 
     return t
+
+
+def profile_columns(df, cols: list[str] | None = None, approx: bool = False):
+    """One-pass column profile -- the dataset-summary companion to
+    :func:`inventory` (DuckDB ``SUMMARIZE`` / ``df.summary()`` shape,
+    but exact and oracle-checkable): one output row per column with
+    ``n_rows``, ``n_nulls``, ``n_distinct``, and for string columns
+    ``min_str``/``max_str``/``avg_len`` (rounded to 4 places; null for
+    non-string columns, whose min/max would hash differently across
+    engines' float formatting).
+
+    Scale shape: ONE aggregate job.  Exact ``count(distinct)`` over k
+    columns makes Spark expand each input row k ways before the single
+    Exchange -- exact is what an oracle can check, but at the 100 TB
+    grain pass ``approx=True`` to swap in ``approx_count_distinct``
+    (HLL, no expansion, ~2% error) with everything else unchanged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    cols = list(cols) if cols else list(df.columns)
+    nd = F.approx_count_distinct if approx else F.countDistinct
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    strcols = {c for c in cols if isinstance(df.schema[c].dataType, StringType)}
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(nd(F.col(c)).alias(f"_nd_{c}"))
+        if c in strcols:
+            aggs.append(F.min(F.col(c)).alias(f"_min_{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"_max_{c}"))
+            aggs.append(F.round(F.avg(F.length(F.col(c))), 4).alias(f"_len_{c}"))
+    row = df.agg(*aggs)
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    parts = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+            F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+            (F.col(f"_min_{c}") if c in strcols else null_s).alias("min_str"),
+            (F.col(f"_max_{c}") if c in strcols else null_s).alias("max_str"),
+            (F.col(f"_len_{c}") if c in strcols else null_d).alias("avg_len"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")

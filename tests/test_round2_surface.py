@@ -424,3 +424,28 @@ def test_semantic_dedup_keeps_the_most_diverse_member(spark):
     expect = min((v, k) for k, v in cos.items())[1]
     assert [k for k in (1, 2, 3) if rows[k]["keep"]] == [expect]
     assert rows[expect]["cos_centroid"] == cos[expect]
+
+
+def test_profile_columns_exact_and_approx(spark):
+    from fetchez_spark.transforms import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "aa", 2.0), (2, None, 2.0), (3, "bbb", None), (4, "aa", 5.5)],
+        "id: long, s: string, v: double",
+    )
+    rows = {r["column"]: r for r in profile_columns(df).collect()}
+    assert set(rows) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in rows.values())
+    assert (rows["s"]["n_nulls"], rows["s"]["n_distinct"]) == (1, 2)
+    assert (rows["v"]["n_nulls"], rows["v"]["n_distinct"]) == (1, 2)
+    assert (rows["s"]["min_str"], rows["s"]["max_str"]) == ("aa", "bbb")
+    assert rows["s"]["avg_len"] == round((2 + 3 + 2) / 3, 4)
+    # non-string columns never string-format min/max (engine-portable)
+    assert rows["v"]["min_str"] is None and rows["v"]["avg_len"] is None
+    # approx path: HLL distinct, everything else identical
+    ap = {r["column"]: r for r in profile_columns(df, approx=True).collect()}
+    assert ap["s"]["n_nulls"] == 1 and ap["s"]["min_str"] == "aa"
+    assert 1 <= ap["s"]["n_distinct"] <= 3
+    # column subset respected
+    sub = profile_columns(df, ["id"]).collect()
+    assert [r["column"] for r in sub] == ["id"]
