@@ -576,6 +576,59 @@ def _q_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select("user_id", "event_type", "event_id", "value")
 
 
+def _q_merge_into_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE's NOT MATCHED BY SOURCE clauses end-to-end (full-snapshot
+    sync in one commit): replay two thirds of the events changelog,
+    MERGE the last third's latest-per-key rows with matched update +
+    unmatched insert + by-source conditional delete (winners with
+    value < 0.5 vanish) + by-source update (the rest marked 'orphan').
+    The oracle computes the same four-way outcome declaratively."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-merge-sync-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) < 2), batch_token="tgt-0")
+    src = (
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 2)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("w"))
+        .select("user_id", "w.event_type", "w.event_id", "w.value", "w.ts")
+    )
+    sink.merge_into(
+        spark,
+        src,
+        when_matched_update={
+            "event_type": "s.event_type",
+            "event_id": "s.event_id",
+            "value": "s.value",
+        },
+        when_not_matched_insert="all",
+        when_not_matched_by_source_delete="t.value < 0.5",
+        when_not_matched_by_source_update={"event_type": "'orphan'"},
+    )
+    return sink.read(spark).select("user_id", "event_type", "event_id", "value")
+
+
 def _q_import_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy file onboarding END TO END, ORACLE-CHECKED (the Iceberg
     ``add_files`` analog, sinks/local_snapshot.py import_files): replay
@@ -2807,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_snapshot": _q_cdc_replay_snapshot,
         "badrecords_tail": _q_badrecords_tail,
         "merge_into_upsert": _q_merge_into_upsert,
+        "merge_into_sync": _q_merge_into_sync,
         "import_zero_copy": _q_import_zero_copy,
         "partial_update_fold": _q_partial_update_fold,
         "partial_update_replay": _q_partial_update_replay,
@@ -3067,6 +3121,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.user_id, s.event_type, s.event_id, s.value
             FROM src s
             WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.user_id = s.user_id)
+        """,
+        # MERGE with NOT MATCHED BY SOURCE: matched keys take the source
+        # row, source-only keys insert, target-only keys delete when
+        # value < 0.5 and otherwise survive marked 'orphan'
+        "merge_into_sync": """
+            WITH tbase AS (
+              SELECT user_id, event_type, event_id, value, ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id % 3 < 2),
+            tgt AS (
+              SELECT user_id, event_type, event_id, value FROM tbase
+              WHERE rn = 1 AND event_type <> 'error'),
+            sbase AS (
+              SELECT user_id, event_type, event_id, value, ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id % 3 = 2),
+            src AS (
+              SELECT user_id, event_type, event_id, value FROM sbase
+              WHERE rn = 1)
+            SELECT t.user_id, s.event_type, s.event_id, s.value
+            FROM tgt t JOIN src s ON t.user_id = s.user_id
+            UNION ALL
+            SELECT s.user_id, s.event_type, s.event_id, s.value
+            FROM src s
+            WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.user_id = s.user_id)
+            UNION ALL
+            SELECT t.user_id, 'orphan' AS event_type, t.event_id, t.value
+            FROM tgt t
+            WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.user_id = t.user_id)
+              AND NOT (t.value < 0.5)
         """,
         # the text tail with corrupt lines injected must land the SAME
         # final state as the parquet replay: the drop path excludes

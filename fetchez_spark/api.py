@@ -224,10 +224,13 @@ def merge_into(
     when_matched_update=None,
     when_matched_delete=None,
     when_not_matched_insert=None,
+    when_not_matched_by_source_update=None,
+    when_not_matched_by_source_delete=None,
 ) -> dict[str, Any]:
     """General MERGE INTO facade (the Delta/Iceberg analog): matched
     deletes, matched updates over ``s.``/``t.`` expressions, not-matched
-    inserts -- all in one change-event commit (see
+    inserts, and NOT MATCHED BY SOURCE delete/update over ``t.``
+    (full-snapshot sync) -- all in one change-event commit (see
     LocalSnapshotSink.merge_into)."""
     from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
@@ -238,6 +241,8 @@ def merge_into(
         when_matched_update=when_matched_update,
         when_matched_delete=when_matched_delete,
         when_not_matched_insert=when_not_matched_insert,
+        when_not_matched_by_source_update=when_not_matched_by_source_update,
+        when_not_matched_by_source_delete=when_not_matched_by_source_delete,
     )
 
 

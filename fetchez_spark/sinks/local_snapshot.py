@@ -2934,6 +2934,8 @@ class LocalSnapshotSink(SnapshotSink):
         when_matched_update: dict[str, Any] | str | None = None,
         when_matched_delete=None,
         when_not_matched_insert: dict[str, Any] | str | None = None,
+        when_not_matched_by_source_update: dict[str, Any] | None = None,
+        when_not_matched_by_source_delete=None,
         batch_token: str | None = None,
         error_on_multiple_matches: bool = True,
     ) -> dict[str, Any]:
@@ -2950,7 +2952,17 @@ class LocalSnapshotSink(SnapshotSink):
           winner's payload with the assignments applied;
         * source rows matching nothing, when ``when_not_matched_insert``
           is given ({col: expr over ``s.``} or ``"all"``) -> insert
-          events (assignments MUST cover the key and ``ts``).
+          events (assignments MUST cover the key and ``ts``);
+        * TARGET rows matching no source row (the Delta ``WHEN NOT
+          MATCHED BY SOURCE`` clauses -- full-snapshot sync in one
+          MERGE): ``when_not_matched_by_source_delete`` (``True`` or a
+          SQL condition over ``t.``) -> delete events, then
+          ``when_not_matched_by_source_update`` ({col: expr over
+          ``t.``}) -> upsert events for the rest.  These clauses must
+          examine EVERY visible winner, so the target read is the whole
+          table even under key-equality ``on`` -- inherent to the
+          semantic (Delta's is the same scan); without them the
+          key-restricted read below stays.
 
         Update/delete events commit at the winner's own (ts, _seq+1) --
         they beat the winner deterministically while any genuinely newer
@@ -2988,8 +3000,14 @@ class LocalSnapshotSink(SnapshotSink):
             when_matched_update is None
             and when_matched_delete is None
             and when_not_matched_insert is None
+            and when_not_matched_by_source_update is None
+            and when_not_matched_by_source_delete is None
         ):
             raise ValueError("merge_into needs at least one WHEN clause")
+        by_source = (
+            when_not_matched_by_source_update is not None
+            or when_not_matched_by_source_delete is not None
+        )
         m = self.manifest()
         schema = T.StructType.fromJson(m["schema"])
         lkey = [self._logical_name(k, m) for k in self.key]
@@ -3007,7 +3025,12 @@ class LocalSnapshotSink(SnapshotSink):
                 )
             keys_df = source.select(*lkey).dropDuplicates()
             winners = self.read(
-                spark, include_internal=True, include_deleted=True, key_in=keys_df
+                spark,
+                include_internal=True,
+                include_deleted=True,
+                # by-source clauses must see target rows the source does
+                # NOT carry -- the key restriction would hide them
+                key_in=None if by_source else keys_df,
             )
         else:
             winners = self.read(spark, include_internal=True, include_deleted=True)
@@ -3162,6 +3185,58 @@ class LocalSnapshotSink(SnapshotSink):
                 .withColumnRenamed("__seq2", "seq")
                 .drop(*[f"__dk_{i}" for i in range(len(lkey))], "__dts", "__dseq")
             )
+        if by_source:
+            tgt_only = t.join(s, join_cond, "left_anti")
+            bs_del = None
+            if when_not_matched_by_source_delete is not None:
+                if when_not_matched_by_source_delete is True:
+                    bs_del = F.lit(True)
+                elif isinstance(when_not_matched_by_source_delete, str):
+                    bs_del = F.expr(when_not_matched_by_source_delete)
+                else:
+                    bs_del = when_not_matched_by_source_delete
+                events.append(
+                    tgt_only.filter(bs_del).select(
+                        F.lit("D").alias("op"),
+                        *[F.col(f"t.{c}").alias(c) for c in lcols],
+                        (F.col(f"t.{INTERNAL_SEQ}") + F.lit(1)).alias("seq"),
+                    )
+                )
+            if when_not_matched_by_source_update is not None:
+                bupd = when_not_matched_by_source_update
+                bad = [c for c in bupd if c in lkey or c == "ts"]
+                if bad:
+                    raise ValueError(
+                        f"cannot assign key/ordering columns {bad}: they "
+                        "define row identity (key) and LWW ordering (ts)"
+                    )
+                unknown = [c for c in bupd if c not in lcols]
+                if unknown:
+                    raise ValueError(
+                        f"update targets not in the table schema: {unknown} "
+                        f"(columns: {sorted(lcols)})"
+                    )
+                bassigns = {
+                    c: (F.expr(v) if isinstance(v, str) else v)
+                    for c, v in bupd.items()
+                }
+                bsrc = tgt_only
+                if bs_del is not None:
+                    bsrc = tgt_only.filter(~F.coalesce(bs_del, F.lit(False)))
+                events.append(
+                    bsrc.select(
+                        F.lit("U").alias("op"),
+                        *[
+                            (
+                                bassigns[c].cast(lcols[c].dataType)
+                                if c in bassigns
+                                else F.col(f"t.{c}")
+                            ).alias(c)
+                            for c in lcols
+                        ],
+                        (F.col(f"t.{INTERNAL_SEQ}") + F.lit(1)).alias("seq"),
+                    )
+                )
         batch = events[0]
         for e in events[1:]:
             batch = batch.unionByName(e)

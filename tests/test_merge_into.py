@@ -254,3 +254,62 @@ def test_insert_resurrects_over_a_newer_tombstone(spark, tmp_path):
     text3, ts3 = got[("c3", 0)]
     assert text3 == "FRESH"
     assert ts3 == _ts(9).replace(tzinfo=None) or ts3 == _ts(9)
+
+
+def test_not_matched_by_source_full_snapshot_sync(spark, tmp_path):
+    # the Delta WHEN NOT MATCHED BY SOURCE clause: one MERGE makes the
+    # table equal the source snapshot -- update matches, insert new
+    # keys, delete everything the source no longer carries
+    sink = _seed(spark, tmp_path)
+    src = _src(
+        spark,
+        [
+            ("c1", 0, "A2", False, _ts(2)),   # matched -> update
+            ("c4", 0, "NEW", False, _ts(2)),  # not matched -> insert
+        ],
+    )
+    sink.merge_into(
+        spark,
+        src,
+        when_matched_update={"text": "s.new_text"},
+        when_not_matched_insert={
+            "conv_id": "s.conv_id", "turn_idx": "s.turn_idx",
+            "role": "'user'", "text": "s.new_text", "ts": "s.ts",
+        },
+        when_not_matched_by_source_delete=True,  # c2, c3 vanish
+    )
+    assert _state(spark, sink) == {("c1", 0): "A2", ("c4", 0): "NEW"}
+
+
+def test_not_matched_by_source_update_and_conditional_delete(spark, tmp_path):
+    # delete only the by-source rows the condition selects; mark the
+    # rest stale via t.-expressions -- and the events stay ordinary
+    # change events: a genuinely newer upsert later still wins
+    sink = _seed(spark, tmp_path)
+    src = _src(spark, [("c1", 0, "A2", False, _ts(2))])
+    sink.merge_into(
+        spark,
+        src,
+        when_matched_update={"text": "s.new_text"},
+        when_not_matched_by_source_delete="t.conv_id = 'c2'",
+        when_not_matched_by_source_update={"text": "concat(t.text, '-stale')"},
+    )
+    assert _state(spark, sink) == {("c1", 0): "A2", ("c3", 0): "c-stale"}
+    # LWW: a newer real event beats the by-source delete's (ts, seq+1)
+    sink.merge(
+        _batch(spark, [("c2", 0, "user", "back", None, _ts(3), "U", 9)]), "b-2"
+    )
+    assert _state(spark, sink)[("c2", 0)] == "back"
+
+
+def test_by_source_update_validation(spark, tmp_path):
+    sink = _seed(spark, tmp_path)
+    src = _src(spark, [("c1", 0, "A2", False, _ts(2))])
+    with pytest.raises(ValueError, match="key/ordering"):
+        sink.merge_into(
+            spark, src, when_not_matched_by_source_update={"conv_id": "'x'"}
+        )
+    with pytest.raises(ValueError, match="not in the table schema"):
+        sink.merge_into(
+            spark, src, when_not_matched_by_source_update={"nope": "'x'"}
+        )
