@@ -2028,6 +2028,17 @@ def _q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality scores (CCNet perplexity-bucket
+    analog): Lidstone-smoothed token probabilities, per-doc mean log
+    probability.  The oracle recomputes the model AND the scores from
+    the same corpus declaratively."""
+    from fetchez_spark.functions.text import unigram_logprob_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob_scores(d, alpha=0.5)
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top TF-IDF term: tf from an explode+groupBy, document
     frequency from a distinct inverted index, idf = ln(N/df) -- the
@@ -2919,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_id_counts": _q_lang_id_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "unigram_logprob": _q_unigram_logprob,
         "doc_fingerprint_dups": _q_doc_fingerprint_dups,
         "segment_dedup_docs": _q_segment_dedup_docs,
         "decontaminate_ngrams": _q_decontaminate_ngrams,
@@ -3619,6 +3631,22 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY doc_id
                                         ORDER BY score DESC, tok ASC) AS rn
               FROM scored) WHERE rn = 1
+        """,
+        # the unigram LM is trained on the corpus itself, so the oracle
+        # rebuilds model and scores from the same tokens: p(w) =
+        # (c_w + 0.5) / (T + 0.5*V), score = mean ln p over doc tokens
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id, lower(t) AS tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''),
+            c AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+            g AS (SELECT sum(c)::DOUBLE AS t_mass, count(*)::DOUBLE AS v FROM c)
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(ln((c.c + 0.5) / (g.t_mass + 0.5 * g.v))), 6)
+                     AS avg_logprob
+            FROM toks JOIN c USING (tok), g
+            GROUP BY doc_id
         """,
         "doc_fingerprint_dups": """
             SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id

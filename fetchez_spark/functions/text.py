@@ -169,3 +169,47 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def unigram_logprob_scores(
+    df, text_col: str = "text", id_col: str = "doc_id", alpha: float = 0.5
+):
+    """Perplexity-proxy quality scoring, the unigram analog of CCNet's
+    KenLM perplexity buckets (Wenzek et al. 2020): train a unigram
+    language model ON THE CORPUS ITSELF -- token counts with Lidstone
+    smoothing, ``p(w) = (c_w + alpha) / (T + alpha*V)`` over total mass
+    ``T`` and vocabulary size ``V`` -- and score each document by the
+    mean natural-log probability of its tokens.  Low scorers are
+    atypical of the corpus (boilerplate, noise, wrong language);
+    thresholding on a percentile is the classic curation filter.
+    Documents with no tokens drop out (they have no mean).
+
+    Returns ``(id, n_tokens, avg_logprob)`` with the score rounded to 6
+    places.  Scale shape: explode -> ONE map-side-combined
+    ``groupBy(token)`` count; ``T``/``V`` are a 2-number driver scalar
+    off that table; the per-doc score is exploded tokens JOIN the token
+    counts (linear shuffle, Zipf skew absorbed by the pre-aggregated
+    count side) -> ``groupBy(id)`` mean.  No window, nothing quadratic.
+    """
+    toks = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("tok", F.lower("tok"))
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).cache()
+    g = counts.agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")).first()
+    t_mass, vocab = float(g["t"] or 0), float(g["v"] or 0)
+    logp = F.log(
+        (F.col("c") + F.lit(float(alpha)))
+        / F.lit(t_mass + float(alpha) * vocab)
+    )
+    return (
+        toks.join(counts, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )

@@ -224,3 +224,23 @@ def test_segment_dedup_short_doc_single_segment(spark):
     df = spark.createDataFrame([(7, "hi")], ["doc_id", "text"])
     row = segment_dedup(df, seg_words=10).collect()[0]
     assert (row["n_segments"], row["n_kept"], row["dedup_text"]) == (1, 1, "hi")
+
+
+def test_unigram_logprob_scores_exact(spark):
+    import math
+
+    from fetchez_spark.functions.text import unigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "A c"), (3, "")], "doc_id: long, text: string"
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob_scores(df).collect()}
+    # corpus (lowered): a:3 b:1 c:1 -> T=5, V=3, alpha=0.5
+    pa = math.log(3.5 / 6.5)
+    pr = math.log(1.5 / 6.5)  # p(b) == p(c)
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["avg_logprob"] == round((2 * pa + pr) / 3, 6)
+    assert rows[2]["avg_logprob"] == round((pa + pr) / 2, 6)
+    assert 3 not in rows  # tokenless docs have no mean
+    # rarer-token docs score lower: the filterable signal
+    assert rows[2]["avg_logprob"] < rows[1]["avg_logprob"]
