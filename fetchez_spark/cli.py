@@ -398,6 +398,19 @@ def main(argv: list[str] | None = None) -> int:
                         "parquet footer statistics (same fallback rules)")
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
+        "profile",
+        help="per-column profile of the table's live state (rows/nulls/"
+             "distinct; min/max/avg-len for strings) -- the DESCRIBE/"
+             "SUMMARIZE analog",
+    )
+    p.add_argument("table_dir")
+    p.add_argument("--snapshot", default=None, help="profile as of this snapshot/tag/branch")
+    p.add_argument("--columns", default=None,
+                   help="comma-separated subset (default: every payload column)")
+    p.add_argument("--approx", action="store_true",
+                   help="HLL distinct counts (no k-way expand; ~2%% error)")
+    p.add_argument("--cores", type=int, default=4)
+    p = sub.add_parser(
         "changes", help="incremental scan: rows merged after a snapshot"
     )
     p.add_argument("table_dir")
@@ -1006,6 +1019,22 @@ def main(argv: list[str] | None = None) -> int:
             lo, hi = api.ts_range(args.table_dir, spark, snapshot_id=args.snapshot)
             out["ts_range"] = [lo, hi]
         print(json.dumps({**out, "metadata_only": False}, default=str))
+        return 0
+    if args.cmd == "profile":
+        from fetchez_spark.session import get_spark
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+        from fetchez_spark.transforms import profile_columns
+
+        spark = get_spark(app_name="fetchez-profile", master=f"local[{args.cores}]")
+        sink = LocalSnapshotSink(args.table_dir)
+        df = sink.read(spark, snapshot_id=args.snapshot)
+        cols = (
+            [c.strip() for c in args.columns.split(",") if c.strip()]
+            if args.columns
+            else None
+        )
+        for r in profile_columns(df, cols, approx=args.approx).collect():
+            print(json.dumps(r.asDict(), default=str))
         return 0
     if args.cmd == "changes":
         from fetchez_spark import api

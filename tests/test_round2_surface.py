@@ -449,3 +449,27 @@ def test_profile_columns_exact_and_approx(spark):
     # column subset respected
     sub = profile_columns(df, ["id"]).collect()
     assert [r["column"] for r in sub] == ["id"]
+
+
+def test_cli_profile(spark, tmp_path, capsys):
+    import json
+
+    from fetchez_spark.cli import main
+    from fetchez_spark.schema import CHANGE_EVENT_SCHEMA
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2)
+    rows = [("U", f"c{i}", 0, "user", f"txt-{i}", None if i % 2 else "grep",
+             t0, i, 0) for i in range(10)]
+    sink.merge(spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA), "b0")
+    rc = main(["profile", sink.table_dir, "--columns", "conv_id,tool", "--cores", "2"])
+    assert rc == 0
+    recs = {json.loads(l)["column"]: json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()}
+    assert set(recs) == {"conv_id", "tool"}
+    assert recs["conv_id"]["n_rows"] == 10 and recs["conv_id"]["n_distinct"] == 10
+    assert recs["tool"]["n_nulls"] == 5 and recs["tool"]["n_distinct"] == 1
+    assert recs["conv_id"]["min_str"] == "c0"
