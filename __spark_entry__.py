@@ -629,6 +629,79 @@ def _q_merge_into_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select("user_id", "event_type", "event_id", "value")
 
 
+def _synth_y4m_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One genuine YUV4MPEG2 stream per document: 8x6 C420 at 25 fps,
+    (len(text) % 7) + 1 frames, constant luma 100 / chroma 128 -- every
+    decoded field is arithmetic over length(text)."""
+    from fetchez_spark.functions.multimodal import MEDIA_SCHEMA
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.length("text").alias("_n"),
+        F.lit("video/x-yuv4mpeg").alias("mime"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        hdr = b"YUV4MPEG2 W8 H6 F25:1 C420\n"
+        frame = b"FRAME\n" + b"\x64" * 48 + b"\x80" * 24  # Y=100, U=V=128
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": [
+                        hdr + frame * ((int(n) % 7) + 1) for n in pdf["_n"]
+                    ],
+                    "mime": pdf["mime"],
+                }
+            )
+
+    return d.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+def _q_multimodal_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL video codec end to end, ORACLE-CHECKED: genuine Y4M bytes
+    synthesized per document, decoded by the real header-parse +
+    frame-walk + numpy luma path -- frame count, duration, byte length
+    (27-byte header + 78 bytes/frame), and luma mean/std (exactly 100/0
+    for the constant plane) all DuckDB-predicted arithmetic."""
+    from fetchez_spark.functions.multimodal import extract_features
+
+    media = _synth_y4m_media(spark, sf_dir)
+    return extract_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        "decoder",
+        "width",
+        "height",
+        "n_frames",
+        "duration_s",
+        "byte_len",
+        "luma_mean",
+        "luma_std",
+    )
+
+
+def _q_video_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame extraction over the synthesized Y4M corpus: every 2nd
+    frame as a standalone P5 luma image -- the sampled index set, each
+    frame's presentation time, and the P5 payload size (11-byte header +
+    48 luma bytes) are all arithmetic over length(text)."""
+    from fetchez_spark.functions.multimodal import video_frames
+
+    media = _synth_y4m_media(spark, sf_dir)
+    return video_frames(media, every_n=2).select(
+        F.col("media_id").alias("doc_id"),
+        "frame_idx",
+        "ts_s",
+        "width",
+        "height",
+        F.length("payload").alias("frame_bytes"),
+    )
+
+
 def _q_import_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy file onboarding END TO END, ORACLE-CHECKED (the Iceberg
     ``add_files`` analog, sinks/local_snapshot.py import_files): replay
@@ -2941,6 +3014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assignment": _q_shard_assignment,
         "multimodal_binary_meta": _q_multimodal_binary_meta,
         "multimodal_wav_decode": _q_multimodal_wav_decode,
+        "multimodal_y4m_decode": _q_multimodal_y4m_decode,
+        "video_frame_extract": _q_video_frame_extract,
         "multimodal_audio_windows": _q_multimodal_audio_windows,
         "image_dhash64_docs": _q_image_dhash64,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
@@ -3797,6 +3872,35 @@ def oracle_sql() -> dict[str, str]:
                    0.5 AS rms,
                    0.5 AS peak
             FROM documents
+        """,
+        # the real Y4M video codec round trip: 8x6 C420 at 25 fps,
+        # (len%7)+1 frames of constant luma 100 -> every field arithmetic
+        "multimodal_y4m_decode": """
+            SELECT doc_id,
+                   'y4m' AS decoder,
+                   8 AS width,
+                   6 AS height,
+                   (length(text) % 7) + 1 AS n_frames,
+                   ((length(text) % 7) + 1) / 25.0 AS duration_s,
+                   27 + 78 * ((length(text) % 7) + 1) AS byte_len,
+                   100.0 AS luma_mean,
+                   0.0 AS luma_std
+            FROM documents
+        """,
+        # sampled REAL frame extraction: every 2nd frame of the same
+        # synthetic stream as a standalone P5 (11-byte header + 48 luma
+        # bytes), presentation time = idx/25
+        "video_frame_extract": """
+            WITH d AS (
+              SELECT doc_id, (length(text) % 7) + 1 AS fr FROM documents
+            )
+            SELECT doc_id,
+                   CAST(fi AS INT) AS frame_idx,
+                   fi / 25.0 AS ts_s,
+                   8 AS width,
+                   6 AS height,
+                   59 AS frame_bytes
+            FROM d, unnest(range(0, fr, 2)) AS t(fi)
         """,
         "ngram_jaccard_dups": """
             WITH sh AS (

@@ -11,13 +11,18 @@ format this container can decode without third-party libraries:
   for dimensions, numpy pixel decode for luminance statistics and
   nearest-neighbor resize (re-encoded as P6);
 * **BMP images** (uncompressed 24-bit): BITMAPINFOHEADER parse + numpy
-  row decode (stride padding, bottom-up order).
+  row decode (stride padding, bottom-up order);
+* **Y4M video** (YUV4MPEG2, uncompressed planar YUV): stream-header
+  parse (dimensions, frame rate, colorspace), frame walk for exact
+  frame count / duration, numpy luma statistics, and REAL frame
+  extraction (:func:`video_frames`: sampled luma planes re-encoded as
+  standalone P5 images).
 
 Anything else (PNG/JPEG/MP4/...) falls through to the deterministic
 ``_decode_stub`` so the pipeline shape stays testable end to end -- swap
 in PIL/soundfile/ffmpeg in a deployment with those libraries and nothing
 but the dispatch table changes.  The ``decoder`` output column says per
-row which path ran ("wav"/"ppm"/"pgm"/"bmp"/"stub").
+row which path ran ("wav"/"ppm"/"pgm"/"bmp"/"y4m"/"stub").
 
 Pattern: binary payloads stay in executor memory as Arrow buffers end to
 end; per-batch (not per-row) Python via ``mapInPandas``; metadata columns
@@ -71,7 +76,7 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 # formats decodable in THIS container (stdlib + numpy only)
-REAL_CODECS = ("wav", "ppm", "pgm", "bmp")
+REAL_CODECS = ("wav", "ppm", "pgm", "bmp", "y4m")
 REAL_CODECS_AVAILABLE = True
 
 
@@ -81,6 +86,8 @@ def _sniff(payload: bytes | None) -> str | None:
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:10] == b"YUV4MPEG2 ":
+        return "y4m"
     if payload[:2] == b"P6" and payload[2:3].isspace():
         return "ppm"
     if payload[:2] == b"P5" and payload[2:3].isspace():
@@ -211,6 +218,86 @@ def _bmp_pixels(payload: bytes) -> np.ndarray:
     return rows[..., ::-1].copy()  # BGR -> RGB
 
 
+def _y4m_header(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Parse a YUV4MPEG2 stream header -> (width, height, fps_num,
+    fps_den, frame_bytes, header_end).  Uncompressed planar YUV: the one
+    video container this box can decode with nothing but numpy."""
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated y4m header")
+    w = h = num = den = None
+    csp = "420"
+    for tok in payload[10:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            n, _, d = val.partition(b":")
+            num, den = int(n), int(d)
+        elif tag == b"C":
+            csp = val.decode("ascii", "replace")
+    if not w or not h or not num or not den:
+        raise ValueError("y4m header missing W/H/F")
+    if csp.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError("odd dimensions with 4:2:0 subsampling")
+        fb = w * h * 3 // 2
+    elif csp.startswith("422"):
+        fb = w * h * 2
+    elif csp.startswith("444"):
+        fb = w * h * 3
+    elif csp.startswith("mono"):
+        fb = w * h
+    else:
+        raise ValueError(f"unsupported y4m colorspace {csp!r}")
+    return w, h, num, den, fb, nl + 1
+
+
+def _y4m_frame_offsets(payload: bytes) -> tuple[int, int, int, int, list[int]]:
+    """(width, height, fps_num, fps_den, [data offset of each complete
+    frame]).  A FRAME marker whose payload is truncated raises (the
+    dispatch falls back to the stub, like every malformed known-magic)."""
+    w, h, num, den, fb, pos = _y4m_header(payload)
+    n = len(payload)
+    offs: list[int] = []
+    while pos < n:
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad y4m frame marker")
+        nl = payload.find(b"\n", pos)
+        if nl < 0 or nl + 1 + fb > n:
+            raise ValueError("truncated y4m frame")
+        offs.append(nl + 1)
+        pos = nl + 1 + fb
+    return w, h, num, den, offs
+
+
+def _decode_y4m(payload: bytes) -> dict:
+    w, h, num, den, offs = _y4m_frame_offsets(payload)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": len(offs),
+        "sample_rate": None,
+        "channels": 3,
+        "duration_s": len(offs) * den / num,
+        "decoder": "y4m",
+    }
+
+
+def _y4m_luma(payload: bytes) -> np.ndarray:
+    """All frames' Y planes as one (n_frames, h, w) uint8 array."""
+    w, h, _num, _den, offs = _y4m_frame_offsets(payload)
+    planes = [
+        np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=o).reshape(h, w)
+        for o in offs
+    ]
+    return np.stack(planes) if planes else np.zeros((0, h, w), dtype=np.uint8)
+
+
 def _decode_stub(kind: str, payload: bytes | None) -> dict:
     """Deterministic fake decode for formats this container has no codec
     for (PNG/JPEG/MP4/...).  Raises for unknown kinds the way a real
@@ -246,6 +333,8 @@ def _decode_one(kind: str, payload: bytes | None) -> dict:
             return _decode_netpbm(bytes(payload), fmt)
         if fmt == "bmp":
             return _decode_bmp(bytes(payload))
+        if fmt == "y4m":
+            return _decode_y4m(bytes(payload))
     except Exception:  # noqa: BLE001 - malformed container of a known
         pass  # magic (wave.Error/EOFError/ValueError/...): fall to the stub
     return _decode_stub(kind, payload)
@@ -307,6 +396,10 @@ def extract_features(df: DataFrame) -> DataFrame:
                             if s is not None and len(s):
                                 r = float(np.sqrt(np.mean(s * s)))
                                 pk = float(np.max(np.abs(s)))
+                        elif dec == "y4m":
+                            luma = _y4m_luma(b).astype(np.float64)
+                            if luma.size:
+                                mu, sd = float(luma.mean()), float(luma.std())
                         else:
                             px = (
                                 _bmp_pixels(b)
@@ -554,12 +647,68 @@ def audio_windows(
     return df.mapInPandas(fn, schema=AUDIO_WINDOWS_SCHEMA)
 
 
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_s", T.DoubleType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),  # P5 luma frame
+    ]
+)
+
+
+def video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame extraction for the natively decodable container
+    (YUV4MPEG2): one row per sampled frame with the frame's luma plane
+    re-encoded as a standalone binary P5 image -- decodable by this same
+    module, feedable straight into :func:`image_dhash64` /
+    :func:`image_neardup_pairs` for cross-frame near-dup detection.
+    ``ts_s`` is the frame's presentation time from the stream's F rate.
+    Rows of any other format are dropped (no frame axis) -- the same
+    contract as :func:`audio_windows`; use :func:`frame_sample` for the
+    stub-backed index-only explode over arbitrary formats."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in VIDEO_FRAMES_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if _sniff(bytes(p) if p is not None else None) != "y4m":
+                    continue
+                try:
+                    b = bytes(p)
+                    w, h, num, den, offs = _y4m_frame_offsets(b)
+                except Exception:  # noqa: BLE001 - malformed: no frames
+                    continue
+                if num <= 0:
+                    continue  # nonsense frame rate: no time axis
+                hdr = b"P5\n%d %d\n255\n" % (w, h)
+                for i in range(0, len(offs), every_n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_s"].append(i * den / num)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["payload"].append(hdr + b[offs[i]:offs[i] + w * h])
+            res = pd.DataFrame(out)
+            for c in ("frame_idx", "width", "height"):
+                res[c] = pd.array(res[c], dtype="Int32")
+            yield res
+
+    return df.mapInPandas(fn, schema=VIDEO_FRAMES_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled frame index.
 
-    The frame extraction itself is the stubbed codec (no video codec in
-    this container); the explode shape (one media row -> n frame rows,
-    provenance retained) mirrors the reference's unzip flatMap
+    For YUV4MPEG2 the frame count is the REAL decoded count (and
+    :func:`video_frames` extracts the actual pixels); other video
+    formats fall to the stubbed codec.  The explode shape (one media
+    row -> n frame rows, provenance retained) mirrors the reference's
+    unzip flatMap
     (/root/reference/src/fetchez/hooks/builtins/file_ops/unzip.py:57-113)."""
     decoded = decode_metadata(df)
     return decoded.select(

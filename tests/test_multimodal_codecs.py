@@ -270,3 +270,81 @@ def test_zero_rate_wav_yields_no_windows(spark):
     # decode_metadata on the same row keeps its guarded null duration
     meta = {r["media_id"]: r for r in decode_metadata(df).collect()}
     assert meta[1]["decoder"] == "wav" and meta[1]["duration_s"] is None
+
+
+def y4m_bytes(frames, fps=(25, 1), csp=b"C420"):
+    """Genuine YUV4MPEG2 bytes from (n, h, w) uint8 luma planes (chroma
+    planes filled with 128)."""
+    n, h, w = frames.shape
+    hdr = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n" % (w, h, *fps, csp)
+    chroma = b"\x80" * (
+        (w // 2) * (h // 2) * 2 if csp.startswith(b"C420")
+        else 0 if csp.startswith(b"Cmono") else (w * h * 2)
+    )
+    body = b"".join(
+        b"FRAME\n" + frames[i].astype(np.uint8).tobytes() + chroma
+        for i in range(n)
+    )
+    return hdr + body
+
+
+def test_y4m_decode_and_luma_stats(spark):
+    from fetchez_spark.functions.multimodal import decode_metadata, extract_features
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(5, 6, 8), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(y4m_bytes(frames)), "video/x-yuv4mpeg")],
+        MEDIA_SCHEMA,
+    )
+    row = decode_metadata(df).collect()[0]
+    assert row["decoder"] == "y4m"
+    assert (row["width"], row["height"], row["n_frames"]) == (8, 6, 5)
+    assert row["duration_s"] == pytest.approx(5 / 25)
+    feat = extract_features(df).collect()[0]
+    luma = frames.astype(np.float64)
+    assert feat["luma_mean"] == pytest.approx(luma.mean())
+    assert feat["luma_std"] == pytest.approx(luma.std())
+
+
+def test_y4m_frame_extraction_round_trip(spark):
+    from fetchez_spark.functions.multimodal import (
+        _netpbm_pixels,
+        video_frames,
+    )
+
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, size=(7, 4, 6), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, "video", bytearray(y4m_bytes(frames, fps=(30, 1))), "video/x-yuv4mpeg"),
+            (2, "image", bytearray(b"\x89PNG-not-video00"), "image/png"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = sorted(video_frames(df, every_n=2).collect(), key=lambda r: r["frame_idx"])
+    assert [r["media_id"] for r in out] == [1, 1, 1, 1]  # non-y4m dropped
+    assert [r["frame_idx"] for r in out] == [0, 2, 4, 6]
+    assert out[1]["ts_s"] == pytest.approx(2 / 30)
+    # each payload is a standalone P5 whose pixels ARE the source luma
+    for r in out:
+        px = _netpbm_pixels(bytes(r["payload"]), "pgm")[..., 0]
+        assert np.array_equal(px, frames[r["frame_idx"]])
+
+
+def test_y4m_malformed_and_mono(spark):
+    from fetchez_spark.functions.multimodal import decode_metadata, video_frames
+
+    good = y4m_bytes(np.full((2, 4, 4), 9, dtype=np.uint8), csp=b"Cmono")
+    truncated = y4m_bytes(np.full((2, 4, 4), 9, dtype=np.uint8))[:-5]
+    df = spark.createDataFrame(
+        [
+            (1, "video", bytearray(good), "video/x-yuv4mpeg"),
+            (2, "video", bytearray(truncated), "video/x-yuv4mpeg"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in decode_metadata(df).collect()}
+    assert rows[1]["decoder"] == "y4m" and rows[1]["n_frames"] == 2
+    assert rows[2]["decoder"] == "stub"  # truncated frame: stub, not a crash
+    assert {r["media_id"] for r in video_frames(df).collect()} == {1}
