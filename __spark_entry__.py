@@ -1908,6 +1908,81 @@ def _q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation in one pass: ROLLUP over (event_type,
+    day-of-week) emits the detail rows, the per-event-type subtotals and
+    the grand total from a single shuffle (Spark expands the grouping
+    sets map-side; no N-pass union).  ``grouping_id`` disambiguates a
+    rolled-up NULL from data NULL.  (Reference analog: the inventory
+    summary counts at every level, list.py-style; at 100 TB a rollup is
+    ONE pass over the fact table instead of one scan per level.)"""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type", F.date_format("ts", "EEEE").alias("dow"), "value")
+    return (
+        d.rollup("event_type", "dow")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("dow", F.lit("(all)")).alias("dow"),
+            "gid",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def _q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): day-of-week x event-type count matrix with an
+    explicit pivot value list, so the output schema is static and Spark
+    plans ONE aggregate (no extra distinct-values job).  Empty cells are
+    0, not NULL, to match the conditional-aggregation twin."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    d = ev.select(F.date_format("ts", "EEEE").alias("dow"), "event_type")
+    return d.groupBy("dow").pivot("event_type", kinds).count().na.fill(0, kinds)
+
+
+def _q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution summary per group: linear-interpolated
+    percentiles (p25/p50/p75/p95) of ``value`` per event type.  Exact
+    ``percentile`` here because the oracle must hash-match; the 100 TB
+    path swaps in ``approx_percentile`` (t-digest sketch, mergeable
+    map-side) with everything else unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.round(F.expr(f"percentile(value, {p})"), 4).alias(f"p{int(p * 100)}")
+        for p in (0.25, 0.50, 0.75, 0.95)
+    ]
+    return ev.groupBy("event_type").agg(*aggs)
+
+
+def _q_blocklist_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering as a broadcast LEFT ANTI join -- the
+    curation-pipeline shape for removing banned users/domains/documents.
+    The blocklist (negative-balance customers) broadcasts, so the fact
+    table is filtered map-side with NO shuffle of the 100 TB side; rows
+    with NULL keys survive (anti-join can't match them), matching the
+    NOT EXISTS twin."""
+    ev = _t(spark, sf_dir, "events")
+    banned = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("banned_id"))
+    )
+    return (
+        ev.join(F.broadcast(banned), ev["user_id"] == banned["banned_id"], "left_anti")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def _q_rules_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """set_weight hook analog (set_weight.py:55-87): rule table keyed on
     brand -> weight with default, via the registered transform."""
@@ -2989,6 +3064,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_interval_join": _q_range_interval_join,
         "topk_per_group": _q_topk_per_group,
         "as_of_join": _q_as_of_join,
+        "rollup_grouping_sets": _q_rollup_grouping_sets,
+        "pivot_event_matrix": _q_pivot_event_matrix,
+        "group_percentiles": _q_group_percentiles,
+        "blocklist_anti_join": _q_blocklist_anti_join,
         # transform/hook analogs
         "rules_weight": _q_rules_weight,
         "rename_project": _q_rename_project,
@@ -3613,6 +3692,40 @@ def oracle_sql() -> dict[str, str]:
                            AND p.event_type = 'purchase'
                            AND v.user_id = p.user_id AND v.ts < p.ts)
             WHERE rn = 1
+        """,
+        "rollup_grouping_sets": """
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(dow, '(all)') AS dow,
+                   GROUPING(event_type, dow) AS gid,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM (SELECT event_type, dayname(ts) AS dow, value FROM events)
+            GROUP BY ROLLUP (event_type, dow)
+        """,
+        "pivot_event_matrix": """
+            SELECT dayname(ts) AS dow,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY 1
+        """,
+        "group_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 4) AS p25,
+                   round(quantile_cont(value, 0.50), 4) AS p50,
+                   round(quantile_cont(value, 0.75), 4) AS p75,
+                   round(quantile_cont(value, 0.95), 4) AS p95
+            FROM events GROUP BY event_type
+        """,
+        "blocklist_anti_join": """
+            SELECT event_type, count(*) AS n_kept,
+                   count(DISTINCT user_id) AS n_users
+            FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_acctbal < 0 AND c.c_custkey = e.user_id)
+            GROUP BY event_type
         """,
         "rules_weight": """
             SELECT p_brand,

@@ -44,6 +44,42 @@ def test_semi_join_is_semi_and_broadcast(spark):
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
 
 
+def test_blocklist_anti_join_is_broadcast_and_pruned(spark):
+    """Blocklist filtering must be a broadcast LEFT ANTI (the fact table
+    never shuffles for the filter) with the blocklist predicate pushed to
+    the dim scan and the fact scan pruned to the two needed columns."""
+    df = entry_mod.queries()["blocklist_anti_join"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "LessThan(c_acctbal,0.0)" in plan  # pushed blocklist predicate
+    ev_read = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "user_id" in ln
+    ]
+    assert ev_read and "props" not in ev_read[0] and "value" not in ev_read[0]
+
+
+def test_rollup_is_single_expand_single_exchange(spark):
+    """ROLLUP must plan as ONE Expand feeding one aggregate pipeline --
+    all grouping-set levels from a single pass over the fact table, not a
+    scan per level."""
+    df = entry_mod.queries()["rollup_grouping_sets"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_pivot_plans_one_aggregate_no_extra_job(spark):
+    """Pivot with an explicit value list must not add a distinct-values
+    pre-job: one scan, pivot_first aggregates, no join."""
+    df = entry_mod.queries()["pivot_event_matrix"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
 def test_dedup_has_partial_aggregation(spark):
     """The dedup reduction must show a two-phase aggregate (map-side
     partial -> final), the thing that collapses duplicate mass before the
