@@ -2147,6 +2147,86 @@ def _q_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return from_debezium(dbz).drop("src_partition")
 
 
+def _q_maxwell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell envelope decode (functions/cdc_formats.py): wrap each event
+    in a deterministic Maxwell envelope (type delete/update/insert by
+    event_id residue; every 13th non-delete row becomes a data-less
+    ``bootstrap-start`` control row) and decode with :func:`from_maxwell`.
+    The oracle re-expresses the mapping independently: control rows drop,
+    delete rows keep their ``data`` image with op 'D', seq = xid."""
+    from fetchez_spark.functions.cdc_formats import from_maxwell
+
+    ev = _t(spark, sf_dir, "events")
+    mtype = (
+        F.when(ev.event_id % 10 == 0, F.lit("delete"))
+        .when(ev.event_id % 13 == 0, F.lit("bootstrap-start"))
+        .when(ev.event_id % 3 == 0, F.lit("update"))
+        .otherwise(F.lit("insert"))
+    )
+    data = F.struct(
+        F.col("event_id"), F.col("user_id"), F.col("event_type"),
+        F.col("value"), F.col("ts"),
+    )
+    mx = ev.select(
+        F.lit("shop").alias("database"),
+        F.lit("events").alias("table"),
+        mtype.alias("type"),
+        F.unix_seconds(F.col("ts")).alias("ts"),
+        (F.col("event_id") * 7).alias("xid"),
+        F.when(mtype != "bootstrap-start", data).alias("data"),
+    )
+    return from_maxwell(mx).drop("src_partition")
+
+
+def _q_canal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal flat-message decode (functions/cdc_formats.py): each event
+    becomes one flat message whose all-strings ``data`` array batches TWO
+    rows (the row itself and a shifted twin), every 13th message is a DDL
+    (dropped), and :func:`from_canal` explodes + casts back to typed rows
+    with seq = batch_id*65536 + array position.  The oracle re-derives
+    the explode, the casts, the DDL drop and the seq arithmetic."""
+    from fetchez_spark.functions.cdc_formats import from_canal
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+
+    def _row(eid, val):
+        return F.create_map(
+            F.lit("event_id"), eid.cast("string"),
+            F.lit("user_id"), F.col("user_id").cast("string"),
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("value"), val.cast("string"),
+            F.lit("ts"), F.col("ts").cast("string"),
+        )
+
+    ctype = (
+        F.when(ev.event_id % 13 == 0, F.lit("ALTER"))
+        .when(ev.event_id % 10 == 0, F.lit("DELETE"))
+        .when(ev.event_id % 3 == 0, F.lit("UPDATE"))
+        .otherwise(F.lit("INSERT"))
+    )
+    msg = ev.select(
+        F.array(
+            _row(F.col("event_id"), F.col("value")),
+            _row(F.col("event_id") + 1000000000, F.col("value") + 0.5),
+        ).alias("data"),
+        ctype.alias("type"),
+        (ev.event_id % 13 == 0).alias("isDdl"),
+        F.unix_millis(F.col("ts")).alias("es"),
+        F.col("event_id").alias("id"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    return from_canal(msg, payload).drop("src_partition")
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -3077,6 +3157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inline_passthrough": _q_inline_passthrough,
         "scalar_time_features": _q_scalar_time_features,
         "debezium_decode": _q_debezium_decode,
+        "maxwell_decode": _q_maxwell_decode,
+        "canal_decode": _q_canal_decode,
         # text analysis
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -3768,6 +3850,30 @@ def oracle_sql() -> dict[str, str]:
                    ts,
                    epoch_ms(ts) AS seq
             FROM events
+        """,
+        "maxwell_decode": """
+            SELECT CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                   event_id, user_id, event_type, value, ts,
+                   event_id * 7 AS seq
+            FROM events
+            WHERE NOT (event_id % 10 <> 0 AND event_id % 13 = 0)
+        """,
+        "canal_decode": """
+            WITH base AS (
+              SELECT event_id AS oid, event_id, user_id, event_type, value, ts
+              FROM events WHERE event_id % 13 <> 0
+            ), rows AS (
+              SELECT oid, 0 AS pos, event_id, user_id, event_type, value, ts
+              FROM base
+              UNION ALL
+              SELECT oid, 1, event_id + 1000000000, user_id, event_type,
+                     value + 0.5, ts
+              FROM base
+            )
+            SELECT CASE WHEN oid % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                   event_id, user_id, event_type, value, ts,
+                   oid * 65536 + pos AS seq
+            FROM rows
         """,
         "scalar_time_features": """
             SELECT event_id,

@@ -418,10 +418,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--to", default=None)
     p.add_argument("--typed", action="store_true",
                    help="typed change feed: net insert/update/delete per key")
-    p.add_argument("--format", default="rows", choices=["rows", "debezium"],
+    p.add_argument("--format", default="rows",
+                   choices=["rows", "debezium", "maxwell"],
                    dest="out_format",
-                   help="with --typed: emit rows, or Debezium envelopes "
-                        "(before/after/op/ts_ms) for downstream consumers")
+                   help="with --typed: emit rows, Debezium envelopes "
+                        "(before/after/op/ts_ms) or Maxwell envelopes "
+                        "(type/data/old/ts) for downstream consumers")
     p.add_argument("--since", default=None, metavar="TS",
                    help="event-time window lower bound (ISO; footer-stats "
                         "file skipping)")
@@ -1047,13 +1049,13 @@ def main(argv: list[str] | None = None) -> int:
             print("--since/--until apply to the raw feed only (not --typed)",
                   file=sys.stderr)
             return 1
-        if args.out_format == "debezium" and not args.typed:
-            print("--format debezium needs the typed feed (--typed)",
+        if args.out_format != "rows" and not args.typed:
+            print(f"--format {args.out_format} needs the typed feed (--typed)",
                   file=sys.stderr)
             return 1
         df = (
             api.change_feed(spark, args.table_dir, args.from_snapshot, args.to,
-                            include_pre_image=args.out_format == "debezium")
+                            include_pre_image=args.out_format != "rows")
             if args.typed
             else api.changes(
                 spark,
@@ -1068,6 +1070,10 @@ def main(argv: list[str] | None = None) -> int:
             from fetchez_spark.functions.cdc_formats import to_debezium
 
             df = to_debezium(df, source_name=args.table_dir)
+        elif args.out_format == "maxwell":
+            from fetchez_spark.functions.cdc_formats import to_maxwell
+
+            df = to_maxwell(df, table=args.table_dir)
         n = df.count()
         for row in df.limit(args.limit).collect():
             print(json.dumps(row.asDict(recursive=True), default=str))

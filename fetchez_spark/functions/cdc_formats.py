@@ -1,5 +1,5 @@
-"""CDC wire-format adapters: Debezium-shaped change envelopes -> the
-engine's change-event rows.
+"""CDC wire-format adapters: Debezium, Maxwell and Canal change envelopes
+-> the engine's change-event rows.
 
 The engine's native log is parquet rows already in ``CHANGE_EVENT_SCHEMA``
 shape; real binlog/WAL tails usually arrive as the Debezium envelope
@@ -39,7 +39,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["debezium_envelope_schema", "from_debezium", "to_debezium"]
+__all__ = [
+    "debezium_envelope_schema",
+    "from_debezium",
+    "to_debezium",
+    "maxwell_envelope_schema",
+    "from_maxwell",
+    "to_maxwell",
+    "canal_envelope_schema",
+    "from_canal",
+]
 
 
 def debezium_envelope_schema(payload_schema: T.StructType) -> T.StructType:
@@ -160,3 +169,243 @@ def to_debezium(feed: DataFrame, source_name: str | None = None) -> DataFrame:
             ).alias("source")
         )
     return feed.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Maxwell (maxwells-daemon.io) — the Zendesk MySQL binlog JSON format
+# ---------------------------------------------------------------------------
+
+def maxwell_envelope_schema(payload_schema: T.StructType) -> T.StructType:
+    """The Maxwell JSON envelope for a given payload row shape:
+
+        {"database": "shop", "table": "orders", "type": "insert",
+         "ts": 1449786310, "xid": 940752, "xoffset": 3, "commit": true,
+         "data": {...full row...}, "old": {...changed columns' priors...}}
+
+    ``ts`` is epoch SECONDS (Maxwell, unlike Debezium's ``ts_ms``); the
+    row image — including for deletes — always rides ``data``; ``old``
+    carries only the changed columns of an update."""
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in payload_schema.fields]
+    )
+    return T.StructType(
+        [
+            T.StructField("database", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+            T.StructField("type", T.StringType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("xid", T.LongType(), True),
+            T.StructField("xoffset", T.LongType(), True),
+            T.StructField("commit", T.BooleanType(), True),
+            T.StructField("data", nullable, True),
+            T.StructField("old", nullable, True),
+        ]
+    )
+
+
+_MAXWELL_ROW_TYPES = ("insert", "update", "delete", "bootstrap-insert")
+
+
+def from_maxwell(df: DataFrame, partitions: int = 4) -> DataFrame:
+    """Decode a Maxwell-enveloped frame into engine change-event rows.
+    Pure codegen, row-local (batch transform or ``run_stream`` chain).
+
+    Mapping rules (payload-owned columns win, as in :func:`from_debezium`):
+
+    * ``type``: ``delete`` -> ``'D'``; ``insert``/``update``/
+      ``bootstrap-insert`` -> ``'U'``; control rows (``bootstrap-start``/
+      ``-complete``, DDL) and null ``data`` are dropped — they carry no
+      row image;
+    * payload: always ``data`` (Maxwell deletes carry the deleted row in
+      ``data``, not in a before-image field);
+    * ``ts``: the payload's own event time if present, else
+      ``timestamp_seconds(ts)`` (Maxwell stamps SECONDS);
+    * ``seq``: ``xid`` (binlog transaction id — monotone per server) when
+      the envelope carries it, else ``ts``;
+    * ``src_partition``: hash of the leading payload column (the envelope
+      has no partition field).
+    """
+    data_t = df.schema["data"].dataType
+    if not isinstance(data_t, T.StructType):
+        raise TypeError(f"'data' must be a struct payload; got {data_t}")
+    fields = [f.name for f in data_t.fields]
+    rows = df.filter(
+        F.col("data").isNotNull() & F.col("type").isin(*_MAXWELL_ROW_TYPES)
+    )
+    is_del = F.col("type") == F.lit("delete")
+    payload = F.col("data")
+    cols = [F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op")]
+    cols += [payload.getField(f).alias(f) for f in fields]
+    if "ts" not in fields:
+        cols.append(F.timestamp_seconds(F.col("ts")).alias("ts"))
+    if "seq" not in fields:
+        seq = (
+            F.coalesce(F.col("xid"), F.col("ts"))
+            if "xid" in df.columns
+            else F.col("ts")
+        )
+        cols.append(seq.cast("long").alias("seq"))
+    if "src_partition" not in fields:
+        cols.append(
+            F.pmod(F.xxhash64(payload.getField(fields[0])), F.lit(partitions))
+            .cast("int")
+            .alias("src_partition")
+        )
+    return rows.select(*cols)
+
+
+def to_maxwell(
+    feed: DataFrame, database: str | None = None, table: str | None = None
+) -> DataFrame:
+    """Encode a typed change feed (``change_feed`` shape) as Maxwell
+    envelopes — the outbound half.  ``data`` carries the row image — for
+    deletes that is the DELETED row (the pre-image when the feed has one,
+    the tombstone payload otherwise), per the wire format; ``old`` carries
+    ONLY the changed columns of an update (unchanged columns are NULL in
+    the struct, which ``to_json`` drops, matching Maxwell's omit-unchanged
+    JSON); ``ts`` is epoch seconds.  ``from_maxwell(to_maxwell(feed))``
+    recovers the same row images."""
+    payload_fields = [
+        c for c in feed.columns if c not in ("_change_type", "_pre_image")
+    ]
+    data = F.struct(*[F.col(c) for c in payload_fields])
+    is_upd = F.col("_change_type") == F.lit("update")
+    is_del = F.col("_change_type") == F.lit("delete")
+    old = F.lit(None)
+    if "_pre_image" in feed.columns:
+        pre_t = feed.schema["_pre_image"].dataType
+        pre_fields = {f.name for f in pre_t.fields}
+        pre_image = F.struct(
+            *[
+                (
+                    F.col("_pre_image").getField(c)
+                    if c in pre_fields
+                    else F.col(c)  # key columns: identical pre/post
+                ).alias(c)
+                for c in payload_fields
+            ]
+        )
+        data = F.when(is_del & F.col("_pre_image").isNotNull(), pre_image).otherwise(
+            data
+        )
+        changed = F.struct(
+            *[
+                (
+                    F.when(
+                        ~F.col("_pre_image").getField(c).eqNullSafe(F.col(c)),
+                        F.col("_pre_image").getField(c),
+                    )
+                    if c in pre_fields
+                    else F.lit(None).cast(feed.schema[c].dataType)
+                ).alias(c)
+                for c in payload_fields
+            ]
+        )
+        old = F.when(is_upd & F.col("_pre_image").isNotNull(), changed)
+    op = (
+        F.when(F.col("_change_type") == F.lit("delete"), F.lit("delete"))
+        .when(is_upd, F.lit("update"))
+        .otherwise(F.lit("insert"))
+    )
+    cols = [
+        F.lit(database).cast("string").alias("database"),
+        F.lit(table).cast("string").alias("table"),
+        op.alias("type"),
+        (
+            F.unix_seconds(F.col("ts"))
+            if "ts" in payload_fields
+            else F.lit(None).cast("long")
+        ).alias("ts"),
+        data.alias("data"),
+        old.alias("old"),
+    ]
+    return feed.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Canal (github.com/alibaba/canal) — the Alibaba MySQL binlog flat message
+# ---------------------------------------------------------------------------
+
+def canal_envelope_schema() -> T.StructType:
+    """The Canal *flat message* JSON envelope (the canal-adapter MQ shape):
+
+        {"data": [{"id": "1", ...}], "old": [{"value": "9.5"}],
+         "database": "db", "table": "t", "type": "UPDATE",
+         "isDdl": false, "es": 1589373515000, "ts": 1589373515477,
+         "id": 3, "pkNames": ["id"], "sql": "",
+         "mysqlType": {...}, "sqlType": {...}}
+
+    Flat messages STRING-type every cell and batch MULTIPLE rows per
+    envelope in the ``data`` array, so this schema is payload-independent:
+    pass the real payload shape to :func:`from_canal` for the casts."""
+    m = T.MapType(T.StringType(), T.StringType())
+    return T.StructType(
+        [
+            T.StructField("data", T.ArrayType(m), True),
+            T.StructField("old", T.ArrayType(m), True),
+            T.StructField("database", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+            T.StructField("type", T.StringType(), False),
+            T.StructField("isDdl", T.BooleanType(), True),
+            T.StructField("es", T.LongType(), False),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("id", T.LongType(), True),
+            T.StructField("pkNames", T.ArrayType(T.StringType()), True),
+            T.StructField("sql", T.StringType(), True),
+            T.StructField("mysqlType", m, True),
+            T.StructField("sqlType", m, True),
+        ]
+    )
+
+
+def from_canal(
+    df: DataFrame, payload_schema: T.StructType, partitions: int = 4
+) -> DataFrame:
+    """Decode Canal flat messages into engine change-event rows.  Pure
+    codegen: one ``posexplode`` over the per-message row array (row-local,
+    no shuffle), then per-column casts from the all-strings cells.
+
+    Mapping rules:
+
+    * ``type``: ``DELETE`` -> ``'D'``; ``INSERT``/``UPDATE`` -> ``'U'``;
+      DDL messages (``isDdl``) and null ``data`` are dropped;
+    * payload: each ``data[i]`` map, cast cell-by-cell to
+      ``payload_schema`` (Canal deletes carry the deleted row in ``data``);
+    * ``ts``: the payload's own event time if present (string-cast), else
+      ``timestamp_millis(es)`` (``es`` is the source binlog event time;
+      ``ts`` on the envelope is canal's processing time);
+    * ``seq``: ``id * 65536 + pos`` — the canal batch id orders messages
+      per instance, ``pos`` orders rows within a message's array — unless
+      the payload carries ``seq``;
+    * ``src_partition``: hash of the leading payload column.
+    """
+    fields = [f.name for f in payload_schema.fields]
+    rows = df.filter(
+        F.col("data").isNotNull()
+        & ~F.coalesce(F.col("isDdl"), F.lit(False))
+        & F.upper(F.col("type")).isin("INSERT", "UPDATE", "DELETE")
+    ).select("*", F.posexplode("data").alias("pos", "_row"))
+    is_del = F.upper(F.col("type")) == F.lit("DELETE")
+    cols = [F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op")]
+    cols += [
+        F.element_at(F.col("_row"), f.name).cast(f.dataType).alias(f.name)
+        for f in payload_schema.fields
+    ]
+    if "ts" not in fields:
+        cols.append(F.timestamp_millis(F.col("es")).alias("ts"))
+    if "seq" not in fields:
+        cols.append(
+            (F.coalesce(F.col("id"), F.lit(0)) * F.lit(65536) + F.col("pos"))
+            .cast("long")
+            .alias("seq")
+        )
+    if "src_partition" not in fields:
+        cols.append(
+            F.pmod(
+                F.xxhash64(F.element_at(F.col("_row"), fields[0])),
+                F.lit(partitions),
+            )
+            .cast("int")
+            .alias("src_partition")
+        )
+    return rows.select(*cols)

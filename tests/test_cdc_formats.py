@@ -213,3 +213,203 @@ def test_cli_changes_debezium_format(spark, tmp_path, capsys):
 
     rc = main(["changes", sink.table_dir, frm, "--format", "debezium"])
     assert rc == 1  # debezium needs --typed
+
+
+# ---------------------------------------------------------------------------
+# Maxwell
+# ---------------------------------------------------------------------------
+
+def _maxwell_rows():
+    def pay(conv, turn, text, minute):
+        return {
+            "conv_id": conv, "turn_idx": turn, "role": "user", "text": text,
+            "tool": None, "ts": (T0 + dt.timedelta(minutes=minute)).isoformat(),
+        }
+
+    return [
+        {"database": "shop", "table": "t", "type": "bootstrap-start",
+         "ts": 100, "xid": None, "data": None},
+        {"database": "shop", "table": "t", "type": "insert",
+         "ts": 101, "xid": 11, "data": pay("a", 0, "v1", 0)},
+        {"database": "shop", "table": "t", "type": "update",
+         "ts": 102, "xid": 12, "data": pay("a", 0, "v2", 1),
+         "old": {"text": "v1"}},
+        {"database": "shop", "table": "t", "type": "bootstrap-insert",
+         "ts": 103, "xid": 13, "data": pay("b", 0, "snap", 0)},
+        {"database": "shop", "table": "t", "type": "delete",
+         "ts": 104, "xid": 14, "data": pay("a", 0, "v2", 1)},
+        {"database": "shop", "table": "t", "type": "bootstrap-complete",
+         "ts": 105, "xid": None, "data": None},
+    ]
+
+
+def _read_maxwell(spark, rows, drop=()):
+    from fetchez_spark.functions.cdc_formats import maxwell_envelope_schema
+
+    schema = maxwell_envelope_schema(TRANSCRIPT_SCHEMA)
+    schema = type(schema)([f for f in schema.fields if f.name not in drop])
+    rows = [{k: v for k, v in r.items() if k not in drop} for r in rows]
+    return spark.read.schema(schema).json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in rows])
+    )
+
+
+def test_from_maxwell_maps_ops_drops_control_rows(spark):
+    from fetchez_spark.functions.cdc_formats import from_maxwell
+
+    out = from_maxwell(_read_maxwell(spark, _maxwell_rows())).orderBy("seq").collect()
+    # the two data-less bootstrap control rows are gone
+    assert [r["op"] for r in out] == ["U", "U", "U", "D"]
+    # maxwell deletes carry the row image in `data`
+    d = out[3]
+    assert (d["conv_id"], d["text"]) == ("a", "v2")
+    # payload owns ts -> row-image event time, seq from xid
+    assert out[1]["ts"] == dt.datetime(2024, 1, 1, 0, 1)
+    assert [r["seq"] for r in out] == [11, 12, 13, 14]
+    assert all(0 <= r["src_partition"] < 4 for r in out)
+
+
+def test_from_maxwell_without_xid_falls_back_to_ts(spark):
+    from fetchez_spark.functions.cdc_formats import from_maxwell
+
+    out = from_maxwell(_read_maxwell(spark, _maxwell_rows(), drop=("xid",)))
+    assert sorted(r["seq"] for r in out.collect()) == [101, 102, 103, 104]
+
+
+def test_json_maxwell_tail_end_to_end(spark, tmp_path):
+    """A Maxwell JSON-lines log tailed with run_stream(log_format='json')
+    + from_maxwell lands the correct final LWW state."""
+    from fetchez_spark.functions.cdc_formats import (
+        from_maxwell,
+        maxwell_envelope_schema,
+    )
+
+    rows = _maxwell_rows()
+    log = tmp_path / "log"
+    log.mkdir()
+    (log / "c0.json").write_text("\n".join(json.dumps(r) for r in rows[:3]))
+    (log / "c1.json").write_text("\n".join(json.dumps(r) for r in rows[3:]))
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    q = run_stream(
+        spark, str(log), sink, str(tmp_path / "ckpt"),
+        schema=maxwell_envelope_schema(TRANSCRIPT_SCHEMA),
+        log_format="json", transforms=[from_maxwell],
+    )
+    q.awaitTermination(300)
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in sink.read(spark).collect()}
+    # a/0 insert -> update -> delete (tombstone wins); b/0 bootstrap survives
+    assert got == {("b", 0): "snap"}
+
+
+def test_to_maxwell_encodes_feed_with_changed_cols_only_old(spark, tmp_path):
+    from fetchez_spark.functions.cdc_formats import from_maxwell, to_maxwell
+
+    sink, frm = _mk_table(spark, tmp_path)
+    feed = sink.change_feed(spark, frm, include_pre_image=True)
+    env = to_maxwell(feed, database="shop", table="t")
+    rows = {r["type"]: r for r in env.collect()}
+
+    assert set(rows) == {"insert", "update", "delete"}
+    assert rows["delete"]["data"]["conv_id"] == "b"      # image rides data
+    assert rows["update"]["old"]["text"] == "v1"         # changed col: prior
+    assert rows["update"]["old"]["conv_id"] is None      # unchanged: omitted
+    assert rows["insert"]["old"] is None
+    assert all(r["ts"] is not None for r in rows.values())
+
+    back = {(r["conv_id"], r["turn_idx"]): r for r in from_maxwell(env).collect()}
+    assert back[("a", 0)]["op"] == "U" and back[("a", 0)]["text"] == "v2"
+    assert back[("b", 0)]["op"] == "D" and back[("b", 0)]["text"] == "keep"
+    assert back[("c", 0)]["op"] == "U" and back[("c", 0)]["text"] == "new"
+
+
+# ---------------------------------------------------------------------------
+# Canal
+# ---------------------------------------------------------------------------
+
+def _canal_rows():
+    def cell(conv, turn, text, minute):
+        return {
+            "conv_id": conv, "turn_idx": str(turn), "role": "user",
+            "text": text, "tool": None,
+            "ts": (T0.replace(tzinfo=None) + dt.timedelta(minutes=minute))
+                  .strftime("%Y-%m-%d %H:%M:%S"),
+        }
+
+    return [
+        {"data": [cell("a", 0, "v1", 0), cell("b", 0, "w1", 0)],
+         "old": None, "database": "db", "table": "t", "type": "INSERT",
+         "isDdl": False, "es": 1000, "ts": 1500, "id": 1},
+        {"data": None, "old": None, "database": "db", "table": "t",
+         "type": "ALTER", "isDdl": True, "es": 2000, "ts": 2500, "id": 2},
+        {"data": [cell("a", 0, "v2", 1)],
+         "old": [{"text": "v1"}], "database": "db", "table": "t",
+         "type": "UPDATE", "isDdl": False, "es": 3000, "ts": 3500, "id": 3},
+        {"data": [cell("b", 0, "w1", 0)],
+         "old": None, "database": "db", "table": "t", "type": "DELETE",
+         "isDdl": False, "es": 4000, "ts": 4500, "id": 4},
+    ]
+
+
+def _read_canal(spark, rows):
+    from fetchez_spark.functions.cdc_formats import canal_envelope_schema
+
+    return spark.read.schema(canal_envelope_schema()).json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in rows])
+    )
+
+
+def test_from_canal_explodes_casts_and_drops_ddl(spark):
+    from fetchez_spark.functions.cdc_formats import from_canal
+
+    out = from_canal(_read_canal(spark, _canal_rows()), TRANSCRIPT_SCHEMA)
+    rows = sorted(out.collect(), key=lambda r: r["seq"])
+    # 2-row INSERT explodes to two events; the DDL message is gone
+    assert [r["op"] for r in rows] == ["U", "U", "U", "D"]
+    assert [r["seq"] for r in rows] == [65536, 65537, 3 * 65536, 4 * 65536]
+    # all-strings cells cast back to the payload types
+    assert rows[0]["turn_idx"] == 0 and isinstance(rows[0]["turn_idx"], int)
+    assert rows[2]["ts"] == dt.datetime(2024, 1, 1, 0, 1)
+    # canal deletes carry the deleted row in data
+    assert rows[3]["conv_id"] == "b" and rows[3]["text"] == "w1"
+    assert all(0 <= r["src_partition"] < 4 for r in rows)
+
+
+def test_json_canal_tail_end_to_end(spark, tmp_path):
+    """A Canal flat-message JSON log tails through run_stream with a
+    payload-bound from_canal transform."""
+    from fetchez_spark.functions.cdc_formats import (
+        canal_envelope_schema,
+        from_canal,
+    )
+
+    rows = _canal_rows()
+    log = tmp_path / "log"
+    log.mkdir()
+    (log / "c0.json").write_text("\n".join(json.dumps(r) for r in rows[:2]))
+    (log / "c1.json").write_text("\n".join(json.dumps(r) for r in rows[2:]))
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    q = run_stream(
+        spark, str(log), sink, str(tmp_path / "ckpt"),
+        schema=canal_envelope_schema(), log_format="json",
+        transforms=[lambda df: from_canal(df, TRANSCRIPT_SCHEMA)],
+    )
+    q.awaitTermination(300)
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in sink.read(spark).collect()}
+    # a/0 v1 -> v2 survives; b/0 deleted by the id=4 message
+    assert got == {("a", 0): "v2"}
+
+
+def test_cli_changes_maxwell_format(spark, tmp_path, capsys):
+    from fetchez_spark.cli import main
+
+    sink, frm = _mk_table(spark, tmp_path)
+    rc = main(["changes", sink.table_dir, frm, "--typed", "--format", "maxwell"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1]["total_changed_rows"] == 3
+    assert {l["type"] for l in lines[:-1]} == {"insert", "update", "delete"}
+    deleted = next(l for l in lines[:-1] if l["type"] == "delete")
+    assert deleted["data"]["text"] == "keep"  # deleted row image rides data
+
+    rc = main(["changes", sink.table_dir, frm, "--format", "maxwell"])
+    assert rc == 1  # maxwell needs --typed
