@@ -272,6 +272,7 @@ class Recipe:
                         lineage=lineage,
                         transforms=transforms,
                         token_prefix=prefix,
+                        file_format=getattr(source, "log_format", "parquet"),
                     )
                 )
             out = {"mode": mode, "batches": all_results}
@@ -308,6 +309,7 @@ class Recipe:
                             sink,
                             os.path.join(ckpt, f"s{i}") if len(units) > 1 else ckpt,
                             schema=source.schema,
+                            log_format=getattr(source, "log_format", "parquet"),
                             max_files_per_trigger=source.max_files_per_trigger,
                             lineage=lineage,
                             transforms=transforms,
@@ -361,6 +363,7 @@ class Recipe:
                             os.path.join(ckpt, f"s{i}") if len(units) > 1 else ckpt
                         ),
                         schema=source.schema,
+                        log_format=getattr(source, "log_format", "parquet"),
                         max_files_per_trigger=source.max_files_per_trigger,
                         lineage=lineage,
                         transforms=transforms,

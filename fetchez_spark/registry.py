@@ -174,6 +174,18 @@ register_source(
 )
 register_source(
     SourceInfo(
+        "orc_log",
+        "fetchez_spark.sources.parquet_log:OrcLogSource",
+        "log",
+        "offset-partitioned ORC change log (batch + streaming tail; "
+        "self-describing footers, so inference and the mid-stream "
+        "schema-evolution guard work exactly as for parquet)",
+        tags=["cdc", "orc", "stream"],
+        aliases=["orc"],
+    )
+)
+register_source(
+    SourceInfo(
         "inline",
         "fetchez_spark.sources.inline:InlineSource",
         "passthrough",

@@ -27,18 +27,26 @@ class ParquetLogSource(ChangeSource):
         batch_files: int = 4,
         max_files_per_trigger: int = 4,
         selection=None,
+        log_format: str = "parquet",
     ) -> None:
+        if log_format not in ("parquet", "orc"):
+            raise ValueError(
+                f"log_format must be parquet|orc, got {log_format!r} "
+                "(text logs go through run_stream(log_format='json'|'csv') "
+                "with an explicit schema)"
+            )
         self.log_dir = log_dir
         self.schema = schema
         self.batch_files = batch_files
         self.max_files_per_trigger = max_files_per_trigger
         self.selection = selection
+        self.log_format = log_format
 
     def _files(self) -> list[str]:
         return sorted(
             os.path.join(self.log_dir, f)
             for f in os.listdir(self.log_dir)
-            if f.endswith(".parquet")
+            if f.endswith(f".{self.log_format}")
         )
 
     def _apply_selection(self, df: DataFrame) -> DataFrame:
@@ -51,20 +59,32 @@ class ParquetLogSource(ChangeSource):
         reader = spark.read
         if self.schema is not None:
             reader = reader.schema(self.schema)
-        return self._apply_selection(reader.parquet(*self._files()))
+        # .format().load(list): DataFrameReader.orc does not take *paths
+        return self._apply_selection(
+            reader.format(self.log_format).load(self._files())
+        )
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
-        stream = (
-            spark.readStream.schema(self.schema or CHANGE_EVENT_SCHEMA)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
-            .parquet(self.log_dir)
+        reader = spark.readStream.schema(self.schema or CHANGE_EVENT_SCHEMA).option(
+            "maxFilesPerTrigger", self.max_files_per_trigger
         )
-        return self._apply_selection(stream)
+        return self._apply_selection(getattr(reader, self.log_format)(self.log_dir))
 
     def batches(self, spark: SparkSession) -> list[list[str]]:
         files = self._files()
         k = max(self.batch_files, 1)
         return [files[i : i + k] for i in range(0, len(files), k)]
+
+
+class OrcLogSource(ParquetLogSource):
+    """ORC-files change log: same offset-partitioned tail, ORC footers.
+
+    The realistic producer is another Spark/Hive job (pyarrow's ORC writer
+    emits TIMESTAMP_INSTANT, which Spark's ORC reader rejects)."""
+
+    def __init__(self, log_dir: str, **kwargs) -> None:
+        kwargs.setdefault("log_format", "orc")
+        super().__init__(log_dir, **kwargs)
 
 
 class SyntheticSource(ParquetLogSource):

@@ -36,6 +36,10 @@ _EVOLVED_MARKER = "FETCHEZ_SCHEMA_EVOLVED"
 # (Spark's columnNameOfCorruptRecord); never reaches the sink
 _CORRUPT_COL = "_corrupt_record"
 
+# self-describing columnar formats: schema lives in the file footer, so
+# inference / watch_schema work and per-row malformed handling does not
+_BINARY_FORMATS = ("parquet", "orc")
+
 
 class SchemaEvolvedError(RuntimeError):
     """A micro-batch's files carry columns (or wider types) the running
@@ -56,9 +60,12 @@ def _apply_transforms(df: DataFrame, transforms: list[Transform] | None) -> Data
 
 
 def _infer_log_schema(
-    spark: SparkSession, log_dir: str, sample_files: int | None = None
+    spark: SparkSession,
+    log_dir: str,
+    sample_files: int | None = None,
+    log_format: str = "parquet",
 ):
-    """Union schema of the log's parquet files.
+    """Union schema of the log's parquet (or ORC) files.
 
     ``sample_files=None``: mergeSchema over the whole dir (exact, O(files)
     footer reads -- fine up to ~10^4 files).  ``sample_files=N``: newest N
@@ -69,21 +76,24 @@ def _infer_log_schema(
     before they can be merged narrowly."""
     import os
 
+    def _read(*paths):
+        # .format().load(list): DataFrameReader.parquet takes *paths but
+        # .orc takes (path, mergeSchema=None, ...) -- a second positional
+        # file path would be swallowed as an option
+        reader = spark.read.option("mergeSchema", "true")
+        return reader.format(log_format).load(list(paths))
+
     try:
         if sample_files is None:
-            return spark.read.option("mergeSchema", "true").parquet(log_dir).schema
+            return _read(log_dir).schema
         names = sorted(
             (e.stat().st_mtime, e.path)
             for e in os.scandir(log_dir)
-            if e.is_file() and e.name.endswith(".parquet")
+            if e.is_file() and e.name.endswith(f".{log_format}")
         )[-sample_files:]
         if not names:
             return CHANGE_EVENT_SCHEMA
-        sampled = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[p for _, p in names])
-            .schema
-        )
+        sampled = _read(*[p for _, p in names]).schema
         return merge_schemas(CHANGE_EVENT_SCHEMA, sampled)
     except Exception:  # empty dir at start time: fall back to the core shape
         return CHANGE_EVENT_SCHEMA
@@ -127,8 +137,9 @@ def run_stream_supervised(
 
     deadline = (_time.monotonic() + timeout_sec) if timeout_sec else None
     sample_files = stream_kwargs.pop("schema_sample_files", None)
+    log_format = stream_kwargs.get("log_format", "parquet")
     if schema is None:
-        schema = _infer_log_schema(spark, log_dir, sample_files)
+        schema = _infer_log_schema(spark, log_dir, sample_files, log_format)
     restarts = 0
     evolved: list[str] = []
     available_now = stream_kwargs.get("available_now", True)
@@ -169,10 +180,10 @@ def run_stream_supervised(
             # evolved file is new, so it IS in the newest-N sample -- but
             # if sampling somehow finds nothing wider, fall back to the
             # exact full inference rather than restart-looping
-            wider = _infer_log_schema(spark, log_dir, sample_files)
+            wider = _infer_log_schema(spark, log_dir, sample_files, log_format)
             new_schema = merge_schemas(schema, wider)
             if sample_files is not None and new_schema == schema:
-                wider = _infer_log_schema(spark, log_dir, None)
+                wider = _infer_log_schema(spark, log_dir, None, log_format)
                 new_schema = merge_schemas(schema, wider)
             known = {f.name: f.dataType for f in schema.fields}
             new_cols = [
@@ -249,7 +260,7 @@ def make_batch_fn(
     transforms: list[Transform] | None = None,
     on_batch: Callable[[int, dict], None] | None = None,
     token_prefix: str = "",
-    watch_schema: tuple[str, Any] | None = None,
+    watch_schema: tuple[str, Any, str] | None = None,
     bad_records: tuple[str, str] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch function: transform chain -> MERGE -> lineage.
@@ -260,10 +271,11 @@ def make_batch_fn(
     already-committed.  (Each query also needs its own checkpoint dir --
     that part Spark enforces.)
 
-    ``watch_schema=(checkpoint_dir, stream_schema)`` arms the mid-stream
-    evolution guard: before merging, the batch's own source files (from
-    the checkpoint's source log) are footer-checked against the stream
-    schema, and any additive/widening drift raises
+    ``watch_schema=(checkpoint_dir, stream_schema, log_format)`` arms the
+    mid-stream evolution guard: before merging, the batch's own source
+    files (from the checkpoint's source log) are footer-checked against
+    the stream schema (parquet or ORC -- both self-describing), and any
+    additive/widening drift raises
     :class:`SchemaEvolvedError` BEFORE the commit -- a file stream cannot
     change schema mid-query, so without this a column first appearing in
     files added after stream start is silently read as absent.  Used by
@@ -295,14 +307,11 @@ def make_batch_fn(
                 on_batch(batch_id, {"skipped": True})
             return
         if watch_schema is not None:
-            ckpt_dir, stream_schema = watch_schema
+            ckpt_dir, stream_schema, fmt = watch_schema
             files = _batch_source_files(ckpt_dir, batch_id)
             if files:
-                actual = (
-                    batch.sparkSession.read.option("mergeSchema", "true")
-                    .parquet(*files)
-                    .schema
-                )
+                reader = batch.sparkSession.read.option("mergeSchema", "true")
+                actual = reader.format(fmt).load(list(files)).schema
                 wider = merge_schemas(stream_schema, actual)
                 if wider != stream_schema:
                     known = {f.name: f.dataType for f in stream_schema.fields}
@@ -418,14 +427,15 @@ def run_stream(
 ):
     """Tail a file-backed change log with Structured Streaming.
 
-    ``log_format``: ``'parquet'`` (native log), ``'json'`` (JSON Lines —
-    the shape a Debezium-style tail lands as; pair with
-    ``transforms=[from_debezium]`` and
-    ``schema=debezium_envelope_schema(...)``), or ``'csv'``
+    ``log_format``: ``'parquet'`` (native log), ``'orc'`` (the other
+    self-describing columnar log format — same inference / evolution /
+    watch_schema behavior as parquet), ``'json'`` (JSON Lines — the shape
+    a Debezium-style tail lands as; pair with ``transforms=[from_debezium]``
+    and ``schema=debezium_envelope_schema(...)``), or ``'csv'``
     (header row expected).  json/csv REQUIRE an explicit ``schema`` —
     file-stream inference over text formats guesses types (timestamps
     become strings) and would silently corrupt the LWW order — and do not
-    support ``watch_schema`` (the evolution guard reads parquet footers;
+    support ``watch_schema`` (the evolution guard reads file footers;
     text files have none).
 
     ``bad_records`` (text formats only) decides what a MALFORMED line
@@ -441,8 +451,8 @@ def run_stream(
     ``bad_records_dir/<token>/`` — default
     ``<checkpoint_dir>/bad_records`` — BEFORE the merge, so crash-replay
     is idempotent on both sides.  Read them back with
-    :func:`read_bad_records`.  Parquet logs reject anything but
-    ``'fail'``: a malformed parquet file always fails the read.
+    :func:`read_bad_records`.  Parquet/ORC logs reject anything but
+    ``'fail'``: a malformed columnar file always fails the read.
 
     ``available_now=True`` runs a bounded replay of everything currently in
     the log (resumable via ``checkpoint_dir``); ``False`` keeps tailing.
@@ -474,18 +484,22 @@ def run_stream(
     default ``watch_schema=False`` they require a manual restart with
     the wider schema (Structured Streaming limitation).
     """
-    if log_format not in ("parquet", "json", "csv"):
-        raise ValueError(f"log_format must be parquet|json|csv, got {log_format!r}")
+    if log_format not in ("parquet", "orc", "json", "csv"):
+        raise ValueError(
+            f"log_format must be parquet|orc|json|csv, got {log_format!r}"
+        )
+    binary = log_format in _BINARY_FORMATS
     if bad_records not in ("fail", "drop", "quarantine"):
         raise ValueError(
             f"bad_records must be fail|drop|quarantine, got {bad_records!r}"
         )
-    if log_format == "parquet" and bad_records != "fail":
+    if binary and bad_records != "fail":
         raise ValueError(
-            "bad_records applies to text logs only: a malformed parquet "
-            "file always fails the read (there is no per-row recovery)"
+            "bad_records applies to text logs only: a malformed "
+            f"{log_format} file always fails the read (there is no "
+            "per-row recovery)"
         )
-    if log_format != "parquet":
+    if not binary:
         if schema is None:
             raise ValueError(
                 f"log_format={log_format!r} requires an explicit schema "
@@ -494,8 +508,9 @@ def run_stream(
             )
         if watch_schema:
             raise ValueError(
-                "watch_schema / run_stream_supervised need parquet footers; "
-                f"log_format={log_format!r} has none"
+                "watch_schema / run_stream_supervised need self-describing "
+                f"file footers (parquet/orc); log_format={log_format!r} "
+                "has none"
             )
         if _CORRUPT_COL in schema.fieldNames():
             raise ValueError(
@@ -504,10 +519,10 @@ def run_stream(
     if token_prefix is None:
         token_prefix = _default_token_prefix(checkpoint_dir)
     if schema is None:
-        schema = _infer_log_schema(spark, log_dir, schema_sample_files)
+        schema = _infer_log_schema(spark, log_dir, schema_sample_files, log_format)
     batch_bad_records = None
     read_schema = schema
-    if log_format != "parquet":
+    if not binary:
         import os
 
         import pyspark.sql.types as T
@@ -527,7 +542,7 @@ def run_stream(
     reader = spark.readStream.schema(read_schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
-    if log_format != "parquet":
+    if not binary:
         reader = reader.option(
             "mode", "FAILFAST" if bad_records == "fail" else "PERMISSIVE"
         ).option("columnNameOfCorruptRecord", _CORRUPT_COL)
@@ -535,6 +550,8 @@ def run_stream(
         stream = reader.json(log_dir)
     elif log_format == "csv":
         stream = reader.option("header", "true").csv(log_dir)
+    elif log_format == "orc":
+        stream = reader.orc(log_dir)
     else:
         stream = reader.parquet(log_dir)
     writer = (
@@ -545,7 +562,9 @@ def run_stream(
                 transforms=transforms,
                 on_batch=on_batch,
                 token_prefix=token_prefix,
-                watch_schema=(checkpoint_dir, schema) if watch_schema else None,
+                watch_schema=(
+                    (checkpoint_dir, schema, log_format) if watch_schema else None
+                ),
                 bad_records=batch_bad_records,
             )
         )
@@ -602,14 +621,16 @@ def replay_batches(
     transforms: list[Transform] | None = None,
     schema=None,
     token_prefix: str = "replay",
+    file_format: str = "parquet",
 ) -> list[dict[str, Any]]:
     """Deterministic batch-mode replay (no streaming machinery).
 
-    ``chunk_paths``: list of batches -- each a list of parquet files, a
-    bare string (one single-file batch), or an already-materialized
-    DataFrame (inline/passthrough sources).  Used by tests and the bench
-    -- identical merge path as the stream, identical exactly-once token
-    check.  Per-batch schema may differ additively (mid-log evolution).
+    ``chunk_paths``: list of batches -- each a list of parquet/ORC files
+    (``file_format``), a bare string (one single-file batch), or an
+    already-materialized DataFrame (inline/passthrough sources).  Used by
+    tests and the bench -- identical merge path as the stream, identical
+    exactly-once token check.  Per-batch schema may differ additively
+    (mid-log evolution).
     """
     out = []
     for i, chunk in enumerate(chunk_paths):
@@ -620,7 +641,7 @@ def replay_batches(
             reader = spark.read
             if schema is not None:
                 reader = reader.schema(schema)
-            batch = reader.parquet(*files)
+            batch = reader.format(file_format).load(files)
         token = f"{token_prefix}-{i}"
         if sink.is_committed(token):
             out.append({"batch_token": token, "skipped": True})

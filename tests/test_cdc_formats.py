@@ -133,7 +133,7 @@ def test_text_formats_require_schema_and_reject_watch_schema(spark, tmp_path):
     with pytest.raises(ValueError, match="requires an explicit schema"):
         run_stream(spark, str(tmp_path), sink, str(tmp_path / "c1"),
                    log_format="json")
-    with pytest.raises(ValueError, match="parquet footers"):
+    with pytest.raises(ValueError, match="file footers"):
         run_stream(
             spark, str(tmp_path), sink, str(tmp_path / "c2"),
             schema=debezium_envelope_schema(TRANSCRIPT_SCHEMA),
