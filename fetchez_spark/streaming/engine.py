@@ -40,6 +40,20 @@ _CORRUPT_COL = "_corrupt_record"
 # inference / watch_schema work and per-row malformed handling does not
 _BINARY_FORMATS = ("parquet", "orc")
 
+# file-stream source options a tail may pass through (Spark
+# FileStreamSource surface); everything else is a loud error -- a typo'd
+# option silently ignored would change retention/ordering semantics
+_SOURCE_OPTIONS = frozenset(
+    {
+        "latestFirst",  # newest-files-first (mtime desc) backfill order
+        "fileNameOnly",  # dedup seen-files by name, not full path
+        "maxFileAge",  # ignore files older than this (bounds source state)
+        "cleanSource",  # archive|delete|off: retire PROCESSED log files
+        "sourceArchiveDir",  # where cleanSource=archive moves them
+        "maxCachedFiles",  # listing cache size (Spark 4 source-state knob)
+    }
+)
+
 
 class SchemaEvolvedError(RuntimeError):
     """A micro-batch's files carry columns (or wider types) the running
@@ -424,6 +438,8 @@ def run_stream(
     log_format: str = "parquet",
     bad_records: str = "fail",
     bad_records_dir: str | None = None,
+    trigger_interval: str | None = None,
+    source_options: dict[str, Any] | None = None,
 ):
     """Tail a file-backed change log with Structured Streaming.
 
@@ -456,6 +472,26 @@ def run_stream(
 
     ``available_now=True`` runs a bounded replay of everything currently in
     the log (resumable via ``checkpoint_dir``); ``False`` keeps tailing.
+    ``trigger_interval`` (live tails only, e.g. ``"30 seconds"``) sets a
+    processing-time cadence instead of Spark's as-fast-as-possible
+    default -- the knob that trades freshness for fewer, larger commits
+    on a quiet log.
+
+    ``source_options`` passes file-source knobs through to the reader --
+    allowlisted (a typo'd retention option silently ignored would be a
+    data-loss hazard): ``latestFirst`` (newest-first backfill order by
+    file mtime), ``fileNameOnly``, ``maxFileAge``, ``maxCachedFiles``,
+    and the log-retention pair ``cleanSource`` (``'archive'`` |
+    ``'delete'``) + ``sourceArchiveDir`` -- Spark retires each log file
+    AFTER the micro-batch that read it commits, so the ingest log stops
+    growing without an external janitor racing the tail.  ``'archive'``
+    requires a ``sourceArchiveDir`` OUTSIDE the log dir (archiving into
+    the tailed dir would re-ingest).  The cleaner runs async and ONE
+    BATCH BEHIND the head: Spark retires batch N's files when batch N+1
+    commits, so on a quiet log the newest batch's files linger until
+    more data arrives -- and it never touches unprocessed files, so
+    crash-replay, exactly-once, and the ``watch_schema`` guard (which
+    reads the CURRENT batch's not-yet-cleaned files) are unaffected.
 
     ``token_prefix`` enables N concurrent streams into ONE sink table:
     each query gets its own checkpoint dir AND its own prefix, so batch
@@ -516,6 +552,33 @@ def run_stream(
             raise ValueError(
                 f"{_CORRUPT_COL!r} is reserved for malformed-line capture"
             )
+    source_options = dict(source_options or {})
+    unknown = set(source_options) - _SOURCE_OPTIONS
+    if unknown:
+        raise ValueError(
+            f"unknown source_options {sorted(unknown)}; allowed: "
+            f"{sorted(_SOURCE_OPTIONS)}"
+        )
+    clean_mode = str(source_options.get("cleanSource", "off")).lower()
+    if clean_mode == "archive":
+        import os
+
+        archive_dir = source_options.get("sourceArchiveDir")
+        if not archive_dir:
+            raise ValueError("cleanSource='archive' needs a sourceArchiveDir")
+        log_abs = os.path.abspath(log_dir)
+        if os.path.commonpath(
+            [os.path.abspath(str(archive_dir)), log_abs]
+        ) == log_abs:
+            raise ValueError(
+                "sourceArchiveDir must be OUTSIDE the tailed log dir "
+                "(archiving into it would re-ingest the archived files)"
+            )
+    if trigger_interval is not None and available_now:
+        raise ValueError(
+            "trigger_interval is a live-tail cadence; pass "
+            "available_now=False (an availableNow drain has no cadence)"
+        )
     if token_prefix is None:
         token_prefix = _default_token_prefix(checkpoint_dir)
     if schema is None:
@@ -542,6 +605,8 @@ def run_stream(
     reader = spark.readStream.schema(read_schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
+    for k, v in source_options.items():
+        reader = reader.option(k, v)
     if not binary:
         reader = reader.option(
             "mode", "FAILFAST" if bad_records == "fail" else "PERMISSIVE"
@@ -573,6 +638,8 @@ def run_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif trigger_interval is not None:
+        writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
 
 
