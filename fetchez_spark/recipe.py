@@ -316,6 +316,8 @@ class Recipe:
                             available_now=run_cfg.get("available_now", True),
                             token_prefix=prefix,
                             timeout_sec=run_cfg.get("timeout_sec"),
+                            trigger_interval=run_cfg.get("trigger_interval"),
+                            source_options=run_cfg.get("source_options"),
                         )
                     except BaseException as e:  # surfaced to the caller
                         errs.append(e)
@@ -369,6 +371,8 @@ class Recipe:
                         transforms=transforms,
                         available_now=run_cfg.get("available_now", True),
                         token_prefix=prefix,
+                        trigger_interval=run_cfg.get("trigger_interval"),
+                        source_options=run_cfg.get("source_options"),
                     )
                 )
             timeout = run_cfg.get("timeout_sec", 3600)

@@ -165,3 +165,50 @@ def test_clean_source_delete_retires_processed_log_files(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(60)
+
+
+# ---------------------------------------------------------------- recipe
+
+def test_recipe_stream_passes_source_options_through(spark, tmp_path):
+    """The declarative surface reaches the retention/ordering knobs:
+    `run.source_options` and `run.trigger_interval` flow into
+    run_stream -- latestFirst backfill through a recipe reaches the same
+    final state, and a typo'd option name is a loud error, not a
+    silently-ignored YAML key."""
+    from fetchez_spark.recipe import Recipe
+
+    log = tmp_path / "log"
+    log.mkdir()
+    _write_chunk(spark, CHUNK1, log / "chunk-00000.parquet")
+    time.sleep(0.05)
+    _write_chunk(spark, CHUNK2, log / "chunk-00001.parquet")
+
+    def cfg(table, run):
+        return {
+            "project": "source-options",
+            "sources": [{"name": "parquet_log", "args": {
+                "log_dir": str(log), "max_files_per_trigger": 1,
+            }}],
+            "sink": {"name": "local_snapshot", "args": {
+                "table_dir": str(table), "num_buckets": 4,
+            }},
+            "run": {"mode": "stream", "available_now": True,
+                    "timeout_sec": 300, **run},
+        }
+
+    Recipe(cfg(tmp_path / "t", {
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "source_options": {"latestFirst": "true"},
+    })).run(spark=spark)
+    sink = LocalSnapshotSink(str(tmp_path / "t"))
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in sink.read(spark).collect()
+    }
+    assert got == FINAL
+
+    with pytest.raises(ValueError, match="cleanSourse"):
+        Recipe(cfg(tmp_path / "t2", {
+            "checkpoint_dir": str(tmp_path / "ckpt2"),
+            "source_options": {"cleanSourse": "delete"},
+        })).run(spark=spark)
