@@ -224,6 +224,17 @@ register_sink(
         tags=["iceberg", "merge"],
     )
 )
+register_sink(
+    SourceInfo(
+        "router",
+        "fetchez_spark.sinks.router:RouterSink",
+        "table",
+        "demux one change stream into N tables by discriminator column "
+        "or predicate (exactly-once per route via sub-tokens)",
+        tags=["cdc", "router", "demux", "multi-table"],
+        aliases=["demux"],
+    )
+)
 
 
 def make_source(name: str, **kwargs) -> Any:
