@@ -51,6 +51,7 @@ _SOURCE_OPTIONS = frozenset(
         "cleanSource",  # archive|delete|off: retire PROCESSED log files
         "sourceArchiveDir",  # where cleanSource=archive moves them
         "maxCachedFiles",  # listing cache size (Spark 4 source-state knob)
+        "maxBytesPerTrigger",  # size-based rate limit (excludes file-count)
     }
 )
 
@@ -427,7 +428,7 @@ def run_stream(
     sink: SnapshotSink,
     checkpoint_dir: str,
     schema=None,
-    max_files_per_trigger: int = 4,
+    max_files_per_trigger: int | None = 4,
     lineage: LineageLog | None = None,
     transforms: list[Transform] | None = None,
     on_batch: Callable[[int, dict], None] | None = None,
@@ -481,6 +482,9 @@ def run_stream(
     allowlisted (a typo'd retention option silently ignored would be a
     data-loss hazard): ``latestFirst`` (newest-first backfill order by
     file mtime), ``fileNameOnly``, ``maxFileAge``, ``maxCachedFiles``,
+    ``maxBytesPerTrigger`` (size-based rate limit -- the right limiter
+    when log files vary in size; mutually exclusive with the default
+    count limit, so pass ``max_files_per_trigger=None`` with it),
     and the log-retention pair ``cleanSource`` (``'archive'`` |
     ``'delete'``) + ``sourceArchiveDir`` -- Spark retires each log file
     AFTER the micro-batch that read it commits, so the ingest log stops
@@ -579,6 +583,15 @@ def run_stream(
             "trigger_interval is a live-tail cadence; pass "
             "available_now=False (an availableNow drain has no cadence)"
         )
+    if "maxBytesPerTrigger" in source_options and max_files_per_trigger is not None:
+        # Spark's two file-source rate limits are mutually exclusive; the
+        # size-based one is the right limiter when log files vary in size
+        # (a count limit admits 4 tiny files or 4 huge ones alike)
+        raise ValueError(
+            "maxBytesPerTrigger and maxFilesPerTrigger are mutually "
+            "exclusive rate limits; pass max_files_per_trigger=None to "
+            "use the size-based one"
+        )
     if token_prefix is None:
         token_prefix = _default_token_prefix(checkpoint_dir)
     if schema is None:
@@ -602,9 +615,9 @@ def run_stream(
                 bad_records,
                 bad_records_dir or os.path.join(checkpoint_dir, "bad_records"),
             )
-    reader = spark.readStream.schema(read_schema).option(
-        "maxFilesPerTrigger", max_files_per_trigger
-    )
+    reader = spark.readStream.schema(read_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     for k, v in source_options.items():
         reader = reader.option(k, v)
     if not binary:

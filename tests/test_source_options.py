@@ -212,3 +212,40 @@ def test_recipe_stream_passes_source_options_through(spark, tmp_path):
             "checkpoint_dir": str(tmp_path / "ckpt2"),
             "source_options": {"cleanSourse": "delete"},
         })).run(spark=spark)
+
+
+# -------------------------------------------------------- size rate limit
+
+def test_max_bytes_per_trigger_excludes_count_limit(tmp_path):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_stream(
+            None, str(tmp_path / "log"), None, str(tmp_path / "ckpt"),
+            source_options={"maxBytesPerTrigger": "64m"},
+        )
+
+
+def test_max_bytes_per_trigger_paces_the_replay(spark, tmp_path):
+    """Size-based rate limiting: with maxBytesPerTrigger smaller than one
+    chunk, each batch admits exactly one file (Spark always takes at
+    least one), so the replay runs as multiple batches and still reaches
+    the oracle state."""
+    log = tmp_path / "log"
+    log.mkdir()
+    _write_chunk(spark, CHUNK1, log / "chunk-00000.parquet")
+    _write_chunk(spark, CHUNK2, log / "chunk-00001.parquet")
+
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    batches = []
+    q = run_stream(
+        spark, str(log), sink, str(tmp_path / "ckpt"),
+        max_files_per_trigger=None,
+        source_options={"maxBytesPerTrigger": "1"},
+        on_batch=lambda bid, m: batches.append(bid),
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in sink.read(spark).collect()
+    }
+    assert got == FINAL
+    assert len(batches) >= 2  # the byte cap actually split the replay
