@@ -327,6 +327,46 @@ class TableCatalog:
             tables[name] = {"dir": entry["dir"], "snapshot_id": sid}
             return self._commit(tables, note or f"pin {name}")
 
+    def pin_tables(
+        self, entries: dict[str, dict[str, Any]], note: str | None = None
+    ) -> dict:
+        """Register-or-re-pin SEVERAL tables in ONE catalog commit — the
+        atomic publish step after a routed run (N tables produced by one
+        stream must flip together for catalog readers; two ``pin()``
+        calls would expose a version with one route advanced and the
+        other stale).  Each entry: ``{"dir": table_dir, "ref":
+        ref_or_None}`` (ref default = that table's current main head).
+        Unregistered names register; a name already registered at a
+        DIFFERENT dir is a loud error; other pins carry forward."""
+        if not entries:
+            raise ValueError("pin_tables needs at least one entry")
+        with self._lock():
+            cur = self.manifest()
+            ver = int(cur["version"]) + 1
+            tag = self._tag_name(ver)
+            tables = dict(cur["tables"])
+            for name in sorted(entries):
+                spec = entries[name]
+                if not _NAME_RE.fullmatch(name):
+                    raise ValueError(f"invalid table name {name!r}")
+                tdir = os.path.abspath(spec["dir"])
+                prev = tables.get(name)
+                if prev is not None and prev["dir"] != tdir:
+                    raise ValueError(
+                        f"table {name!r} already registered at a different "
+                        f"dir ({prev['dir']}); unregister first"
+                    )
+                if not os.path.exists(os.path.join(tdir, "VERSION")):
+                    raise ValueError(
+                        f"{tdir!r} is not an engine table (no VERSION pointer)"
+                    )
+                sink = self._open_table(tdir)
+                sid = self._pin_table(sink, spec.get("ref"), tag)
+                tables[name] = {"dir": tdir, "snapshot_id": sid}
+            return self._commit(
+                tables, note or f"pin {sorted(entries)}"
+            )
+
     # --------------------------------------------------------------- reads
     def _entry(self, name: str, version: int | str | None) -> dict[str, str]:
         m = self.manifest(version)

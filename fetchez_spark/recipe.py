@@ -198,22 +198,40 @@ class Recipe:
             raise ValueError("recipe catalog: needs a 'dir' key")
         from fetchez_spark.catalog import TableCatalog
 
-        table_dir = getattr(sink, "table_dir", None)
-        if table_dir is None:
-            raise ValueError(
-                "recipe catalog: needs a sink with a table_dir "
-                f"(got {type(sink).__name__})"
-            )
         cat = TableCatalog(self._resolve_path(cfg["dir"]))
         name = cfg.get("name") or self.config.get("project") or "table"
         note = cfg.get("note") or f"run {self.config.get('project') or name}"
-        entry = cat.manifest()["tables"].get(name)
-        if entry is not None and os.path.abspath(table_dir) != entry["dir"]:
-            raise ValueError(
-                f"catalog name {name!r} is registered at {entry['dir']!r}, "
-                f"but this run writes {os.path.abspath(table_dir)!r}"
-            )
-        return cat, name, note, table_dir
+        routes = getattr(sink, "routes", None)
+        if routes is not None:
+            # routed run: every route is its own table, pinned together
+            # in ONE catalog commit as <name>.<route>
+            targets = {}
+            for rname, rsink in routes.items():
+                tdir = getattr(rsink, "table_dir", None)
+                if tdir is None:
+                    raise ValueError(
+                        f"recipe catalog: route {rname!r} sink has no "
+                        f"table_dir (got {type(rsink).__name__})"
+                    )
+                targets[f"{name}.{rname}"] = (tdir, rsink)
+        else:
+            table_dir = getattr(sink, "table_dir", None)
+            if table_dir is None:
+                raise ValueError(
+                    "recipe catalog: needs a sink with a table_dir "
+                    f"(got {type(sink).__name__})"
+                )
+            targets = {name: (table_dir, sink)}
+        registered = cat.manifest()["tables"]
+        for tname, (tdir, _s) in targets.items():
+            entry = registered.get(tname)
+            if entry is not None and os.path.abspath(tdir) != entry["dir"]:
+                raise ValueError(
+                    f"catalog name {tname!r} is registered at "
+                    f"{entry['dir']!r}, but this run writes "
+                    f"{os.path.abspath(tdir)!r}"
+                )
+        return cat, name, note, targets
 
     def _catalog_pin(self, sink, result: dict[str, Any]) -> None:
         """Optional after-run bookkeeping: pin the output table in a
@@ -230,18 +248,21 @@ class Recipe:
         opened = self._catalog_open(sink)
         if opened is None:
             return
-        cat, name, note, table_dir = opened
+        cat, name, note, targets = opened
         # a branch-staged run's data lives at the branch head; pinning
-        # main would publish a catalog version missing the run's output
-        branch = getattr(sink, "branch", "main")
-        ref = branch if branch != "main" else None
-        entry = cat.manifest()["tables"].get(name)
-        if entry is None:
-            m = cat.register(name, table_dir, ref=ref, note=note)
-        else:
-            m = cat.pin(name, ref=ref, note=note)
+        # main would publish a catalog version missing the run's output.
+        # A routed run pins EVERY route in one commit (atomic multi-table
+        # publish: readers never see one route advanced, another stale).
+        entries = {}
+        for tname, (tdir, tsink) in targets.items():
+            branch = getattr(tsink, "branch", "main")
+            entries[tname] = {
+                "dir": tdir, "ref": branch if branch != "main" else None,
+            }
+        m = cat.pin_tables(entries, note=note)
         result["catalog"] = {
             "dir": cat.catalog_dir, "name": name, "version": m["version"],
+            "tables": sorted(entries),
         }
 
     def run(self, spark=None, dry_run: bool = False) -> dict[str, Any]:

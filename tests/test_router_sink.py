@@ -208,3 +208,78 @@ def test_recipe_builds_router_from_declarative_spec(spark, tmp_path):
     Recipe(cfg).run(spark=spark)
     assert _state(spark, LocalSnapshotSink(str(tmp_path / "users"))) == USERS_FINAL
     assert _state(spark, LocalSnapshotSink(str(tmp_path / "orders"))) == ORDERS_FINAL
+
+
+def test_routed_recipe_pins_all_routes_in_one_catalog_version(spark, tmp_path):
+    """A routed run with a `catalog:` key publishes EVERY route in ONE
+    catalog commit (`<name>.<route>`), so catalog readers never see one
+    route advanced and the other stale; a second run re-pins both in a
+    single new version."""
+    from fetchez_spark.recipe import Recipe
+    from fetchez_spark.catalog import TableCatalog
+
+    log = tmp_path / "log"
+    log.mkdir()
+    _write_chunk(spark, ROWS, log / "chunk-00000.parquet")
+    cfg = {
+        "project": "routed",
+        "sources": [{"name": "parquet_log", "args": {"log_dir": str(log)}}],
+        "sink": {"name": "router", "args": {
+            "route_column": "tbl",
+            "routes": {
+                "users": {"name": "local_snapshot", "args": {
+                    "table_dir": str(tmp_path / "users"), "num_buckets": 2}},
+                "orders": {"name": "local_snapshot", "args": {
+                    "table_dir": str(tmp_path / "orders"), "num_buckets": 2}},
+            },
+        }},
+        "catalog": {"dir": str(tmp_path / "cat"), "name": "convs"},
+        "run": {"mode": "stream", "available_now": True, "timeout_sec": 300,
+                "checkpoint_dir": str(tmp_path / "ckpt")},
+    }
+    out = Recipe(cfg).run(spark=spark)
+    assert sorted(out["catalog"]["tables"]) == ["convs.orders", "convs.users"]
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    m = cat.manifest()
+    assert set(m["tables"]) == {"convs.users", "convs.orders"}
+    v1 = m["version"]
+    got_u = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in cat.read(spark, "convs.users").collect()
+    }
+    assert got_u == USERS_FINAL
+
+    # second run over a grown log: one NEW version, both routes re-pinned
+    _write_chunk(spark, [
+        ("U", "a", 0, "user", "u-v3", None, _ts(9), 9, 0, "users"),
+        ("U", "x", 0, "user", "o-v3", None, _ts(9), 10, 0, "orders"),
+    ], log / "chunk-00001.parquet")
+    Recipe(cfg).run(spark=spark)
+    m2 = TableCatalog(str(tmp_path / "cat")).manifest()
+    assert m2["version"] == v1 + 1
+    # pinned-version reads move together; the OLD version still reads old
+    assert {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in cat.read(spark, "convs.users").collect()
+    } == {("a", 0): "u-v3"}
+    assert {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in cat.read(spark, "convs.users", version=v1).collect()
+    } == USERS_FINAL
+
+
+def test_pin_tables_rejects_conflicting_dir(spark, tmp_path):
+    from fetchez_spark.catalog import TableCatalog
+
+    a = LocalSnapshotSink(str(tmp_path / "a"), num_buckets=2)
+    b = LocalSnapshotSink(str(tmp_path / "b"), num_buckets=2)
+    batch = spark.createDataFrame([r[:-1] for r in ROWS[:2]], CHANGE_EVENT_SCHEMA)
+    a.merge(batch, batch_token="0")
+    b.merge(batch, batch_token="0")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    cat.pin_tables({"t": {"dir": str(tmp_path / "a")}})
+    with pytest.raises(ValueError, match="different"):
+        cat.pin_tables({"t": {"dir": str(tmp_path / "b")}})
+    with pytest.raises(ValueError, match="at least one"):
+        cat.pin_tables({})
