@@ -148,7 +148,6 @@ class RouterSink(SnapshotSink):
                         f"{sample}.  Add a route, or pass unmatched='drop' "
                         "or a catch-all route name."
                     )
-            total = 0
             for name in sorted(self.routes):
                 sink = self.routes[name]
                 token = self._sub_token(batch_token, name)
@@ -162,14 +161,25 @@ class RouterSink(SnapshotSink):
                     part = batch.filter(self._match(batch, name))
                 if self.route_column is not None and self.drop_route_column:
                     part = part.drop(self.route_column)
-                m = sink.merge(
+                route_metrics[name] = sink.merge(
                     part,
                     batch_token=token,
                     offsets={**(offsets or {}), "route": name},
                 )
-                route_metrics[name] = m
-                total += int(m.get("rows_in", m.get("rows", 0)) or 0)
-            out: dict[str, Any] = {"rows": total, "routes": route_metrics}
+            # aggregate the counters lineage understands (rows_in,
+            # per-src-partition breakdown, dedup/upsert/delete totals) so
+            # a routed stream's lineage records stay meaningful
+            out: dict[str, Any] = {"routes": route_metrics}
+            per_part: dict[int, int] = {}
+            for key in ("rows_in", "rows_deduped", "rows_upserted", "rows_deleted"):
+                vals = [m.get(key) for m in route_metrics.values()]
+                if any(v is not None for v in vals):
+                    out[key] = sum(int(v or 0) for v in vals)
+            for m in route_metrics.values():
+                for p, n in (m.get("rows_in_per_src_partition") or {}).items():
+                    per_part[int(p)] = per_part.get(int(p), 0) + int(n)
+            if per_part:
+                out["rows_in_per_src_partition"] = per_part
             if self.unmatched == "drop":
                 out["unmatched_rows"] = unmatched_rows
             return out

@@ -67,14 +67,21 @@ def test_column_routing_end_to_end(spark, tmp_path):
     _write_chunk(spark, ROWS[:3], log / "chunk-00000.parquet")
     _write_chunk(spark, ROWS[3:], log / "chunk-00001.parquet")
 
+    from fetchez_spark.streaming.lineage import LineageLog
+
     users = LocalSnapshotSink(str(tmp_path / "users"), num_buckets=2)
     orders = LocalSnapshotSink(str(tmp_path / "orders"), num_buckets=2)
     router = RouterSink({"users": users, "orders": orders}, route_column="tbl")
+    lineage = LineageLog(str(tmp_path / "lineage"))
     q = run_stream(
         spark, str(log), router, str(tmp_path / "ckpt"),
-        schema=ROUTED_SCHEMA, max_files_per_trigger=1,
+        schema=ROUTED_SCHEMA, max_files_per_trigger=1, lineage=lineage,
     )
     q.awaitTermination(300)
+
+    # routed metrics aggregate into meaningful lineage: every input row
+    # counted once across routes
+    assert sum(r["rows_in"] for r in lineage.records()) == len(ROWS)
 
     assert _state(spark, users) == USERS_FINAL
     assert _state(spark, orders) == ORDERS_FINAL
