@@ -346,6 +346,33 @@ def _embedding_neardup_capped_sql(
     """
 
 
+def _vector_index_state_sql(dim: int = 64, k: int = 8, seed: int = 11) -> str:
+    """Batch IVF assignment over the final LWW corpus of the 3-batch CDC
+    replay in _q_vector_index_state: per-row argmax of ROUNDED cosine to
+    the same inlined deterministic centroids, lowest cell on ties --
+    exactly the view's engine-portable assignment rule."""
+    from fetchez_spark.functions.similarity import _random_hyperplanes
+
+    cents = _random_hyperplanes(dim, k, seed)
+    sims = ", ".join(
+        f"round(list_cosine_similarity(ev, {_plane_sql(c)}), 6) AS s{i}"
+        for i, c in enumerate(cents)
+    )
+    mx = "greatest(" + ", ".join(f"s{i}" for i in range(k)) + ")"
+    case = " ".join(f"WHEN s{i} = mx THEN {i}" for i in range(k))
+    return f"""
+        WITH final AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 7 = 0 AND vec_id % 3 <> 2
+                      THEN list_transform(embedding::DOUBLE[], x -> -x)
+                      ELSE embedding::DOUBLE[] END AS ev
+          FROM embeddings WHERE vec_id % 11 <> 0),
+        sims AS (SELECT vec_id, {sims} FROM final),
+        m AS (SELECT *, {mx} AS mx FROM sims)
+        SELECT CAST(CASE {case} END AS INTEGER) AS cell, vec_id FROM m
+    """
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -2723,6 +2750,81 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(idx.assign(e), qv, k=10, nprobe=8)
 
 
+def _q_vector_index_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained IVF vector index, ORACLE-CHECKED: replay
+    the embeddings corpus as a 3-batch CDC log (inserts; then vector
+    REWRITES of every already-present vec_id%7==0 -- negated, so the
+    nearest-centroid CELL moves; then deletes of vec_id%11==0) into a
+    snapshot table, refreshing a VectorIndexView after every batch --
+    each refresh consumes ONLY that range's typed change feed with
+    pre-images (upserts new postings, tombstones moved/deleted ones,
+    O(changed rows), never a rebuild).  Centroids are deterministic unit
+    hyperplanes (NOT KMeans) precisely so DuckDB can recompute the FULL
+    assignment declaratively: the final (cell, vec_id) postings must
+    equal the batch argmax-of-rounded-cosine over the final LWW corpus
+    -- three rounds of delta maintenance indistinguishable from an index
+    rebuild."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.functions.similarity import IVFIndex, _random_hyperplanes
+    from fetchez_spark.operators.vector_index import VectorIndexView
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base_ts = F.lit("2021-01-01 00:00:00").cast("timestamp")
+
+    def env(df, op, seq):
+        return df.select(
+            F.lit(op).alias("op"),
+            "vec_id",
+            "embedding",
+            (base_ts + F.make_interval(secs=F.lit(seq))).alias("ts"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.pmod(F.col("vec_id"), F.lit(4)).cast("int").alias("src_partition"),
+        )
+
+    payload = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-vecidx-", dir=fast)
+    vec_sink = LocalSnapshotSink(
+        os.path.join(work, "vecs"), num_buckets=8, key=["vec_id"],
+        base_schema=payload, compact_every=10**9,
+    )
+    idx = IVFIndex(k=8, seed=11)
+    idx.centroids = _random_hyperplanes(64, 8, seed=11)
+    view = VectorIndexView(
+        os.path.join(work, "ivf"), vec_sink, index=idx, num_buckets=8
+    )
+
+    m3 = F.pmod(F.col("vec_id"), F.lit(3))
+    rewritten = e.filter(
+        (F.pmod(F.col("vec_id"), F.lit(7)) == 0) & (m3 != 2)
+    ).withColumn("embedding", F.transform("embedding", lambda x: -x))
+    batches = [
+        env(e.filter(m3 == 0), "U", 1),
+        env(e.filter(m3 == 1), "U", 2).unionByName(env(rewritten, "U", 3)),
+        env(e.filter(m3 == 2), "U", 4).unionByName(
+            env(
+                e.filter(F.pmod(F.col("vec_id"), F.lit(11)) == 0).withColumn(
+                    "embedding", F.lit(None).cast("array<float>")
+                ),
+                "D",
+                5,
+            )
+        ),
+    ]
+    for i, b in enumerate(batches):
+        vec_sink.merge(b, batch_token=f"vecs-{i}")
+        view.refresh(spark)
+    return view.postings(spark)
+
+
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph (dedup keeps one
     doc per cluster): min-label propagation in Spark, recursive-CTE
@@ -3193,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "ivf_topk": _q_ivf_topk,
+        "vector_index_state": _q_vector_index_state,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_capped": _q_embedding_neardup_capped,
         "neardup_clusters": _q_neardup_clusters,
@@ -4178,6 +4281,10 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
         """,
+        # IVF postings after 3 rounds of incremental maintenance == batch
+        # assignment (argmax of rounded cosine, lowest cell on ties) over
+        # the final LWW corpus -- same inlined deterministic centroids
+        "vector_index_state": _vector_index_state_sql(),
         "embedding_neardup": _embedding_neardup_sql(
             dim=64, bands=8, planes_per_band=3, threshold=0.42, seed=7
         ),

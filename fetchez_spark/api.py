@@ -439,6 +439,34 @@ def scd2_view(
     )
 
 
+def vector_index_view(
+    store_dir: str,
+    table_dir: str | None = None,
+    index=None,
+    vec_col: str | None = None,
+    num_buckets: int = 16,
+):
+    """Incrementally-maintained IVF vector index: with ``table_dir`` (and
+    a fitted :class:`~fetchez_spark.functions.similarity.IVFIndex` on
+    first build), define or re-open the view over that table; without it,
+    reconstruct from the store's persisted definition.  Call
+    ``.refresh(spark)`` per advance, probe with ``.search(spark,
+    query_vec, k, nprobe)``.  See
+    :class:`fetchez_spark.operators.vector_index.VectorIndexView`."""
+    from fetchez_spark.operators.vector_index import VectorIndexView
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    if table_dir is None:
+        return VectorIndexView.load(store_dir)
+    return VectorIndexView(
+        store_dir,
+        LocalSnapshotSink(table_dir),
+        index=index,
+        vec_col=vec_col,
+        num_buckets=num_buckets,
+    )
+
+
 def register_consumer(
     table_dir: str, name: str, from_snapshot: str | None = None
 ) -> str:

@@ -367,6 +367,33 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
+        "vecidx",
+        help="incrementally-maintained IVF vector index: define once "
+        "(--create fits KMeans centroids over the table's live state), "
+        "then refresh/search from the view dir alone (the definition -- "
+        "centroids included -- persists in the view's catalog)",
+    )
+    p.add_argument("view_dir")
+    p.add_argument("--create", default=None, metavar="TABLE_DIR",
+                   help="define an IVF index view over a snapshot table")
+    p.add_argument("--vec-col", default=None,
+                   help="embedding column (default: embedding)")
+    p.add_argument("--k", type=int, default=8,
+                   help="with --create: number of centroids")
+    p.add_argument("--fit-seed", type=int, default=42,
+                   help="with --create: KMeans seed")
+    p.add_argument("--refresh", action="store_true",
+                   help="advance the index to the source's current snapshot")
+    p.add_argument("--follow", type=float, default=None, metavar="SECONDS",
+                   help="poll the source and refresh on every commit")
+    p.add_argument("--timeout", type=float, default=None,
+                   help="stop --follow after this many seconds")
+    p.add_argument("--search", default=None, metavar="V0,V1,...",
+                   help="ANN probe: comma-separated query vector")
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--nprobe", type=int, default=2)
+    p.add_argument("--cores", type=int, default=4)
+    p = sub.add_parser(
         "mirror",
         help="table-to-table CDC replication: keep a replica current by "
         "shipping the source's commit ranges (define once with --create, "
@@ -969,6 +996,42 @@ def main(argv: list[str] | None = None) -> int:
             out["rows"] = df.count()
             for row in df.limit(args.limit).collect():
                 print(json.dumps(row.asDict(), default=str))
+        out["applied"] = view.last_applied()
+        print(json.dumps(out, default=str))
+        return 0
+    if args.cmd == "vecidx":
+        from fetchez_spark.functions.similarity import IVFIndex
+        from fetchez_spark.operators.vector_index import VectorIndexView
+        from fetchez_spark.session import get_spark
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        spark = get_spark(app_name="fetchez-vecidx", master=f"local[{args.cores}]")
+        if args.create:
+            src = LocalSnapshotSink(args.create)
+            vc = args.vec_col or "embedding"
+            idx = IVFIndex(k=args.k, seed=args.fit_seed, vec_col=vc).fit(
+                src.read(spark)
+            )
+            view = VectorIndexView(args.view_dir, src, index=idx, vec_col=vc)
+        else:
+            view = VectorIndexView.load(args.view_dir)
+        out = {
+            "view": args.view_dir,
+            "upstream": view.source.table_dir,
+            "k": len(view.index.centroids),
+        }
+        if args.follow is not None:
+            out["refreshes"] = list(
+                view.follow(
+                    spark, poll_seconds=args.follow, timeout_seconds=args.timeout or 60
+                )
+            )
+        elif args.refresh or args.create:
+            out["refresh"] = view.refresh(spark)
+        if args.search is not None:
+            qv = [float(x) for x in args.search.split(",")]
+            hits = view.search(spark, qv, k=args.topk, nprobe=args.nprobe)
+            out["hits"] = [row.asDict() for row in hits.collect()]
         out["applied"] = view.last_applied()
         print(json.dumps(out, default=str))
         return 0
