@@ -373,6 +373,56 @@ def _vector_index_state_sql(dim: int = 64, k: int = 8, seed: int = 11) -> str:
     """
 
 
+def _ann_cell_join_sql(
+    dim: int = 64, k_cent: int = 8, seed: int = 11, nprobe: int = 2, topk: int = 3
+) -> str:
+    """Declarative twin of ivf_ann_join over the same inlined
+    deterministic centroids: per-query top-nprobe cells by (rounded
+    cosine desc, cell asc), right side argmax assignment, cell equi-join,
+    pair dedup, per-query top-k by (rounded cosine desc, match_id asc)."""
+    from fetchez_spark.functions.similarity import _random_hyperplanes
+
+    cents = _random_hyperplanes(dim, k_cent, seed)
+
+    def sims(col):
+        return [
+            f"round(list_cosine_similarity({col}, {_plane_sql(c)}), 6)"
+            for c in cents
+        ]
+
+    lsims = ", ".join(f"{s} AS s{i}" for i, s in enumerate(sims("qv")))
+    lu = " UNION ALL ".join(
+        f"SELECT query_id, {i} AS c, s{i} AS sim FROM ls"
+        for i in range(k_cent)
+    )
+    rsims = ", ".join(f"{s} AS s{i}" for i, s in enumerate(sims("rv")))
+    rmx = "greatest(" + ", ".join(f"s{i}" for i in range(k_cent)) + ")"
+    rcase = " ".join(f"WHEN s{i} = mx THEN {i}" for i in range(k_cent))
+    return f"""
+        WITH l AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 5 = 0),
+        ls AS (SELECT query_id, qv, {lsims} FROM l),
+        lu AS (SELECT query_id, c, sim,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, c ASC) AS pr
+               FROM ({lu})),
+        lp AS (SELECT query_id, c AS cell FROM lu WHERE pr <= {nprobe}),
+        rs AS (SELECT vec_id AS match_id, rv, {rsims} FROM
+                 (SELECT vec_id, embedding::DOUBLE[] AS rv FROM embeddings)),
+        r AS (SELECT match_id, rv, CASE {rcase} END AS cell
+              FROM (SELECT *, {rmx} AS mx FROM rs)),
+        cand AS (SELECT DISTINCT query_id, match_id FROM lp JOIN r USING (cell)),
+        scored AS (SELECT c.query_id, c.match_id,
+                          round(list_cosine_similarity(l.qv, r.rv), 6) AS cos_sim
+                   FROM cand c JOIN l USING (query_id) JOIN r USING (match_id))
+        SELECT query_id, match_id, cos_sim, rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, match_id ASC) AS rn
+          FROM scored)
+        WHERE rn <= {topk}
+    """
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -2825,6 +2875,28 @@ def _q_vector_index_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.postings(spark)
 
 
+def _q_ann_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN JOIN: every 5th embedding as the query corpus, top-3
+    nearest catalog entries per query among candidates sharing any of
+    the query's 2 nearest IVF cells -- the retrieval / cross-corpus-dedup
+    primitive as ONE declarative plan (cell equi-join, shuffle ~
+    candidate mass, never the cross product; per-query top-k via one
+    hash-partitioned window).  Deterministic unit-hyperplane centroids
+    (NOT KMeans) so the DuckDB oracle recomputes probe selection, cell
+    assignment, candidate join, and ranking declaratively."""
+    from fetchez_spark.functions.similarity import (
+        IVFIndex,
+        _random_hyperplanes,
+        ivf_ann_join,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = IVFIndex(k=8, seed=11)
+    idx.centroids = _random_hyperplanes(64, 8, seed=11)
+    left = e.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    return ivf_ann_join(left, e, idx, k=3, nprobe=2)
+
+
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph (dedup keeps one
     doc per cluster): min-label propagation in Spark, recursive-CTE
@@ -3296,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "ivf_topk": _q_ivf_topk,
         "vector_index_state": _q_vector_index_state,
+        "ann_cell_join": _q_ann_cell_join,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_capped": _q_embedding_neardup_capped,
         "neardup_clusters": _q_neardup_clusters,
@@ -4285,6 +4358,10 @@ def oracle_sql() -> dict[str, str]:
         # assignment (argmax of rounded cosine, lowest cell on ties) over
         # the final LWW corpus -- same inlined deterministic centroids
         "vector_index_state": _vector_index_state_sql(),
+        # batch ANN join: probe cells, cell equi-join, pair dedup, and
+        # per-query top-k all recomputed declaratively over the same
+        # inlined deterministic centroids
+        "ann_cell_join": _ann_cell_join_sql(),
         "embedding_neardup": _embedding_neardup_sql(
             dim=64, bands=8, planes_per_band=3, threshold=0.42, seed=7
         ),

@@ -340,6 +340,115 @@ class IVFIndex:
         return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """ENGINE-PORTABLE nearest-centroid cell: argmax over per-centroid
+    cosines ROUNDED to 6 decimals, first occurrence (= lowest cell) on
+    ties.  Pure codegen expression, O(k * dim) literals.  The rounding
+    makes the assignment reproducible across engines (a DuckDB oracle
+    recomputes it declaratively); ``IVFIndex._cell_expr`` is the
+    unrounded in-engine variant."""
+    sims = F.array(
+        *[
+            F.round(cosine(vec, F.array(*[F.lit(x) for x in c])), 6)
+            for c in centroids
+        ]
+    )
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_probe_cells(
+    vec: Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The ``nprobe`` nearest cells for a vector, ordered (rounded cosine
+    desc, cell asc) -- the multi-cell generalization of :func:`ivf_cell`
+    for query-side probing.  Returns an ``array<int>``; pure codegen."""
+    sims = F.array(
+        *[
+            F.struct(
+                F.round(cosine(vec, F.array(*[F.lit(x) for x in c])), 6).alias(
+                    "sim"
+                ),
+                F.lit(i).cast("int").alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ordered = F.array_sort(
+        sims,
+        lambda a, b: F.when(a["sim"] > b["sim"], F.lit(-1))
+        .when(a["sim"] < b["sim"], F.lit(1))
+        .otherwise(a["cell"] - b["cell"]),
+    )
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cell"])
+
+
+def ivf_ann_join(
+    left: DataFrame,
+    right: DataFrame,
+    index: "IVFIndex",
+    k: int = 3,
+    nprobe: int = 2,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batch approximate nearest-neighbor JOIN: for every left row, the
+    top-k right rows by cosine among candidates sharing any of the left
+    row's ``nprobe`` nearest cells -- the retrieval/cross-corpus-dedup
+    primitive ("for each query/new document, its nearest catalog
+    entries") as ONE declarative plan, where per-query :meth:`IVFIndex.
+    topk` loops on the driver.
+
+    Scale shape: both sides assign cells with pure codegen expressions
+    (:func:`ivf_cell` / :func:`ivf_probe_cells`); the candidate set is
+    an equi-join on the cell, proportional to candidate mass (~ |left| *
+    nprobe * |right| / k), never the |left| x |right| cross product;
+    pair dedup happens on (left_id, right_id) BEFORE the re-score; the
+    final per-query top-k is one hash-partitioned window over the
+    candidates.  The cell join key has only k distinct values, so a
+    SHUFFLE join on it serializes to <= k reducers -- with the typical
+    retrieval shape (queries << catalog), ``broadcast_queries=True``
+    (default) broadcasts the exploded query side instead and the catalog
+    NEVER shuffles; set it False when the query corpus is itself huge
+    (the shuffle join then caps at k-way parallelism in the join stage;
+    the downstream dedup + window re-spread on finer keys).  Ranking is
+    engine-portable: rounded cosine desc, right id asc.
+
+    Returns (query_id, match_id, cos_sim, rn) with rn in [1, k].
+    """
+    cents = index.centroids
+    L = left.select(
+        F.col(left_id).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(ivf_probe_cells(F.col(vec_col), cents, nprobe)).alias("_cell"),
+    )
+    if broadcast_queries:
+        L = F.broadcast(L)
+    R = right.select(
+        F.col(right_id).alias("match_id"),
+        F.col(vec_col).alias("_rv"),
+        ivf_cell(F.col(vec_col), cents).alias("_cell"),
+    )
+    # a pair can meet in several probed cells: dedup BEFORE the re-score
+    # (the surviving row's vectors are identical across duplicates)
+    cand = R.join(L, "_cell").dropDuplicates(["query_id", "match_id"])
+    scored = cand.select(
+        "query_id",
+        "match_id",
+        F.round(cosine(F.col("_qv"), F.col("_rv")), 6).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_rounds: int = 20
 ) -> tuple[DataFrame, int]:

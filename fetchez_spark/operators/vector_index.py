@@ -207,17 +207,12 @@ class VectorIndexView(IncrementalView):
 
     # ----------------------------------------------------------- assignment
     def _cell_of(self, vec: Column) -> Column:
-        """Engine-portable nearest-centroid cell: argmax over per-centroid
-        cosines ROUNDED to 6 decimals, first occurrence (= lowest cell) on
-        ties.  Pure codegen expression, O(k * dim) literals -- the same
-        shape as ``IVFIndex._cell_expr`` plus the portability rounding."""
-        sims = F.array(
-            *[
-                F.round(cosine(vec, F.array(*[F.lit(x) for x in c])), 6)
-                for c in self.index.centroids
-            ]
-        )
-        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        """Engine-portable nearest-centroid cell (argmax of rounded
+        cosine, lowest cell on ties) -- shared with :func:`ivf_ann_join`
+        via :func:`fetchez_spark.functions.similarity.ivf_cell`."""
+        from fetchez_spark.functions.similarity import ivf_cell
+
+        return ivf_cell(vec, self.index.centroids)
 
     def _assign(self, df: DataFrame, vec: Column, ids: list[str]) -> DataFrame:
         """``df`` + a ``cell`` column for ``vec`` (``ids`` = the feed's

@@ -123,7 +123,11 @@ def test_full_probe_search_equals_brute_force(spark, tmp_path):
     ]
     src.merge(_env(spark, rows), "b0")
     view.refresh(spark)
-    qv = [float(x) for x in rows[0][2]]
+    # read the query back so both paths score float32-stored precision
+    qv = [
+        float(x)
+        for x in src.read(spark).filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
     # nprobe = k: every cell probed, so the ANN result IS the exact top-k
     got = [
         (r["vec_id"], r["cos_sim"])
@@ -203,6 +207,72 @@ def test_api_and_cli_round_trip(spark, pair, tmp_path):
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     assert summary["k"] == 2
     assert [h["vec_id"] for h in summary["hits"]] == [1, 3, 5]
+
+
+def test_ivf_ann_join_full_probe_equals_per_query_brute_force(spark):
+    from fetchez_spark.functions.similarity import (
+        _random_hyperplanes, cosine_topk, ivf_ann_join,
+    )
+
+    rnd = random.Random(11)
+    dim, kc = 8, 4
+    idx = IVFIndex(k=kc, seed=0)
+    idx.centroids = _random_hyperplanes(dim, kc, seed=5)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(50)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in e]) for i, e in rows],
+        "vec_id long, embedding array<float>",
+    )
+    left = df.filter(F.col("vec_id") < 5)
+    # nprobe = k: every cell probed, so each query's result is exact
+    got = ivf_ann_join(left, df, idx, k=3, nprobe=kc).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rn"], r["match_id"], r["cos_sim"]))
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, hits in by_q.items():
+        # the join scores against the STORED (float32) vectors; read the
+        # query back so the brute-force literals carry the same precision
+        qv = [
+            float(x)
+            for x in df.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        want = [
+            (j + 1, r["vec_id"], r["cos_sim"])
+            for j, r in enumerate(cosine_topk(df, qv, k=3).collect())
+        ]
+        assert sorted(hits) == want, qid
+
+
+def test_ivf_ann_join_restricts_candidates_to_probed_cells(spark):
+    from fetchez_spark.functions.similarity import ivf_ann_join
+
+    idx = _axis_index(dim=4, k=2)
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0] if i % 2 else [0.0, 1.0, 0.0, 0.0])
+         for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    left = df.filter(F.col("vec_id") == 1)  # cell 0
+    got = ivf_ann_join(left, df, idx, k=10, nprobe=1).collect()
+    # only cell-0 (odd-id) candidates are reachable with a 1-cell probe
+    assert {r["match_id"] for r in got} == {1, 3, 5, 7, 9}
+
+
+def test_ivf_ann_join_broadcasts_queries_by_default(spark):
+    from fetchez_spark.functions.similarity import ivf_ann_join
+
+    idx = _axis_index(dim=4, k=2)
+    df = spark.createDataFrame(
+        [(i, [float(i % 2), float(1 - i % 2), 0.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = ivf_ann_join(df.limit(3), df, idx, k=2, nprobe=1)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # the catalog side must not shuffle on the k-valued cell key: the
+    # exploded query side broadcasts
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_refresh_skips_when_current(spark, pair):
