@@ -48,17 +48,29 @@ def _tokens(col):
 class TokenIndexView(IncrementalView):
     """See module docstring."""
 
+    _DEF_KEY = "tokidx_def"
+
     def __init__(
         self,
         store_dir: str,
         source,
-        text_col: str = "text",
+        text_col: str | None = None,
         num_buckets: int = 16,
     ) -> None:
         from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
         self.source = source
-        self.text_col = text_col
+        persisted = self._persisted_definition(store_dir)
+        if persisted:
+            ptext = persisted.get("text_col", "text")
+            if text_col is not None and text_col != ptext:
+                raise ValueError(
+                    f"index was built over column {ptext!r}; refusing "
+                    f"text_col={text_col!r} (mixed sources would corrupt "
+                    "the postings)"
+                )
+            text_col = ptext
+        self.text_col = text_col or "text"
         self.id_cols = list(source.key)
         self.store = LocalSnapshotSink(
             store_dir,
@@ -120,7 +132,73 @@ class TokenIndexView(IncrementalView):
             batch_token=f"tokidx-r{n_ord}",
             offsets={"upstream": to, "refresh_seq": n_ord},
         )
+        self._ensure_definition()
         return {"from": frm, "to": to, "snapshot_id": res.get("snapshot_id")}
+
+    # ----------------------------------------------------------- definition
+    @classmethod
+    def _persisted_definition(cls, store_dir: str) -> dict | None:
+        import os
+
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        if not os.path.exists(os.path.join(store_dir, "VERSION")):
+            return None
+        probe = LocalSnapshotSink(store_dir)
+        ref = probe.manifest().get(cls._DEF_KEY)
+        return probe._resolve_blob(ref) if ref else None
+
+    def _ensure_definition(self) -> None:
+        """Persist the index definition INTO the store's catalog (one
+        metadata-only commit whose blob every later merge carries
+        forward) so a fresh session -- or a recipe daemon -- reconstructs
+        the view from the dir alone (:meth:`load`).  Same shape as the
+        other incremental views' catalogs."""
+        sink = self.store
+        if sink.manifest().get(self._DEF_KEY):
+            return
+        with sink._commit_lock():
+            latest = sink.manifest()
+            if latest.get(self._DEF_KEY):
+                return
+            sid = sink._claim_sid(latest)
+            manifest = {
+                **latest,
+                "snapshot_id": sid,
+                "parent": latest["snapshot_id"],
+                self._DEF_KEY: sink._pack_blob(
+                    {
+                        "source_dir": self.source.table_dir,
+                        "text_col": self.text_col,
+                        "num_buckets": latest["num_buckets"],
+                    }
+                ),
+                "stats": {
+                    "delta_commits": int(
+                        latest.get("stats", {}).get("delta_commits", 0)
+                    ),
+                    "tokidx_def_updated": True,
+                },
+            }
+            # metadata-only commit: must not inherit the parent's CoW
+            # change sidecar (read_changes would double-emit that batch)
+            manifest.pop("change_files", None)
+            sink._commit(manifest)
+
+    @classmethod
+    def load(cls, store_dir: str) -> "TokenIndexView":
+        """Reconstruct an index from its store dir alone via the
+        persisted definition (written by the first refresh)."""
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        d = cls._persisted_definition(store_dir)
+        if d is None:
+            raise KeyError(f"{store_dir} has no persisted tokidx definition")
+        return cls(
+            store_dir,
+            LocalSnapshotSink(d["source_dir"]),
+            num_buckets=int(d.get("num_buckets", 16)),
+        )
 
     # -------------------------------------------------------------- reading
     def postings(self, spark: SparkSession) -> DataFrame:

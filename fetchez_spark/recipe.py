@@ -265,9 +265,83 @@ class Recipe:
             "tables": sorted(entries),
         }
 
+    # view kinds a `follow` recipe can daemonize: every incremental view
+    # that persists its definition in its own store catalog (load() from
+    # the dir alone), so the recipe needs only kind + store_dir
+    _FOLLOW_KINDS = {
+        "matview": ("fetchez_spark.operators.matview", "MaterializedAggregate"),
+        "tokidx": ("fetchez_spark.operators.token_index", "TokenIndexView"),
+        "vecidx": ("fetchez_spark.operators.vector_index", "VectorIndexView"),
+        "conv": ("fetchez_spark.operators.conv_view", "ConversationView"),
+        "scd2": ("fetchez_spark.operators.scd_view", "SCD2View"),
+        "mirror": ("fetchez_spark.operators.mirror", "TableMirror"),
+    }
+
+    def _run_follow(self, spark, dry_run: bool = False) -> dict[str, Any]:
+        """``run: {mode: follow}`` — the declarative DAEMON spec for any
+        incremental view: define the view once (API or CLI), then the
+        recipe keeps it continuously current against its source's commit
+        pointer.  The ``view:`` section names only ``kind`` + ``store_dir``
+        (the definition — aggregate spec, centroids, rendering, attrs —
+        persists in the view store's own catalog)::
+
+            view: {kind: matview, store_dir: /data/mv}
+            run:  {mode: follow, poll_seconds: 2, timeout_sec: 600}
+
+        No ``source:``/``sink:`` sections: the view knows its upstream.
+        (Reference analog: Recipe.launch's always-on re-fetch loop,
+        /root/reference/src/fetchez/recipe.py:183-186 — here as a
+        bounded, crash-resumable CDC consumer.)"""
+        import importlib
+
+        from fetchez_spark.session import get_spark
+
+        cfg = self.config
+        run_cfg = cfg.get("run") or {}
+        view_cfg = cfg.get("view") or {}
+        kind = view_cfg.get("kind")
+        if kind not in self._FOLLOW_KINDS:
+            raise ValueError(
+                f"run mode `follow` needs view.kind in "
+                f"{sorted(self._FOLLOW_KINDS)}; got {kind!r}"
+            )
+        if not view_cfg.get("store_dir"):
+            raise ValueError("run mode `follow` needs view.store_dir")
+        store_dir = self._resolve_path(view_cfg["store_dir"])
+        mod, cls_name = self._FOLLOW_KINDS[kind]
+        view = getattr(importlib.import_module(mod), cls_name).load(store_dir)
+        out = {
+            "mode": "follow",
+            "kind": kind,
+            "store_dir": store_dir,
+            "upstream": view.source.table_dir,
+        }
+        if dry_run:
+            return {**out, "applied": view.last_applied()}
+        if spark is None:
+            execution = cfg.get("execution", {})
+            spark = get_spark(
+                app_name=cfg.get("project", "fetchez-spark"),
+                master=(
+                    f"local[{execution['cores']}]" if execution.get("cores") else None
+                ),
+                shuffle_partitions=execution.get("shuffle_partitions"),
+            )
+        refreshes = list(
+            view.follow(
+                spark,
+                poll_seconds=run_cfg.get("poll_seconds", 2.0),
+                timeout_seconds=run_cfg.get("timeout_sec", 3600),
+            )
+        )
+        return {**out, "refreshes": refreshes, "applied": view.last_applied()}
+
     def run(self, spark=None, dry_run: bool = False) -> dict[str, Any]:
         from fetchez_spark.streaming.engine import replay_batches, run_stream
 
+        if (self.config.get("run") or {}).get("mode") == "follow":
+            # no source/sink sections: the view IS the job
+            return self._run_follow(spark, dry_run=dry_run)
         spark, units, sink, lineage, run_cfg = self.build(spark)
         mode = run_cfg.get("mode", "replay")
         self._catalog_open(sink)  # fail fast on catalog config typos
