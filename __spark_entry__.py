@@ -598,6 +598,51 @@ def _q_cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select("user_id", "event_type", "event_id", "value")
 
 
+def _q_parquet_export_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-parquet serving export, ORACLE-CHECKED end to end
+    (operators/export_view.py ParquetExportView -- the Delta
+    symlink-manifest analog: publish the live LWW state as ordinary
+    parquet any engine reads without the sink).  Replay the events
+    changelog in 3 interleaved micro-batches, refreshing the export
+    after EVERY batch -- the first publish is full, the later two
+    rewrite ONLY the touched buckets and hardlink the rest -- then read
+    the final published files back exactly like an external consumer
+    (spark.read.parquet over the `current` symlink).  The oracle is the
+    same LWW reduction as cdc_replay_snapshot: three incremental
+    publishes must be indistinguishable from exporting the final state
+    once."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.operators.export_view import ParquetExportView
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-export-", dir=fast)
+    sink = LocalSnapshotSink(
+        os.path.join(work, "table"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    exp = ParquetExportView(os.path.join(work, "exp"), sink)
+    for i in range(3):
+        sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_token=f"replay-{i}")
+        exp.refresh(spark)
+    return exp.read(spark).select("user_id", "event_type", "event_id", "value")
+
+
 def _q_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General MERGE INTO end-to-end, ORACLE-CHECKED (the Delta/Iceberg
     MERGE analog, sinks/local_snapshot.py merge_into): replay two thirds
@@ -3271,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": _q_cdc_final_state,
         "cdc_tombstone_counts": _q_cdc_tombstone_counts,
         "cdc_replay_snapshot": _q_cdc_replay_snapshot,
+        "parquet_export_read": _q_parquet_export_read,
         "badrecords_tail": _q_badrecords_tail,
         "merge_into_upsert": _q_merge_into_upsert,
         "merge_into_sync": _q_merge_into_sync,
@@ -3475,6 +3521,16 @@ def oracle_sql() -> dict[str, str]:
         # engine end-to-end: the sink's replay of the events changelog must
         # equal the plain last-writer-wins reduction (tombstones excluded)
         "cdc_replay_snapshot": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # plain-parquet export: three incremental publishes of the same
+        # replay must equal one export of the final LWW state -- the
+        # oracle is therefore identical to cdc_replay_snapshot's
+        "parquet_export_read": """
             SELECT user_id, event_type, event_id, value FROM (
               SELECT user_id, event_type, event_id, value,
                      row_number() OVER (PARTITION BY user_id

@@ -467,6 +467,29 @@ def vector_index_view(
     )
 
 
+def parquet_export(
+    export_dir: str,
+    table_dir: str | None = None,
+    keep_versions: int = 2,
+):
+    """Incrementally-maintained PLAIN-PARQUET serving copy of a table's
+    live state (the Delta symlink-manifest analog for engine-less
+    consumers): with ``table_dir``, define (or re-open) the export over
+    that table; without it, reconstruct from the export dir's persisted
+    definition.  Call ``.refresh(spark)`` per advance; consumers glob
+    ``<export_dir>/current/*/*.parquet`` or read the files named in
+    ``manifest-current.txt``.  See
+    :class:`fetchez_spark.operators.export_view.ParquetExportView`."""
+    from fetchez_spark.operators.export_view import ParquetExportView
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    if table_dir is None:
+        return ParquetExportView.load(export_dir, keep_versions=keep_versions)
+    return ParquetExportView(
+        export_dir, LocalSnapshotSink(table_dir), keep_versions=keep_versions
+    )
+
+
 def register_consumer(
     table_dir: str, name: str, from_snapshot: str | None = None
 ) -> str:

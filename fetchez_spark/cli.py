@@ -394,6 +394,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--nprobe", type=int, default=2)
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
+        "export",
+        help="incrementally-maintained plain-parquet serving copy of a "
+        "table's live state (define once with --create, then refresh/"
+        "follow from the export dir alone; consumers glob current/ or "
+        "read manifest-current.txt)",
+    )
+    p.add_argument("export_dir")
+    p.add_argument("--create", default=None, metavar="TABLE_DIR",
+                   help="define an export of a source snapshot table")
+    p.add_argument("--refresh", action="store_true",
+                   help="publish the source's current snapshot")
+    p.add_argument("--follow", type=float, default=None, metavar="SECONDS",
+                   help="poll the source and publish on every commit")
+    p.add_argument("--timeout", type=float, default=None,
+                   help="stop --follow after this many seconds")
+    p.add_argument("--keep-versions", type=int, default=2,
+                   help="published versions retained for in-flight readers")
+    p.add_argument("--files", action="store_true",
+                   help="print the current published file set")
+    p.add_argument("--cores", type=int, default=4)
+    p = sub.add_parser(
         "mirror",
         help="table-to-table CDC replication: keep a replica current by "
         "shipping the source's commit ranges (define once with --create, "
@@ -1032,6 +1053,35 @@ def main(argv: list[str] | None = None) -> int:
             qv = [float(x) for x in args.search.split(",")]
             hits = view.search(spark, qv, k=args.topk, nprobe=args.nprobe)
             out["hits"] = [row.asDict() for row in hits.collect()]
+        out["applied"] = view.last_applied()
+        print(json.dumps(out, default=str))
+        return 0
+    if args.cmd == "export":
+        from fetchez_spark.operators.export_view import ParquetExportView
+        from fetchez_spark.session import get_spark
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        spark = get_spark(app_name="fetchez-export", master=f"local[{args.cores}]")
+        if args.create:
+            view = ParquetExportView(
+                args.export_dir, LocalSnapshotSink(args.create),
+                keep_versions=args.keep_versions,
+            )
+        else:
+            view = ParquetExportView.load(
+                args.export_dir, keep_versions=args.keep_versions
+            )
+        out = {"export": args.export_dir, "upstream": view.source.table_dir}
+        if args.follow is not None:
+            out["refreshes"] = list(
+                view.follow(
+                    spark, poll_seconds=args.follow, timeout_seconds=args.timeout or 60
+                )
+            )
+        elif args.refresh or args.create:
+            out["refresh"] = view.refresh(spark)
+        if args.files:
+            out["files"] = view.current_files()
         out["applied"] = view.last_applied()
         print(json.dumps(out, default=str))
         return 0

@@ -275,6 +275,7 @@ class Recipe:
         "conv": ("fetchez_spark.operators.conv_view", "ConversationView"),
         "scd2": ("fetchez_spark.operators.scd_view", "SCD2View"),
         "mirror": ("fetchez_spark.operators.mirror", "TableMirror"),
+        "export": ("fetchez_spark.operators.export_view", "ParquetExportView"),
     }
 
     def _run_follow(self, spark, dry_run: bool = False) -> dict[str, Any]:
