@@ -2269,6 +2269,126 @@ def _q_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return from_debezium(dbz).drop("src_partition")
 
 
+def _q_dms_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWS DMS envelope decode (functions/cdc_formats.py from_dms): wrap
+    each event in a deterministic DMS record (operation delete/load/
+    update/insert by event_id residue; every 13th non-delete row becomes
+    a data-less ``control`` record) and decode with :func:`from_dms`.
+    The oracle re-expresses the mapping independently: control rows
+    drop, the full-load phase collapses to upserts like CDC inserts,
+    seq = transaction-id."""
+    from fetchez_spark.functions.cdc_formats import from_dms
+
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(ev.event_id % 10 == 0, F.lit("delete"))
+        .when(ev.event_id % 13 == 0, F.lit(None).cast("string"))  # control
+        .when(ev.event_id % 7 == 0, F.lit("load"))
+        .when(ev.event_id % 3 == 0, F.lit("update"))
+        .otherwise(F.lit("insert"))
+    )
+    data = F.struct(
+        F.col("event_id"), F.col("user_id"), F.col("event_type"),
+        F.col("value"), F.col("ts"),
+    )
+    rec = ev.select(
+        F.when(op.isNotNull(), data).alias("data"),
+        F.struct(
+            F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+            .alias("timestamp"),
+            F.when(op.isNull(), F.lit("control")).otherwise(F.lit("data"))
+            .alias("record-type"),
+            F.coalesce(op, F.lit("create-table")).alias("operation"),
+            F.lit("schema-table").alias("partition-key-type"),
+            F.lit("public").alias("schema-name"),
+            F.lit("events").alias("table-name"),
+            (F.col("event_id") * 3).alias("transaction-id"),
+        ).alias("metadata"),
+    )
+    return from_dms(rec).drop("src_partition")
+
+
+def _q_connect_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka Connect JsonConverter wrapper over Debezium, decoded from
+    GENUINE wire bytes (functions/cdc_formats.py unwrap_connect): each
+    event is encoded to a JSON STRING of the schemas.enable=true shape
+    ({"schema": {...}, "payload": {...debezium envelope...}}), with
+    Kafka log-compaction tombstones (null payload) injected for every
+    17th event and a foreign record type (different schema.name,
+    value+100) for every 19th -- then parsed back with
+    ``from_json(connect_envelope_schema(...))``, unwrapped with
+    ``unwrap_connect(expect_name=...)`` (dropping both injections) and
+    decoded with :func:`from_debezium`.  The oracle is the plain
+    Debezium mapping: the wrapper must be transparent."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.functions.cdc_formats import (
+        connect_envelope_schema,
+        debezium_envelope_schema,
+        from_debezium,
+        unwrap_connect,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    dop = (
+        F.when(ev.event_id % 10 == 0, F.lit("d"))
+        .when(ev.event_id % 3 == 0, F.lit("u"))
+        .otherwise(F.lit("c"))
+    )
+    before = F.struct(
+        F.col("event_id"), F.col("user_id"), F.col("event_type"),
+        (F.col("value") - 1).alias("value"), F.col("ts"),
+    )
+    after = F.struct(
+        F.col("event_id"), F.col("user_id"), F.col("event_type"),
+        F.col("value"), F.col("ts"),
+    )
+    name = F.when(
+        ev.event_id % 19 == 0, F.lit("dbserver.other.Envelope")
+    ).otherwise(F.lit("dbserver.shop.events.Envelope"))
+    envelope = F.struct(
+        F.when(dop == "d", before).alias("before"),
+        F.when(dop != "d", F.when(ev.event_id % 19 == 0, after.withField(
+            "value", F.col("value") + 100
+        )).otherwise(after)).alias("after"),
+        dop.alias("op"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+    fmt = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit("struct").alias("type"),
+                    name.alias("name"),
+                    F.lit(False).alias("optional"),
+                ).alias("schema"),
+                # tombstone records: key-only deletion markers, no payload
+                F.when(ev.event_id % 17 != 0, envelope).alias("payload"),
+            ),
+            fmt,
+        ).alias("value")
+    )
+    payload = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    parsed = wire.select(
+        F.from_json(
+            F.col("value"), connect_envelope_schema(debezium_envelope_schema(payload)), fmt
+        ).alias("rec")
+    ).select("rec.*")
+    unwrapped = unwrap_connect(
+        parsed, expect_name="dbserver.shop.events.Envelope"
+    )
+    return from_debezium(unwrapped).drop("src_partition")
+
+
 def _q_maxwell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maxwell envelope decode (functions/cdc_formats.py): wrap each event
     in a deterministic Maxwell envelope (type delete/update/insert by
@@ -3379,6 +3499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debezium_decode": _q_debezium_decode,
         "maxwell_decode": _q_maxwell_decode,
         "canal_decode": _q_canal_decode,
+        "dms_decode": _q_dms_decode,
+        "connect_debezium_decode": _q_connect_debezium_decode,
         # text analysis
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -4089,6 +4211,26 @@ def oracle_sql() -> dict[str, str]:
                    event_id * 7 AS seq
             FROM events
             WHERE NOT (event_id % 10 <> 0 AND event_id % 13 = 0)
+        """,
+        # DMS: control records drop; load/insert/update collapse to 'U';
+        # seq = transaction-id = event_id*3
+        "dms_decode": """
+            SELECT CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                   event_id, user_id, event_type, value, ts,
+                   event_id * 3 AS seq
+            FROM events
+            WHERE NOT (event_id % 10 <> 0 AND event_id % 13 = 0)
+        """,
+        # Connect wrapper must be transparent: tombstones (%17) and the
+        # foreign record type (%19) drop, the rest is the Debezium mapping
+        "connect_debezium_decode": """
+            SELECT CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                   event_id, user_id, event_type,
+                   CASE WHEN event_id % 10 = 0 THEN value - 1 ELSE value END AS value,
+                   ts,
+                   epoch_ms(ts) AS seq
+            FROM events
+            WHERE event_id % 17 <> 0 AND event_id % 19 <> 0
         """,
         "canal_decode": """
             WITH base AS (

@@ -48,6 +48,10 @@ __all__ = [
     "to_maxwell",
     "canal_envelope_schema",
     "from_canal",
+    "dms_envelope_schema",
+    "from_dms",
+    "connect_envelope_schema",
+    "unwrap_connect",
 ]
 
 
@@ -409,3 +413,162 @@ def from_canal(
             .alias("src_partition")
         )
     return rows.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# AWS DMS (S3/Kinesis target JSON) -- the managed-migration envelope
+# ---------------------------------------------------------------------------
+
+def dms_envelope_schema(payload_schema: T.StructType) -> T.StructType:
+    """The AWS DMS JSON envelope for a given payload row shape (the
+    documented S3/Kinesis target record format):
+
+        {"data": {...full row image...},
+         "metadata": {"timestamp": "2023-05-03T12:34:56.123456Z",
+                      "record-type": "data", "operation": "update",
+                      "partition-key-type": "schema-table",
+                      "schema-name": "public", "table-name": "events",
+                      "transaction-id": 1234}}
+
+    ``operation`` is ``load`` during the full-load phase and
+    ``insert``/``update``/``delete`` during CDC; ``record-type`` is
+    ``control`` for DDL/checkpoint records (no row image)."""
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in payload_schema.fields]
+    )
+    return T.StructType(
+        [
+            T.StructField("data", nullable, True),
+            T.StructField(
+                "metadata",
+                T.StructType(
+                    [
+                        T.StructField("timestamp", T.StringType(), True),
+                        T.StructField("record-type", T.StringType(), True),
+                        T.StructField("operation", T.StringType(), True),
+                        T.StructField("partition-key-type", T.StringType(), True),
+                        T.StructField("schema-name", T.StringType(), True),
+                        T.StructField("table-name", T.StringType(), True),
+                        T.StructField("transaction-id", T.LongType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+
+
+def from_dms(df: DataFrame, partitions: int = 4) -> DataFrame:
+    """Decode an AWS-DMS-enveloped frame into engine change-event rows.
+    Pure codegen, row-local (batch transform or ``run_stream`` chain).
+
+    Mapping rules (payload-owned columns win, as in :func:`from_debezium`):
+
+    * ``operation``: ``delete`` -> ``'D'``; ``load`` (full-load phase) /
+      ``insert`` / ``update`` -> ``'U'`` (the merge is an upsert, so the
+      snapshot phase collapses like Debezium's ``r``); ``control``
+      records and null ``data`` are dropped -- no row image;
+    * payload: always ``data`` (DMS deletes carry the key image there);
+    * ``ts``: the payload's own event time if present, else the metadata
+      ``timestamp`` (ISO-8601 with fractional seconds, parsed);
+    * ``seq``: ``transaction-id`` when present, else the metadata
+      timestamp in microseconds;
+    * ``src_partition``: hash of the leading payload column (the
+      envelope partitions by schema-table, not by a numeric id).
+    """
+    data_t = df.schema["data"].dataType
+    if not isinstance(data_t, T.StructType):
+        raise TypeError(f"'data' must be a struct payload; got {data_t}")
+    fields = [f.name for f in data_t.fields]
+    meta = F.col("metadata")
+    rows = df.filter(
+        F.col("data").isNotNull()
+        & (
+            F.coalesce(meta.getField("record-type"), F.lit("data"))
+            == F.lit("data")
+        )
+        & F.lower(F.coalesce(meta.getField("operation"), F.lit(""))).isin(
+            "load", "insert", "update", "delete"
+        )
+    )
+    is_del = F.lower(meta.getField("operation")) == F.lit("delete")
+    payload = F.col("data")
+    meta_ts = F.to_timestamp(meta.getField("timestamp"))
+    cols = [F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op")]
+    cols += [payload.getField(f).alias(f) for f in fields]
+    if "ts" not in fields:
+        cols.append(meta_ts.alias("ts"))
+    if "seq" not in fields:
+        cols.append(
+            F.coalesce(
+                meta.getField("transaction-id"), F.unix_micros(meta_ts)
+            )
+            .cast("long")
+            .alias("seq")
+        )
+    if "src_partition" not in fields:
+        cols.append(
+            F.pmod(F.xxhash64(payload.getField(fields[0])), F.lit(partitions))
+            .cast("int")
+            .alias("src_partition")
+        )
+    return rows.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Kafka Connect JSON converter wrapper (schemas.enable=true)
+# ---------------------------------------------------------------------------
+
+def connect_envelope_schema(inner_schema: T.StructType) -> T.StructType:
+    """The Kafka Connect ``JsonConverter`` wrapper (``schemas.enable``
+    defaults to true): every record value arrives as
+
+        {"schema": {"type": "struct", "fields": [...],
+                    "optional": false, "name": "..."},
+         "payload": {...the actual envelope...}}
+
+    -- which is how Debezium/Maxwell streams usually look ON THE WIRE.
+    ``inner_schema`` is the payload's shape (e.g.
+    :func:`debezium_envelope_schema` of the row schema).  The ``schema``
+    descriptor is typed minimally (Spark ignores JSON keys absent from an
+    explicit schema, so the recursive ``fields`` array costs nothing);
+    dynamic typing from it is deliberately NOT attempted -- a text tail
+    needs a declared schema anyway (inference would corrupt the (ts,seq)
+    LWW order, the same rule as ``run_stream(log_format='json')``)."""
+    return T.StructType(
+        [
+            T.StructField(
+                "schema",
+                T.StructType(
+                    [
+                        T.StructField("type", T.StringType(), True),
+                        T.StructField("name", T.StringType(), True),
+                        T.StructField("optional", T.BooleanType(), True),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField("payload", inner_schema, True),
+        ]
+    )
+
+
+def unwrap_connect(df: DataFrame, expect_name: str | None = None) -> DataFrame:
+    """Strip the Connect wrapper: project ``payload.*`` (pure codegen,
+    struct-field projection -- composes as
+    ``from_debezium(unwrap_connect(df))``).  Rows with a null payload
+    (Kafka tombstone records, which carry key-only deletion markers for
+    log compaction, not row images) are dropped.  With ``expect_name``,
+    rows whose ``schema.name`` differs are dropped too -- the multi-topic
+    guard for a stream carrying several record types."""
+    if "payload" not in df.columns:
+        raise TypeError(
+            f"no 'payload' column to unwrap (columns: {df.columns}); "
+            "parse with connect_envelope_schema(...) first"
+        )
+    rows = df.filter(F.col("payload").isNotNull())
+    if expect_name is not None and "schema" in df.columns:
+        rows = rows.filter(
+            F.col("schema").getField("name") == F.lit(expect_name)
+        )
+    return rows.select("payload.*")

@@ -413,3 +413,134 @@ def test_cli_changes_maxwell_format(spark, tmp_path, capsys):
 
     rc = main(["changes", sink.table_dir, frm, "--format", "maxwell"])
     assert rc == 1  # maxwell needs --typed
+
+
+# ---------------------------------------------------------------- AWS DMS
+
+def _dms_rows():
+    def pay(conv, turn, text, minute):
+        return {
+            "conv_id": conv, "turn_idx": turn, "role": "user", "text": text,
+            "tool": None, "ts": (T0 + dt.timedelta(minutes=minute)).isoformat(),
+        }
+
+    def meta(op, txid, rtype="data"):
+        return {
+            "timestamp": "2024-01-01T00:00:00.123456Z",
+            "record-type": rtype, "operation": op,
+            "partition-key-type": "schema-table", "schema-name": "public",
+            "table-name": "t", "transaction-id": txid,
+        }
+
+    return [
+        {"data": pay("a", 0, "full", 0), "metadata": meta("load", 1)},
+        {"data": pay("a", 0, "v2", 1), "metadata": meta("update", 2)},
+        {"data": None, "metadata": meta("create-table", None, "control")},
+        {"data": pay("b", 0, "ins", 0), "metadata": meta("insert", 3)},
+        {"data": pay("a", 0, "v2", 1), "metadata": meta("delete", 4)},
+    ]
+
+
+def _read_dms(spark, rows):
+    from fetchez_spark.functions.cdc_formats import dms_envelope_schema
+
+    return spark.read.schema(dms_envelope_schema(TRANSCRIPT_SCHEMA)).json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in rows])
+    )
+
+
+def test_from_dms_maps_ops_drops_control_rows(spark):
+    from fetchez_spark.functions.cdc_formats import from_dms
+
+    out = from_dms(_read_dms(spark, _dms_rows())).orderBy("seq").collect()
+    assert [(r["op"], r["conv_id"], r["text"], r["seq"]) for r in out] == [
+        ("U", "a", "full", 1),   # load phase collapses to upsert
+        ("U", "a", "v2", 2),
+        ("U", "b", "ins", 3),
+        ("D", "a", "v2", 4),     # delete keeps its data image
+    ]
+    assert all(0 <= r["src_partition"] < 4 for r in out)
+
+
+def test_from_dms_seq_falls_back_to_timestamp_micros(spark):
+    from fetchez_spark.functions.cdc_formats import from_dms
+
+    rows = _dms_rows()[3:4]
+    rows[0]["metadata"]["transaction-id"] = None
+    out = from_dms(_read_dms(spark, rows)).collect()
+    assert len(out) == 1
+    # 2024-01-01T00:00:00.123456Z in micros
+    assert out[0]["seq"] == 1704067200123456
+
+
+def test_json_dms_tail_end_to_end(spark, tmp_path):
+    from fetchez_spark.functions.cdc_formats import dms_envelope_schema, from_dms
+
+    log = tmp_path / "log"
+    log.mkdir()
+    (log / "chunk0.json").write_text(
+        "\n".join(json.dumps(r) for r in _dms_rows())
+    )
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    q = run_stream(
+        spark, str(log), sink, str(tmp_path / "ckpt"),
+        schema=dms_envelope_schema(TRANSCRIPT_SCHEMA),
+        log_format="json", transforms=[from_dms],
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in sink.read(spark).collect()
+    }
+    # a/0: load -> update -> delete at the same (ts, seq asc): tombstone wins
+    assert got == {("b", 0): "ins"}
+
+
+# --------------------------------------------- Kafka Connect JSON wrapper
+
+def _connect_wire(spark, name_overrides=None):
+    """Genuine schemas.enable=true wire strings wrapping _env_rows(),
+    plus one tombstone (null payload)."""
+    names = name_overrides or {}
+    recs = [
+        {
+            "schema": {"type": "struct", "fields": [],
+                       "optional": False,
+                       "name": names.get(i, "db1.shop.t.Envelope")},
+            "payload": r,
+        }
+        for i, r in enumerate(_env_rows())
+    ]
+    recs.append({"schema": {"type": "struct", "optional": False,
+                            "name": "db1.shop.t.Envelope"},
+                 "payload": None})
+    return spark.sparkContext.parallelize([json.dumps(r) for r in recs])
+
+
+def test_unwrap_connect_strips_wrapper_and_drops_tombstones(spark):
+    from fetchez_spark.functions.cdc_formats import (
+        connect_envelope_schema,
+        unwrap_connect,
+    )
+
+    schema = connect_envelope_schema(debezium_envelope_schema(TRANSCRIPT_SCHEMA))
+    df = spark.read.schema(schema).json(_connect_wire(spark))
+    out = from_debezium(unwrap_connect(df)).orderBy("seq").collect()
+    assert len(out) == 5  # tombstone dropped, the 5 envelopes survive
+    assert [r["op"] for r in out] == ["U", "U", "U", "D", "U"]
+
+
+def test_unwrap_connect_expect_name_filters_foreign_records(spark):
+    from fetchez_spark.functions.cdc_formats import (
+        connect_envelope_schema,
+        unwrap_connect,
+    )
+
+    schema = connect_envelope_schema(debezium_envelope_schema(TRANSCRIPT_SCHEMA))
+    df = spark.read.schema(schema).json(
+        _connect_wire(spark, {2: "db1.other.Envelope"})
+    )
+    out = unwrap_connect(df, expect_name="db1.shop.t.Envelope")
+    assert out.count() == 4  # tombstone + the foreign record dropped
+    with pytest.raises(TypeError, match="no 'payload' column"):
+        unwrap_connect(out)
