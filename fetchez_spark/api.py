@@ -306,6 +306,19 @@ def read_quarantine(spark: SparkSession, table_dir: str):
     return LocalSnapshotSink(table_dir).read_quarantine(spark)
 
 
+def requeue_quarantine(
+    spark: SparkSession, table_dir: str, transform=None
+) -> dict[str, Any]:
+    """Dead-letter replay: re-submit quarantined rows through the merge
+    with today's gates, optionally after ``transform(df) -> df`` repairs
+    them (see LocalSnapshotSink.requeue_quarantine)."""
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    return LocalSnapshotSink(table_dir).requeue_quarantine(
+        spark, transform=transform
+    )
+
+
 def count_rows(
     table_dir: str,
     spark: SparkSession | None = None,

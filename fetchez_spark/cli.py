@@ -206,6 +206,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drop-column", default=None, metavar="NAME",
                    help="drop a payload column, metadata-only (bytes leave "
                         "as buckets compact; the name is retired)")
+    p.add_argument("--requeue-quarantine", action="store_true",
+                   help="re-submit quarantined rows through the merge with "
+                        "today's gates (dead-letter replay: fixed rows land, "
+                        "still-bad rows re-quarantine, originals removed "
+                        "after their commit)")
     p.add_argument("--set-property", action="append", default=[],
                    metavar="NAME=VALUE", dest="set_properties",
                    help="record a table property (maintenance/retention "
@@ -884,6 +889,7 @@ def main(argv: list[str] | None = None) -> int:
             or args.update_where
             or args.purge_tombstones
             or args.purge_expired
+            or args.requeue_quarantine
         )
         if needs_spark:
             from fetchez_spark.session import get_spark
@@ -931,6 +937,8 @@ def main(argv: list[str] | None = None) -> int:
                 out["purge_expired"] = sink.purge_expired(
                     spark, before=args.purge_expired
                 )
+            if args.requeue_quarantine:
+                out["requeue_quarantine"] = sink.requeue_quarantine(spark)
         if args.expire is not None:
             out["expired_data_dirs"] = sink.expire_snapshots(keep_last=args.expire)
         if args.vacuum:

@@ -2375,6 +2375,55 @@ class LocalSnapshotSink(SnapshotSink):
             )
         return spark.read.option("mergeSchema", "true").parquet(*subdirs)
 
+    def requeue_quarantine(self, spark: SparkSession, transform=None) -> dict:
+        """Dead-letter replay: re-submit quarantined rows through the
+        ordinary merge -- the operational other half of the quarantine
+        gate (``read_quarantine`` is triage; this is the fix-and-retry).
+
+        Each quarantined commit's rows (original change-event shape, the
+        ``_violations``/``_batch_token`` triage columns dropped) merge as
+        their own batch, optionally after ``transform(df) -> df`` repairs
+        them (clamp a value, fill a null -- the usual reason they were
+        gated).  The rows keep their ORIGINAL (ts, seq), so a requeued
+        event that lost last-writer-wins while it sat in quarantine stays
+        lost -- requeue never resurrects stale data.
+
+        TODAY'S gates apply to the re-submission: rows still violating a
+        ``quarantine`` gate re-quarantine under the new commit (the loop
+        converges -- each pass keeps only still-bad rows), a still-failing
+        ``fail`` gate aborts loudly with the source dir intact, and each
+        source dir is removed only after its merge commits.  Exactly-once
+        per source dir via a content-stable batch token (window-checked;
+        a replay past the window is still state-idempotent because the
+        events are identical under LWW).  Returns per-call counts +
+        still-quarantined dirs (the re-gated residue)."""
+        import shutil
+
+        qroot = os.path.join(self.table_dir, "quarantine")
+        sids = sorted(os.listdir(qroot)) if os.path.isdir(qroot) else []
+        out = {"batches": 0, "requeued_rows": 0, "skipped_committed": 0}
+        for sid in sids:
+            qdir = os.path.join(qroot, sid)
+            # trailing non-digit: no monotone-sequence watermark (source
+            # sids can commit out of numeric order under multi-writer, so
+            # a sequence watermark could silently skip an older requeue)
+            token = f"requeue-{sid}-q"
+            rows = spark.read.parquet(qdir).drop("_violations", "_batch_token")
+            if transform is not None:
+                rows = transform(rows)
+            if self.is_committed(token):
+                out["skipped_committed"] += 1
+            else:
+                n = rows.count()
+                self.merge(rows, batch_token=token)
+                out["requeued_rows"] += n
+                out["batches"] += 1
+            shutil.rmtree(qdir)
+        out["still_quarantined"] = (
+            sorted(os.listdir(qroot)) if os.path.isdir(qroot) else []
+        )
+        return out
+
     def read_changes(
         self,
         spark: SparkSession,

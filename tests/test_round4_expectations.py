@@ -194,3 +194,95 @@ def test_excluded_rows_never_advance_the_watermark(spark, tmp_path):
     assert got.filter("text = 'later'").count() == 1
     assert got.count() == 2
     assert sink.read_quarantine(spark).count() == 1
+
+
+# ------------------------------------------------ dead-letter requeue
+
+def test_requeue_after_gate_drop_lands_rows_and_clears_quarantine(
+    spark, tmp_path
+):
+    sink = _sink(tmp_path, [("text_present", "text IS NOT NULL", "quarantine")])
+    sink.merge(_batch(spark, ROWS), "b-0")
+    assert sink.read_quarantine(spark).count() == 1
+    # operator drops the gate (decides null text is fine), then requeues
+    sink.drop_expectation("text_present")
+    out = sink.requeue_quarantine(spark)
+    assert out == {
+        "batches": 1, "requeued_rows": 1, "skipped_committed": 0,
+        "still_quarantined": [],
+    }
+    assert sink.read_quarantine(spark).count() == 0
+    keys = {(r["conv_id"], r["turn_idx"]) for r in sink.read(spark).collect()}
+    assert ("c1", 1) in keys  # the quarantined row landed
+    # idempotent: nothing left to do
+    again = sink.requeue_quarantine(spark)
+    assert again["batches"] == 0 and again["requeued_rows"] == 0
+
+
+def test_requeue_with_transform_repairs_rows_under_live_gate(spark, tmp_path):
+    sink = _sink(tmp_path, [("text_present", "text IS NOT NULL", "quarantine")])
+    sink.merge(_batch(spark, ROWS), "b-0")
+    out = sink.requeue_quarantine(
+        spark, transform=lambda df: df.withColumn(
+            "text", F.coalesce(F.col("text"), F.lit("[redacted]"))
+        )
+    )
+    assert out["requeued_rows"] == 1 and out["still_quarantined"] == []
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in sink.read(spark).collect()
+    }
+    assert got[("c1", 1)] == "[redacted]"
+
+
+def test_requeue_still_violating_rows_requarantine(spark, tmp_path):
+    sink = _sink(tmp_path, [("text_present", "text IS NOT NULL", "quarantine")])
+    sink.merge(_batch(spark, ROWS), "b-0")
+    out = sink.requeue_quarantine(spark)  # no fix: the row re-gates
+    assert out["requeued_rows"] == 1
+    assert len(out["still_quarantined"]) == 1  # new dir, old one gone
+    q = sink.read_quarantine(spark)
+    assert q.count() == 1
+    assert q.collect()[0]["conv_id"] == "c1"
+
+
+def test_requeue_does_not_resurrect_stale_events(spark, tmp_path):
+    sink = _sink(tmp_path, [("text_present", "text IS NOT NULL", "quarantine")])
+    sink.merge(_batch(spark, ROWS), "b-0")
+    # while quarantined, a NEWER event for the same key commits
+    sink.merge(
+        _batch(spark, [("c1", 1, "assistant", "newer", None, _ts(9), "I", 9)]),
+        "b-1",
+    )
+    sink.drop_expectation("text_present")
+    sink.requeue_quarantine(spark)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in sink.read(spark).collect()
+    }
+    assert got[("c1", 1)] == "newer"  # the old (ts 2) event lost LWW
+
+
+def test_requeue_aborts_on_still_failing_fail_gate(spark, tmp_path):
+    sink = _sink(tmp_path, [("text_present", "text IS NOT NULL", "quarantine")])
+    sink.merge(_batch(spark, ROWS), "b-0")
+    sink.drop_expectation("text_present")
+    sink.add_expectation("text_hard", "text IS NOT NULL", "fail")
+    with pytest.raises(ExpectationFailed):
+        sink.requeue_quarantine(spark)
+    # source dir intact: nothing was lost
+    assert sink.read_quarantine(spark).count() == 1
+
+
+def test_cli_maintain_requeue_quarantine(spark, tmp_path, capsys):
+    import json as _json
+
+    from fetchez_spark.cli import main as cli_main
+
+    sink = _sink(tmp_path, [("text_present", "text IS NOT NULL", "quarantine")])
+    sink.merge(_batch(spark, ROWS), "b-0")
+    sink.drop_expectation("text_present")
+    rc = cli_main(["maintain", sink.table_dir, "--requeue-quarantine"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["requeue_quarantine"]["requeued_rows"] == 1
