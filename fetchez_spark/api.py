@@ -503,6 +503,30 @@ def parquet_export(
     )
 
 
+def change_outbox(
+    outbox_dir: str,
+    table_dir: str | None = None,
+    format: str = "debezium",
+    source_name: str | None = None,
+):
+    """Change-data outbox: publish a table's typed change feed as
+    wire-format JSON-lines files (Debezium/Maxwell/typed) a downstream
+    system tails without the engine.  With ``table_dir``, define (or
+    re-open) the outbox; without it, reconstruct from the outbox dir's
+    persisted definition.  Call ``.refresh(spark)`` per advance or
+    ``.follow(spark)`` to daemonize.  See
+    :class:`fetchez_spark.operators.outbox.ChangeOutbox`."""
+    from fetchez_spark.operators.outbox import ChangeOutbox
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    if table_dir is None:
+        return ChangeOutbox.load(outbox_dir)
+    return ChangeOutbox(
+        outbox_dir, LocalSnapshotSink(table_dir), format=format,
+        source_name=source_name,
+    )
+
+
 def register_consumer(
     table_dir: str, name: str, from_snapshot: str | None = None
 ) -> str:

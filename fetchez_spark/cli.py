@@ -399,6 +399,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--nprobe", type=int, default=2)
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
+        "outbox",
+        help="publish a table's typed change feed as wire-format "
+        "JSON-lines files (debezium/maxwell/typed) a downstream system "
+        "tails without the engine (define once with --create, then "
+        "refresh/follow from the outbox dir alone)",
+    )
+    p.add_argument("outbox_dir")
+    p.add_argument("--create", default=None, metavar="TABLE_DIR",
+                   help="define an outbox over a source snapshot table")
+    p.add_argument("--format", default="debezium",
+                   choices=["debezium", "maxwell", "typed"])
+    p.add_argument("--source-name", default=None,
+                   help="envelope source/database name")
+    p.add_argument("--refresh", action="store_true",
+                   help="publish the unseen commit range")
+    p.add_argument("--follow", type=float, default=None, metavar="SECONDS",
+                   help="poll the source and publish on every commit")
+    p.add_argument("--timeout", type=float, default=None,
+                   help="stop --follow after this many seconds")
+    p.add_argument("--cores", type=int, default=4)
+    p = sub.add_parser(
         "export",
         help="incrementally-maintained plain-parquet serving copy of a "
         "table's live state (define once with --create, then refresh/"
@@ -1062,6 +1083,32 @@ def main(argv: list[str] | None = None) -> int:
             hits = view.search(spark, qv, k=args.topk, nprobe=args.nprobe)
             out["hits"] = [row.asDict() for row in hits.collect()]
         out["applied"] = view.last_applied()
+        print(json.dumps(out, default=str))
+        return 0
+    if args.cmd == "outbox":
+        from fetchez_spark.operators.outbox import ChangeOutbox
+        from fetchez_spark.session import get_spark
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        spark = get_spark(app_name="fetchez-outbox", master=f"local[{args.cores}]")
+        if args.create:
+            box = ChangeOutbox(
+                args.outbox_dir, LocalSnapshotSink(args.create),
+                format=args.format, source_name=args.source_name,
+            )
+        else:
+            box = ChangeOutbox.load(args.outbox_dir)
+        out = {"outbox": args.outbox_dir, "upstream": box.source.table_dir,
+               "format": box.format}
+        if args.follow is not None:
+            out["refreshes"] = list(
+                box.follow(
+                    spark, poll_seconds=args.follow, timeout_seconds=args.timeout or 60
+                )
+            )
+        elif args.refresh or args.create:
+            out["refresh"] = box.refresh(spark)
+        out["applied"] = box.last_applied()
         print(json.dumps(out, default=str))
         return 0
     if args.cmd == "export":

@@ -1,0 +1,208 @@
+"""Change-data OUTBOX: publish a table's typed change feed as wire-format
+JSON-lines files -- the OUTBOUND half of the CDC story.
+
+The engine ingests six public envelopes (Debezium, Connect-wrapped,
+Maxwell, Canal, DMS, native); ``ChangeOutbox`` closes the circle by
+EMITTING one: each refresh encodes the unseen commit range's typed
+change feed (``change_feed`` -- net insert/update/delete per key, with
+pre-images) as Debezium or Maxwell envelopes, or the raw typed feed, and
+publishes it as JSON-lines files a downstream system tails without the
+engine -- including the engine itself (``run_stream(log_format='json',
+transforms=[from_debezium])`` over the outbox dir reproduces the table,
+pinned by the oracle query).  This is the transactional-outbox /
+Debezium-server file-sink shape: databases export their WAL as files,
+consumers replay them.  (Reference analog: fetchez's terminal step is
+always "files on disk a downstream tool consumes",
+/root/reference/src/fetchez/core.py fetch-and-write loop.)
+
+Layout::
+
+    _outbox/STATE.json    # {"upstream": cursor, "ordinal": N} (tmp+rename)
+    _outbox/DEF.json      # persisted definition -> load()
+    data/batch-<ordinal>-<k>.jsonl   # the wire bytes, one JSON per line
+
+Delivery contract -- the honest CDC one: files appear ATOMICALLY (Spark
+writes to a tmp dir, each part renames in), but a crash between publish
+and the STATE swap re-publishes the same range on the next refresh, so
+delivery is AT-LEAST-ONCE at file grain with exactly-once EFFECT for
+LWW consumers (the re-published events are identical -- same (ts, seq),
+same images; replaying them through any of this engine's decode paths
+is a no-op).  Debezium/Kafka make the same promise.  Leftover files of
+an unpublished ordinal are removed before the rewrite, so a completed
+outbox never holds duplicate batches.
+
+Scale shape: each refresh is O(rows changed in range) -- the feed is
+bucket-pruned and key-restricted upstream -- and the encode is pure
+codegen (``to_json`` over struct columns); file count per batch follows
+the feed's partitioning (``files_per_batch`` caps it for small ranges).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+from types import SimpleNamespace
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fetchez_spark.operators._incview import ROOT_SNAPSHOT, IncrementalView
+
+_LOG = logging.getLogger("fetchez_spark.outbox")
+
+_META = "_outbox"
+_FORMATS = ("debezium", "maxwell", "typed")
+# to_json/from_json default to millisecond precision; the engine's event
+# times are microsecond-grained and the (ts, seq) LWW order depends on it
+_TS_FMT = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+class ChangeOutbox(IncrementalView):
+    """See module docstring."""
+
+    PIN_PREFIX = "outbox"
+
+    def __init__(
+        self,
+        outbox_dir: str,
+        source,
+        format: str = "debezium",
+        source_name: str | None = None,
+        files_per_batch: int | None = 1,
+    ) -> None:
+        if format not in _FORMATS:
+            raise ValueError(f"format must be one of {_FORMATS}; got {format!r}")
+        self.outbox_dir = os.path.abspath(outbox_dir)
+        self.source = source
+        self.format = format
+        self.source_name = source_name
+        self.files_per_batch = files_per_batch
+        self.store = SimpleNamespace(table_dir=self.outbox_dir)
+        os.makedirs(os.path.join(self.outbox_dir, _META), exist_ok=True)
+        os.makedirs(os.path.join(self.outbox_dir, "data"), exist_ok=True)
+        def_path = os.path.join(self.outbox_dir, _META, "DEF.json")
+        if os.path.exists(def_path):
+            with open(def_path) as f:
+                d = json.load(f)
+            if os.path.abspath(d["source_dir"]) != os.path.abspath(
+                source.table_dir
+            ):
+                raise ValueError(
+                    f"{outbox_dir} publishes {d['source_dir']!r}; refusing "
+                    f"the conflicting source {source.table_dir!r}"
+                )
+            if d.get("format", "debezium") != format:
+                raise ValueError(
+                    f"{outbox_dir} publishes format {d.get('format')!r}; "
+                    f"refusing the conflicting {format!r} (mixed envelopes "
+                    "in one outbox would corrupt every consumer)"
+                )
+        else:
+            _atomic_write(
+                def_path,
+                json.dumps(
+                    {
+                        "source_dir": os.path.abspath(source.table_dir),
+                        "format": format,
+                        "source_name": source_name,
+                    }
+                ),
+            )
+
+    @classmethod
+    def load(cls, outbox_dir: str) -> "ChangeOutbox":
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        def_path = os.path.join(outbox_dir, _META, "DEF.json")
+        if not os.path.exists(def_path):
+            raise KeyError(f"{outbox_dir} has no persisted outbox definition")
+        with open(def_path) as f:
+            d = json.load(f)
+        return cls(
+            outbox_dir,
+            LocalSnapshotSink(d["source_dir"]),
+            format=d.get("format", "debezium"),
+            source_name=d.get("source_name"),
+        )
+
+    # -------------------------------------------------------------- cursor
+    def _state(self) -> dict:
+        p = os.path.join(self.outbox_dir, _META, "STATE.json")
+        if not os.path.exists(p):
+            return {"upstream": ROOT_SNAPSHOT, "ordinal": 0}
+        with open(p) as f:
+            return json.load(f)
+
+    def last_applied(self) -> str:
+        return self._state()["upstream"]
+
+    # -------------------------------------------------------------- encode
+    def _encode(self, feed: DataFrame) -> DataFrame:
+        """Typed feed -> one ``value`` string column of wire JSON."""
+        from fetchez_spark.functions.cdc_formats import to_debezium, to_maxwell
+
+        if self.format == "debezium":
+            enc = to_debezium(feed, source_name=self.source_name)
+        elif self.format == "maxwell":
+            enc = to_maxwell(feed, database=self.source_name)
+        else:  # typed: the feed itself, pre-image struct included
+            enc = feed
+        return enc.select(
+            F.to_json(F.struct(*[F.col(c) for c in enc.columns]), _TS_FMT).alias(
+                "value"
+            )
+        )
+
+    # ------------------------------------------------------------- refresh
+    def _refresh(self, spark: SparkSession) -> dict[str, Any]:
+        src = self.source
+        st = self._state()
+        frm, to = st["upstream"], src.current_snapshot_id
+        if frm == to:
+            return {"from": frm, "to": to, "skipped": True}
+        n_ord = int(st["ordinal"]) + 1
+        data = os.path.join(self.outbox_dir, "data")
+        # crash leftovers of this unpublished ordinal: remove before the
+        # rewrite so a completed outbox never holds duplicate batches
+        for f in os.listdir(data):
+            if f.startswith(f"batch-{n_ord:08d}-"):
+                os.remove(os.path.join(data, f))
+        feed = src.change_feed(spark, frm, to, include_pre_image=True)
+        out = self._encode(feed)
+        if self.files_per_batch:
+            out = out.coalesce(self.files_per_batch)
+        tmp = os.path.join(self.outbox_dir, _META, f"tmp-{n_ord:08d}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        out.write.mode("overwrite").text(tmp)
+        parts = sorted(
+            f for f in os.listdir(tmp) if f.startswith("part-") and
+            os.path.getsize(os.path.join(tmp, f)) > 0
+        )
+        for k, f in enumerate(parts):
+            os.rename(
+                os.path.join(tmp, f),
+                os.path.join(data, f"batch-{n_ord:08d}-{k:05d}.jsonl"),
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        _atomic_write(
+            os.path.join(self.outbox_dir, _META, "STATE.json"),
+            json.dumps({"upstream": to, "ordinal": n_ord}),
+        )
+        return {"from": frm, "to": to, "ordinal": n_ord, "files": len(parts)}
+
+    # -------------------------------------------------------------- reading
+    def data_dir(self) -> str:
+        """The JSON-lines dir a consumer tails (``run_stream`` included)."""
+        return os.path.join(self.outbox_dir, "data")

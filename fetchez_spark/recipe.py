@@ -276,6 +276,7 @@ class Recipe:
         "scd2": ("fetchez_spark.operators.scd_view", "SCD2View"),
         "mirror": ("fetchez_spark.operators.mirror", "TableMirror"),
         "export": ("fetchez_spark.operators.export_view", "ParquetExportView"),
+        "outbox": ("fetchez_spark.operators.outbox", "ChangeOutbox"),
     }
 
     def _run_follow(self, spark, dry_run: bool = False) -> dict[str, Any]:

@@ -52,6 +52,10 @@ _SOURCE_OPTIONS = frozenset(
         "sourceArchiveDir",  # where cleanSource=archive moves them
         "maxCachedFiles",  # listing cache size (Spark 4 source-state knob)
         "maxBytesPerTrigger",  # size-based rate limit (excludes file-count)
+        "timestampFormat",  # text-format timestamp parse pattern (a JSON/CSV
+        # tail of micro-precision event times needs an explicit
+        # SSSSSS pattern -- the default truncates to milliseconds)
+        "dateFormat",  # text-format date parse pattern
     }
 )
 

@@ -1,0 +1,190 @@
+"""ChangeOutbox: the table's typed change feed published as wire-format
+JSON-lines files.  The full round trip (table -> debezium files ->
+replica table) is oracle-checked in test_entry_oracle (outbox_roundtrip);
+these pin the mechanics: cursor advance, crash-leftover cleanup, format
+conflict, the streaming consumer tail, maxwell/typed encodings, recipe
+follow, CLI."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fetchez_spark.operators.outbox import ChangeOutbox
+from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(
+        [(op, c, tx, T0 + dt.timedelta(seconds=s), s, 0) for op, c, tx, s in rows],
+        "op string, conv_id string, text string, ts timestamp, seq long, src_partition int",
+    )
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    sink = LocalSnapshotSink(
+        str(tmp_path / "table"), num_buckets=4, key=["conv_id"],
+        base_schema=PAYLOAD, compact_every=10**9,
+    )
+    box = ChangeOutbox(str(tmp_path / "box"), sink)
+    return sink, box
+
+
+def _lines(box):
+    out = []
+    for f in sorted(os.listdir(box.data_dir())):
+        with open(os.path.join(box.data_dir(), f)) as fh:
+            out += [json.loads(line) for line in fh if line.strip()]
+    return out
+
+
+def test_publish_emits_envelopes_and_advances_cursor(spark, pair):
+    sink, box = pair
+    sink.merge(_env(spark, [("U", "c1", "t1", 1), ("U", "c2", "t2", 2)]), "b0")
+    out = box.refresh(spark)
+    assert out["ordinal"] == 1 and out["files"] == 1
+    assert box.last_applied() == sink.current_snapshot_id
+    recs = _lines(box)
+    assert {r["after"]["conv_id"] for r in recs} == {"c1", "c2"}
+    assert all(r["op"] == "c" for r in recs)  # fresh keys -> inserts
+    # caught up: nothing published
+    assert box.refresh(spark).get("skipped")
+
+    sink.merge(_env(spark, [("U", "c1", "t1x", 9), ("D", "c2", None, 10)]), "b1")
+    box.refresh(spark)
+    recs = _lines(box)
+    # to_json drops null fields: a delete envelope has no "after" key
+    ops = {(r["op"], (r.get("after") or r.get("before"))["conv_id"]) for r in recs}
+    assert ("u", "c1") in ops and ("d", "c2") in ops
+    upd = next(r for r in recs if r["op"] == "u")
+    assert upd["before"]["text"] == "t1" and upd["after"]["text"] == "t1x"
+
+
+def test_crash_leftovers_of_unpublished_ordinal_are_replaced(spark, pair):
+    sink, box = pair
+    sink.merge(_env(spark, [("U", "c1", "t1", 1)]), "b0")
+    # simulate a crash: files of ordinal 1 landed but STATE never swapped
+    junk = os.path.join(box.data_dir(), "batch-00000001-99999.jsonl")
+    with open(junk, "w") as f:
+        f.write('{"stale": true}\n')
+    out = box.refresh(spark)
+    assert out["ordinal"] == 1
+    assert not os.path.exists(junk)
+    assert all("stale" not in r for r in _lines(box))
+
+
+def test_conflicting_source_or_format_refused_and_load(spark, pair, tmp_path):
+    sink, box = pair
+    other = LocalSnapshotSink(
+        str(tmp_path / "other"), num_buckets=2, key=["conv_id"], base_schema=PAYLOAD
+    )
+    with pytest.raises(ValueError, match="conflicting source"):
+        ChangeOutbox(str(tmp_path / "box"), other)
+    with pytest.raises(ValueError, match="conflicting 'maxwell'"):
+        ChangeOutbox(str(tmp_path / "box"), sink, format="maxwell")
+    sink.merge(_env(spark, [("U", "c1", "t1", 1)]), "b0")
+    box.refresh(spark)
+    again = ChangeOutbox.load(str(tmp_path / "box"))
+    assert again.format == "debezium"
+    assert again.last_applied() == sink.current_snapshot_id
+
+
+def test_maxwell_and_typed_formats_encode(spark, tmp_path):
+    sink = LocalSnapshotSink(
+        str(tmp_path / "t"), num_buckets=4, key=["conv_id"],
+        base_schema=PAYLOAD, compact_every=10**9,
+    )
+    sink.merge(_env(spark, [("U", "c1", "t1", 1), ("U", "c2", "t2", 2)]), "b0")
+    mx = ChangeOutbox(str(tmp_path / "mx"), sink, format="maxwell",
+                      source_name="shop")
+    mx.refresh(spark)
+    # c1 dies, c9 is born AND dies inside the next range: the net feed
+    # publishes c1's delete but nothing at all for c9
+    sink.merge(_env(spark, [("D", "c1", None, 3), ("U", "c9", "t9", 4)]), "b1")
+    sink.merge(_env(spark, [("D", "c9", None, 5)]), "b2")
+    mx.refresh(spark)
+    recs = _lines(mx)
+    assert {(r["type"], r["data"]["conv_id"]) for r in recs} == {
+        ("insert", "c1"), ("insert", "c2"), ("delete", "c1"),
+    }
+    assert all(r["database"] == "shop" for r in recs)
+    ty = ChangeOutbox(str(tmp_path / "ty"), sink, format="typed")
+    ty.refresh(spark)
+    tr = _lines(ty)
+    assert tr and all("_change_type" in r for r in tr)
+
+
+def test_streaming_consumer_tails_the_outbox(spark, pair, tmp_path):
+    """Full circle: outbox files re-ingested by run_stream's json tail
+    reproduce the source table."""
+    from fetchez_spark.functions.cdc_formats import (
+        debezium_envelope_schema,
+        from_debezium,
+    )
+    from fetchez_spark.streaming.engine import run_stream
+
+    sink, box = pair
+    sink.merge(
+        _env(spark, [("U", f"c{i}", f"t{i}", i) for i in range(12)]), "b0"
+    )
+    box.refresh(spark)
+    sink.merge(_env(spark, [("U", "c3", "t3x", 50), ("D", "c5", None, 51)]), "b1")
+    box.refresh(spark)
+    replica = LocalSnapshotSink(
+        str(tmp_path / "replica"), num_buckets=4, key=["conv_id"],
+        base_schema=PAYLOAD,
+    )
+    q = run_stream(
+        spark, box.data_dir(), replica, str(tmp_path / "ckpt"),
+        schema=debezium_envelope_schema(PAYLOAD),
+        log_format="json", transforms=[from_debezium],
+        source_options={"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"},
+    )
+    q.awaitTermination(300)
+    a = {(r["conv_id"], r["text"]) for r in sink.read(spark).select("conv_id", "text").collect()}
+    b = {(r["conv_id"], r["text"]) for r in replica.read(spark).select("conv_id", "text").collect()}
+    assert a == b and len(a) == 11
+
+
+def test_recipe_follow_outbox(spark, pair):
+    from fetchez_spark.recipe import Recipe
+
+    sink, box = pair
+    sink.merge(_env(spark, [("U", "c1", "t1", 1)]), "b0")
+    box.refresh(spark)
+    sink.merge(_env(spark, [("U", "c2", "t2", 2)]), "b1")
+    out = Recipe(
+        {
+            "view": {"kind": "outbox", "store_dir": box.outbox_dir},
+            "run": {"mode": "follow", "poll_seconds": 0.2, "timeout_sec": 4},
+        }
+    ).run(spark)
+    assert out["kind"] == "outbox" and len(out["refreshes"]) >= 1
+    assert out["applied"] == sink.current_snapshot_id
+
+
+def test_cli_outbox_round_trip(spark, pair, capsys):
+    from fetchez_spark.cli import main as cli_main
+
+    sink, box = pair
+    sink.merge(_env(spark, [("U", "c1", "t1", 1)]), "b0")
+    rc = cli_main(["outbox", box.outbox_dir, "--create", sink.table_dir])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["refresh"]["ordinal"] == 1
+    assert out["applied"] == sink.current_snapshot_id
