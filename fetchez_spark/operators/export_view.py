@@ -280,7 +280,10 @@ class ParquetExportView(IncrementalView):
         if cur is not None and cur.get("schema") == schema_now:
             try:
                 touched = self._touched_buckets(spark, frm, to, nb)
-            except Exception as e:  # HistoryExpiredError / not-an-ancestor
+            except (FileNotFoundError, ValueError) as e:
+                # HistoryExpiredError / not-an-ancestor ONLY -- a Spark
+                # failure in the flat-delta bucket job must propagate, not
+                # silently degrade every refresh to a full re-export
                 _LOG.warning(
                     "export %s: increment %s -> %s unavailable (%s); "
                     "falling back to a full re-export",
@@ -365,7 +368,20 @@ class ParquetExportView(IncrementalView):
     # ------------------------------------------------------------- reading
     def read(self, spark: SparkSession, drop_bucket: bool = True) -> DataFrame:
         """Read the export back the way an external consumer would: plain
-        ``spark.read.parquet`` over the ``current`` symlink."""
+        ``spark.read.parquet`` over the ``current`` symlink.  An export of
+        an EMPTY live state has no files to infer from, so the schema is
+        rebuilt from the version manifest instead of crashing."""
+        cur = self._current()
+        if cur is not None and not cur["buckets"]:
+            from pyspark.sql import types as T
+
+            fields = [
+                T.StructField(name, T._parse_datatype_json_string(tj))
+                for name, tj in cur["schema"]
+            ]
+            if not drop_bucket:
+                fields.append(T.StructField(_BUCKET_COL, T.IntegerType()))
+            return spark.createDataFrame([], T.StructType(fields))
         df = spark.read.parquet(os.path.join(self.export_dir, "current"))
         return df.drop(_BUCKET_COL) if drop_bucket else df
 

@@ -244,3 +244,17 @@ def test_cli_export_round_trip(spark, pair, capsys):
     assert out["refresh"]["mode"] == "full"
     assert out["applied"] == sink.current_snapshot_id
     assert out["files"] and all(os.path.exists(f) for f in out["files"])
+
+
+def test_empty_live_state_exports_and_reads_back_empty(spark, pair):
+    sink, exp = pair
+    sink.merge(
+        _env(spark, [("U", "c1", "t1", 1), ("D", "c1", None, 2)]),
+        batch_token="b0",
+    )
+    out = exp.refresh(spark)
+    assert out["mode"] == "full"
+    df = exp.read(spark)  # no files to infer from: schema off the manifest
+    assert df.count() == 0
+    assert set(df.columns) == {"conv_id", "text", "ts"}
+    assert exp.current_files() == []
