@@ -34,7 +34,10 @@ outbox never holds duplicate batches.
 Scale shape: each refresh is O(rows changed in range) -- the feed is
 bucket-pruned and key-restricted upstream -- and the encode is pure
 codegen (``to_json`` over struct columns); file count per batch follows
-the feed's partitioning (``files_per_batch`` caps it for small ranges).
+the feed's partitioning (``files_per_batch`` caps it -- the default of 1
+fits the steady-state tail where each range is small; pass ``None`` for
+a big backfill/first publish so the encode parallelizes and the batch
+lands as one file per task).
 """
 
 from __future__ import annotations

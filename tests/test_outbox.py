@@ -188,3 +188,15 @@ def test_cli_outbox_round_trip(spark, pair, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["refresh"]["ordinal"] == 1
     assert out["applied"] == sink.current_snapshot_id
+
+
+def test_compaction_only_range_publishes_nothing_but_advances(spark, pair):
+    sink, box = pair
+    sink.merge(_env(spark, [("U", "c1", "t1", 1)]), "b0")
+    box.refresh(spark)
+    before = sorted(os.listdir(box.data_dir()))
+    sink.compact(spark)
+    out = box.refresh(spark)
+    assert out["files"] == 0
+    assert box.last_applied() == sink.current_snapshot_id
+    assert sorted(os.listdir(box.data_dir())) == before
