@@ -484,6 +484,7 @@ def parquet_export(
     export_dir: str,
     table_dir: str | None = None,
     keep_versions: int = 2,
+    delta_log: bool = False,
 ):
     """Incrementally-maintained PLAIN-PARQUET serving copy of a table's
     live state (the Delta symlink-manifest analog for engine-less
@@ -499,7 +500,8 @@ def parquet_export(
     if table_dir is None:
         return ParquetExportView.load(export_dir, keep_versions=keep_versions)
     return ParquetExportView(
-        export_dir, LocalSnapshotSink(table_dir), keep_versions=keep_versions
+        export_dir, LocalSnapshotSink(table_dir), keep_versions=keep_versions,
+        delta_log=delta_log,
     )
 
 

@@ -437,6 +437,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="stop --follow after this many seconds")
     p.add_argument("--keep-versions", type=int, default=2,
                    help="published versions retained for in-flight readers")
+    p.add_argument("--delta-log", action="store_true",
+                   help="with --create: also write a Delta Lake "
+                        "transaction log so external Delta readers "
+                        "consume the export directly")
     p.add_argument("--files", action="store_true",
                    help="print the current published file set")
     p.add_argument("--cores", type=int, default=4)
@@ -1120,7 +1124,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.create:
             view = ParquetExportView(
                 args.export_dir, LocalSnapshotSink(args.create),
-                keep_versions=args.keep_versions,
+                keep_versions=args.keep_versions, delta_log=args.delta_log,
             )
         else:
             view = ParquetExportView.load(

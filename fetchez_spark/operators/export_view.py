@@ -87,7 +87,15 @@ class ParquetExportView(IncrementalView):
 
     PIN_PREFIX = "export"
 
-    def __init__(self, export_dir: str, source, keep_versions: int = 2) -> None:
+    def __init__(
+        self,
+        export_dir: str,
+        source,
+        keep_versions: int = 2,
+        delta_log: bool = False,
+    ) -> None:
+        import uuid
+
         self.export_dir = os.path.abspath(export_dir)
         self.source = source
         self.keep_versions = max(1, int(keep_versions))
@@ -98,16 +106,38 @@ class ParquetExportView(IncrementalView):
         def_path = os.path.join(self.export_dir, _META, _DEF)
         if os.path.exists(def_path):
             with open(def_path) as f:
-                recorded = json.load(f)["source_dir"]
-            if os.path.abspath(recorded) != os.path.abspath(source.table_dir):
+                d = json.load(f)
+            if os.path.abspath(d["source_dir"]) != os.path.abspath(
+                source.table_dir
+            ):
                 raise ValueError(
-                    f"{export_dir} exports {recorded!r}; refusing the "
+                    f"{export_dir} exports {d['source_dir']!r}; refusing the "
                     f"conflicting source {source.table_dir!r}"
                 )
+            if bool(d.get("delta_log", False)) != bool(delta_log) and delta_log:
+                # turning the log ON mid-life would need a backfill of
+                # every prior version; require a fresh export dir instead
+                raise ValueError(
+                    f"{export_dir} was created without a Delta log; "
+                    "create a fresh export dir with delta_log=True"
+                )
+            self.delta_log = bool(d.get("delta_log", False))
+            self._delta_id = d.get("delta_id")
         else:
+            self.delta_log = bool(delta_log)
+            self._delta_id = str(uuid.uuid4()) if delta_log else None
             _atomic_write(
-                def_path, json.dumps({"source_dir": os.path.abspath(source.table_dir)})
+                def_path,
+                json.dumps(
+                    {
+                        "source_dir": os.path.abspath(source.table_dir),
+                        "delta_log": self.delta_log,
+                        "delta_id": self._delta_id,
+                    }
+                ),
             )
+        if self.delta_log:
+            os.makedirs(os.path.join(self.export_dir, "_delta_log"), exist_ok=True)
 
     # -------------------------------------------------------------- loading
     @classmethod
@@ -255,6 +285,102 @@ class ParquetExportView(IncrementalView):
                     ignore_errors=True,
                 )
 
+    # ----------------------------------------------------------- delta log
+    def _delta_schema_string(self, schema_pairs: list) -> str:
+        """Delta's ``schemaString`` is the Spark StructType JSON -- payload
+        columns plus the partition column (partition columns are part of
+        the Delta schema even though the parquet files omit them)."""
+        fields = [
+            {"name": name, "type": json.loads(tj), "nullable": True, "metadata": {}}
+            for name, tj in schema_pairs
+        ]
+        fields.append(
+            {"name": _BUCKET_COL, "type": "integer", "nullable": True, "metadata": {}}
+        )
+        return json.dumps({"type": "struct", "fields": fields})
+
+    def _delta_commit(
+        self, n: int, manifest: dict, prev: dict | None, touched
+    ) -> int:
+        """Write Delta commit ``n - 1`` into ``_delta_log/`` (the public
+        Delta transaction-log protocol, pure JSON): version 0 carries
+        protocol + metaData, every version replaces the full add set
+        (paths are version-dir-scoped), with ``dataChange=false`` on
+        hardlink-carried buckets so a streaming Delta reader reprocesses
+        only genuinely rewritten data.  Retention note: ``keep_versions``
+        pruning removes OLD version dirs, so Delta time travel reaches
+        back exactly that far (the post-VACUUM contract); the latest
+        version is always fully readable.  Single-writer (the export
+        refresh lock): a crash between this write and the publish is
+        retried by overwriting the same version file."""
+        ver = n - 1
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = []
+        if ver == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+        if prev is None or prev.get("schema") != manifest["schema"]:
+            actions.append(
+                {
+                    "metaData": {
+                        "id": self._delta_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": self._delta_schema_string(
+                            manifest["schema"]
+                        ),
+                        "partitionColumns": [_BUCKET_COL],
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        twr = {str(b) for b in touched} if touched is not None else None
+        if prev is not None:
+            for b, files in prev["buckets"].items():
+                dc = twr is None or b in twr
+                for rel in files:
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": f"data/{prev['vname']}/{rel}",
+                                "deletionTimestamp": now_ms,
+                                "dataChange": dc,
+                                "partitionValues": {_BUCKET_COL: b},
+                            }
+                        }
+                    )
+        for b, files in manifest["buckets"].items():
+            dc = twr is None or b in twr
+            for rel in files:
+                fp = os.path.join(self.export_dir, "data", manifest["vname"], rel)
+                actions.append(
+                    {
+                        "add": {
+                            "path": f"data/{manifest['vname']}/{rel}",
+                            "partitionValues": {_BUCKET_COL: b},
+                            "size": os.path.getsize(fp),
+                            "modificationTime": now_ms,
+                            "dataChange": dc,
+                        }
+                    }
+                )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": manifest["mode"]},
+                    "engineInfo": "fetchez_spark ParquetExportView",
+                }
+            }
+        )
+        _atomic_write(
+            os.path.join(self.export_dir, "_delta_log", f"{ver:020d}.json"),
+            "".join(json.dumps(a) + "\n" for a in actions),
+        )
+        return ver
+
     # ------------------------------------------------------------- refresh
     def _refresh(self, spark: SparkSession) -> dict[str, Any]:
         """Advance the export to the source's current snapshot.  Single
@@ -355,15 +481,18 @@ class ParquetExportView(IncrementalView):
             "mode": mode,
             "published_at": time.time(),
         }
-        self._publish(vname, manifest)
-        self._prune(n)
-        return {
+        out = {
             "from": frm,
             "to": to,
             "mode": mode,
             "version": n,
             "buckets_written": nb if touched is None else len(touched),
         }
+        if self.delta_log:
+            out["delta_version"] = self._delta_commit(n, manifest, cur, touched)
+        self._publish(vname, manifest)
+        self._prune(n)
+        return out
 
     # ------------------------------------------------------------- reading
     def read(self, spark: SparkSession, drop_bucket: bool = True) -> DataFrame:

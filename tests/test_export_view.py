@@ -258,3 +258,126 @@ def test_empty_live_state_exports_and_reads_back_empty(spark, pair):
     assert df.count() == 0
     assert set(df.columns) == {"conv_id", "text", "ts"}
     assert exp.current_files() == []
+
+
+# --------------------------------------------------- Delta transaction log
+
+def _delta_replay(root):
+    """Independent pure-python replay of the public Delta log protocol:
+    apply add/remove in version order, return (protocol, metaData,
+    {path: add})."""
+    logdir = os.path.join(root, "_delta_log")
+    live, meta, proto = {}, None, None
+    for fname in sorted(os.listdir(logdir)):
+        if not fname.endswith(".json"):
+            continue
+        with open(os.path.join(logdir, fname)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+                elif "metaData" in a:
+                    meta = a["metaData"]
+                elif "protocol" in a:
+                    proto = a["protocol"]
+    return proto, meta, live
+
+
+@pytest.fixture()
+def dpair(spark, tmp_path):
+    sink = LocalSnapshotSink(
+        str(tmp_path / "table"), num_buckets=4, key=["conv_id"],
+        base_schema=PAYLOAD, compact_every=10**9,
+    )
+    exp = ParquetExportView(str(tmp_path / "exp"), sink, delta_log=True)
+    return sink, exp
+
+
+def test_delta_log_replay_matches_published_state(spark, dpair):
+    sink, exp = dpair
+    sink.merge(
+        _env(spark, [("U", f"c{i}", f"t{i}", i) for i in range(20)]),
+        batch_token="b0",
+    )
+    out = exp.refresh(spark)
+    assert out["delta_version"] == 0
+    sink.merge(_env(spark, [("U", "c3", "t3x", 100), ("D", "c4", None, 101)]),
+               batch_token="b1")
+    out = exp.refresh(spark)
+    assert out["delta_version"] == 1
+
+    proto, meta, live = _delta_replay(exp.export_dir)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    schema = json.loads(meta["schemaString"])
+    assert [f["name"] for f in schema["fields"]] == [
+        "conv_id", "text", "ts", "_fz_bucket",
+    ]
+    assert meta["partitionColumns"] == ["_fz_bucket"]
+    # the live file set IS the current published set
+    cur_files = {
+        os.path.relpath(f, exp.export_dir) for f in exp.current_files()
+    }
+    assert set(live) == cur_files
+    for path, add in live.items():
+        full = os.path.join(exp.export_dir, path)
+        assert os.path.getsize(full) == add["size"]
+        assert f"_fz_bucket={add['partitionValues']['_fz_bucket']}" in path
+    # a Delta reader's view: read each add with its partition value attached
+    dfs = None
+    for path, add in live.items():
+        part = spark.read.parquet(os.path.join(exp.export_dir, path)).withColumn(
+            "_fz_bucket", F.lit(int(add["partitionValues"]["_fz_bucket"]))
+        )
+        dfs = part if dfs is None else dfs.unionByName(part)
+    got = {(r["conv_id"], r["text"]) for r in dfs.collect()}
+    want = {
+        (r["conv_id"], r["text"])
+        for r in sink.read(spark).select("conv_id", "text").collect()
+    }
+    assert got == want
+
+
+def test_delta_datachange_false_on_carried_buckets(spark, dpair):
+    sink, exp = dpair
+    sink.merge(
+        _env(spark, [("U", f"c{i}", f"t{i}", i) for i in range(20)]),
+        batch_token="b0",
+    )
+    exp.refresh(spark)
+    sink.merge(_env(spark, [("U", "c3", "t3x", 100)]), batch_token="b1")
+    exp.refresh(spark)
+    with open(os.path.join(exp.export_dir, "_delta_log",
+                           f"{1:020d}.json")) as fh:
+        adds = [json.loads(l)["add"] for l in fh if '"add"' in l]
+    flags = {a["dataChange"] for a in adds}
+    assert flags == {True, False}, "carried buckets must be dataChange=false"
+
+
+def test_delta_schema_evolution_emits_new_metadata(spark, dpair):
+    sink, exp = dpair
+    sink.merge(_env(spark, [("U", "c1", "t1", 1)]), batch_token="b0")
+    exp.refresh(spark)
+    sink.merge(
+        _env(spark, [("U", "c2", "t2", 2)]).withColumn("tool", F.lit("x")),
+        batch_token="b1",
+    )
+    exp.refresh(spark)
+    with open(os.path.join(exp.export_dir, "_delta_log",
+                           f"{1:020d}.json")) as fh:
+        metas = [json.loads(l)["metaData"] for l in fh if '"metaData"' in l]
+    assert len(metas) == 1
+    assert "tool" in [f["name"] for f in json.loads(metas[0]["schemaString"])["fields"]]
+
+
+def test_delta_flag_conflicts_and_load_adopts(spark, dpair, tmp_path):
+    sink, exp = dpair
+    sink.merge(_env(spark, [("U", "c1", "t1", 1)]), batch_token="b0")
+    exp.refresh(spark)
+    again = ParquetExportView.load(exp.export_dir)
+    assert again.delta_log and again._delta_id == exp._delta_id
+    plain = ParquetExportView(str(tmp_path / "plain"), sink)
+    with pytest.raises(ValueError, match="without a Delta log"):
+        ParquetExportView(str(tmp_path / "plain"), sink, delta_log=True)
+    assert not plain.delta_log
