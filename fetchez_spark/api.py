@@ -485,6 +485,7 @@ def parquet_export(
     table_dir: str | None = None,
     keep_versions: int = 2,
     delta_log: bool = False,
+    parquet_codec: str | None = None,
 ):
     """Incrementally-maintained PLAIN-PARQUET serving copy of a table's
     live state (the Delta symlink-manifest analog for engine-less
@@ -501,7 +502,7 @@ def parquet_export(
         return ParquetExportView.load(export_dir, keep_versions=keep_versions)
     return ParquetExportView(
         export_dir, LocalSnapshotSink(table_dir), keep_versions=keep_versions,
-        delta_log=delta_log,
+        delta_log=delta_log, parquet_codec=parquet_codec,
     )
 
 

@@ -441,6 +441,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --create: also write a Delta Lake "
                         "transaction log so external Delta readers "
                         "consume the export directly")
+    p.add_argument("--codec", default=None,
+                   help="parquet compression for published files (e.g. "
+                        "zstd; default snappy)")
     p.add_argument("--files", action="store_true",
                    help="print the current published file set")
     p.add_argument("--cores", type=int, default=4)
@@ -1125,6 +1128,7 @@ def main(argv: list[str] | None = None) -> int:
             view = ParquetExportView(
                 args.export_dir, LocalSnapshotSink(args.create),
                 keep_versions=args.keep_versions, delta_log=args.delta_log,
+                parquet_codec=args.codec,
             )
         else:
             view = ParquetExportView.load(

@@ -93,12 +93,18 @@ class ParquetExportView(IncrementalView):
         source,
         keep_versions: int = 2,
         delta_log: bool = False,
+        parquet_codec: str | None = None,
     ) -> None:
         import uuid
 
         self.export_dir = os.path.abspath(export_dir)
         self.source = source
         self.keep_versions = max(1, int(keep_versions))
+        # None = session default (snappy); zstd roughly halves the
+        # published bytes at a few % CPU -- the right trade when the
+        # export ships over a network (same finding as the shuffle-codec
+        # ladder in BENCH/BASELINE.md)
+        self.parquet_codec = parquet_codec
         # RetentionPinMixin derives the consumer name from store.table_dir
         self.store = SimpleNamespace(table_dir=self.export_dir)
         os.makedirs(os.path.join(self.export_dir, _META), exist_ok=True)
@@ -441,12 +447,14 @@ class ParquetExportView(IncrementalView):
             nb if touched is None else len(touched),
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
         )
-        (
+        writer = (
             state.repartition(max(1, parts), F.col(_BUCKET_COL))
             .write.partitionBy(_BUCKET_COL)
             .mode("error")
-            .parquet(data_dir)
         )
+        if self.parquet_codec:
+            writer = writer.option("compression", self.parquet_codec)
+        writer.parquet(data_dir)
         buckets_out = self._bucket_files(data_dir)
 
         if touched is not None:

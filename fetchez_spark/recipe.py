@@ -300,26 +300,36 @@ class Recipe:
 
         cfg = self.config
         run_cfg = cfg.get("run") or {}
-        view_cfg = cfg.get("view") or {}
-        kind = view_cfg.get("kind")
-        if kind not in self._FOLLOW_KINDS:
-            raise ValueError(
-                f"run mode `follow` needs view.kind in "
-                f"{sorted(self._FOLLOW_KINDS)}; got {kind!r}"
+        specs = cfg.get("views")
+        if specs is None:
+            specs = [cfg.get("view") or {}]
+        if not isinstance(specs, list) or not specs:
+            raise ValueError("run mode `follow` needs a view: or views: section")
+
+        views, infos = [], []
+        for vc in specs:
+            kind = (vc or {}).get("kind")
+            if kind not in self._FOLLOW_KINDS:
+                raise ValueError(
+                    f"run mode `follow` needs view.kind in "
+                    f"{sorted(self._FOLLOW_KINDS)}; got {kind!r}"
+                )
+            if not vc.get("store_dir"):
+                raise ValueError("run mode `follow` needs view.store_dir")
+            store_dir = self._resolve_path(vc["store_dir"])
+            mod, cls_name = self._FOLLOW_KINDS[kind]
+            view = getattr(importlib.import_module(mod), cls_name).load(store_dir)
+            views.append(view)
+            infos.append(
+                {"kind": kind, "store_dir": store_dir,
+                 "upstream": view.source.table_dir}
             )
-        if not view_cfg.get("store_dir"):
-            raise ValueError("run mode `follow` needs view.store_dir")
-        store_dir = self._resolve_path(view_cfg["store_dir"])
-        mod, cls_name = self._FOLLOW_KINDS[kind]
-        view = getattr(importlib.import_module(mod), cls_name).load(store_dir)
-        out = {
-            "mode": "follow",
-            "kind": kind,
-            "store_dir": store_dir,
-            "upstream": view.source.table_dir,
-        }
+        one = len(views) == 1
+        out: dict[str, Any] = {"mode": "follow"}
+        out.update(infos[0] if one else {"views": infos})
         if dry_run:
-            return {**out, "applied": view.last_applied()}
+            applied = [v.last_applied() for v in views]
+            return {**out, "applied": applied[0] if one else applied}
         if spark is None:
             execution = cfg.get("execution", {})
             spark = get_spark(
@@ -329,14 +339,36 @@ class Recipe:
                 ),
                 shuffle_partitions=execution.get("shuffle_partitions"),
             )
-        refreshes = list(
-            view.follow(
-                spark,
-                poll_seconds=run_cfg.get("poll_seconds", 2.0),
-                timeout_seconds=run_cfg.get("timeout_sec", 3600),
+        poll = run_cfg.get("poll_seconds", 2.0)
+        timeout = run_cfg.get("timeout_sec", 3600)
+        if one:
+            refreshes = list(
+                views[0].follow(spark, poll_seconds=poll, timeout_seconds=timeout)
             )
-        )
-        return {**out, "refreshes": refreshes, "applied": view.last_applied()}
+            return {
+                **out, "refreshes": refreshes, "applied": views[0].last_applied()
+            }
+        # N views, ONE daemon loop (the realistic deployment: a table's
+        # whole derived family — views, mirror, export, outbox — kept
+        # current by a single poller; sources may even differ per view)
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        refreshes: list[dict] = []
+        while _time.monotonic() < deadline:
+            advanced = False
+            for v, info in zip(views, infos):
+                if v.source.current_snapshot_id != v.last_applied():
+                    r = v.refresh(spark)
+                    refreshes.append({**info, **r})
+                    advanced = True
+            if not advanced:
+                _time.sleep(poll)
+        return {
+            **out,
+            "refreshes": refreshes,
+            "applied": [v.last_applied() for v in views],
+        }
 
     def run(self, spark=None, dry_run: bool = False) -> dict[str, Any]:
         from fetchez_spark.streaming.engine import replay_batches, run_stream

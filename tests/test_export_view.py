@@ -381,3 +381,32 @@ def test_delta_flag_conflicts_and_load_adopts(spark, dpair, tmp_path):
     with pytest.raises(ValueError, match="without a Delta log"):
         ParquetExportView(str(tmp_path / "plain"), sink, delta_log=True)
     assert not plain.delta_log
+
+
+def test_zstd_codec_and_multi_view_follow_recipe(spark, pair, tmp_path):
+    from fetchez_spark.operators.outbox import ChangeOutbox
+    from fetchez_spark.recipe import Recipe
+
+    sink, _ = pair
+    exp = ParquetExportView(str(tmp_path / "zexp"), sink, parquet_codec="zstd")
+    box = ChangeOutbox(str(tmp_path / "box"), sink)
+    sink.merge(_env(spark, [("U", "c1", "t1", 1)]), batch_token="b0")
+    exp.refresh(spark)
+    box.refresh(spark)
+    assert all(".zstd." in f for f in exp.current_files())  # codec applied
+    # zstd parquet reads back fine
+    assert exp.read(spark).count() == 1
+    sink.merge(_env(spark, [("U", "c2", "t2", 2)]), batch_token="b1")
+    out = Recipe(
+        {
+            "views": [
+                {"kind": "export", "store_dir": exp.export_dir},
+                {"kind": "outbox", "store_dir": box.outbox_dir},
+            ],
+            "run": {"mode": "follow", "poll_seconds": 0.2, "timeout_sec": 3},
+        }
+    ).run(spark)
+    kinds = {r["kind"] for r in out["refreshes"]}
+    assert kinds == {"export", "outbox"}
+    assert out["applied"] == [sink.current_snapshot_id] * 2
+    assert _state(spark, exp) == {("c1", "t1"), ("c2", "t2")}
