@@ -499,6 +499,12 @@ def parquet_export(
     from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
     if table_dir is None:
+        if delta_log or parquet_codec is not None:
+            raise ValueError(
+                "re-opening an export adopts its persisted definition; "
+                "delta_log/parquet_codec only apply with table_dir "
+                "(at creation)"
+            )
         return ParquetExportView.load(export_dir, keep_versions=keep_versions)
     return ParquetExportView(
         export_dir, LocalSnapshotSink(table_dir), keep_versions=keep_versions,
@@ -523,7 +529,20 @@ def change_outbox(
     from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
     if table_dir is None:
-        return ChangeOutbox.load(outbox_dir)
+        box = ChangeOutbox.load(outbox_dir)
+        # a conflicting re-open request must fail like the constructor
+        # does, not silently publish the persisted format
+        if format != "debezium" and format != box.format:
+            raise ValueError(
+                f"{outbox_dir} publishes format {box.format!r}; refusing "
+                f"the conflicting {format!r}"
+            )
+        if source_name is not None and source_name != box.source_name:
+            raise ValueError(
+                f"{outbox_dir} publishes source_name {box.source_name!r}; "
+                f"refusing the conflicting {source_name!r}"
+            )
+        return box
     return ChangeOutbox(
         outbox_dir, LocalSnapshotSink(table_dir), format=format,
         source_name=source_name,

@@ -1105,6 +1105,10 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             box = ChangeOutbox.load(args.outbox_dir)
+            if args.format != "debezium" and args.format != box.format:
+                print(f"outbox publishes format {box.format!r}; --format "
+                      "only applies with --create", file=sys.stderr)
+                return 1
         out = {"outbox": args.outbox_dir, "upstream": box.source.table_dir,
                "format": box.format}
         if args.follow is not None:
@@ -1131,6 +1135,11 @@ def main(argv: list[str] | None = None) -> int:
                 parquet_codec=args.codec,
             )
         else:
+            if args.delta_log or args.codec:
+                print("--delta-log/--codec only apply with --create "
+                      "(re-opens adopt the persisted definition)",
+                      file=sys.stderr)
+                return 1
             view = ParquetExportView.load(
                 args.export_dir, keep_versions=args.keep_versions
             )

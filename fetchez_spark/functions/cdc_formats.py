@@ -567,7 +567,13 @@ def unwrap_connect(df: DataFrame, expect_name: str | None = None) -> DataFrame:
             "parse with connect_envelope_schema(...) first"
         )
     rows = df.filter(F.col("payload").isNotNull())
-    if expect_name is not None and "schema" in df.columns:
+    if expect_name is not None:
+        if "schema" not in df.columns:
+            raise TypeError(
+                "expect_name needs the 'schema' descriptor column "
+                f"(columns: {df.columns}); a frame without it cannot "
+                "honor the multi-topic guard"
+            )
         rows = rows.filter(
             F.col("schema").getField("name") == F.lit(expect_name)
         )

@@ -37,8 +37,21 @@ __all__ = [
     "snap_num",
     "snap_ts_lit",
     "ord_ts_lit",
+    "atomic_write",
     "IncrementalView",
 ]
+
+
+def atomic_write(path: str, text: str) -> None:
+    """tmp + fsync + rename: the single-file atomic-publish primitive the
+    non-sink view stores (parquet export, outbox) build their metadata
+    swaps from."""
+    tmp = f"{path}.tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.rename(tmp, path)
 
 
 def snap_num(snapshot_id: str) -> int:

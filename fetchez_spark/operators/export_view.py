@@ -64,22 +64,17 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fetchez_spark.operators._incview import ROOT_SNAPSHOT, IncrementalView
+from fetchez_spark.operators._incview import (
+    ROOT_SNAPSHOT,
+    IncrementalView,
+    atomic_write as _atomic_write,
+)
 
 _LOG = logging.getLogger("fetchez_spark.export_view")
 
 _BUCKET_COL = "_fz_bucket"
 _META = "_export"
 _DEF = "DEF.json"
-
-
-def _atomic_write(path: str, text: str) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        f.write(text)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, path)
 
 
 class ParquetExportView(IncrementalView):
@@ -129,6 +124,17 @@ class ParquetExportView(IncrementalView):
                 )
             self.delta_log = bool(d.get("delta_log", False))
             self._delta_id = d.get("delta_id")
+            # the codec is part of the persisted definition: a cron
+            # re-open must keep publishing what --create chose, and an
+            # explicit conflicting value must not be silently ignored
+            recorded_codec = d.get("parquet_codec")
+            if parquet_codec is not None and parquet_codec != recorded_codec:
+                raise ValueError(
+                    f"{export_dir} publishes parquet_codec="
+                    f"{recorded_codec!r}; refusing the conflicting "
+                    f"{parquet_codec!r} (recreate the export to change it)"
+                )
+            self.parquet_codec = recorded_codec
         else:
             self.delta_log = bool(delta_log)
             self._delta_id = str(uuid.uuid4()) if delta_log else None
@@ -139,6 +145,7 @@ class ParquetExportView(IncrementalView):
                         "source_dir": os.path.abspath(source.table_dir),
                         "delta_log": self.delta_log,
                         "delta_id": self._delta_id,
+                        "parquet_codec": parquet_codec,
                     }
                 ),
             )
@@ -208,11 +215,11 @@ class ParquetExportView(IncrementalView):
         rows = src._read_files(
             spark, sorted(set(added)), schema, imported=src._imported_set(m_to)
         )
+        # the sink's OWN bucket expression (raw files speak physical
+        # names): one source of truth for the bucket assignment
         return sorted(
             r[0]
-            for r in rows.select(
-                F.pmod(F.hash(F.col(src.key[0])), F.lit(nb)).alias("b")
-            )
+            for r in rows.select(src._bucket_expr(nb).alias("b"))
             .distinct()
             .collect()
         )
@@ -226,6 +233,9 @@ class ParquetExportView(IncrementalView):
         m = self.source.manifest(to)
         lmap = m.get("logical_names") or {}
         lkey0 = lmap.get(self.source.key[0], self.source.key[0])
+        # LocalSnapshotSink._bucket_expr in LOGICAL name space (read()
+        # returns logical names; the hash is over the same values either
+        # way) -- must stay in lockstep with the sink's expression
         return df.withColumn(
             _BUCKET_COL,
             F.pmod(F.hash(F.col(lkey0)), F.lit(int(m["num_buckets"]))).cast("int"),

@@ -22,14 +22,18 @@ Layout::
     data/batch-<ordinal>-<k>.jsonl   # the wire bytes, one JSON per line
 
 Delivery contract -- the honest CDC one: files appear ATOMICALLY (Spark
-writes to a tmp dir, each part renames in), but a crash between publish
-and the STATE swap re-publishes the same range on the next refresh, so
-delivery is AT-LEAST-ONCE at file grain with exactly-once EFFECT for
-LWW consumers (the re-published events are identical -- same (ts, seq),
-same images; replaying them through any of this engine's decode paths
-is a no-op).  Debezium/Kafka make the same promise.  Leftover files of
-an unpublished ordinal are removed before the rewrite, so a completed
-outbox never holds duplicate batches.
+writes to a tmp dir, each part renames in) and a published FILENAME IS
+NEVER REUSED OR DELETED.  A crash between publish and the STATE swap
+re-publishes the same range under a fresh attempt id
+(``batch-<ordinal>-a<attempt>-<k>.jsonl``) while the crashed attempt's
+partial files stay in place -- a consumer that already ingested them
+re-receives those events under the new names, so delivery is
+AT-LEAST-ONCE with exactly-once EFFECT for LWW consumers (the
+re-published events are identical -- same (ts, seq), same images;
+replaying them through any of this engine's decode paths is a no-op),
+and a filename-keyed consumer (Spark's file source dedups by name) can
+never MISS rows to a rewrite: nothing it has seen ever changes or
+vanishes.  Debezium/Kafka make the same promise.
 
 Scale shape: each refresh is O(rows changed in range) -- the feed is
 bucket-pruned and key-restricted upstream -- and the encode is pure
@@ -52,7 +56,11 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fetchez_spark.operators._incview import ROOT_SNAPSHOT, IncrementalView
+from fetchez_spark.operators._incview import (
+    ROOT_SNAPSHOT,
+    IncrementalView,
+    atomic_write as _atomic_write,
+)
 
 _LOG = logging.getLogger("fetchez_spark.outbox")
 
@@ -61,15 +69,6 @@ _FORMATS = ("debezium", "maxwell", "typed")
 # to_json/from_json default to millisecond precision; the engine's event
 # times are microsecond-grained and the (ts, seq) LWW order depends on it
 _TS_FMT = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
-
-
-def _atomic_write(path: str, text: str) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        f.write(text)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, path)
 
 
 class ChangeOutbox(IncrementalView):
@@ -176,12 +175,39 @@ class ChangeOutbox(IncrementalView):
         if frm == to:
             return {"from": frm, "to": to, "skipped": True}
         n_ord = int(st["ordinal"]) + 1
+        # INTENT pin: a crashed attempt may have published part of its
+        # range; a retry against a LATER head would compute a DIFFERENT
+        # net feed (a key inserted in the old range and deleted after it
+        # nets out of the wider range -- the stale insert would never be
+        # countermanded downstream).  Record the attempted `to` before
+        # writing anything and finish exactly that range on retry; the
+        # next refresh then picks up from there.
+        intent_path = os.path.join(self.outbox_dir, _META, "INTENT.json")
+        intent = None
+        if os.path.exists(intent_path):
+            with open(intent_path) as f:
+                intent = json.load(f)
+        if intent and intent.get("ordinal") == n_ord:
+            to = intent["to"]
+        else:
+            _atomic_write(
+                intent_path, json.dumps({"ordinal": n_ord, "to": to})
+            )
         data = os.path.join(self.outbox_dir, "data")
-        # crash leftovers of this unpublished ordinal: remove before the
-        # rewrite so a completed outbox never holds duplicate batches
+        # crash leftovers of this unpublished ordinal stay in place (a
+        # consumer may have ingested them; published names are never
+        # reused or deleted) -- this attempt publishes under the next
+        # attempt id, duplicating their events at worst (LWW-safe)
+        prefix = f"batch-{n_ord:08d}-"
+        attempt = 0
         for f in os.listdir(data):
-            if f.startswith(f"batch-{n_ord:08d}-"):
-                os.remove(os.path.join(data, f))
+            if not f.startswith(prefix):
+                continue
+            seg = f[len(prefix):].split("-", 1)[0]
+            if seg.startswith("a") and seg[1:].isdigit():
+                attempt = max(attempt, int(seg[1:]) + 1)
+            else:
+                attempt = max(attempt, 1)
         feed = src.change_feed(spark, frm, to, include_pre_image=True)
         out = self._encode(feed)
         if self.files_per_batch:
@@ -196,7 +222,9 @@ class ChangeOutbox(IncrementalView):
         for k, f in enumerate(parts):
             os.rename(
                 os.path.join(tmp, f),
-                os.path.join(data, f"batch-{n_ord:08d}-{k:05d}.jsonl"),
+                os.path.join(
+                    data, f"batch-{n_ord:08d}-a{attempt:02d}-{k:05d}.jsonl"
+                ),
             )
         shutil.rmtree(tmp, ignore_errors=True)
         _atomic_write(

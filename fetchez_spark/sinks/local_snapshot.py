@@ -2414,9 +2414,13 @@ class LocalSnapshotSink(SnapshotSink):
             if self.is_committed(token):
                 out["skipped_committed"] += 1
             else:
-                n = rows.count()
-                self.merge(rows, batch_token=token)
-                out["requeued_rows"] += n
+                res = self.merge(rows, batch_token=token)
+                # the merge's own Observation already counted the batch;
+                # fall back to one count job only when metrics are off
+                n = res.get("rows_in")
+                out["requeued_rows"] += int(
+                    n if n is not None else rows.count()
+                )
                 out["batches"] += 1
             shutil.rmtree(qdir)
         out["still_quarantined"] = (

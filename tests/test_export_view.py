@@ -410,3 +410,17 @@ def test_zstd_codec_and_multi_view_follow_recipe(spark, pair, tmp_path):
     assert kinds == {"export", "outbox"}
     assert out["applied"] == [sink.current_snapshot_id] * 2
     assert _state(spark, exp) == {("c1", "t1"), ("c2", "t2")}
+
+
+def test_codec_persists_through_load_and_conflicts_are_loud(spark, pair, tmp_path):
+    sink, _ = pair
+    exp = ParquetExportView(str(tmp_path / "zx"), sink, parquet_codec="zstd")
+    sink.merge(_env(spark, [("U", "c1", "t1", 1)]), batch_token="b0")
+    exp.refresh(spark)
+    again = ParquetExportView.load(str(tmp_path / "zx"))
+    assert again.parquet_codec == "zstd"  # cron re-open keeps publishing zstd
+    sink.merge(_env(spark, [("U", "c2", "t2", 2)]), batch_token="b1")
+    again.refresh(spark)
+    assert all(".zstd." in f for f in again.current_files())
+    with pytest.raises(ValueError, match="conflicting 'gzip'"):
+        ParquetExportView(str(tmp_path / "zx"), sink, parquet_codec="gzip")

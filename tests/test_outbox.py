@@ -75,17 +75,40 @@ def test_publish_emits_envelopes_and_advances_cursor(spark, pair):
     assert upd["before"]["text"] == "t1" and upd["after"]["text"] == "t1x"
 
 
-def test_crash_leftovers_of_unpublished_ordinal_are_replaced(spark, pair):
+def test_crashed_attempt_superseded_without_reusing_or_deleting_names(
+    spark, pair
+):
+    """A crashed attempt's files stay (a consumer may have ingested
+    them), the retry publishes the SAME pinned range under a fresh
+    attempt id, and commits that landed meanwhile go to the NEXT
+    ordinal -- so a stale published insert can never be silently netted
+    out of a widened range."""
     sink, box = pair
     sink.merge(_env(spark, [("U", "c1", "t1", 1)]), "b0")
-    # simulate a crash: files of ordinal 1 landed but STATE never swapped
-    junk = os.path.join(box.data_dir(), "batch-00000001-99999.jsonl")
-    with open(junk, "w") as f:
-        f.write('{"stale": true}\n')
+    pinned_to = sink.current_snapshot_id
+    # simulate the crash: partial attempt-a00 file + INTENT landed, STATE
+    # never swapped
+    stale = os.path.join(box.data_dir(), "batch-00000001-a00-00000.jsonl")
+    with open(stale, "w") as f:
+        f.write('{"marker": "stale-attempt"}\n')
+    with open(os.path.join(box.outbox_dir, "_outbox", "INTENT.json"), "w") as f:
+        json.dump({"ordinal": 1, "to": pinned_to}, f)
+    # a commit lands BETWEEN the crash and the retry
+    sink.merge(_env(spark, [("U", "c2", "t2", 2)]), "b1")
     out = box.refresh(spark)
-    assert out["ordinal"] == 1
-    assert not os.path.exists(junk)
-    assert all("stale" not in r for r in _lines(box))
+    assert out["ordinal"] == 1 and out["to"] == pinned_to  # range pinned
+    assert os.path.exists(stale)  # published names never deleted
+    fresh = [
+        f for f in os.listdir(box.data_dir())
+        if f.startswith("batch-00000001-a01-")
+    ]
+    assert fresh, "retry must publish under a fresh attempt id"
+    for f in fresh:
+        with open(os.path.join(box.data_dir(), f)) as fh:
+            recs = [json.loads(l) for l in fh]
+        assert {r["after"]["conv_id"] for r in recs} == {"c1"}  # not c2
+    out2 = box.refresh(spark)  # the meanwhile-commit publishes next
+    assert out2["ordinal"] == 2 and out2["to"] == sink.current_snapshot_id
 
 
 def test_conflicting_source_or_format_refused_and_load(spark, pair, tmp_path):
