@@ -446,6 +446,9 @@ def main(argv: list[str] | None = None) -> int:
                         "zstd; default snappy)")
     p.add_argument("--files", action="store_true",
                    help="print the current published file set")
+    p.add_argument("--fsck", action="store_true",
+                   help="read-only integrity check of the export dir "
+                        "(manifest/symlink/delta-log consistency)")
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
         "mirror",
@@ -1154,9 +1157,11 @@ def main(argv: list[str] | None = None) -> int:
             out["refresh"] = view.refresh(spark)
         if args.files:
             out["files"] = view.current_files()
+        if args.fsck:
+            out["fsck"] = view.fsck()
         out["applied"] = view.last_applied()
         print(json.dumps(out, default=str))
-        return 0
+        return int(bool(args.fsck and out["fsck"]["errors"]))
     if args.cmd == "mirror":
         from fetchez_spark.operators.mirror import TableMirror
         from fetchez_spark.session import get_spark

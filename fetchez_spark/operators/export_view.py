@@ -532,6 +532,84 @@ class ParquetExportView(IncrementalView):
         df = spark.read.parquet(os.path.join(self.export_dir, "current"))
         return df.drop(_BUCKET_COL) if drop_bucket else df
 
+    def fsck(self) -> dict[str, list[str]]:
+        """Read-only integrity check of the export dir (the export's
+        analog of the sink's ``fsck``): the CURRENT pointer resolves to a
+        parsable version manifest, every manifest-listed file exists
+        nonzero, the ``current`` symlink targets the current version's
+        data dir, ``manifest-current.txt`` names exactly the manifest's
+        file set, and (when the Delta log is enabled) an independent
+        replay of ``_delta_log`` yields the same live file set with
+        matching sizes.  Crash debris (tmp dirs, unreferenced version
+        dirs) reports as warnings naming the reclaiming operation."""
+        errors: list[str] = []
+        warnings: list[str] = []
+        cur = self._current()
+        if cur is None:
+            return {"errors": [], "warnings": ["never published (no CURRENT)"]}
+        data_dir = os.path.join(self.export_dir, "data", cur["vname"])
+        expect = set()
+        for b, files in cur["buckets"].items():
+            for rel in files:
+                full = os.path.join(data_dir, rel)
+                expect.add(full)
+                if not os.path.exists(full):
+                    errors.append(f"missing data file: {full}")
+                elif os.path.getsize(full) == 0:
+                    errors.append(f"zero-byte data file: {full}")
+        link = os.path.join(self.export_dir, "current")
+        if cur["buckets"] and (
+            not os.path.islink(link)
+            or not os.path.samefile(os.path.realpath(link), data_dir)
+        ):
+            errors.append(
+                f"`current` symlink does not resolve to {data_dir}"
+            )
+        manifest_set = set(self.current_files())
+        if cur["buckets"] and manifest_set != expect:
+            errors.append(
+                "manifest-current.txt disagrees with the version manifest "
+                f"({len(manifest_set ^ expect)} differing paths)"
+            )
+        if self.delta_log:
+            live: dict[str, dict] = {}
+            logdir = os.path.join(self.export_dir, "_delta_log")
+            for fname in sorted(os.listdir(logdir)):
+                if not fname.endswith(".json"):
+                    continue
+                with open(os.path.join(logdir, fname)) as fh:
+                    for line in fh:
+                        a = json.loads(line)
+                        if "add" in a:
+                            live[a["add"]["path"]] = a["add"]
+                        elif "remove" in a:
+                            live.pop(a["remove"]["path"], None)
+            delta_set = {
+                os.path.join(self.export_dir, p) for p in live
+            }
+            if delta_set != expect:
+                errors.append(
+                    "_delta_log replay disagrees with the version manifest "
+                    f"({len(delta_set ^ expect)} differing paths)"
+                )
+            for p, add in live.items():
+                full = os.path.join(self.export_dir, p)
+                if os.path.exists(full) and os.path.getsize(full) != add["size"]:
+                    errors.append(f"delta add size mismatch: {p}")
+        # debris: unreferenced version dirs / leftover tmp files
+        kept = {
+            f[:-5]
+            for f in os.listdir(os.path.join(self.export_dir, _META))
+            if f.startswith("v") and f.endswith(".json")
+        }
+        for d in os.listdir(os.path.join(self.export_dir, "data")):
+            if d not in kept:
+                warnings.append(
+                    f"unreferenced version dir data/{d} (crash leftover; "
+                    "the next refresh reclaims it)"
+                )
+        return {"errors": errors, "warnings": warnings}
+
     def current_files(self) -> list[str]:
         """The published file set (absolute paths) -- exactly the
         ``manifest-current.txt`` contents."""

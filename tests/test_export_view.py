@@ -424,3 +424,36 @@ def test_codec_persists_through_load_and_conflicts_are_loud(spark, pair, tmp_pat
     assert all(".zstd." in f for f in again.current_files())
     with pytest.raises(ValueError, match="conflicting 'gzip'"):
         ParquetExportView(str(tmp_path / "zx"), sink, parquet_codec="gzip")
+
+
+def test_export_fsck_clean_and_detects_tampering(spark, pair, tmp_path):
+    sink, _ = pair
+    exp = ParquetExportView(str(tmp_path / "fx"), sink, delta_log=True)
+    sink.merge(
+        _env(spark, [("U", f"c{i}", f"t{i}", i) for i in range(8)]),
+        batch_token="b0",
+    )
+    exp.refresh(spark)
+    out = exp.fsck()
+    assert out["errors"] == [] and out["warnings"] == []
+    # crash debris is a warning, not an error
+    os.makedirs(os.path.join(exp.export_dir, "data", "v99999999"))
+    assert any("unreferenced" in w for w in exp.fsck()["warnings"])
+    # delete a published data file: missing-file AND delta-replay errors
+    victim = exp.current_files()[0]
+    os.remove(victim)
+    errs = exp.fsck()["errors"]
+    assert any("missing data file" in e for e in errs)
+
+
+def test_cli_export_fsck_exit_codes(spark, pair, capsys, tmp_path):
+    from fetchez_spark.cli import main as cli_main
+
+    sink, exp = pair
+    sink.merge(_env(spark, [("U", "c1", "t1", 1)]), batch_token="b0")
+    exp.refresh(spark)
+    assert cli_main(["export", exp.export_dir, "--fsck"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["fsck"]["errors"] == []
+    os.remove(exp.current_files()[0])
+    assert cli_main(["export", exp.export_dir, "--fsck"]) == 1
