@@ -418,6 +418,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="poll the source and publish on every commit")
     p.add_argument("--timeout", type=float, default=None,
                    help="stop --follow after this many seconds")
+    p.add_argument("--rebase", action="store_true",
+                   help="publish a full-state snapshot batch and retire "
+                        "superseded history (the log-compaction analog; "
+                        "new consumers bootstrap from the snapshot)")
+    p.add_argument("--keep-batches", type=int, default=2,
+                   help="with --rebase: batch ordinals of headroom kept "
+                        "for in-flight consumers")
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
         "export",
@@ -1122,6 +1129,8 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.refresh or args.create:
             out["refresh"] = box.refresh(spark)
+        if args.rebase:
+            out["rebase"] = box.rebase(spark, keep_batches=args.keep_batches)
         out["applied"] = box.last_applied()
         print(json.dumps(out, default=str))
         return 0

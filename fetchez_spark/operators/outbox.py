@@ -233,6 +233,118 @@ class ChangeOutbox(IncrementalView):
         )
         return {"from": frm, "to": to, "ordinal": n_ord, "files": len(parts)}
 
+    # --------------------------------------------------------------- rebase
+    def rebase(self, spark: SparkSession, keep_batches: int = 2) -> dict[str, Any]:
+        """Retention for the outbox -- the Kafka-log-compaction analog.
+
+        Without it a NEW consumer must replay every batch ever published
+        (unbounded history at an unbounded tail).  ``rebase`` publishes
+        the table's CURRENT live state as a SNAPSHOT batch -- Debezium
+        snapshot-read envelopes (op ``r``; Maxwell ``bootstrap-insert``;
+        typed ``insert``) carrying each winner row's own (ts, seq), so
+        replaying snapshot + later batches is LWW-identical to replaying
+        the full history -- then retires batch files more than
+        ``keep_batches`` ordinals behind the cursor (the snapshot
+        supersedes them).  Like Kafka segment deletion, retiring files a
+        mid-replay consumer has listed but not read breaks THAT consumer;
+        run rebase on the same cadence you would compact a topic, keeping
+        ``keep_batches`` of headroom for in-flight tails.  Snapshot
+        filenames (``snapshot-<ordinal>-a<attempt>-<k>.jsonl``) are never
+        reused; re-running rebase at an unchanged cursor replaces the
+        previous snapshot's coverage (the old snapshot file is retired
+        like any superseded batch)."""
+        st = self._state()
+        n_ord = int(st["ordinal"])
+        data = self.data_dir()
+        # never reuse a snapshot filename either
+        sprefix = f"snapshot-{n_ord:08d}-"
+        attempt = 0
+        for f in os.listdir(data):
+            if f.startswith(sprefix):
+                seg = f[len(sprefix):].split("-", 1)[0]
+                if seg.startswith("a") and seg[1:].isdigit():
+                    attempt = max(attempt, int(seg[1:]) + 1)
+        state = self.source.read(
+            spark, snapshot_id=st["upstream"] if n_ord else None
+        )
+        payload_cols = list(state.columns)
+        if self.format == "debezium":
+            enc = state.select(
+                F.to_json(
+                    F.struct(
+                        F.struct(*[F.col(c) for c in payload_cols]).alias("after"),
+                        F.lit("r").alias("op"),
+                        (
+                            F.unix_millis(F.col("ts"))
+                            if "ts" in payload_cols
+                            else F.lit(None).cast("long")
+                        ).alias("ts_ms"),
+                    ),
+                    _TS_FMT,
+                ).alias("value")
+            )
+        elif self.format == "maxwell":
+            enc = state.select(
+                F.to_json(
+                    F.struct(
+                        F.lit(self.source_name).cast("string").alias("database"),
+                        F.lit("bootstrap-insert").alias("type"),
+                        (
+                            F.unix_seconds(F.col("ts"))
+                            if "ts" in payload_cols
+                            else F.lit(None).cast("long")
+                        ).alias("ts"),
+                        F.struct(*[F.col(c) for c in payload_cols]).alias("data"),
+                    ),
+                    _TS_FMT,
+                ).alias("value")
+            )
+        else:  # typed
+            enc = state.select(
+                F.to_json(
+                    F.struct(
+                        *[F.col(c) for c in payload_cols],
+                        F.lit("insert").alias("_change_type"),
+                    ),
+                    _TS_FMT,
+                ).alias("value")
+            )
+        tmp = os.path.join(self.outbox_dir, _META, f"tmp-snap-{n_ord:08d}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        enc.write.mode("overwrite").text(tmp)
+        parts = sorted(
+            f for f in os.listdir(tmp) if f.startswith("part-")
+            and os.path.getsize(os.path.join(tmp, f)) > 0
+        )
+        for k, f in enumerate(parts):
+            os.rename(
+                os.path.join(tmp, f),
+                os.path.join(data, f"{sprefix}a{attempt:02d}-{k:05d}.jsonl"),
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        # retire superseded files AFTER the snapshot is fully published:
+        # batches at ordinals <= n_ord - keep_batches, and any OLDER
+        # snapshot (coverage strictly below this one's)
+        retired = []
+        horizon = n_ord - max(0, int(keep_batches))
+        for f in sorted(os.listdir(data)):
+            kind, _, rest = f.partition("-")
+            if kind == "batch" and int(rest.split("-", 1)[0]) <= horizon:
+                retired.append(f)
+            elif kind == "snapshot" and f.startswith(sprefix) and not f[
+                len(sprefix):
+            ].startswith(f"a{attempt:02d}-"):
+                retired.append(f)
+            elif kind == "snapshot" and int(rest.split("-", 1)[0]) < n_ord:
+                retired.append(f)
+        for f in retired:
+            os.remove(os.path.join(data, f))
+        return {
+            "snapshot_ordinal": n_ord,
+            "files": len(parts),
+            "retired": len(retired),
+        }
+
     # -------------------------------------------------------------- reading
     def data_dir(self) -> str:
         """The JSON-lines dir a consumer tails (``run_stream`` included)."""

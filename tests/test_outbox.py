@@ -223,3 +223,52 @@ def test_compaction_only_range_publishes_nothing_but_advances(spark, pair):
     assert out["files"] == 0
     assert box.last_applied() == sink.current_snapshot_id
     assert sorted(os.listdir(box.data_dir())) == before
+
+
+def test_rebase_bootstraps_new_consumers_and_retires_history(spark, pair, tmp_path):
+    from fetchez_spark.functions.cdc_formats import (
+        debezium_envelope_schema,
+        from_debezium,
+    )
+
+    sink, box = pair
+    sink.merge(_env(spark, [("U", f"c{i}", f"t{i}", i) for i in range(8)]), "b0")
+    box.refresh(spark)
+    sink.merge(_env(spark, [("U", "c3", "t3x", 50), ("D", "c5", None, 51)]), "b1")
+    box.refresh(spark)
+    sink.merge(_env(spark, [("U", "c9", "t9", 60)]), "b2")
+    box.refresh(spark)
+
+    out = box.rebase(spark, keep_batches=1)
+    assert out["snapshot_ordinal"] == 3 and out["files"] >= 1
+    names = sorted(os.listdir(box.data_dir()))
+    # batches 1 and 2 retired, batch 3 kept, one snapshot present
+    assert not any(n.startswith("batch-00000001-") for n in names)
+    assert not any(n.startswith("batch-00000002-") for n in names)
+    assert any(n.startswith("batch-00000003-") for n in names)
+    assert any(n.startswith("snapshot-00000003-a00-") for n in names)
+
+    # a brand-new consumer replays ONLY what remains and lands exactly
+    # the live state (snapshot op 'r' + the kept batch)
+    payload = sink.read(spark).select("conv_id", "text", "ts").schema
+    wire = spark.read.schema(debezium_envelope_schema(payload)).options(
+        timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ).json(box.data_dir())
+    replica = LocalSnapshotSink(
+        str(tmp_path / "replica"), num_buckets=4, key=["conv_id"],
+        base_schema=payload,
+    )
+    replica.merge(from_debezium(wire), batch_token="boot-0")
+    a = {(r["conv_id"], r["text"]) for r in sink.read(spark).select("conv_id", "text").collect()}
+    b = {(r["conv_id"], r["text"]) for r in replica.read(spark).select("conv_id", "text").collect()}
+    assert a == b and ("c5", "t5") not in b  # the delete held
+
+    # the cursor keeps working after a rebase
+    sink.merge(_env(spark, [("U", "c10", "t10", 70)]), "b3")
+    assert box.refresh(spark)["ordinal"] == 4
+
+    # re-rebase retires the previous snapshot (never reuses its name)
+    box.rebase(spark, keep_batches=1)
+    names = sorted(os.listdir(box.data_dir()))
+    assert not any(n.startswith("snapshot-00000003-") for n in names)
+    assert any(n.startswith("snapshot-00000004-a00-") for n in names)
