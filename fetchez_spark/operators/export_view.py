@@ -513,12 +513,30 @@ class ParquetExportView(IncrementalView):
         return out
 
     # ------------------------------------------------------------- reading
-    def read(self, spark: SparkSession, drop_bucket: bool = True) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        drop_bucket: bool = True,
+        version: int | None = None,
+    ) -> DataFrame:
         """Read the export back the way an external consumer would: plain
-        ``spark.read.parquet`` over the ``current`` symlink.  An export of
-        an EMPTY live state has no files to infer from, so the schema is
-        rebuilt from the version manifest instead of crashing."""
-        cur = self._current()
+        ``spark.read.parquet`` over the ``current`` symlink -- or, with
+        ``version``, over a RETAINED older published version (time travel
+        across the ``keep_versions`` window; a pruned version is a loud
+        error).  An export of an EMPTY live state has no files to infer
+        from, so the schema is rebuilt from the version manifest instead
+        of crashing."""
+        if version is not None:
+            vpath = os.path.join(self.export_dir, _META, f"v{version:08d}.json")
+            if not os.path.exists(vpath):
+                raise ValueError(
+                    f"export version {version} is not retained (pruned past "
+                    f"keep_versions={self.keep_versions}, or never published)"
+                )
+            with open(vpath) as f:
+                cur = json.load(f)
+        else:
+            cur = self._current()
         if cur is not None and not cur["buckets"]:
             from pyspark.sql import types as T
 
@@ -529,7 +547,12 @@ class ParquetExportView(IncrementalView):
             if not drop_bucket:
                 fields.append(T.StructField(_BUCKET_COL, T.IntegerType()))
             return spark.createDataFrame([], T.StructType(fields))
-        df = spark.read.parquet(os.path.join(self.export_dir, "current"))
+        target = (
+            os.path.join(self.export_dir, "data", cur["vname"])
+            if version is not None
+            else os.path.join(self.export_dir, "current")
+        )
+        df = spark.read.parquet(target)
         return df.drop(_BUCKET_COL) if drop_bucket else df
 
     def fsck(self) -> dict[str, list[str]]:

@@ -457,3 +457,25 @@ def test_cli_export_fsck_exit_codes(spark, pair, capsys, tmp_path):
     assert out["fsck"]["errors"] == []
     os.remove(exp.current_files()[0])
     assert cli_main(["export", exp.export_dir, "--fsck"]) == 1
+
+
+def test_version_pinned_reads_time_travel_the_export(spark, pair):
+    sink, exp = pair
+    sink.merge(_env(spark, [("U", "c1", "t1", 1)]), batch_token="b0")
+    exp.refresh(spark)
+    sink.merge(_env(spark, [("U", "c1", "t1x", 9), ("U", "c2", "t2", 10)]),
+               batch_token="b1")
+    exp.refresh(spark)
+    v1 = {(r["conv_id"], r["text"])
+          for r in exp.read(spark, version=1).select("conv_id", "text").collect()}
+    v2 = {(r["conv_id"], r["text"])
+          for r in exp.read(spark, version=2).select("conv_id", "text").collect()}
+    assert v1 == {("c1", "t1")}
+    assert v2 == {("c1", "t1x"), ("c2", "t2")} == _state(spark, exp)
+    # prune past the retention window -> loud error
+    for i in range(3, 5):
+        sink.merge(_env(spark, [("U", f"c{i}", f"t{i}", i * 10)]),
+                   batch_token=f"b{i}")
+        exp.refresh(spark)
+    with pytest.raises(ValueError, match="not retained"):
+        exp.read(spark, version=1)
