@@ -425,6 +425,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keep-batches", type=int, default=2,
                    help="with --rebase: batch ordinals of headroom kept "
                         "for in-flight consumers")
+    p.add_argument("--fsck", action="store_true",
+                   help="read-only integrity check (coverage contiguity "
+                        "vs the cursor; crash-leftover warnings)")
     p.add_argument("--cores", type=int, default=4)
     p = sub.add_parser(
         "export",
@@ -1131,9 +1134,11 @@ def main(argv: list[str] | None = None) -> int:
             out["refresh"] = box.refresh(spark)
         if args.rebase:
             out["rebase"] = box.rebase(spark, keep_batches=args.keep_batches)
+        if args.fsck:
+            out["fsck"] = box.fsck()
         out["applied"] = box.last_applied()
         print(json.dumps(out, default=str))
-        return 0
+        return int(bool(args.fsck and out["fsck"]["errors"]))
     if args.cmd == "export":
         from fetchez_spark.operators.export_view import ParquetExportView
         from fetchez_spark.session import get_spark

@@ -231,6 +231,10 @@ class ChangeOutbox(IncrementalView):
             os.path.join(self.outbox_dir, _META, "STATE.json"),
             json.dumps({"upstream": to, "ordinal": n_ord}),
         )
+        try:  # the intent is consumed by the publish; clear it
+            os.remove(intent_path)
+        except FileNotFoundError:
+            pass
         return {"from": frm, "to": to, "ordinal": n_ord, "files": len(parts)}
 
     # --------------------------------------------------------------- rebase
@@ -344,6 +348,57 @@ class ChangeOutbox(IncrementalView):
             "files": len(parts),
             "retired": len(retired),
         }
+
+    # ----------------------------------------------------------------- fsck
+    def fsck(self) -> dict[str, list[str]]:
+        """Read-only integrity check: a consumer replaying the data dir
+        must be able to reconstruct the table, which requires the
+        published ordinals to COVER the cursor -- a snapshot (if any)
+        plus a contiguous run of batches from just past its coverage up
+        to ``STATE.ordinal``.  A gap means someone deleted batch files
+        outside ``rebase`` (unrecoverable for new consumers: that
+        range's changes are gone).  Files at ordinals beyond the cursor
+        are crash-attempt leftovers (warning; superseded on the next
+        refresh), as is a stale INTENT."""
+        errors: list[str] = []
+        warnings: list[str] = []
+        st = self._state()
+        cur = int(st["ordinal"])
+        batches, snaps = set(), set()
+        for f in os.listdir(self.data_dir()):
+            kind, _, rest = f.partition("-")
+            try:
+                n = int(rest.split("-", 1)[0])
+            except ValueError:
+                warnings.append(f"unrecognized file name: {f}")
+                continue
+            (batches if kind == "batch" else snaps).add(n)
+        base = max((s for s in snaps if s <= cur), default=0)
+        missing = [n for n in range(base + 1, cur + 1) if n not in batches]
+        if missing:
+            errors.append(
+                f"coverage gap: no batch files for ordinals {missing} "
+                f"(snapshot covers <= {base}, cursor at {cur}) -- new "
+                "consumers cannot reconstruct that range"
+            )
+        for n in sorted(batches | snaps):
+            if n > cur:
+                warnings.append(
+                    f"files at ordinal {n} beyond the cursor ({cur}): "
+                    "crash-attempt leftovers, superseded on next refresh"
+                )
+        intent_path = os.path.join(self.outbox_dir, _META, "INTENT.json")
+        if os.path.exists(intent_path):
+            with open(intent_path) as f:
+                intent = json.load(f)
+            # ordinal == cur+1 is an in-flight/crashed attempt (normal);
+            # <= cur means the publish succeeded but the cleanup didn't
+            if int(intent.get("ordinal", 0)) <= cur:
+                warnings.append(
+                    "stale INTENT for an already-published ordinal "
+                    "(harmless; overwritten on next refresh)"
+                )
+        return {"errors": errors, "warnings": warnings}
 
     # -------------------------------------------------------------- reading
     def data_dir(self) -> str:

@@ -272,3 +272,31 @@ def test_rebase_bootstraps_new_consumers_and_retires_history(spark, pair, tmp_pa
     names = sorted(os.listdir(box.data_dir()))
     assert not any(n.startswith("snapshot-00000003-") for n in names)
     assert any(n.startswith("snapshot-00000004-a00-") for n in names)
+
+
+def test_outbox_fsck_coverage_and_leftovers(spark, pair, capsys):
+    from fetchez_spark.cli import main as cli_main
+
+    sink, box = pair
+    for i in range(3):
+        sink.merge(_env(spark, [("U", f"c{i}", f"t{i}", i)]), f"b{i}")
+        box.refresh(spark)
+    assert box.fsck() == {"errors": [], "warnings": []}
+    # delete a covering batch file outside rebase -> coverage gap error
+    victim = next(
+        f for f in os.listdir(box.data_dir())
+        if f.startswith("batch-00000002-")
+    )
+    os.remove(os.path.join(box.data_dir(), victim))
+    errs = box.fsck()["errors"]
+    assert errs and "coverage gap" in errs[0]
+    rc = cli_main(["outbox", box.outbox_dir, "--fsck"])
+    assert rc == 1
+    # a rebase REPAIRS the gap: the snapshot re-covers the lost range
+    box.rebase(spark, keep_batches=0)
+    assert box.fsck()["errors"] == []
+    # crash leftovers beyond the cursor are warnings, not errors
+    with open(os.path.join(box.data_dir(), "batch-00000009-a00-00000.jsonl"), "w") as f:
+        f.write("{}\n")
+    w = box.fsck()["warnings"]
+    assert any("beyond the cursor" in x for x in w)
