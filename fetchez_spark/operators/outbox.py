@@ -349,6 +349,31 @@ class ChangeOutbox(IncrementalView):
             "retired": len(retired),
         }
 
+    # ------------------------------------------------------------- follow
+    def follow(
+        self,
+        spark: SparkSession,
+        poll_seconds: float = 2.0,
+        stop_event=None,
+        timeout_seconds: float | None = None,
+        rebase_every: int | None = None,
+        keep_batches: int = 2,
+    ):
+        """The base follow loop plus an optional REBASE CADENCE: after
+        every ``rebase_every`` published batches, publish a snapshot and
+        retire superseded history (see :meth:`rebase`) -- the always-on
+        deployment shape where the outbox never grows unboundedly.  A
+        recipe passes these via ``view: {options: {rebase_every: 64}}``."""
+        n = 0
+        for r in super().follow(
+            spark, poll_seconds=poll_seconds, stop_event=stop_event,
+            timeout_seconds=timeout_seconds,
+        ):
+            yield r
+            n += 1
+            if rebase_every and n % int(rebase_every) == 0:
+                yield {"rebase": self.rebase(spark, keep_batches=keep_batches)}
+
     # ----------------------------------------------------------------- fsck
     def fsck(self) -> dict[str, list[str]]:
         """Read-only integrity check: a consumer replaying the data dir

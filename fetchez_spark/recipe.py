@@ -342,8 +342,12 @@ class Recipe:
         poll = run_cfg.get("poll_seconds", 2.0)
         timeout = run_cfg.get("timeout_sec", 3600)
         if one:
+            # per-kind follow extras (e.g. outbox {rebase_every, keep_batches})
+            opts = (specs[0] or {}).get("options") or {}
             refreshes = list(
-                views[0].follow(spark, poll_seconds=poll, timeout_seconds=timeout)
+                views[0].follow(
+                    spark, poll_seconds=poll, timeout_seconds=timeout, **opts
+                )
             )
             return {
                 **out, "refreshes": refreshes, "applied": views[0].last_applied()

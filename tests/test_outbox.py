@@ -300,3 +300,34 @@ def test_outbox_fsck_coverage_and_leftovers(spark, pair, capsys):
         f.write("{}\n")
     w = box.fsck()["warnings"]
     assert any("beyond the cursor" in x for x in w)
+
+
+def test_follow_with_rebase_cadence(spark, pair):
+    import threading
+
+    sink, box = pair
+    stop = threading.Event()
+    results = []
+
+    def daemon():
+        for r in box.follow(
+            spark, poll_seconds=0.1, stop_event=stop, rebase_every=2,
+            keep_batches=0,
+        ):
+            results.append(r)
+
+    t = threading.Thread(target=daemon, daemon=True)
+    t.start()
+    import time
+    for i in range(4):
+        sink.merge(_env(spark, [("U", f"c{i}", f"t{i}", i)]), f"b{i}")
+        time.sleep(0.6)
+    deadline = time.time() + 30
+    while time.time() < deadline and sum("rebase" in r for r in results) < 2:
+        time.sleep(0.3)
+    stop.set()
+    t.join(30)
+    assert not t.is_alive()
+    assert sum("rebase" in r for r in results) >= 1
+    assert any(f.startswith("snapshot-") for f in os.listdir(box.data_dir()))
+    assert box.fsck()["errors"] == []
