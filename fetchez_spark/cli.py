@@ -1107,10 +1107,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "outbox":
         from fetchez_spark.operators.outbox import ChangeOutbox
-        from fetchez_spark.session import get_spark
         from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
-        spark = get_spark(app_name="fetchez-outbox", master=f"local[{args.cores}]")
+        spark = None
+        if args.create or args.refresh or args.follow is not None or args.rebase:
+            # --fsck alone is pure filesystem work: no JVM needed
+            from fetchez_spark.session import get_spark
+
+            spark = get_spark(
+                app_name="fetchez-outbox", master=f"local[{args.cores}]"
+            )
         if args.create:
             box = ChangeOutbox(
                 args.outbox_dir, LocalSnapshotSink(args.create),
@@ -1141,10 +1147,16 @@ def main(argv: list[str] | None = None) -> int:
         return int(bool(args.fsck and out["fsck"]["errors"]))
     if args.cmd == "export":
         from fetchez_spark.operators.export_view import ParquetExportView
-        from fetchez_spark.session import get_spark
         from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
-        spark = get_spark(app_name="fetchez-export", master=f"local[{args.cores}]")
+        spark = None
+        if args.create or args.refresh or args.follow is not None:
+            # --fsck / --files alone are pure filesystem work: no JVM
+            from fetchez_spark.session import get_spark
+
+            spark = get_spark(
+                app_name="fetchez-export", master=f"local[{args.cores}]"
+            )
         if args.create:
             view = ParquetExportView(
                 args.export_dir, LocalSnapshotSink(args.create),

@@ -581,10 +581,13 @@ class ParquetExportView(IncrementalView):
                 elif os.path.getsize(full) == 0:
                     errors.append(f"zero-byte data file: {full}")
         link = os.path.join(self.export_dir, "current")
-        if cur["buckets"] and (
-            not os.path.islink(link)
-            or not os.path.samefile(os.path.realpath(link), data_dir)
-        ):
+        try:
+            link_ok = os.path.islink(link) and os.path.samefile(
+                os.path.realpath(link), data_dir
+            )
+        except OSError:  # dangling symlink / missing version dir
+            link_ok = False
+        if cur["buckets"] and not link_ok:
             errors.append(
                 f"`current` symlink does not resolve to {data_dir}"
             )

@@ -268,9 +268,17 @@ class ChangeOutbox(IncrementalView):
                 seg = f[len(sprefix):].split("-", 1)[0]
                 if seg.startswith("a") and seg[1:].isdigit():
                     attempt = max(attempt, int(seg[1:]) + 1)
-        state = self.source.read(
-            spark, snapshot_id=st["upstream"] if n_ord else None
-        )
+        if not n_ord:
+            # a snapshot must cover EXACTLY the published ordinals: at
+            # ordinal 0 nothing is published, and snapshotting the live
+            # head would let a later refresh's net feed silently omit a
+            # countermand for rows the snapshot already shipped (the same
+            # stale-insert hazard the INTENT pin closes for batches)
+            raise ValueError(
+                "rebase before the first refresh would snapshot state the "
+                "cursor has not covered; refresh() first"
+            )
+        state = self.source.read(spark, snapshot_id=st["upstream"])
         payload_cols = list(state.columns)
         if self.format == "debezium":
             enc = state.select(
@@ -326,20 +334,29 @@ class ChangeOutbox(IncrementalView):
                 os.path.join(data, f"{sprefix}a{attempt:02d}-{k:05d}.jsonl"),
             )
         shutil.rmtree(tmp, ignore_errors=True)
-        # retire superseded files AFTER the snapshot is fully published:
-        # batches at ordinals <= n_ord - keep_batches, and any OLDER
-        # snapshot (coverage strictly below this one's)
+        # retire superseded files AFTER the snapshot is fully published.
+        # ONE horizon for everything (batches, older snapshots, older
+        # attempts): ordinal <= n_ord - keep_batches -- the headroom
+        # protects in-flight consumers mid-read of a superseded SNAPSHOT
+        # exactly as it protects them mid-read of a batch.  The snapshot
+        # just written never retires (its attempt id is current); foreign
+        # file names are left alone (fsck warns about them).
         retired = []
         horizon = n_ord - max(0, int(keep_batches))
+        this_attempt = f"{sprefix}a{attempt:02d}-"
         for f in sorted(os.listdir(data)):
+            if f.startswith(this_attempt):
+                continue
             kind, _, rest = f.partition("-")
-            if kind == "batch" and int(rest.split("-", 1)[0]) <= horizon:
-                retired.append(f)
-            elif kind == "snapshot" and f.startswith(sprefix) and not f[
-                len(sprefix):
-            ].startswith(f"a{attempt:02d}-"):
-                retired.append(f)
-            elif kind == "snapshot" and int(rest.split("-", 1)[0]) < n_ord:
+            if kind not in ("batch", "snapshot"):
+                continue
+            try:
+                ordinal = int(rest.split("-", 1)[0])
+            except ValueError:
+                continue  # foreign name: never touch it
+            if ordinal <= horizon or (
+                kind == "snapshot" and ordinal == n_ord and keep_batches == 0
+            ):
                 retired.append(f)
         for f in retired:
             os.remove(os.path.join(data, f))
@@ -395,9 +412,15 @@ class ChangeOutbox(IncrementalView):
             try:
                 n = int(rest.split("-", 1)[0])
             except ValueError:
+                n = None
+            if kind == "batch" and n is not None:
+                batches.add(n)
+            elif kind == "snapshot" and n is not None:
+                snaps.add(n)
+            else:
+                # a foreign name must never silently become a coverage
+                # base -- that would mask a real gap
                 warnings.append(f"unrecognized file name: {f}")
-                continue
-            (batches if kind == "batch" else snaps).add(n)
         base = max((s for s in snaps if s <= cur), default=0)
         missing = [n for n in range(base + 1, cur + 1) if n not in batches]
         if missing:

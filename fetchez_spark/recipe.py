@@ -317,6 +317,20 @@ class Recipe:
             if not vc.get("store_dir"):
                 raise ValueError("run mode `follow` needs view.store_dir")
             store_dir = self._resolve_path(vc["store_dir"])
+            opts = vc.get("options") or {}
+            if opts:
+                # fail at recipe load, not mid-daemon with a TypeError
+                if kind != "outbox":
+                    raise ValueError(
+                        f"view options are only supported for outbox views "
+                        f"(got options on kind {kind!r})"
+                    )
+                unknown = set(opts) - {"rebase_every", "keep_batches"}
+                if unknown:
+                    raise ValueError(
+                        f"unknown outbox options {sorted(unknown)}; allowed: "
+                        "rebase_every, keep_batches"
+                    )
             mod, cls_name = self._FOLLOW_KINDS[kind]
             view = getattr(importlib.import_module(mod), cls_name).load(store_dir)
             views.append(view)
@@ -359,13 +373,27 @@ class Recipe:
 
         deadline = _time.monotonic() + timeout
         refreshes: list[dict] = []
+        counts = [0] * len(views)
         while _time.monotonic() < deadline:
             advanced = False
-            for v, info in zip(views, infos):
+            for i, (v, info) in enumerate(zip(views, infos)):
                 if v.source.current_snapshot_id != v.last_applied():
                     r = v.refresh(spark)
                     refreshes.append({**info, **r})
                     advanced = True
+                    counts[i] += 1
+                    o = (specs[i] or {}).get("options") or {}
+                    cadence = o.get("rebase_every")
+                    if cadence and counts[i] % int(cadence) == 0:
+                        refreshes.append(
+                            {
+                                **info,
+                                "rebase": v.rebase(
+                                    spark,
+                                    keep_batches=int(o.get("keep_batches", 2)),
+                                ),
+                            }
+                        )
             if not advanced:
                 _time.sleep(poll)
         return {

@@ -331,3 +331,48 @@ def test_follow_with_rebase_cadence(spark, pair):
     assert sum("rebase" in r for r in results) >= 1
     assert any(f.startswith("snapshot-") for f in os.listdir(box.data_dir()))
     assert box.fsck()["errors"] == []
+
+
+def test_rebase_refused_before_first_refresh(spark, pair):
+    sink, box = pair
+    sink.merge(_env(spark, [("U", "c1", "t1", 1)]), "b0")
+    with pytest.raises(ValueError, match="refresh\\(\\) first"):
+        box.rebase(spark)
+
+
+def test_multi_view_follow_honors_outbox_rebase_options(spark, pair, tmp_path):
+    from fetchez_spark.recipe import Recipe
+
+    sink, box = pair
+    sink.merge(_env(spark, [("U", "c1", "t1", 1)]), "b0")
+    box.refresh(spark)
+    sink.merge(_env(spark, [("U", "c2", "t2", 2)]), "b1")
+    out = Recipe(
+        {
+            "views": [
+                {"kind": "outbox", "store_dir": box.outbox_dir,
+                 "options": {"rebase_every": 1, "keep_batches": 0}},
+                {"kind": "outbox", "store_dir": box.outbox_dir},
+            ],
+            "run": {"mode": "follow", "poll_seconds": 0.2, "timeout_sec": 3},
+        }
+    ).run(spark)
+    assert any("rebase" in r for r in out["refreshes"])
+    assert any(f.startswith("snapshot-") for f in os.listdir(box.data_dir()))
+    # options on a non-outbox kind are a loud recipe error
+    with pytest.raises(ValueError, match="only supported for outbox"):
+        Recipe(
+            {
+                "views": [{"kind": "export", "store_dir": str(tmp_path / "x"),
+                           "options": {"rebase_every": 1}}],
+                "run": {"mode": "follow"},
+            }
+        ).run(spark)
+    with pytest.raises(ValueError, match="unknown outbox options"):
+        Recipe(
+            {
+                "view": {"kind": "outbox", "store_dir": box.outbox_dir,
+                         "options": {"rebase_ever": 1}},
+                "run": {"mode": "follow"},
+            }
+        ).run(spark)
