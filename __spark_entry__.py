@@ -697,6 +697,61 @@ def _q_outbox_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replica.read(spark).select("user_id", "event_type", "event_id", "value")
 
 
+def _q_outbox_rebase_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbox REBASE (log compaction) under the oracle gate
+    (operators/outbox.py ChangeOutbox.rebase): replay the events
+    changelog into a source table across 3 published batches, REBASE
+    with zero headroom -- a full-state snapshot batch (Debezium op `r`,
+    winner rows carrying their own ts) replaces ALL prior batches --
+    then bootstrap a brand-new consumer from the compacted outbox alone
+    and read the replica.  Deletes must hold (a key whose tombstone
+    batch was retired simply never reaches the replica); the oracle is
+    the same LWW reduction as cdc_replay_snapshot."""
+    from pyspark.sql import types as T
+
+    from fetchez_spark.functions.cdc_formats import (
+        debezium_envelope_schema,
+        from_debezium,
+    )
+    from fetchez_spark.operators.outbox import _TS_FMT, ChangeOutbox
+    from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("src_partition"),
+    )
+    env_fields = {f.name: f for f in env.schema.fields}
+    payload = T.StructType(
+        [env_fields[c] for c in ("user_id", "event_type", "event_id", "value", "ts")]
+    )
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fetchez-entry-rebase-", dir=fast)
+    src = LocalSnapshotSink(
+        os.path.join(work, "src"), num_buckets=8, key=["user_id"], base_schema=payload
+    )
+    box = ChangeOutbox(os.path.join(work, "box"), src, format="debezium")
+    for i in range(3):
+        src.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_token=f"replay-{i}")
+        box.refresh(spark)
+    box.rebase(spark, keep_batches=0)
+    wire = spark.read.schema(
+        debezium_envelope_schema(payload)
+    ).options(**_TS_FMT).json(box.data_dir())
+    boot = LocalSnapshotSink(
+        os.path.join(work, "boot"), num_buckets=8, key=["user_id"],
+        base_schema=payload,
+    )
+    boot.merge(from_debezium(wire), batch_token="boot-0")
+    return boot.read(spark).select("user_id", "event_type", "event_id", "value")
+
+
 def _q_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General MERGE INTO end-to-end, ORACLE-CHECKED (the Delta/Iceberg
     MERGE analog, sinks/local_snapshot.py merge_into): replay two thirds
@@ -3492,6 +3547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_snapshot": _q_cdc_replay_snapshot,
         "parquet_export_read": _q_parquet_export_read,
         "outbox_roundtrip": _q_outbox_roundtrip,
+        "outbox_rebase_bootstrap": _q_outbox_rebase_bootstrap,
         "badrecords_tail": _q_badrecords_tail,
         "merge_into_upsert": _q_merge_into_upsert,
         "merge_into_sync": _q_merge_into_sync,
@@ -3698,6 +3754,15 @@ def oracle_sql() -> dict[str, str]:
         # engine end-to-end: the sink's replay of the events changelog must
         # equal the plain last-writer-wins reduction (tombstones excluded)
         "cdc_replay_snapshot": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # rebase bootstrap: snapshot + kept batches must be LWW-identical
+        # to the full history for a brand-new consumer (same LWW oracle)
+        "outbox_rebase_bootstrap": """
             SELECT user_id, event_type, event_id, value FROM (
               SELECT user_id, event_type, event_id, value,
                      row_number() OVER (PARTITION BY user_id
