@@ -24,6 +24,8 @@ if _REPO not in sys.path:
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fetchez_spark.functions.epoch import epoch_ms, epoch_s, epoch_us
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
@@ -1655,8 +1657,8 @@ def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "user_id",
         "event_type",
-        F.unix_micros("valid_from").alias("valid_from_us"),
-        F.unix_micros("valid_to").alias("valid_to_us"),
+        epoch_us(hist, "valid_from").alias("valid_from_us"),
+        epoch_us(hist, "valid_to").alias("valid_to_us"),
         "is_current",
     )
 
@@ -1702,11 +1704,12 @@ def _q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(3):
         sink.merge(env.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_token=f"replay-{i}")
         view.refresh(spark)
-    return view.history(spark).select(
+    hist = view.history(spark)
+    return hist.select(
         "user_id",
         "event_type",
-        F.unix_micros("valid_from").alias("valid_from_us"),
-        F.unix_micros("valid_to").alias("valid_to_us"),
+        epoch_us(hist, "valid_from").alias("valid_from_us"),
+        epoch_us(hist, "valid_to").alias("valid_to_us"),
         "is_current",
     )
 
@@ -2373,7 +2376,7 @@ def _q_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(dop == "d", before).alias("before"),
         F.when(dop != "d", after).alias("after"),
         dop.alias("op"),
-        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        epoch_ms(ev, "ts").alias("ts_ms"),
     )
     return from_debezium(dbz).drop("src_partition")
 
@@ -2461,9 +2464,13 @@ def _q_connect_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value", F.col("value") + 100
         )).otherwise(after)).alias("after"),
         dop.alias("op"),
-        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        epoch_ms(ev, "ts").alias("ts_ms"),
     )
-    fmt = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+    fmt = {
+        "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        # NTZ columns (driver-posture parquet) serialize via the NTZ key
+        "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    }
     wire = ev.select(
         F.to_json(
             F.struct(
@@ -2522,7 +2529,7 @@ def _q_maxwell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("shop").alias("database"),
         F.lit("events").alias("table"),
         mtype.alias("type"),
-        F.unix_seconds(F.col("ts")).alias("ts"),
+        epoch_s(ev, "ts").alias("ts"),
         (F.col("event_id") * 7).alias("xid"),
         F.when(mtype != "bootstrap-start", data).alias("data"),
     )
@@ -2563,7 +2570,7 @@ def _q_canal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("data"),
         ctype.alias("type"),
         (ev.event_id % 13 == 0).alias("isDdl"),
-        F.unix_millis(F.col("ts")).alias("es"),
+        epoch_ms(ev, "ts").alias("es"),
         F.col("event_id").alias("id"),
     )
     payload = T.StructType(

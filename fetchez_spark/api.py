@@ -515,16 +515,20 @@ def parquet_export(
 def change_outbox(
     outbox_dir: str,
     table_dir: str | None = None,
-    format: str = "debezium",
+    format: str | None = None,
     source_name: str | None = None,
 ):
     """Change-data outbox: publish a table's typed change feed as
     wire-format JSON-lines files (Debezium/Maxwell/typed) a downstream
     system tails without the engine.  With ``table_dir``, define (or
     re-open) the outbox; without it, reconstruct from the outbox dir's
-    persisted definition.  Call ``.refresh(spark)`` per advance or
-    ``.follow(spark)`` to daemonize.  See
-    :class:`fetchez_spark.operators.outbox.ChangeOutbox`."""
+    persisted definition.  ``format``/``source_name`` left ``None`` adopt
+    the persisted definition (or the ``'debezium'`` default at creation);
+    any explicit value that conflicts with a persisted definition is
+    refused — including an explicit ``format='debezium'`` against a
+    maxwell/typed outbox, which a defaulted parameter could not detect.
+    Call ``.refresh(spark)`` per advance or ``.follow(spark)`` to
+    daemonize.  See :class:`fetchez_spark.operators.outbox.ChangeOutbox`."""
     from fetchez_spark.operators.outbox import ChangeOutbox
     from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
 
@@ -532,7 +536,7 @@ def change_outbox(
         box = ChangeOutbox.load(outbox_dir)
         # a conflicting re-open request must fail like the constructor
         # does, not silently publish the persisted format
-        if format != "debezium" and format != box.format:
+        if format is not None and format != box.format:
             raise ValueError(
                 f"{outbox_dir} publishes format {box.format!r}; refusing "
                 f"the conflicting {format!r}"
@@ -544,7 +548,8 @@ def change_outbox(
             )
         return box
     return ChangeOutbox(
-        outbox_dir, LocalSnapshotSink(table_dir), format=format,
+        outbox_dir, LocalSnapshotSink(table_dir),
+        format="debezium" if format is None else format,
         source_name=source_name,
     )
 

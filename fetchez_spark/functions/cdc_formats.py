@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from fetchez_spark.functions.epoch import epoch_ms, epoch_s, epoch_us
+
 __all__ = [
     "debezium_envelope_schema",
     "from_debezium",
@@ -124,7 +126,8 @@ def to_debezium(feed: DataFrame, source_name: str | None = None) -> DataFrame:
       columns — identical pre/post by construction — are filled from the
       row); without pre-images, deletes carry their tombstone payload as
       ``before`` and inserts/updates leave it NULL;
-    * ``ts_ms``: ``unix_millis(ts)`` of the post-image.
+    * ``ts_ms``: epoch millis of the post-image ``ts`` (NTZ-safe:
+      :func:`fetchez_spark.functions.epoch.epoch_ms`).
 
     Pure codegen; ``from_debezium(to_debezium(feed))`` recovers the same
     row images.
@@ -160,7 +163,7 @@ def to_debezium(feed: DataFrame, source_name: str | None = None) -> DataFrame:
         F.when(~is_del, after_payload).alias("after"),
         op.alias("op"),
         (
-            F.unix_millis(F.col("ts"))
+            epoch_ms(feed, "ts")
             if "ts" in payload_fields
             else F.lit(None).cast("long")
         ).alias("ts_ms"),
@@ -316,7 +319,7 @@ def to_maxwell(
         F.lit(table).cast("string").alias("table"),
         op.alias("type"),
         (
-            F.unix_seconds(F.col("ts"))
+            epoch_s(feed, "ts")
             if "ts" in payload_fields
             else F.lit(None).cast("long")
         ).alias("ts"),
@@ -501,7 +504,7 @@ def from_dms(df: DataFrame, partitions: int = 4) -> DataFrame:
     if "seq" not in fields:
         cols.append(
             F.coalesce(
-                meta.getField("transaction-id"), F.unix_micros(meta_ts)
+                meta.getField("transaction-id"), epoch_us(rows, meta_ts)
             )
             .cast("long")
             .alias("seq")

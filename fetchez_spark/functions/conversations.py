@@ -34,6 +34,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fetchez_spark.functions.epoch import epoch_us
+
 __all__ = [
     "assemble_conversations",
     "conversation_fingerprints",
@@ -168,7 +170,8 @@ def sessionize(
     same partitioning so Catalyst plans a single Exchange."""
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
     w = Window.partitionBy(conv_col).orderBy(*order)
-    gap_us = F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    ts_us = epoch_us(df, ts_col)
+    gap_us = ts_us - F.lag(ts_us).over(w)
     new_s = F.when(gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), 1).otherwise(0)
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_idx", F.sum(new_s).over(running))
@@ -184,11 +187,10 @@ def session_stats(
     """Per-session rollup over :func:`sessionize`: per (conv, session_idx),
     the event count and duration in microseconds."""
     s = sessionize(df, conv_col, ts_col, order_cols, gap_seconds)
+    ts_us = epoch_us(df, ts_col)
     return s.groupBy(conv_col, "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.unix_micros(F.col(ts_col))) - F.min(F.unix_micros(F.col(ts_col)))).alias(
-            "duration_us"
-        ),
+        (F.max(ts_us) - F.min(ts_us)).alias("duration_us"),
     )
 
 

@@ -537,6 +537,13 @@ class ParquetExportView(IncrementalView):
                 cur = json.load(f)
         else:
             cur = self._current()
+            if cur is None:
+                # reading the nonexistent 'current' symlink would surface
+                # a raw AnalysisException; name the actual problem
+                raise ValueError(
+                    f"export {self.export_dir!r} has never been published; "
+                    "call refresh() first"
+                )
         if cur is not None and not cur["buckets"]:
             from pyspark.sql import types as T
 

@@ -56,6 +56,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fetchez_spark.functions.epoch import epoch_ms, epoch_s
+
 from fetchez_spark.operators._incview import (
     ROOT_SNAPSHOT,
     IncrementalView,
@@ -68,7 +70,14 @@ _META = "_outbox"
 _FORMATS = ("debezium", "maxwell", "typed")
 # to_json/from_json default to millisecond precision; the engine's event
 # times are microsecond-grained and the (ts, seq) LWW order depends on it
-_TS_FMT = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+# one pattern for BOTH timestamp types: JSON codecs route TIMESTAMP
+# through timestampFormat and TIMESTAMP_NTZ through timestampNTZFormat
+# (an NTZ-typed table encoded without the NTZ key would emit the ISO
+# 'T' default and break every consumer parsing the documented pattern)
+_TS_FMT = {
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+}
 
 
 class ChangeOutbox(IncrementalView):
@@ -219,6 +228,27 @@ class ChangeOutbox(IncrementalView):
             f for f in os.listdir(tmp) if f.startswith("part-") and
             os.path.getsize(os.path.join(tmp, f)) > 0
         )
+        if not parts and attempt == 0:
+            # empty-range refresh (e.g. a compaction-only commit): advance
+            # ONLY the upstream cursor and leave the ordinal untouched.
+            # Claiming an ordinal with zero published files would make
+            # fsck report a permanent fake "coverage gap" (no consumer
+            # can distinguish a legitimately-empty batch from deleted
+            # files).  attempt > 0 means a crashed attempt already
+            # published files under this ordinal, so it must be claimed.
+            shutil.rmtree(tmp, ignore_errors=True)
+            _atomic_write(
+                os.path.join(self.outbox_dir, _META, "STATE.json"),
+                json.dumps({"upstream": to, "ordinal": int(st["ordinal"])}),
+            )
+            try:
+                os.remove(intent_path)
+            except FileNotFoundError:
+                pass
+            return {
+                "from": frm, "to": to, "ordinal": int(st["ordinal"]),
+                "files": 0,
+            }
         for k, f in enumerate(parts):
             os.rename(
                 os.path.join(tmp, f),
@@ -245,9 +275,17 @@ class ChangeOutbox(IncrementalView):
         (unbounded history at an unbounded tail).  ``rebase`` publishes
         the table's CURRENT live state as a SNAPSHOT batch -- Debezium
         snapshot-read envelopes (op ``r``; Maxwell ``bootstrap-insert``;
-        typed ``insert``) carrying each winner row's own (ts, seq), so
-        replaying snapshot + later batches is LWW-identical to replaying
-        the full history -- then retires batch files more than
+        typed ``insert``).  The typed format carries each winner row's
+        own (ts, seq) verbatim; the Debezium/Maxwell wire envelopes carry
+        only the winner's timestamp (ts_ms / ts) and a bootstrapping
+        consumer re-derives seq from it (``from_debezium`` fallback:
+        ``seq = unix_millis(ts)``), so for those formats replaying
+        snapshot + later batches is LWW-identical to the full history
+        provided producer seq values don't exceed the epoch-millis of
+        their own event time (true for every engine-generated seq; an
+        exotic external producer whose seq outruns unix_millis(ts) should
+        use ``format='typed'`` for rebase safety) -- then retires batch
+        files more than
         ``keep_batches`` ordinals behind the cursor (the snapshot
         supersedes them).  Like Kafka segment deletion, retiring files a
         mid-replay consumer has listed but not read breaks THAT consumer;
@@ -287,7 +325,7 @@ class ChangeOutbox(IncrementalView):
                         F.struct(*[F.col(c) for c in payload_cols]).alias("after"),
                         F.lit("r").alias("op"),
                         (
-                            F.unix_millis(F.col("ts"))
+                            epoch_ms(state, "ts")
                             if "ts" in payload_cols
                             else F.lit(None).cast("long")
                         ).alias("ts_ms"),
@@ -302,7 +340,7 @@ class ChangeOutbox(IncrementalView):
                         F.lit(self.source_name).cast("string").alias("database"),
                         F.lit("bootstrap-insert").alias("type"),
                         (
-                            F.unix_seconds(F.col("ts"))
+                            epoch_s(state, "ts")
                             if "ts" in payload_cols
                             else F.lit(None).cast("long")
                         ).alias("ts"),
@@ -335,12 +373,14 @@ class ChangeOutbox(IncrementalView):
             )
         shutil.rmtree(tmp, ignore_errors=True)
         # retire superseded files AFTER the snapshot is fully published.
-        # ONE horizon for everything (batches, older snapshots, older
-        # attempts): ordinal <= n_ord - keep_batches -- the headroom
-        # protects in-flight consumers mid-read of a superseded SNAPSHOT
-        # exactly as it protects them mid-read of a batch.  The snapshot
-        # just written never retires (its attempt id is current); foreign
-        # file names are left alone (fsck warns about them).
+        # ONE horizon for batches and OLDER-ordinal snapshots: ordinal <=
+        # n_ord - keep_batches -- the headroom protects in-flight
+        # consumers mid-read exactly as Kafka segment retention does.
+        # Same-ordinal snapshot attempts are retired UNCONDITIONALLY
+        # (identical coverage, identical state -- keeping them only makes
+        # new consumers ingest the full state once per stale attempt).
+        # The snapshot just written never retires (its attempt id is
+        # current); foreign file names are left alone (fsck warns).
         retired = []
         horizon = n_ord - max(0, int(keep_batches))
         this_attempt = f"{sprefix}a{attempt:02d}-"
@@ -354,9 +394,12 @@ class ChangeOutbox(IncrementalView):
                 ordinal = int(rest.split("-", 1)[0])
             except ValueError:
                 continue  # foreign name: never touch it
-            if ordinal <= horizon or (
-                kind == "snapshot" and ordinal == n_ord and keep_batches == 0
-            ):
+            if ordinal <= horizon or (kind == "snapshot" and ordinal == n_ord):
+                # a superseded snapshot ATTEMPT at this very ordinal is
+                # pure duplication (same coverage, same state) -- retire
+                # it regardless of keep_batches, else every rebase at an
+                # unchanged cursor accumulates a full-state copy and new
+                # consumers ingest the whole state once per stale attempt
                 retired.append(f)
         for f in retired:
             os.remove(os.path.join(data, f))

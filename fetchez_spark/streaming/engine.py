@@ -55,6 +55,7 @@ _SOURCE_OPTIONS = frozenset(
         "timestampFormat",  # text-format timestamp parse pattern (a JSON/CSV
         # tail of micro-precision event times needs an explicit
         # SSSSSS pattern -- the default truncates to milliseconds)
+        "timestampNTZFormat",  # same, for TIMESTAMP_NTZ-declared columns
         "dateFormat",  # text-format date parse pattern
     }
 )

@@ -479,3 +479,12 @@ def test_version_pinned_reads_time_travel_the_export(spark, pair):
         exp.refresh(spark)
     with pytest.raises(ValueError, match="not retained"):
         exp.read(spark, version=1)
+
+
+def test_read_never_published_export_is_a_clear_error(spark, pair):
+    """ADVICE r4: read() before the first refresh() must name the actual
+    problem, not surface a raw AnalysisException from the nonexistent
+    'current' symlink."""
+    _, exp = pair
+    with pytest.raises(ValueError, match="never been published"):
+        exp.read(spark)

@@ -223,6 +223,15 @@ def test_compaction_only_range_publishes_nothing_but_advances(spark, pair):
     assert out["files"] == 0
     assert box.last_applied() == sink.current_snapshot_id
     assert sorted(os.listdir(box.data_dir())) == before
+    # an empty publish must NOT claim an ordinal: fsck would otherwise
+    # report a permanent fake coverage gap for it, and the next real
+    # refresh must reuse the slot
+    assert out["ordinal"] == 1
+    assert box.fsck()["errors"] == []
+    sink.merge(_env(spark, [("U", "c2", "t2", 2)]), "b1")
+    out2 = box.refresh(spark)
+    assert out2["ordinal"] == 2 and out2["files"] >= 1
+    assert box.fsck()["errors"] == []
 
 
 def test_rebase_bootstraps_new_consumers_and_retires_history(spark, pair, tmp_path):
@@ -376,3 +385,32 @@ def test_multi_view_follow_honors_outbox_rebase_options(spark, pair, tmp_path):
                 "run": {"mode": "follow"},
             }
         ).run(spark)
+
+
+def test_rebase_at_unchanged_cursor_retires_stale_snapshot_attempts(spark, pair):
+    """ADVICE r4: re-running rebase at an unchanged cursor must not
+    accumulate duplicate full-state snapshots — same-ordinal superseded
+    attempts retire unconditionally, independent of keep_batches."""
+    sink, box = pair
+    sink.merge(_env(spark, [("U", f"c{i}", f"t{i}", i) for i in range(4)]), "b0")
+    box.refresh(spark)
+    box.rebase(spark, keep_batches=2)
+    box.rebase(spark, keep_batches=2)  # unchanged cursor
+    snaps = [f for f in os.listdir(box.data_dir()) if f.startswith("snapshot-")]
+    assert snaps and all(f.startswith("snapshot-00000001-a01-") for f in snaps), snaps
+
+
+def test_change_outbox_reopen_explicit_format_conflict(spark, pair, tmp_path):
+    """ADVICE r4: an EXPLICIT format='debezium' against a persisted
+    maxwell outbox must fail on re-open (None adopts the persisted
+    definition)."""
+    from fetchez_spark.api import change_outbox
+
+    sink, _ = pair
+    mx_dir = str(tmp_path / "mx")
+    change_outbox(mx_dir, table_dir=sink.table_dir, format="maxwell")
+    assert change_outbox(mx_dir).format == "maxwell"  # None adopts
+    with pytest.raises(ValueError, match="refusing the conflicting 'debezium'"):
+        change_outbox(mx_dir, format="debezium")
+    with pytest.raises(ValueError, match="conflicting"):
+        change_outbox(mx_dir, source_name="other")
