@@ -935,6 +935,66 @@ def _q_video_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL compressed-image codec end to end, ORACLE-CHECKED: one
+    genuine PNG per document (spec-valid: zlib stream, CRC chunks,
+    filter-0 scanlines via ``encode_png``), 8-bit grayscale with a
+    deterministic gradient ``pixel(y, x) = (n + 3x + 5y) % 256`` where n
+    = length(text), w = (n %% 6) + 2, h = (n %% 4) + 2 -- decoded by the
+    real inflate + scanline-unfilter path (functions/multimodal.py
+    ``_png_pixels``).  Dimensions, the stored-deflate byte length
+    (h*(1+w) + 68 for these sub-64KiB images) and the gradient's luma
+    mean/std are all DuckDB-predicted arithmetic, so the oracle verifies
+    the bytes written ARE the pixels parsed."""
+    from fetchez_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        extract_features,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.length("text").alias("_n"),
+        F.lit("image/png").alias("mime"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for n in pdf["_n"]:
+                n = int(n)
+                w, h = (n % 6) + 2, (n % 4) + 2
+                px = (
+                    n + 3 * np.arange(w)[None, :] + 5 * np.arange(h)[:, None]
+                ) % 256
+                payloads.append(encode_png(px.astype(np.uint8)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "mime": pdf["mime"],
+                }
+            )
+
+    media = d.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return extract_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        "decoder",
+        "width",
+        "height",
+        "channels",
+        "n_frames",
+        "byte_len",
+        "luma_mean",
+        "luma_std",
+    )
+
+
 def _q_import_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy file onboarding END TO END, ORACLE-CHECKED (the Iceberg
     ``add_files`` analog, sinks/local_snapshot.py import_files): replay
@@ -3636,6 +3696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_meta": _q_multimodal_binary_meta,
         "multimodal_wav_decode": _q_multimodal_wav_decode,
         "multimodal_y4m_decode": _q_multimodal_y4m_decode,
+        "multimodal_png_decode": _q_multimodal_png_decode,
         "video_frame_extract": _q_video_frame_extract,
         "multimodal_audio_windows": _q_multimodal_audio_windows,
         "image_dhash64_docs": _q_image_dhash64,
@@ -4601,6 +4662,28 @@ def oracle_sql() -> dict[str, str]:
                    0.5 AS rms,
                    0.5 AS peak
             FROM documents
+        """,
+        # the real PNG codec round trip: 8-bit gray gradient
+        # pixel(y,x) = (n + 3x + 5y) % 256 at w=(n%6)+2, h=(n%4)+2; byte
+        # length is exact for the stored-deflate encoder (h*(1+w) + 68)
+        "multimodal_png_decode": """
+            WITH d AS (
+              SELECT doc_id, length(text) AS n,
+                     (length(text) % 6) + 2 AS w,
+                     (length(text) % 4) + 2 AS h
+              FROM documents
+            )
+            SELECT d.doc_id,
+                   'png' AS decoder,
+                   CAST(d.w AS INT) AS width,
+                   CAST(d.h AS INT) AS height,
+                   1 AS channels,
+                   1 AS n_frames,
+                   d.h * (1 + d.w) + 68 AS byte_len,
+                   avg(((d.n + 3 * x.x + 5 * y.y) % 256)::DOUBLE) AS luma_mean,
+                   stddev_pop(((d.n + 3 * x.x + 5 * y.y) % 256)::DOUBLE) AS luma_std
+            FROM d, unnest(range(d.w)) AS x(x), unnest(range(d.h)) AS y(y)
+            GROUP BY d.doc_id, d.n, d.w, d.h
         """,
         # the real Y4M video codec round trip: 8x6 C420 at 25 fps,
         # (len%7)+1 frames of constant luma 100 -> every field arithmetic

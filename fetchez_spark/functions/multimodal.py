@@ -16,13 +16,18 @@ format this container can decode without third-party libraries:
   parse (dimensions, frame rate, colorspace), frame walk for exact
   frame count / duration, numpy luma statistics, and REAL frame
   extraction (:func:`video_frames`: sampled luma planes re-encoded as
-  standalone P5 images).
+  standalone P5 images);
+* **PNG images** (8-bit gray/GA/RGB/RGBA, non-interlaced): the first
+  COMPRESSED format with a real in-container codec -- stdlib zlib
+  inflate + numpy scanline unfilter (None/Sub/Up/Average/Paeth), plus a
+  spec-valid deterministic encoder (:func:`encode_png`).
 
-Anything else (PNG/JPEG/MP4/...) falls through to the deterministic
-``_decode_stub`` so the pipeline shape stays testable end to end -- swap
-in PIL/soundfile/ffmpeg in a deployment with those libraries and nothing
-but the dispatch table changes.  The ``decoder`` output column says per
-row which path ran ("wav"/"ppm"/"pgm"/"bmp"/"y4m"/"stub").
+Anything else (JPEG/MP4/...) falls through to the deterministic
+``_decode_stub`` so the pipeline shape stays testable end to end -- their
+entropy coders genuinely need codec libraries; swap in PIL/soundfile/
+ffmpeg in a deployment with them and nothing but the dispatch table
+changes.  The ``decoder`` output column says per row which path ran
+("wav"/"ppm"/"pgm"/"bmp"/"y4m"/"png"/"stub").
 
 Pattern: binary payloads stay in executor memory as Arrow buffers end to
 end; per-batch (not per-row) Python via ``mapInPandas``; metadata columns
@@ -76,8 +81,10 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 # formats decodable in THIS container (stdlib + numpy only)
-REAL_CODECS = ("wav", "ppm", "pgm", "bmp", "y4m")
+REAL_CODECS = ("wav", "ppm", "pgm", "bmp", "y4m", "png")
 REAL_CODECS_AVAILABLE = True
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def _sniff(payload: bytes | None) -> str | None:
@@ -88,6 +95,8 @@ def _sniff(payload: bytes | None) -> str | None:
         return "wav"
     if payload[:10] == b"YUV4MPEG2 ":
         return "y4m"
+    if payload[:8] == _PNG_MAGIC:
+        return "png"
     if payload[:2] == b"P6" and payload[2:3].isspace():
         return "ppm"
     if payload[:2] == b"P5" and payload[2:3].isspace():
@@ -298,6 +307,183 @@ def _y4m_luma(payload: bytes) -> np.ndarray:
     return np.stack(planes) if planes else np.zeros((0, h, w), dtype=np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# PNG: the first COMPRESSED image format with a real in-container codec.
+# Pure stdlib: zlib inflates the IDAT stream, numpy undoes the scanline
+# filters (None/Sub/Up/Average/Paeth per the PNG spec).  Sub unfilters as a
+# modulo-256 cumulative sum over bpp-strided byte lanes and Up as one
+# vectorized row add, so images written by this module's own encoder
+# (filter 0) and the common filter-0/2 encoders decode at numpy speed;
+# Average/Paeth fall back to a per-pixel walk (correct, slower -- fine for
+# the fixture/validation sizes this sandbox decodes).  JPEG/MP4 still fall
+# to the stub: their entropy coders need real codec libraries.
+# ---------------------------------------------------------------------------
+
+# channels per PNG color type (3 = palette: refused below, needs PLTE
+# expansion; a malformed/unsupported image falls to the stub like every
+# other known-magic parse failure)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each well-formed chunk; stops at IEND."""
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data_end = pos + 8 + clen
+        if data_end + 4 > n:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, payload[pos + 8:data_end]
+        if ctype == b"IEND":
+            return
+        pos = data_end + 4  # skip CRC (integrity is the transport's job)
+    raise ValueError("PNG missing IEND")
+
+
+def _png_ihdr(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, bit_depth, color_type, interlace) from IHDR."""
+    for ctype, data in _png_chunks(payload):
+        if ctype != b"IHDR" or len(data) < 13:
+            raise ValueError("first PNG chunk is not a full IHDR")
+        w, h, depth, color, _comp, _filt, interlace = struct.unpack_from(
+            ">IIBBBBB", data, 0
+        )
+        return int(w), int(h), depth, color, interlace
+    raise ValueError("empty PNG")
+
+
+def _decode_png(payload: bytes) -> dict:
+    w, h, depth, color, _il = _png_ihdr(payload)
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color}")
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": 1,
+        "sample_rate": None,
+        "channels": _PNG_CHANNELS[color],
+        "duration_s": None,
+        "decoder": "png",
+    }
+
+
+def _png_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, c) uint8 pixels: inflate IDAT, undo scanline filters.
+    8-bit depth, color types 0/2/4/6, no interlace (Adam7 raises -> the
+    dispatch's stub fallback, like every unsupported known-magic)."""
+    import zlib
+
+    w, h, depth, color, interlace = _png_ihdr(payload)
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    c = _PNG_CHANNELS.get(color)
+    if c is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    raw = zlib.decompress(
+        b"".join(d for t, d in _png_chunks(payload) if t == b"IDAT")
+    )
+    stride = w * c
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, line = int(filters[y]), data[y]
+        if f == 0:  # None
+            rec = line.copy()
+        elif f == 1:  # Sub: cumsum mod 256 over each bpp-strided lane
+            rec = (np.cumsum(line.reshape(w, c), axis=0) % 256).astype(
+                np.uint8
+            ).reshape(stride)
+        elif f == 2:  # Up
+            rec = line + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average: left-dependent, per-pixel walk
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - c]) if x >= c else 0
+                rec[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(out[y - 1, x - c]) if (x >= c and y > 0) else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, c)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w) or (h, w, c) uint8 -> spec-valid PNG bytes.  Filter 0 on
+    every scanline and a STORED (level-0) zlib stream, so the output size
+    is pure arithmetic over the dimensions -- h*(1+w*c) + 11 payload
+    bytes inside a fixed 57-byte container for sub-64KiB images -- which
+    keeps synthesized corpora oracle-predictable, and any PNG decoder
+    (including :func:`_png_pixels`) reads it."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color is None:
+        raise ValueError(f"cannot encode {c}-channel pixels as PNG")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), px.reshape(h, w * c)], axis=1
+    ).tobytes()
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 0))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _image_pixels(fmt: str, payload: bytes) -> np.ndarray:
+    """One dispatch for every natively decodable STILL image format ->
+    (h, w, c) uint8 (c: 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA)."""
+    if fmt == "bmp":
+        return _bmp_pixels(payload)
+    if fmt == "png":
+        return _png_pixels(payload)
+    return _netpbm_pixels(payload, fmt)
+
+
+_IMAGE_FMTS = ("ppm", "pgm", "bmp", "png")
+
+
+def _luma(px: np.ndarray) -> np.ndarray:
+    """ITU-R 601 luma for color (alpha ignored), the channel itself for
+    gray/gray+alpha."""
+    px = px.astype(np.float64)
+    if px.shape[-1] >= 3:
+        return 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    return px[..., 0]
+
+
 def _decode_stub(kind: str, payload: bytes | None) -> dict:
     """Deterministic fake decode for formats this container has no codec
     for (PNG/JPEG/MP4/...).  Raises for unknown kinds the way a real
@@ -333,6 +519,8 @@ def _decode_one(kind: str, payload: bytes | None) -> dict:
             return _decode_netpbm(bytes(payload), fmt)
         if fmt == "bmp":
             return _decode_bmp(bytes(payload))
+        if fmt == "png":
+            return _decode_png(bytes(payload))
         if fmt == "y4m":
             return _decode_y4m(bytes(payload))
     except Exception:  # noqa: BLE001 - malformed container of a known
@@ -401,16 +589,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                             if luma.size:
                                 mu, sd = float(luma.mean()), float(luma.std())
                         else:
-                            px = (
-                                _bmp_pixels(b)
-                                if dec == "bmp"
-                                else _netpbm_pixels(b, dec)
-                            ).astype(np.float64)
-                            luma = (
-                                0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-                                if px.shape[-1] == 3
-                                else px[..., 0]
-                            )
+                            luma = _luma(_image_pixels(dec, b))
                             mu, sd = float(luma.mean()), float(luma.std())
                     except Exception:  # noqa: BLE001 - malformed payload:
                         pass  # metadata row stands, features stay null
@@ -450,10 +629,9 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 fmt = _sniff(bytes(p) if p is not None else None)
                 px = None
-                if fmt in ("ppm", "pgm", "bmp"):
+                if fmt in _IMAGE_FMTS:
                     try:
-                        b = bytes(p)
-                        px = _bmp_pixels(b) if fmt == "bmp" else _netpbm_pixels(b, fmt)
+                        px = _image_pixels(fmt, bytes(p))
                     except Exception:  # noqa: BLE001 - malformed: pass through
                         px = None
                 if px is None:
@@ -463,6 +641,10 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
                     out["payload"].append(p)
                     out["resized"].append(False)
                     continue
+                if px.shape[-1] == 2:  # gray+alpha: luma channel only
+                    px = px[..., :1]
+                elif px.shape[-1] == 4:  # RGBA: drop alpha for P6
+                    px = px[..., :3]
                 if px.shape[-1] == 1:
                     px = np.repeat(px, 3, axis=-1)
                 ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
@@ -486,12 +668,7 @@ def dhash64_pixels(px: np.ndarray) -> int:
     luma[r,c] > luma[r,c+1], packed at bit index r*8+c (signed-int64
     wraparound for bit 63, so the value round-trips through a Spark
     LongType column)."""
-    px = px.astype(np.float64)
-    luma = (
-        0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-        if px.shape[-1] == 3
-        else px[..., 0]
-    )
+    luma = _luma(px)
     h, w = luma.shape
     ys = (np.arange(8) * h // 8).clip(0, h - 1)
     xs = (np.arange(9) * w // 9).clip(0, w - 1)
@@ -526,11 +703,9 @@ def image_dhash64(df: DataFrame) -> DataFrame:
             for p in pdf["payload"]:
                 fmt = _sniff(bytes(p) if p is not None else None)
                 v, dec = None, "stub"
-                if fmt in ("ppm", "pgm", "bmp"):
+                if fmt in _IMAGE_FMTS:
                     try:
-                        b = bytes(p)
-                        px = _bmp_pixels(b) if fmt == "bmp" else _netpbm_pixels(b, fmt)
-                        v, dec = dhash64_pixels(px), fmt
+                        v, dec = dhash64_pixels(_image_pixels(fmt, bytes(p))), fmt
                     except Exception:  # noqa: BLE001 - malformed: null hash
                         v, dec = None, "stub"
                 hashes.append(v)

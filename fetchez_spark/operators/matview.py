@@ -583,20 +583,19 @@ class MaterializedAggregate(IncrementalView):
         group list is a small subset of the changed groups)."""
         spark = rows.sparkSession
         mm_specs = self._mm_rspecs
-        # the threatened-group list is small (a subset of the changed
-        # groups) and was headed for a broadcast anyway: collect it so an
-        # EMPTY set skips the source scan entirely -- the common case,
-        # since random deletes rarely remove an extremum contributor
-        need_rows = (
+        # the threatened-group set stays a DATAFRAME: a delete wave
+        # touching millions of groups must never round-trip through the
+        # driver (a .collect() here would OOM it at 100x).  Only the
+        # emptiness check executes eagerly -- the common case, since
+        # random deletes rarely remove an extremum contributor -- via a
+        # limit-1 probe, never a materialized list.
+        need_df = (
             rows.filter((F.col("__recompute") == 1) & (F.col("__live") > 0))
             .select(*self.group_by)
             .dropDuplicates()
-            .collect()
         )
-        if not need_rows:
+        if need_df.isEmpty():
             return rows
-        g_schema = T.StructType([rows.schema[g] for g in self.group_by])
-        need_df = spark.createDataFrame(need_rows, schema=g_schema)
         need = need_df.select(
             *[F.col(g).alias(f"__rg_{g}") for g in self.group_by]
         )
