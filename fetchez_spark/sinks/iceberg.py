@@ -104,6 +104,105 @@ def alter_widen_column_sql(table: str, name: str, dtype) -> str:
     return f"ALTER TABLE {_qt(table)} ALTER COLUMN {_q(name)} TYPE {dtype.simpleString()}"
 
 
+def merge_into_sql(
+    table: str,
+    source_view: str,
+    key: list[str],
+    payload_cols: list[str],
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: str | bool | None = None,
+    when_not_matched_insert: dict[str, str] | None = None,
+    when_not_matched_by_source_update: dict[str, str] | None = None,
+    when_not_matched_by_source_delete: str | bool | None = None,
+) -> str:
+    """ONE Iceberg MERGE statement with the same clause semantics as
+    :meth:`LocalSnapshotSink.merge_into` on the materialized-row model:
+
+    * tombstones are ROWS (``_deleted``), so every matched/by-source
+      clause carries ``NOT t._deleted`` and updates/deletes bump the
+      row's version (``_seq + 1`` at unchanged ``ts``) exactly like the
+      local sink's synthesized change events;
+    * a tombstoned key is "not matched" semantically but IS matched by
+      the key-equality ON, so inserts get a dedicated resurrection
+      clause (``WHEN MATCHED AND t._deleted``) that lands at the
+      assigned ts when it beats the tombstone and at the tombstone's
+      ``(ts, _seq + 1)`` otherwise -- the local sink's documented
+      resurrection contract, byte for byte.
+
+    All condition/assignment expressions are SQL text over ``s.``/``t.``
+    (the adapter's wire format is SQL; Column objects are refused
+    upstream).  Clause order in the emitted text IS the semantics:
+    SQL MERGE applies the first matching clause per row."""
+    dcol, scol = _q(INTERNAL_DELETED), _q(INTERNAL_SEQ)
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key)
+    clauses: list[str] = []
+    if when_matched_delete is not None:
+        cond = "true" if when_matched_delete is True else f"({when_matched_delete})"
+        clauses.append(
+            f"WHEN MATCHED AND NOT t.{dcol} AND {cond} THEN UPDATE SET "
+            f"t.{dcol} = true, t.{scol} = t.{scol} + 1"
+        )
+    if when_matched_update is not None:
+        sets = ", ".join(
+            f"t.{_q(c)} = ({v})" for c, v in when_matched_update.items()
+        )
+        clauses.append(
+            f"WHEN MATCHED AND NOT t.{dcol} THEN UPDATE SET {sets}, "
+            f"t.{scol} = t.{scol} + 1"
+        )
+    if when_not_matched_insert is not None:
+        ins = when_not_matched_insert
+        ins_ts = f"({ins['ts']})"
+        ins_seq = f"({ins.get('seq', '0')})"
+        beats = f"(t.ts IS NULL OR {ins_ts} > t.ts)"
+        res_sets = ", ".join(
+            f"t.{_q(c)} = ({ins[c]})" if c in ins else f"t.{_q(c)} = NULL"
+            for c in payload_cols
+            if c != "ts"
+        )
+        clauses.append(
+            f"WHEN MATCHED AND t.{dcol} THEN UPDATE SET {res_sets}, "
+            f"t.ts = CASE WHEN {beats} THEN {ins_ts} ELSE t.ts END, "
+            f"t.{scol} = CASE WHEN {beats} THEN CAST({ins_seq} AS BIGINT) "
+            f"ELSE t.{scol} + 1 END, "
+            f"t.{dcol} = false"
+        )
+        icols = ", ".join(
+            [_q(c) for c in payload_cols]
+            + [scol, dcol, _q(INTERNAL_SRC)]
+        )
+        ivals = ", ".join(
+            [f"({ins[c]})" if c in ins else "NULL" for c in payload_cols]
+            + [f"CAST({ins_seq} AS BIGINT)", "false", "NULL"]
+        )
+        clauses.append(
+            f"WHEN NOT MATCHED THEN INSERT ({icols}) VALUES ({ivals})"
+        )
+    if when_not_matched_by_source_delete is not None:
+        cond = (
+            "true"
+            if when_not_matched_by_source_delete is True
+            else f"({when_not_matched_by_source_delete})"
+        )
+        clauses.append(
+            f"WHEN NOT MATCHED BY SOURCE AND NOT t.{dcol} AND {cond} "
+            f"THEN UPDATE SET t.{dcol} = true, t.{scol} = t.{scol} + 1"
+        )
+    if when_not_matched_by_source_update is not None:
+        sets = ", ".join(
+            f"t.{_q(c)} = ({v})"
+            for c, v in when_not_matched_by_source_update.items()
+        )
+        clauses.append(
+            f"WHEN NOT MATCHED BY SOURCE AND NOT t.{dcol} THEN UPDATE SET "
+            f"{sets}, t.{scol} = t.{scol} + 1"
+        )
+    return (
+        f"MERGE INTO {_qt(table)} t USING {_q(source_view)} s ON {on} "
+        + " ".join(clauses)
+    )
+
+
 def merge_sql(table: str, source_view: str, key: list[str], columns: list[str]) -> str:
     """MERGE text with EXPLICIT column lists (no ``UPDATE SET *``: the
     source is projected to the exact target shape by batch_to_target_rows,
@@ -127,7 +226,48 @@ def merge_sql(table: str, source_view: str, key: list[str], columns: list[str]) 
 
 class IcebergSink(SnapshotSink):
     """MERGE INTO an Iceberg v2 table; batch tokens in table properties
-    for exactly-once (see module docstring for the idempotence argument)."""
+    for exactly-once (see module docstring for the idempotence argument).
+
+    Surface parity with :class:`LocalSnapshotSink`: everything the local
+    sink does that Iceberg expresses natively is implemented (``merge``,
+    ``merge_into`` with the full clause set, schema evolution, time
+    travel, ``rollback``); everything Iceberg covers with its OWN
+    machinery refuses loudly and names that machinery (``UNSUPPORTED``
+    below -- compaction is ``rewrite_data_files``, retention is
+    ``expire_snapshots``, the change feed is the changelog scan, ...),
+    so a user never gets a silent no-op where the local sink would have
+    acted."""
+
+    #: local-sink methods whose Iceberg twin is a NATIVE procedure /
+    #: feature rather than adapter code -- calling them raises
+    #: NotImplementedError naming the replacement.
+    UNSUPPORTED: dict[str, str] = {
+        "compact": "CALL <catalog>.system.rewrite_data_files('<table>')",
+        "rebucket": "ALTER TABLE ... REPLACE PARTITION FIELD + rewrite_data_files",
+        "expire_snapshots": "CALL <catalog>.system.expire_snapshots('<table>')",
+        "vacuum_orphans": "CALL <catalog>.system.remove_orphan_files('<table>')",
+        "change_feed": "Iceberg changelog scan: CALL <catalog>.system.create_changelog_view",
+        "read_changes": "Iceberg changelog scan: CALL <catalog>.system.create_changelog_view",
+        "follow_changes": "Structured Streaming over the Iceberg source (streaming read)",
+        "clone_to": "Iceberg snapshot/branch: ALTER TABLE ... CREATE BRANCH, or CTAS",
+        "import_files": "CALL <catalog>.system.add_files('<table>', '<path>')",
+        "create_branch": "ALTER TABLE ... CREATE BRANCH <name>",
+        "drop_branch": "ALTER TABLE ... DROP BRANCH <name>",
+        "publish": "Iceberg branch fast-forward: CALL <catalog>.system.fast_forward",
+        "create_tag": "ALTER TABLE ... CREATE TAG <name>",
+        "drop_tag": "ALTER TABLE ... DROP TAG <name>",
+        "register_consumer": "track consumer cursors beside the table (Kafka-style), not in it",
+        "advance_consumer": "track consumer cursors beside the table",
+        "drop_consumer": "track consumer cursors beside the table",
+        "consumer_lag": "track consumer cursors beside the table",
+        "purge_tombstones": "DELETE FROM ... WHERE _deleted + rewrite_data_files",
+        "purge_expired": "DELETE FROM with the TTL predicate",
+        "add_expectation": "Iceberg has no table-level expectations; validate in the stream",
+        "drop_expectation": "Iceberg has no table-level expectations",
+        "update_where": "plain Iceberg SQL: UPDATE <table> SET ... WHERE ...",
+        "delete_where": "plain Iceberg SQL: DELETE FROM <table> WHERE ...",
+        "fsck": "Iceberg metadata is self-validating; inspect the metadata tables",
+    }
 
     def __init__(
         self,
@@ -137,7 +277,19 @@ class IcebergSink(SnapshotSink):
         num_buckets: int = 32,
         max_committed_tokens: int = 1024,
         create: bool = True,
+        merge_mode: str | None = None,
     ) -> None:
+        if merge_mode not in (None, "lww"):
+            # the local sink's partial-update mode consolidates per-key
+            # state column-wise at read time (MoR); one Iceberg MERGE
+            # cannot express "newest non-null per column" without a
+            # per-column CASE fan-out the adapter does not generate
+            raise NotImplementedError(
+                f"merge_mode={merge_mode!r} is not supported by the "
+                "Iceberg adapter (LWW only); use LocalSnapshotSink for "
+                "partial-update tables, or express column-wise merges "
+                "with merge_into(when_matched_update={...coalesce(s.c, t.c)...})"
+            )
         if not iceberg_available(spark):
             raise RuntimeError(
                 "iceberg-spark-runtime is not on the classpath; use "
@@ -149,6 +301,35 @@ class IcebergSink(SnapshotSink):
         self.max_committed_tokens = max_committed_tokens
         if create:
             spark.sql(create_table_sql(table, num_buckets=num_buckets, key=self.key))
+
+    def __getattr__(self, name: str):
+        # executes-or-loudly-refuses, for the WHOLE local-sink surface: a
+        # method the adapter does not implement raises NotImplementedError
+        # naming the Iceberg-native replacement (UNSUPPORTED) -- never an
+        # AttributeError a caller could mistake for a typo, never a
+        # silent no-op where LocalSnapshotSink would have acted.
+        if name.startswith("_"):
+            raise AttributeError(name)  # dunder/internal lookups stay honest
+        from fetchez_spark.sinks.local_snapshot import LocalSnapshotSink
+
+        local_surface = {
+            n for n in vars(LocalSnapshotSink) if not n.startswith("_")
+        }
+        if name not in type(self).UNSUPPORTED and name not in local_surface:
+            # unknown names keep normal AttributeError semantics so
+            # getattr(sink, x, default) duck-typing probes still work
+            raise AttributeError(name)
+        hint = type(self).UNSUPPORTED.get(
+            name, "see the Iceberg spec/procedures for the native equivalent"
+        )
+
+        def _refuse(*_a, **_k):
+            raise NotImplementedError(
+                f"IcebergSink.{name} is intentionally not implemented: "
+                f"Iceberg covers this natively -- {hint}"
+            )
+
+        return _refuse
 
     # ------------------------------------------------------------- tokens
     def _properties(self) -> dict[str, str]:
@@ -252,6 +433,140 @@ class IcebergSink(SnapshotSink):
             "columns_added": added,
             "seconds": time.monotonic() - t0,
         }
+
+    # --------------------------------------------------------- merge_into
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on=None,
+        when_matched_update=None,
+        when_matched_delete=None,
+        when_not_matched_insert=None,
+        when_not_matched_by_source_update=None,
+        when_not_matched_by_source_delete=None,
+        batch_token: str | None = None,
+        error_on_multiple_matches: bool = True,
+    ) -> dict[str, Any]:
+        """General MERGE with :meth:`LocalSnapshotSink.merge_into`'s
+        clause surface, emitted as ONE native Iceberg MERGE statement
+        (see :func:`merge_into_sql` for the tombstone/resurrection
+        mapping).  Same validations as the local sink; adapter-specific
+        refusals are loud: expressions must be SQL strings (the wire
+        format IS SQL), ``on`` must be the default key equality (an
+        arbitrary ON cannot express the by-key tombstone-resurrection
+        contract in one statement), and ``error_on_multiple_matches``
+        cannot be disabled (native MERGE always errors on multiple
+        matches -- the safe default, enforced by the engine)."""
+        if (
+            when_matched_update is None
+            and when_matched_delete is None
+            and when_not_matched_insert is None
+            and when_not_matched_by_source_update is None
+            and when_not_matched_by_source_delete is None
+        ):
+            raise ValueError("merge_into needs at least one WHEN clause")
+        if on is not None:
+            raise NotImplementedError(
+                "the Iceberg adapter supports key-equality merge_into only "
+                "(on=None): an arbitrary ON condition cannot express the "
+                "by-key tombstone-resurrection contract in one MERGE; run "
+                "plain Iceberg SQL for ad-hoc conditions"
+            )
+        if not error_on_multiple_matches:
+            raise NotImplementedError(
+                "error_on_multiple_matches=False is not supported: native "
+                "MERGE always errors on multiple source matches"
+            )
+
+        def _sqlify(spec, what):
+            if spec is None or spec is True or isinstance(spec, str):
+                return spec
+            if isinstance(spec, dict):
+                bad = [c for c, v in spec.items() if not isinstance(v, str)]
+                if bad:
+                    raise NotImplementedError(
+                        f"{what} assignments must be SQL strings for the "
+                        f"Iceberg adapter (Column objects at {bad})"
+                    )
+                return spec
+            raise NotImplementedError(
+                f"{what} must be a SQL string for the Iceberg adapter"
+            )
+
+        payload_cols = [
+            c
+            for c in self._target_columns()
+            if c not in (INTERNAL_SEQ, INTERNAL_DELETED, INTERNAL_SRC)
+        ]
+        lkey = list(self.key)
+        upd = _sqlify(when_matched_update, "when_matched_update")
+        if upd == "all":
+            upd = {
+                c: f"s.{c}"
+                for c in payload_cols
+                if c not in lkey and c != "ts" and c in source.columns
+            }
+        ins = _sqlify(when_not_matched_insert, "when_not_matched_insert")
+        if ins == "all":
+            ins = {c: f"s.{c}" for c in payload_cols if c in source.columns}
+        bupd = _sqlify(
+            when_not_matched_by_source_update, "when_not_matched_by_source_update"
+        )
+        for spec, what in ((upd, "update"), (bupd, "by-source update")):
+            if spec is None:
+                continue
+            bad = [c for c in spec if c in lkey or c == "ts"]
+            if bad:
+                raise ValueError(
+                    f"cannot assign key/ordering columns {bad}: they define "
+                    "row identity (key) and LWW ordering (ts)"
+                )
+            unknown = [c for c in spec if c not in payload_cols]
+            if unknown:
+                raise ValueError(
+                    f"{what} targets not in the table schema: {unknown} "
+                    f"(columns: {sorted(payload_cols)})"
+                )
+        if ins is not None:
+            unknown = [c for c in ins if c not in payload_cols and c != "seq"]
+            if unknown:
+                raise ValueError(
+                    f"insert targets not in the table schema: {unknown} "
+                    f"(columns: {sorted(payload_cols)})"
+                )
+            missing = [c for c in [*lkey, "ts"] if c not in ins]
+            if missing:
+                raise ValueError(
+                    f"when_not_matched_insert must assign the key and ts; "
+                    f"missing: {missing}"
+                )
+        token = str(batch_token) if batch_token is not None else None
+        if token is not None and self.is_committed(token):
+            return {"skipped": True, "batch_token": token}
+        view = "_fz_merge_src"
+        source.createOrReplaceTempView(view)
+        self.spark.sql(
+            merge_into_sql(
+                self.table,
+                view,
+                lkey,
+                payload_cols,
+                when_matched_update=upd,
+                when_matched_delete=_sqlify(
+                    when_matched_delete, "when_matched_delete"
+                ),
+                when_not_matched_insert=ins,
+                when_not_matched_by_source_update=bupd,
+                when_not_matched_by_source_delete=_sqlify(
+                    when_not_matched_by_source_delete,
+                    "when_not_matched_by_source_delete",
+                ),
+            )
+        )
+        if token is not None:
+            self._record_token(token)
+        return {"skipped": False, "batch_token": token}
 
     # --------------------------------------------------------------- read
     def read(self, spark: SparkSession, snapshot_id: str | None = None, include_internal: bool = False) -> DataFrame:

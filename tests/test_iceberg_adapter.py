@@ -141,3 +141,36 @@ def test_iceberg_evolve_schema_emits_ddl_only_for_new_columns(spark):
     sink._target_columns = lambda: ["conv_id", "turn_idx", "text", "tool"]
     assert sink._evolve_schema(rows) == []
     assert issued == [], "no DDL when the batch is not wider"
+
+
+def test_iceberg_merge_into_sql_parses(spark):
+    """Every clause combination merge_into_sql emits must survive
+    Spark's own SQL parser (the r5 general-MERGE surface: matched
+    delete/update with mixed s./t. expressions, tombstone resurrection,
+    insert, both by-source clauses)."""
+    from fetchez_spark.sinks.iceberg import merge_into_sql
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    payload = ["conv_id", "turn_idx", "role", "text", "ts", "score"]
+    q = merge_into_sql(
+        "fz.db.transcripts", "_fz_merge_src", ["conv_id", "turn_idx"], payload,
+        when_matched_delete="s.score > t.score * 5",
+        when_matched_update={"text": "concat(t.text, '+', s.text)",
+                             "score": "s.score + t.score"},
+        when_not_matched_insert={"conv_id": "s.conv_id", "turn_idx": "s.turn_idx",
+                                 "text": "s.text", "ts": "s.ts"},
+        when_not_matched_by_source_update={"role": "'stale'"},
+        when_not_matched_by_source_delete="t.score > 40",
+    )
+    parser.parsePlan(q)
+    assert q.count("WHEN") >= 5 and "NOT MATCHED BY SOURCE" in q
+    # each clause family alone parses too
+    for kw in (
+        {"when_matched_delete": True},
+        {"when_matched_update": {"text": "s.text"}},
+        {"when_not_matched_insert": {"conv_id": "s.conv_id",
+                                     "turn_idx": "s.turn_idx", "ts": "s.ts"}},
+        {"when_not_matched_by_source_delete": True},
+    ):
+        parser.parsePlan(merge_into_sql(
+            "fz.db.transcripts", "_v", ["conv_id", "turn_idx"], payload, **kw))

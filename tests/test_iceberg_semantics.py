@@ -71,7 +71,116 @@ def _split_cols(s: str) -> list[str]:
     return out
 
 
-def translate_to_duckdb(q: str) -> list[str]:
+def _rewrite_aliases(expr: str) -> str:
+    """t."x" -> "t_x", s."x" -> "s_x" (the full-outer-join CTE's column
+    namespace), struct() row comparison -> DuckDB row constructor."""
+    expr = re.sub(r'\bt\."([^"]+)"', r'"t_\1"', expr)
+    expr = re.sub(r'\bs\."([^"]+)"', r'"s_\1"', expr)
+    expr = re.sub(r"\bt\.(\w+)", r'"t_\1"', expr)
+    expr = re.sub(r"\bs\.(\w+)", r'"s_\1"', expr)
+    return expr.replace("struct(", "(")
+
+
+def translate_merge(q: str, con: duckdb.DuckDBPyConnection) -> list[str]:
+    """General mechanical MERGE -> DuckDB translation: SQL MERGE means
+    "per target/source row pair, the FIRST clause whose condition holds
+    decides the row's fate, all against the ORIGINAL state" -- exactly a
+    FULL OUTER JOIN projection.  The translator parses the adapter's
+    emitted clause list and renders that projection as one CREATE OR
+    REPLACE TABLE, so every clause shape merge_into_sql can produce
+    (matched-delete/update, tombstone resurrection, insert,
+    not-matched-by-source update/delete) executes, not just the
+    replay-merge's two-clause shape.  DuckDB 1.0 has no native MERGE;
+    this rendering IS the statement's documented semantics."""
+    m = re.match(r'MERGE INTO "?(\w+)"? t USING "?(\w+)"? s ON (.+?) (WHEN .+)$', q)
+    assert m, f"unparsable MERGE: {q}"
+    tgt, src, on, rest = m.groups()
+    # the boundary lookahead must name the clause keywords: a bare
+    # " WHEN " would also split inside CASE WHEN expressions
+    clause_re = re.compile(
+        r"WHEN (MATCHED|NOT MATCHED BY SOURCE|NOT MATCHED)"
+        r"(?: AND (.+?))? THEN "
+        r"(UPDATE SET .+?|DELETE|INSERT \(.+?\) VALUES \(.+?\))"
+        r"(?= WHEN (?:MATCHED|NOT MATCHED)|$)"
+    )
+    clauses = [
+        (kind, cond, act) for kind, cond, act in clause_re.findall(rest)
+    ]
+    assert clauses, f"no WHEN clauses parsed from: {rest}"
+    t_desc = con.execute(f'DESCRIBE "{tgt}"').fetchall()
+    t_cols = [r[0] for r in t_desc]
+    t_types = {r[0]: r[1] for r in t_desc}
+    s_cols = [r[0] for r in con.execute(f'DESCRIBE "{src}"').fetchall()]
+    # the ON executes inside the join, where t./s. are the real aliases
+    on_j = on
+
+    def render(kind_filter: str, default: str) -> str:
+        """CASE over this row-kind's clauses -> a row struct or NULL
+        (NULL = DELETE / no-clause-applies for source-only rows)."""
+        parts = []
+        for kind, cond, act in clauses:
+            if kind != kind_filter:
+                continue
+            cond_sql = _rewrite_aliases(cond) if cond else "TRUE"
+            if act == "DELETE":
+                row = "NULL"
+            elif act.startswith("UPDATE SET "):
+                sets = {}
+                for a in _split_cols(act[len("UPDATE SET "):]):
+                    lhs, rhs = a.split("=", 1)
+                    lhs = lhs.strip()
+                    lhs = re.sub(r'^t\."?(\w+)"?$', r"\1", lhs)
+                    sets[lhs] = _rewrite_aliases(rhs.strip())
+                row = (
+                    "row("
+                    + ", ".join(sets.get(c, f'"t_{c}"') for c in t_cols)
+                    + ")"
+                )
+            else:  # INSERT (cols) VALUES (vals)
+                am = re.match(r"INSERT \((.+?)\) VALUES \((.+)\)$", act)
+                cols = [c.strip().strip('"') for c in _split_cols(am.group(1))]
+                vals = [_rewrite_aliases(v) for v in _split_cols(am.group(2))]
+                vmap = dict(zip(cols, vals))
+                row = (
+                    "row("
+                    + ", ".join(vmap.get(c, "NULL") for c in t_cols)
+                    + ")"
+                )
+            parts.append(f"WHEN {cond_sql} THEN {row}")
+        if not parts:
+            return default
+        return "CASE " + " ".join(parts) + f" ELSE {default} END"
+
+    keep_t = "row(" + ", ".join(f'"t_{c}"' for c in t_cols) + ")"
+    sel_t = ", ".join(f't."{c}" AS "t_{c}"' for c in t_cols)
+    sel_s = ", ".join(f's."{c}" AS "s_{c}"' for c in s_cols)
+    # cast back to the table's declared types: the rebuild must not let a
+    # pandas-registered source (TIMESTAMP_NS, ...) drift the target schema
+    out_fields = ", ".join(
+        f'CAST("_out".x[{i + 1}] AS {t_types[c]}) AS "{c}"'
+        for i, c in enumerate(t_cols)
+    )
+    sql = f"""
+        CREATE OR REPLACE TABLE "{tgt}" AS
+        WITH _j AS (
+          SELECT {sel_t}, {sel_s},
+                 (t."_m" IS NOT NULL) AS _mt, (s."_m" IS NOT NULL) AS _ms
+          FROM (SELECT *, TRUE AS "_m" FROM "{tgt}") t
+          FULL OUTER JOIN (SELECT *, TRUE AS "_m" FROM "{src}") s ON {on_j}
+        ), _r AS (
+          SELECT CASE
+            WHEN _mt AND _ms THEN {render("MATCHED", keep_t)}
+            WHEN _ms THEN {render("NOT MATCHED", "NULL")}
+            ELSE {render("NOT MATCHED BY SOURCE", keep_t)}
+          END AS x
+          FROM _j
+        )
+        SELECT {out_fields} FROM (SELECT x AS x FROM _r WHERE x IS NOT NULL) "_out"
+    """
+    return [sql]
+
+
+def translate_to_duckdb(q: str, con: duckdb.DuckDBPyConnection | None = None) -> list[str]:
     """Mechanical Spark-Iceberg -> DuckDB dialect translation of exactly
     the statement shapes the adapter emits.  Unknown shapes raise."""
     q = " ".join(q.split()).replace("`", '"')
@@ -92,25 +201,9 @@ def translate_to_duckdb(q: str) -> list[str]:
     if m:
         t, c, typ = m.groups()
         return [f"ALTER TABLE {t} ALTER COLUMN {c} SET DATA TYPE {fix_types(typ)}"]
-    m = re.match(
-        r"MERGE INTO (\S+) t USING (\S+) s ON (.+) "
-        r"WHEN MATCHED AND (.+) THEN UPDATE SET (.+) "
-        r"WHEN NOT MATCHED THEN INSERT \((.+)\) VALUES \((.+)\)$",
-        q,
-    )
-    if m:
-        t, view, on, guard, sets, cols, vals = m.groups()
-        # struct(a, b) > struct(c, d)  ->  (a, b) > (c, d) row comparison
-        guard = guard.replace("struct(", "(")
-        # UPDATE SET lhs must be unqualified in duckdb's UPDATE .. FROM
-        sets = ", ".join(a.strip()[2:] for a in _split_cols(sets))
-        on_u = on.replace("t.", f"{t}.")
-        guard_u = guard.replace("t.", f"{t}.")
-        return [
-            f"UPDATE {t} SET {sets} FROM {view} s WHERE {on_u} AND {guard_u}",
-            f"INSERT INTO {t} ({cols}) SELECT {vals} FROM {view} s "
-            f"WHERE NOT EXISTS (SELECT 1 FROM {t} t WHERE {on})",
-        ]
+    if q.startswith("MERGE INTO") and con is not None:
+        # every clause combination merge_sql/merge_into_sql can emit
+        return translate_merge(q, con)
     raise AssertionError(f"untranslatable adapter SQL: {q}")
 
 
@@ -158,7 +251,7 @@ class DuckSpark:
             for k in re.findall(r"'([^']+)'", m.group(1)):
                 self.props.pop(k, None)
             return None
-        for stmt in translate_to_duckdb(qq):
+        for stmt in translate_to_duckdb(qq, self.con):
             self.statements.append(stmt)
             self.con.execute(stmt)
         return None
@@ -286,3 +379,217 @@ def test_iceberg_merge_semantics_match_local_sink(spark, tmp_path, batches):
 def test_translate_rejects_unknown_shapes():
     with pytest.raises(AssertionError):
         translate_to_duckdb("DROP TABLE tgt")
+
+
+# ---------------------------------------------------------------------------
+# merge_into clause parity (VERDICT r4 #5): the adapter's general MERGE,
+# executed against DuckDB, must equal LocalSnapshotSink.merge_into's
+# visible state for the same clause spec — including mixed s./t.
+# expressions, tombstone resurrection, and the by-source clauses.
+# ---------------------------------------------------------------------------
+
+
+def _merge_into_duck(sink: IcebergSink, ds: DuckSpark, spark, source, **kw):
+    pdf = source.toPandas()
+    if "ts" in pdf.columns:
+        pdf["ts"] = _naive_utc(pdf["ts"])
+    ds.con.register("_fz_merge_src", pdf)
+
+    class _SrcView:
+        columns = list(source.columns)
+
+        def createOrReplaceTempView(self, name):
+            pass
+
+        def toPandas(self):
+            return pdf
+
+    return sink.merge_into(ds, _SrcView(), **kw)
+
+
+def _states(con, local, spark):
+    cols = ["conv_id", "turn_idx", "role", "text", "ts", "score"]
+    duck = con.execute(
+        f'SELECT {", ".join(cols)} FROM tgt WHERE NOT "_deleted" '
+        "ORDER BY conv_id, turn_idx"
+    ).df()
+    got = (
+        local.read(spark)
+        .select(*cols)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    got["ts"] = _naive_utc(got["ts"])
+    return duck, got
+
+
+def _assert_same(duck, got):
+    assert len(duck) == len(got), (duck, got)
+    for c in duck.columns:
+        a = list(duck[c].astype(str))
+        b = list(got[c].astype(str))
+        assert a == b, (c, a, b)
+
+
+@pytest.fixture()
+def seeded(spark, tmp_path, batches):
+    """Both sinks after the SAME replay (b0..b3): c1 updated, c2 live,
+    c3 tombstoned at ts(3), c4 live, c5 live."""
+    con = duckdb.connect()
+    ice, ds = _mk_sink(con)
+    local = LocalSnapshotSink(
+        str(tmp_path / "t"), num_buckets=4, base_schema=SCORED_SCHEMA
+    )
+    for i, b in enumerate(batches[:4]):
+        _merge_duck(ice, ds, b, f"b-{i}")
+        local.merge(b, f"b-{i}")
+    return con, ice, ds, local
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, score int, ts timestamp"
+    )
+
+
+def test_merge_into_matched_update_and_delete_mixed_exprs(spark, seeded):
+    con, ice, ds, local = seeded
+    src = _src(spark, [
+        ("c1", 0, "patch-one", 100, dt.datetime(2025, 1, 2, tzinfo=UTC)),
+        ("c2", 0, "patch-two", 5, dt.datetime(2025, 1, 2, tzinfo=UTC)),
+        ("c9", 0, "ghost", 1, dt.datetime(2025, 1, 2, tzinfo=UTC)),
+    ])
+    kw = dict(
+        # mixed s./t. expressions in both the delete condition and the
+        # update assignments
+        when_matched_delete="s.score > t.score * 5",
+        when_matched_update={
+            "text": "concat(t.text, '+', s.text)",
+            "score": "s.score + t.score",
+        },
+    )
+    _merge_into_duck(ice, ds, spark, src, **kw)
+    local.merge_into(spark, src, **kw)
+    duck, got = _states(con, local, spark)
+    _assert_same(duck, got)
+    # c1 (score 11) deleted by 100 > 55; c2 (20) updated 5+20
+    assert "c1" not in set(duck["conv_id"])
+    row = duck.set_index("conv_id").loc["c2"]
+    assert row["text"] == "two+patch-two" and int(row["score"]) == 25
+
+
+def test_merge_into_insert_and_tombstone_resurrection(spark, seeded):
+    con, ice, ds, local = seeded
+    # c3 is tombstoned at ts(3); the insert's assigned ts(1) is OLDER, so
+    # the resurrection must adopt the tombstone's (ts, seq+1) or the row
+    # would silently stay dead.  c8 is brand new (plain insert).
+    src = _src(spark, [
+        ("c3", 0, "three-back", 33, dt.datetime(2025, 1, 1, 1, tzinfo=UTC)),
+        ("c8", 0, "eight", 80, dt.datetime(2025, 1, 1, 1, tzinfo=UTC)),
+    ])
+    kw = dict(
+        when_not_matched_insert={
+            "conv_id": "s.conv_id", "turn_idx": "s.turn_idx",
+            "text": "s.text", "score": "s.score", "ts": "s.ts",
+        },
+    )
+    _merge_into_duck(ice, ds, spark, src, **kw)
+    local.merge_into(spark, src, **kw)
+    duck, got = _states(con, local, spark)
+    _assert_same(duck, got)
+    assert {"c3", "c8"} <= set(duck["conv_id"])
+    assert duck.set_index("conv_id").loc["c3", "text"] == "three-back"
+    # the resurrected row adopted the tombstone's ts (2025-01-01 03:00)
+    assert str(duck.set_index("conv_id").loc["c3", "ts"]).startswith("2025-01-01 03")
+
+
+def test_merge_into_by_source_sync(spark, seeded):
+    con, ice, ds, local = seeded
+    # full-snapshot sync: rows absent from the source get flagged or
+    # deleted -- the Delta WHEN NOT MATCHED BY SOURCE shape
+    src = _src(spark, [
+        ("c2", 0, "keep-two", 20, dt.datetime(2025, 1, 2, tzinfo=UTC)),
+    ])
+    kw = dict(
+        when_matched_update={"text": "s.text"},
+        when_not_matched_by_source_delete="t.score > 40",
+        when_not_matched_by_source_update={"role": "'stale'"},
+    )
+    _merge_into_duck(ice, ds, spark, src, **kw)
+    local.merge_into(spark, src, **kw)
+    duck, got = _states(con, local, spark)
+    _assert_same(duck, got)
+    d = duck.set_index("conv_id")
+    assert d.loc["c2", "text"] == "keep-two"
+    assert "c5" not in d.index  # score 50 > 40: by-source delete
+    assert d.loc["c1", "role"] == "stale" and d.loc["c4", "role"] == "stale"
+
+
+def test_merge_into_validations_and_refusals(spark, seeded):
+    con, ice, ds, local = seeded
+    src = _src(spark, [("c2", 0, "x", 1, dt.datetime(2025, 1, 2, tzinfo=UTC))])
+    with pytest.raises(ValueError, match="at least one WHEN clause"):
+        _merge_into_duck(ice, ds, spark, src)
+    with pytest.raises(ValueError, match="key/ordering"):
+        _merge_into_duck(ice, ds, spark, src, when_matched_update={"ts": "s.ts"})
+    with pytest.raises(ValueError, match="must assign the key and ts"):
+        _merge_into_duck(ice, ds, spark, src, when_not_matched_insert={"text": "s.text"})
+    with pytest.raises(NotImplementedError, match="key-equality"):
+        _merge_into_duck(
+            ice, ds, spark, src, on="t.score = s.score",
+            when_matched_update={"text": "s.text"},
+        )
+    with pytest.raises(NotImplementedError, match="multiple source matches"):
+        _merge_into_duck(
+            ice, ds, spark, src, error_on_multiple_matches=False,
+            when_matched_update={"text": "s.text"},
+        )
+    from pyspark.sql import functions as F
+    with pytest.raises(NotImplementedError, match="SQL strings"):
+        _merge_into_duck(
+            ice, ds, spark, src, when_matched_update={"text": F.lit("x")},
+        )
+
+
+def test_merge_into_token_skip(spark, seeded):
+    con, ice, ds, local = seeded
+    src = _src(spark, [("c2", 0, "x2", 1, dt.datetime(2025, 1, 2, tzinfo=UTC))])
+    kw = dict(when_matched_update={"text": "s.text"}, batch_token="mi-1")
+    assert not _merge_into_duck(ice, ds, spark, src, **kw)["skipped"]
+    n = len(ds.statements)
+    assert _merge_into_duck(ice, ds, spark, src, **kw)["skipped"]
+    assert len(ds.statements) == n  # replay executed nothing
+
+
+def test_partial_update_mode_refused():
+    with pytest.raises(NotImplementedError, match="partial"):
+        IcebergSink(None, "t", merge_mode="partial")
+
+
+def test_every_local_public_method_executes_or_loudly_refuses():
+    """VERDICT r4 #5: the adapter's surface is co-extensive with
+    LocalSnapshotSink's documented one — every public method either
+    exists as adapter code or raises NotImplementedError naming the
+    Iceberg-native machinery.  Silent gaps (AttributeError, no-op) are
+    failures."""
+    local_public = {
+        n
+        for n, v in vars(LocalSnapshotSink).items()
+        if not n.startswith("_") and callable(v)
+    }
+    sink = object.__new__(IcebergSink)
+    implemented, refused = [], []
+    for name in sorted(local_public):
+        attr = getattr(sink, name)  # must never AttributeError
+        if name in vars(IcebergSink):
+            implemented.append(name)
+            continue
+        with pytest.raises(NotImplementedError, match="Iceberg"):
+            attr()
+        refused.append(name)
+    # the load-bearing methods must be real adapter code, not refusals
+    assert {"merge", "merge_into", "read", "rollback", "is_committed"} <= set(
+        implemented
+    )
+    assert refused, "refusal path never exercised"
