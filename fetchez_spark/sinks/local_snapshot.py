@@ -124,6 +124,10 @@ def _internal_names(columns) -> list[str]:
 CATALOG_KEYS = (
     "index", "ann_index", "key_stats", "col_stats", "key_blooms",
     "bucket_rows", "matview_def", "mirror_def", "scd2_def",
+    # buckets whose base keeps superseded rows (compact min_dead_fraction):
+    # reads must keep LWW-folding them even with zero pending deltas, so
+    # every commit carries the marker until a full fold clears it
+    "mv_buckets",
     # zero-copy onboarded files (import_files): the marker that tells the
     # read paths which delta files never carried the engine's internal
     # columns and need scan-time normalization
@@ -326,6 +330,7 @@ class LocalSnapshotSink(SnapshotSink):
         snapshot_keep_last: int | None = None,
         conflict_retries: int = 0,
         merge_mode: str | None = None,
+        compact_min_dead_fraction: float | None = None,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -429,6 +434,8 @@ class LocalSnapshotSink(SnapshotSink):
         # compaction, one file per bucket).
         self.auto_compact_bytes = auto_compact_bytes
         self.compact_min_bucket_bytes = compact_min_bucket_bytes
+        # live-fraction-aware auto-compaction (see compact min_dead_fraction)
+        self.compact_min_dead_fraction = compact_min_dead_fraction
         self.target_file_bytes = target_file_bytes
         # sort_on_compact: major compaction range-clusters each bucket's
         # output on the table key (the Iceberg sort-order analog) and
@@ -2040,10 +2047,14 @@ class LocalSnapshotSink(SnapshotSink):
         # post-filter them through the reduction)
         flat_deltas = self._resolve_list(delta_map.get(_FLAT, []))
         cstats = self.col_stats(m) if range_hints else {}
+        # multi-version buckets (compact(min_dead_fraction=...) kept base
+        # files with superseded rows): slab pruning is unsound there --
+        # the winner and a stale in-slab row can live in different files
+        mvset = {str(x) for x in m.get("mv_buckets", [])}
         base = []
         for b in keys:
             bfiles = rbase.get(b, [])
-            if cstats and not rdelta.get(b) and not flat_deltas:
+            if cstats and not rdelta.get(b) and not flat_deltas and b not in mvset:
                 # slab pruning: sound only for delta-less buckets (base
                 # holds one row per key, so skipping a range-excluded
                 # file cannot split a key across kept/skipped files)
@@ -2106,10 +2117,12 @@ class LocalSnapshotSink(SnapshotSink):
                 on=on,
                 how="left_semi",
             )
-        if deltas:
+        if deltas or (mvset and mvset & set(keys)):
             # merge-on-read: the same per-key reduction the writer would
             # have applied at compaction time (full-row LWW, or the
-            # per-column partial fold on merge_mode='partial' tables)
+            # per-column partial fold on merge_mode='partial' tables).
+            # Multi-version buckets (compact(min_dead_fraction=...) kept
+            # superseded base rows) need it even with zero pending deltas.
             df = self._reduce(df)
         if not include_deleted:
             df = df.filter(~F.col(INTERNAL_DELETED))
@@ -4340,7 +4353,11 @@ class LocalSnapshotSink(SnapshotSink):
                     if min_b is None:
                         min_b = max(self.auto_compact_bytes // max(nb, 1), 1)
                 try:
-                    res = self.compact(spark, min_bucket_bytes=min_b)
+                    res = self.compact(
+                        spark,
+                        min_bucket_bytes=min_b,
+                        min_dead_fraction=self.compact_min_dead_fraction,
+                    )
                     if res.get("compacted_buckets"):
                         metrics["compacted"] = res["snapshot_id"]
                         self._size_compact_floor = 0
@@ -4688,6 +4705,74 @@ class LocalSnapshotSink(SnapshotSink):
             out[b] = tot
         return out
 
+    def _partition_live_bases(
+        self,
+        spark: SparkSession,
+        cur: dict,
+        schema: T.StructType,
+        todo: list[str],
+        base_map: dict[str, list[str]],
+        delta_files: list[str],
+        threshold: float,
+    ) -> tuple[dict[str, list[str]], set[str]]:
+        """Live-fraction estimate for ``compact(min_dead_fraction=...)``:
+        per candidate base file, the fraction of rows whose key also
+        appears in the pending delta set -- ONE column-pruned key pass
+        over deltas (distinct keys) plus one over the candidate bases
+        (keys + ``input_file_name``), joined on the key.  Only key bytes
+        move; the decision this feeds is a heuristic file selection, so
+        an over-estimate merely rewrites a file the fold could have kept
+        (correctness never depends on it).  Returns ({bucket: files kept
+        verbatim}, {buckets left multi-version -- kept files with >=1
+        superseded row})."""
+        from urllib.parse import unquote
+
+        candidates = {b: list(base_map.get(b, [])) for b in todo}
+        all_base = [f for fs in candidates.values() for f in fs]
+        if not all_base or not delta_files:
+            return {}, set()
+        imported = self._imported_set(cur)
+        key = list(self.key)
+        dkeys = (
+            self._read_files(spark, delta_files, schema, imported=imported)
+            .select(*key)
+            .dropDuplicates()
+            .withColumn("_hit", F.lit(1))
+        )
+        per_file = (
+            self._read_files(spark, all_base, schema, imported=imported)
+            .select(*key)
+            .withColumn("_f", F.input_file_name())
+            .join(dkeys, on=key, how="left")
+            .groupBy("_f")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_dead"),
+            )
+            .collect()  # bounded: one row per candidate base file
+        )
+        stats: dict[str, tuple[int, int]] = {}
+        by_abs = {os.path.abspath(f): f for f in all_base}
+        for r in per_file:
+            p = unquote(r["_f"])
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+                while p.startswith("//"):
+                    p = p[1:]
+            f = by_abs.get(os.path.abspath(p))
+            if f is not None:
+                stats[f] = (int(r["_n"]), int(r["_dead"] or 0))
+        kept: dict[str, list[str]] = {}
+        mv: set[str] = set()
+        for b, fs in candidates.items():
+            for f in fs:
+                n, dead = stats.get(f, (0, 1))  # unseen/empty: rewrite
+                if n > 0 and dead / n < threshold:
+                    kept.setdefault(b, []).append(f)
+                    if dead > 0:
+                        mv.add(str(b))
+        return kept, mv
+
     def compact(
         self,
         spark: SparkSession,
@@ -4701,8 +4786,26 @@ class LocalSnapshotSink(SnapshotSink):
         expire_rows_before=None,
         cluster_by: list[str] | None = None,
         bloom: bool = False,
+        min_dead_fraction: float | None = None,
     ) -> dict[str, Any]:
         """Fold delta files into base files for the given (or all) buckets.
+
+        ``min_dead_fraction`` (0..1): live-fraction-aware major fold --
+        the deletion-vector/anti-join alternative to full-bucket rewrite.
+        Base files whose estimated dead fraction (rows whose key also
+        appears in the pending delta set, one column-pruned key pass)
+        stays BELOW the threshold are kept verbatim: their bytes never
+        enter the fold's shuffle or rewrite.  Correctness is free because
+        every read LWW-folds across base AND delta files -- a kept stale
+        row loses to its folded winner exactly as it lost to the delta
+        row before the fold.  The trade: buckets keeping superseded rows
+        become MULTI-VERSION (recorded as ``mv_buckets``), which disables
+        their metadata-only count and z-order slab file-skipping until a
+        later full fold re-establishes one-row-per-key; tombstone/TTL
+        purging is OFF for the whole call (a purged tombstone's older row
+        could resurrect from a kept file) and an explicit purge/expire
+        request is refused.  Use for update-heavy tables where most base
+        bytes are still live; measure with tools/compact_dv_ab.py.
 
         ``bloom=True`` records a per-file bloom of the leading key for
         this fold's output files (see :meth:`key_blooms`): point lookups
@@ -4921,11 +5024,48 @@ class LocalSnapshotSink(SnapshotSink):
             # delta-bearing buckets
             if not (buckets is not None and gc_requested):
                 todo = [b for b in todo if delta_map.get(b)]
+            # a FULL fold also re-folds multi-version buckets (base files
+            # kept with superseded rows by a prior min_dead_fraction
+            # fold): they have maintenance pending even with zero deltas,
+            # and folding them is what re-establishes one-row-per-key
+            mv_pending = {str(x) for x in cur.get("mv_buckets", [])}
+            if buckets is None and min_dead_fraction is None and mv_pending:
+                todo = sorted(
+                    set(todo) | {b for b in mv_pending if base_map.get(b)}
+                )
             todo = [b for b in todo if delta_map.get(b) or base_map.get(b)]
             delta_files = [f for b in todo for f in delta_map.get(b, [])]
-        if not delta_files and not (gc_requested and todo):
+        mv_in_todo = {str(x) for x in cur.get("mv_buckets", [])} & set(todo)
+        if not delta_files and not (gc_requested and todo) and not mv_in_todo:
             return {"snapshot_id": cur["snapshot_id"], "compacted_buckets": 0}
-        files = [f for b in todo for f in base_map.get(b, [])] + delta_files
+        kept_map: dict[str, list[str]] = {}
+        mv_new: set[str] = set()
+        if min_dead_fraction is not None:
+            if gc_requested:
+                raise ValueError(
+                    "min_dead_fraction cannot combine with tombstone/TTL "
+                    "purging: a purged winner's older row could resurrect "
+                    "from a kept base file; run a full fold to GC"
+                )
+            if cluster_by:
+                raise ValueError(
+                    "min_dead_fraction cannot combine with cluster_by: kept "
+                    "files break the disjoint-hyper-rectangle invariant the "
+                    "z-order file stats promise"
+                )
+            if self.merge_mode == "partial":
+                raise ValueError(
+                    "min_dead_fraction requires full-row LWW (merge_mode="
+                    "'lww'): per-column folds have no per-row dead-ness"
+                )
+            kept_map, mv_new = self._partition_live_bases(
+                spark, cur, schema, todo, base_map, delta_files,
+                float(min_dead_fraction),
+            )
+        kept_set = {f for fs in kept_map.values() for f in fs}
+        files = [
+            f for b in todo for f in base_map.get(b, []) if f not in kept_set
+        ] + delta_files
         sort_eff = (self.sort_on_compact if sort is None else sort) and not cluster_by
         cluster_expr = None
         if cluster_by:
@@ -4951,11 +5091,17 @@ class LocalSnapshotSink(SnapshotSink):
         # rebucket racing this fold is aborted by the num_buckets check at
         # commit time before the purged files could be referenced.
         purge = self._purge_horizon(cur, purge_tombstones_before)
+        if min_dead_fraction is not None:
+            # GC is unsound with kept files (resurrection, refused above);
+            # the DEFAULT retention horizon must not sneak it back in
+            purge = None
         # row TTL physical expiry: same major-fold-only validity argument
         # as tombstone GC (the fold covers every file that can hold the
         # bucket's keys, so dropping an expired winner cannot resurrect an
         # older row of the key from an unfolded file)
         expire = self._ttl_horizon(cur, expire_rows_before)
+        if min_dead_fraction is not None:
+            expire = None
         # claim LAST, directly before the first write: the z-order boundary
         # sampler above runs a Spark job, and a claim taken before it would
         # leak (live-pid-shielded) if that job failed
@@ -4964,7 +5110,15 @@ class LocalSnapshotSink(SnapshotSink):
             with self._claim_guard(sid):
                 written = self._fold_bucket_local(
                     spark,
-                    {b: base_map.get(b, []) + delta_map.get(b, []) for b in todo},
+                    {
+                        b: [
+                            f
+                            for f in base_map.get(b, [])
+                            if f not in kept_set
+                        ]
+                        + delta_map.get(b, [])
+                        for b in todo
+                    },
                     sid,
                     schema,
                     int(cur["num_buckets"]),
@@ -4977,7 +5131,15 @@ class LocalSnapshotSink(SnapshotSink):
             n_parts = max(len(todo), cur["num_buckets"] if has_flat else 1)
             if target:
                 bsizes = self._sizes_by_bucket(
-                    {b: base_map.get(b, []) + delta_map.get(b, []) for b in todo}
+                    {
+                        b: [
+                            f
+                            for f in base_map.get(b, [])
+                            if f not in kept_set
+                        ]
+                        + delta_map.get(b, [])
+                        for b in todo
+                    }
                 )
                 fanout_map = {
                     int(b): max(1, -(-int(n) // int(target))) for b, n in bsizes.items()
@@ -5036,7 +5198,17 @@ class LocalSnapshotSink(SnapshotSink):
             # per-bucket row/tombstone counts for metadata-only count():
             # footer rows are free, the tombstone job runs only over files
             # whose footer admits tombstones
-            new_bucket_rows = self._collect_bucket_rows(spark, written)
+            new_bucket_rows = self._collect_bucket_rows(
+                spark,
+                (
+                    {
+                        b: kept_map.get(b, []) + list(written.get(b, []))
+                        for b in set(written) | set(kept_map)
+                    }
+                    if kept_map
+                    else written
+                ),
+            )
         consumed = set(delta_files)
         with self._conflict_trash(), self._commit_lock():
             latest = self.manifest()
@@ -5066,8 +5238,9 @@ class LocalSnapshotSink(SnapshotSink):
                 for b, v in latest.get("deltas", {}).items()
             }
             for b in todo:
-                new_files[b] = []
-            new_files.update(written)
+                new_files[b] = list(kept_map.get(b, []))
+            for b, fs in written.items():
+                new_files[b] = new_files.get(b, []) + list(fs)
             # delta commits that landed AFTER this fold started are still
             # pending; everything up to `cur` was folded.  A PARTIAL fold
             # (bucket-filtered by the caller or the size policy) keeps the
@@ -5088,7 +5261,9 @@ class LocalSnapshotSink(SnapshotSink):
             # key-range stats: drop entries for files this fold replaced
             # (immutable files => remaining entries stay valid verbatim),
             # add this fold's sorted outputs
-            replaced = {f for b in todo for f in base_map.get(b, [])} | consumed
+            replaced = {
+                f for b in todo for f in base_map.get(b, []) if f not in kept_set
+            } | consumed
             ks = dict(self.key_stats(latest))
             if ks or new_key_stats:
                 ks = {f: v for f, v in ks.items() if f not in replaced}
@@ -5104,7 +5279,20 @@ class LocalSnapshotSink(SnapshotSink):
             brm = dict(latest.get("bucket_rows") or {})
             for b in todo:
                 brm.pop(b, None)
-            brm.update(new_bucket_rows)
+            # multi-version buckets (kept superseded rows) get no
+            # metadata count entry: rows-minus-tombstones would double-
+            # count a key (the sig mismatch would invalidate it anyway;
+            # stay explicit)
+            brm.update(
+                {b: v for b, v in new_bucket_rows.items() if b not in mv_new}
+            )
+            mv = {str(x) for x in latest.get("mv_buckets", [])}
+            for b in todo:
+                if b in mv_new:
+                    mv.add(str(b))
+                elif not kept_map.get(b):
+                    # fully folded: one-row-per-key re-established
+                    mv.discard(str(b))
             manifest = {
                 **latest,
                 "snapshot_id": sid,
@@ -5132,10 +5320,22 @@ class LocalSnapshotSink(SnapshotSink):
                 manifest["bucket_rows"] = brm
             else:
                 manifest.pop("bucket_rows", None)
+            if mv:
+                manifest["mv_buckets"] = sorted(mv)
+            else:
+                manifest.pop("mv_buckets", None)
             manifest.pop("change_files", None)
             manifest.pop("ts_stats_new", None)
             self._commit(manifest)
-        return {"snapshot_id": sid, "compacted_buckets": len(written)}
+        return {
+            "snapshot_id": sid,
+            "compacted_buckets": len(written),
+            **(
+                {"kept_files": sum(len(v) for v in kept_map.values())}
+                if min_dead_fraction is not None
+                else {}
+            ),
+        }
 
     def rebucket(
         self,
@@ -5254,6 +5454,7 @@ class LocalSnapshotSink(SnapshotSink):
             manifest.pop("col_stats", None)  # rewrite output is not z-ordered
             manifest.pop("key_blooms", None)  # every bloom'd file was replaced
             manifest.pop("bucket_rows", None)  # bucket ids renumbered
+            manifest.pop("mv_buckets", None)  # full rewrite: single-version
             manifest.pop("change_files", None)
             manifest.pop("ts_stats_new", None)
             self._commit(manifest)
