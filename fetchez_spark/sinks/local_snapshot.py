@@ -2649,6 +2649,39 @@ class LocalSnapshotSink(SnapshotSink):
         O(changed keys) rows, not the touched buckets' full state),
         joined on the key -- never a full-table diff."""
         to_snapshot = to_snapshot or self._version()
+        if from_snapshot == "snap-0000000000":
+            # BOOTSTRAP FAST PATH: nothing was live before the root, so
+            # the net feed IS the live state at `to` as inserts (keys
+            # whose final winner is a tombstone net out, exactly as the
+            # general path filters them).  One O(live state) read instead
+            # of folding every change file ever written -- the path every
+            # brand-new consumer (outbox first publish, view bootstrap)
+            # takes, and the only one that still works after early
+            # history has been expired.  include_expired keeps parity
+            # with the general path, which never TTL-filters post-images.
+            m_to = self.manifest(to_snapshot)
+            schema = T.StructType.fromJson(m_to["schema"])
+            payload_cols = [
+                f.name for f in schema.fields if not _is_internal_name(f.name)
+            ]
+            state = self.read(
+                spark, snapshot_id=to_snapshot, include_expired=True
+            )
+            out = state.withColumn("_change_type", F.lit("insert"))
+            cols = [self._logical_name(c, m_to) for c in payload_cols] + [
+                "_change_type"
+            ]
+            if include_pre_image:
+                pre_t = T.StructType(
+                    [
+                        T.StructField(self._logical_name(f.name, m_to), f.dataType)
+                        for f in schema.fields
+                        if not _is_internal_name(f.name) and f.name not in self.key
+                    ]
+                )
+                out = out.withColumn("_pre_image", F.lit(None).cast(pre_t))
+                cols.append("_pre_image")
+            return out.select(*cols)
         added, buckets, _tss = self._added_change_files(from_snapshot, to_snapshot)
         m_to = self.manifest(to_snapshot)
         schema = T.StructType.fromJson(m_to["schema"])

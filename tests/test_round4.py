@@ -1273,3 +1273,40 @@ def test_change_stream_data_source_incremental_and_exactly_once(spark, tmp_path)
     got3 = spark.read.parquet(str(tmp_path / "out2"))
     assert got3.filter("_deleted").count() == 1
     assert got3.count() == 4
+
+
+def test_change_feed_from_root_fast_path_equals_general_semantics(spark, tmp_path):
+    """r5: feed-from-ROOT takes the bootstrap fast path (one live-state
+    read, no full-history fold) and must be indistinguishable from the
+    general semantics: every live key as an insert with NULL pre-image,
+    tombstone winners netted out, update history collapsed to the final
+    row — and it must keep working after early history is EXPIRED,
+    which the chain walk cannot."""
+    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=4)
+    sink.merge(_batch(spark, [
+        ("a", 0, "user", "a0", None, _ts(1), "insert", 1),
+        ("b", 0, "user", "b0", None, _ts(1), "insert", 2),
+        ("c", 0, "user", "c0", None, _ts(1), "insert", 3),
+    ]), "b-0")
+    sink.merge(_batch(spark, [
+        ("a", 0, "user", "a1", None, _ts(2), "update", 10),   # updated
+        ("b", 0, "user", None, None, _ts(2), "D", 11),        # tombstoned
+        ("d", 0, "user", "d0", None, _ts(2), "insert", 12),   # born later
+    ]), "b-1")
+    feed = sink.change_feed(
+        spark, "snap-0000000000", include_pre_image=True
+    ).toPandas()
+    assert set(feed.columns) >= {"conv_id", "text", "_change_type", "_pre_image"}
+    assert set(feed["_change_type"]) == {"insert"}
+    assert feed["_pre_image"].isna().all()
+    got = dict(zip(feed["conv_id"], feed["text"]))
+    assert got == {"a": "a1", "c": "c0", "d": "d0"}  # b netted out
+    # matches the live state bit-for-bit
+    live = {r["conv_id"]: r["text"] for r in sink.read(spark).collect()}
+    assert got == live
+    # survives early-history expiry (the general chain walk could not
+    # reconstruct the range once b-0's manifest is gone)
+    sink.compact(spark)
+    sink.expire_snapshots(keep_last=1, min_age_seconds=0)
+    feed2 = sink.change_feed(spark, "snap-0000000000").toPandas()
+    assert dict(zip(feed2["conv_id"], feed2["text"])) == live
