@@ -547,9 +547,11 @@ def change_outbox(
                 f"refusing the conflicting {source_name!r}"
             )
         return box
+    # the constructor itself treats None as adopt-persisted-or-default,
+    # so re-opening a maxwell/typed outbox WITH table_dir and format=None
+    # adopts rather than spuriously conflicting with the debezium default
     return ChangeOutbox(
-        outbox_dir, LocalSnapshotSink(table_dir),
-        format="debezium" if format is None else format,
+        outbox_dir, LocalSnapshotSink(table_dir), format=format,
         source_name=source_name,
     )
 

@@ -59,6 +59,16 @@ def _to_ntz(col: Column, dtype: T.DataType) -> Column:
     return col
 
 
+def _floor_div(us: Column, unit: int) -> Column:
+    """floor(us / unit) in exact integer arithmetic: ``pmod`` is
+    non-negative, so ``us - pmod(us, unit)`` is the largest multiple of
+    ``unit`` <= us (for negatives too), and dividing an exact multiple is
+    lossless.  ``timestamp_diff(MILLISECOND/SECOND, ...)`` truncates
+    toward zero instead, which would disagree with ``unix_millis``/
+    ``unix_seconds`` (which floor) for pre-epoch sub-unit timestamps."""
+    return ((us - F.pmod(us, F.lit(unit))) / F.lit(unit)).cast("long")
+
+
 def epoch_us_expr(col: Column, dtype: T.DataType) -> Column:
     """Epoch microseconds for a timestamp column of KNOWN dtype."""
     if isinstance(dtype, (T.TimestampNTZType, T.DateType)):
@@ -69,14 +79,14 @@ def epoch_us_expr(col: Column, dtype: T.DataType) -> Column:
 def epoch_ms_expr(col: Column, dtype: T.DataType) -> Column:
     """Epoch milliseconds for a timestamp column of KNOWN dtype."""
     if isinstance(dtype, (T.TimestampNTZType, T.DateType)):
-        return F.timestamp_diff("MILLISECOND", F.expr(_EPOCH_NTZ), _to_ntz(col, dtype))
+        return _floor_div(epoch_us_expr(col, dtype), 1_000)
     return F.unix_millis(col)
 
 
 def epoch_s_expr(col: Column, dtype: T.DataType) -> Column:
     """Epoch seconds for a timestamp column of KNOWN dtype."""
     if isinstance(dtype, (T.TimestampNTZType, T.DateType)):
-        return F.timestamp_diff("SECOND", F.expr(_EPOCH_NTZ), _to_ntz(col, dtype))
+        return _floor_div(epoch_us_expr(col, dtype), 1_000_000)
     return F.unix_seconds(col)
 
 

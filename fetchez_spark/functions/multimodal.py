@@ -486,8 +486,9 @@ def _luma(px: np.ndarray) -> np.ndarray:
 
 def _decode_stub(kind: str, payload: bytes | None) -> dict:
     """Deterministic fake decode for formats this container has no codec
-    for (PNG/JPEG/MP4/...).  Raises for unknown kinds the way a real
-    decoder would."""
+    for (JPEG/MP4/... -- PNG is REAL now and only lands here for
+    malformed or unsupported variants: palette, 16-bit, Adam7).  Raises
+    for unknown kinds the way a real decoder would."""
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for kind={kind!r}")
     none = {

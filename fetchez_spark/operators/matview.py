@@ -579,20 +579,24 @@ class MaterializedAggregate(IncrementalView):
         """Groups where a removed value tied-or-beat the stored extremum
         cannot trust the stored min/max (the removed row may have BEEN
         the extremum): recompute them from the source state at ``to``,
-        restricted to exactly those groups (broadcast semi-join -- the
-        group list is a small subset of the changed groups)."""
+        restricted to exactly those groups (equi-join; AQE broadcasts the
+        usually-small set at runtime, degrading to a shuffle join under a
+        mass delete instead of OOMing a forced broadcast)."""
         spark = rows.sparkSession
         mm_specs = self._mm_rspecs
-        # the threatened-group set stays a DATAFRAME: a delete wave
+        # the threatened-group set stays DISTRIBUTED: a delete wave
         # touching millions of groups must never round-trip through the
-        # driver (a .collect() here would OOM it at 100x).  Only the
-        # emptiness check executes eagerly -- the common case, since
-        # random deletes rarely remove an extremum contributor -- via a
-        # limit-1 probe, never a materialized list.
+        # driver.  localCheckpoint materializes it ONCE on the executors
+        # (truncating the recompute pipeline's lineage), so the emptiness
+        # probe, the bucket-id projection, and the join below all reuse
+        # the same partitions instead of re-running the delta join three
+        # times -- and no driver-side list or forced broadcast ever
+        # materializes the set in one JVM.
         need_df = (
             rows.filter((F.col("__recompute") == 1) & (F.col("__live") > 0))
             .select(*self.group_by)
             .dropDuplicates()
+            .localCheckpoint(eager=True)
         )
         if need_df.isEmpty():
             return rows
@@ -621,7 +625,12 @@ class MaterializedAggregate(IncrementalView):
         for g in self.group_by:
             c = src[g].eqNullSafe(need[f"__rg_{g}"])
             cond = c if cond is None else (cond & c)
-        member = src.join(F.broadcast(need), cond, "inner")
+        # NO broadcast hint: eqNullSafe is an equi-join AQE plans from
+        # runtime stats -- broadcast when the threatened set is small
+        # (the common case), shuffle hash join when a delete wave makes
+        # it huge (a forced hint would materialize it on the driver and
+        # OOM exactly the case this path exists to survive)
+        member = src.join(need, cond, "inner")
         truth = member.groupBy(*[F.col(g) for g in self.group_by]).agg(
             *[
                 (F.min(c) if fn == "min" else F.max(c)).alias(f"__true_{n}")
@@ -636,7 +645,7 @@ class MaterializedAggregate(IncrementalView):
         for g in self.group_by:
             c = rows[g].eqNullSafe(truth[f"__tg_{g}"])
             cond2 = c if cond2 is None else (cond2 & c)
-        out = rows.join(F.broadcast(truth), cond2, "left")
+        out = rows.join(truth, cond2, "left")
         for n, fn, c in mm_specs:
             out = out.withColumn(
                 n,

@@ -89,16 +89,20 @@ class ChangeOutbox(IncrementalView):
         self,
         outbox_dir: str,
         source,
-        format: str = "debezium",
+        format: str | None = "debezium",
         source_name: str | None = None,
         files_per_batch: int | None = 1,
     ) -> None:
-        if format not in _FORMATS:
+        """``format=None`` adopts a persisted definition (or the
+        ``'debezium'`` default when creating) -- the re-open-with-source
+        twin of :func:`fetchez_spark.api.change_outbox`'s None contract;
+        an EXPLICIT value conflicting with the persisted definition is
+        always refused.  ``source_name=None`` likewise adopts the
+        persisted name on re-open rather than silently overriding it."""
+        if format is not None and format not in _FORMATS:
             raise ValueError(f"format must be one of {_FORMATS}; got {format!r}")
         self.outbox_dir = os.path.abspath(outbox_dir)
         self.source = source
-        self.format = format
-        self.source_name = source_name
         self.files_per_batch = files_per_batch
         self.store = SimpleNamespace(table_dir=self.outbox_dir)
         os.makedirs(os.path.join(self.outbox_dir, _META), exist_ok=True)
@@ -114,20 +118,31 @@ class ChangeOutbox(IncrementalView):
                     f"{outbox_dir} publishes {d['source_dir']!r}; refusing "
                     f"the conflicting source {source.table_dir!r}"
                 )
-            if d.get("format", "debezium") != format:
+            persisted_fmt = d.get("format", "debezium")
+            if format is not None and persisted_fmt != format:
                 raise ValueError(
-                    f"{outbox_dir} publishes format {d.get('format')!r}; "
+                    f"{outbox_dir} publishes format {persisted_fmt!r}; "
                     f"refusing the conflicting {format!r} (mixed envelopes "
                     "in one outbox would corrupt every consumer)"
                 )
+            persisted_name = d.get("source_name")
+            if source_name is not None and source_name != persisted_name:
+                raise ValueError(
+                    f"{outbox_dir} publishes source_name {persisted_name!r}; "
+                    f"refusing the conflicting {source_name!r}"
+                )
+            self.format = persisted_fmt
+            self.source_name = persisted_name
         else:
+            self.format = "debezium" if format is None else format
+            self.source_name = source_name
             _atomic_write(
                 def_path,
                 json.dumps(
                     {
                         "source_dir": os.path.abspath(source.table_dir),
-                        "format": format,
-                        "source_name": source_name,
+                        "format": self.format,
+                        "source_name": self.source_name,
                     }
                 ),
             )
@@ -293,8 +308,11 @@ class ChangeOutbox(IncrementalView):
         ``keep_batches`` of headroom for in-flight tails.  Snapshot
         filenames (``snapshot-<ordinal>-a<attempt>-<k>.jsonl``) are never
         reused; re-running rebase at an unchanged cursor replaces the
-        previous snapshot's coverage (the old snapshot file is retired
-        like any superseded batch)."""
+        previous snapshot's coverage, retiring all superseded attempts
+        EXCEPT the immediately-previous one (one generation of headroom
+        for a consumer mid-bootstrap -- duplicate-state accumulation is
+        bounded at two copies; ``keep_batches=0`` retires
+        unconditionally)."""
         st = self._state()
         n_ord = int(st["ordinal"])
         data = self.data_dir()
@@ -376,10 +394,11 @@ class ChangeOutbox(IncrementalView):
         # ONE horizon for batches and OLDER-ordinal snapshots: ordinal <=
         # n_ord - keep_batches -- the headroom protects in-flight
         # consumers mid-read exactly as Kafka segment retention does.
-        # Same-ordinal snapshot attempts are retired UNCONDITIONALLY
-        # (identical coverage, identical state -- keeping them only makes
-        # new consumers ingest the full state once per stale attempt).
-        # The snapshot just written never retires (its attempt id is
+        # Same-ordinal snapshot attempts keep ONE generation of headroom
+        # (the immediately-previous attempt survives; older ones retire),
+        # bounding duplicate-state accumulation at two copies without
+        # deleting files out from under a consumer mid-bootstrap.  The
+        # snapshot just written never retires (its attempt id is
         # current); foreign file names are left alone (fsck warns).
         retired = []
         horizon = n_ord - max(0, int(keep_batches))
@@ -394,13 +413,26 @@ class ChangeOutbox(IncrementalView):
                 ordinal = int(rest.split("-", 1)[0])
             except ValueError:
                 continue  # foreign name: never touch it
-            if ordinal <= horizon or (kind == "snapshot" and ordinal == n_ord):
-                # a superseded snapshot ATTEMPT at this very ordinal is
-                # pure duplication (same coverage, same state) -- retire
-                # it regardless of keep_batches, else every rebase at an
-                # unchanged cursor accumulates a full-state copy and new
-                # consumers ingest the whole state once per stale attempt
+            if ordinal <= horizon:
                 retired.append(f)
+                continue
+            if kind == "snapshot" and ordinal == n_ord:
+                # superseded same-ordinal attempts are pure duplication
+                # (same coverage, same state), but a consumer may be
+                # MID-READ of the previous one -- retire all but the
+                # immediately-previous generation (one attempt of
+                # headroom, the same in-flight protection keep_batches
+                # gives batches), so accumulation is bounded at two
+                # copies instead of one-per-stale-attempt.
+                # keep_batches == 0 retires unconditionally (the
+                # explicit no-headroom mode, as for batches).
+                seg = rest.split("-")[1] if "-" in rest else ""
+                try:
+                    a_num = int(seg[1:]) if seg.startswith("a") else -1
+                except ValueError:
+                    a_num = -1
+                if keep_batches == 0 or (0 <= a_num < attempt - 1):
+                    retired.append(f)
         for f in retired:
             os.remove(os.path.join(data, f))
         return {

@@ -457,7 +457,22 @@ class IcebergSink(SnapshotSink):
         arbitrary ON cannot express the by-key tombstone-resurrection
         contract in one statement), and ``error_on_multiple_matches``
         cannot be disabled (native MERGE always errors on multiple
-        matches -- the safe default, enforced by the engine)."""
+        matches -- the safe default, enforced by the engine).
+
+        **Delivery contract with** ``batch_token``: AT-LEAST-ONCE across
+        a crash, unlike :meth:`merge`.  The replay-merge's clauses are
+        version-guarded and therefore idempotent, which is what makes
+        its MERGE-then-record-token sequence exactly-once; a general
+        ``merge_into`` clause spec need not be (``t._seq`` bumps
+        unconditionally, and assignments like ``t.value + s.delta``
+        re-apply on replay).  A crash in the window between the MERGE
+        commit and the token-property commit therefore re-runs the MERGE
+        on retry.  Make the clause spec self-idempotent (pure ``s.``
+        assignments re-apply harmlessly up to ``_seq``), or use
+        :class:`LocalSnapshotSink` (whose merge_into is one atomic
+        change-event commit) when exactly-once matters across crashes --
+        open-source Iceberg offers no way to couple a MERGE and a
+        property write in one commit from SQL."""
         if (
             when_matched_update is None
             and when_matched_delete is None

@@ -596,6 +596,15 @@ class LocalSnapshotSink(SnapshotSink):
                 "bootstrap)"
             )
         self.merge_mode = recorded_mm
+        if self.merge_mode == "partial" and self.compact_min_dead_fraction is not None:
+            # fail at CONSTRUCTION, not at the first auto-compaction N
+            # batches into a stream (compact() would raise the same
+            # incompatibility mid-merge and kill the streaming query)
+            raise ValueError(
+                "compact_min_dead_fraction requires full-row LWW "
+                "(merge_mode='lww'): per-column folds have no per-row "
+                "dead-ness"
+            )
         # adopt recorded table properties for every knob this constructor
         # left at its default -- a fresh-session open (CLI, cron
         # maintenance, a plain reader of a TTL table) sees the table's own
@@ -5309,16 +5318,6 @@ class LocalSnapshotSink(SnapshotSink):
             if bl or new_blooms:
                 bl = {f: v for f, v in bl.items() if f not in replaced}
                 bl.update(new_blooms)
-            brm = dict(latest.get("bucket_rows") or {})
-            for b in todo:
-                brm.pop(b, None)
-            # multi-version buckets (kept superseded rows) get no
-            # metadata count entry: rows-minus-tombstones would double-
-            # count a key (the sig mismatch would invalidate it anyway;
-            # stay explicit)
-            brm.update(
-                {b: v for b, v in new_bucket_rows.items() if b not in mv_new}
-            )
             mv = {str(x) for x in latest.get("mv_buckets", [])}
             for b in todo:
                 if b in mv_new:
@@ -5326,6 +5325,19 @@ class LocalSnapshotSink(SnapshotSink):
                 elif not kept_map.get(b):
                     # fully folded: one-row-per-key re-established
                     mv.discard(str(b))
+            brm = dict(latest.get("bucket_rows") or {})
+            for b in todo:
+                brm.pop(b, None)
+            # multi-version buckets (kept superseded rows) get no
+            # metadata count entry: rows-minus-tombstones would double-
+            # count a key.  Filter against the FINAL mv set, not just
+            # this fold's mv_new: a bucket that STAYED multi-version from
+            # an earlier fold (this round's kept file had dead=0 against
+            # the new deltas) would otherwise regain an entry whose sig
+            # matches while its rows still count superseded keys.
+            brm.update(
+                {b: v for b, v in new_bucket_rows.items() if str(b) not in mv}
+            )
             manifest = {
                 **latest,
                 "snapshot_id": sid,

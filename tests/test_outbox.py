@@ -387,17 +387,28 @@ def test_multi_view_follow_honors_outbox_rebase_options(spark, pair, tmp_path):
         ).run(spark)
 
 
-def test_rebase_at_unchanged_cursor_retires_stale_snapshot_attempts(spark, pair):
-    """ADVICE r4: re-running rebase at an unchanged cursor must not
-    accumulate duplicate full-state snapshots — same-ordinal superseded
-    attempts retire unconditionally, independent of keep_batches."""
+def test_rebase_at_unchanged_cursor_bounds_stale_snapshot_attempts(spark, pair):
+    """ADVICE r4 (+ r5 review): re-running rebase at an unchanged cursor
+    must not accumulate a full-state copy per stale attempt — but the
+    immediately-previous attempt keeps one generation of headroom for a
+    consumer mid-bootstrap, so accumulation is BOUNDED AT TWO, and
+    keep_batches=0 retires unconditionally."""
     sink, box = pair
     sink.merge(_env(spark, [("U", f"c{i}", f"t{i}", i) for i in range(4)]), "b0")
     box.refresh(spark)
-    box.rebase(spark, keep_batches=2)
-    box.rebase(spark, keep_batches=2)  # unchanged cursor
-    snaps = [f for f in os.listdir(box.data_dir()) if f.startswith("snapshot-")]
-    assert snaps and all(f.startswith("snapshot-00000001-a01-") for f in snaps), snaps
+    for _ in range(4):  # four rebases at the SAME cursor
+        box.rebase(spark, keep_batches=2)
+    snaps = sorted(
+        {f.split("-")[2] for f in os.listdir(box.data_dir())
+         if f.startswith("snapshot-")}
+    )
+    assert snaps == ["a02", "a03"], snaps  # current + one headroom, no more
+    box.rebase(spark, keep_batches=0)  # explicit no-headroom mode
+    snaps = sorted(
+        {f.split("-")[2] for f in os.listdir(box.data_dir())
+         if f.startswith("snapshot-")}
+    )
+    assert snaps == ["a04"], snaps
 
 
 def test_change_outbox_reopen_explicit_format_conflict(spark, pair, tmp_path):
@@ -414,3 +425,21 @@ def test_change_outbox_reopen_explicit_format_conflict(spark, pair, tmp_path):
         change_outbox(mx_dir, format="debezium")
     with pytest.raises(ValueError, match="conflicting"):
         change_outbox(mx_dir, source_name="other")
+
+
+def test_change_outbox_reopen_with_table_dir_adopts_persisted_format(spark, pair, tmp_path):
+    """r5 review: re-opening WITH table_dir and format=None must adopt a
+    persisted maxwell/typed definition instead of resolving None to the
+    debezium default and spuriously conflicting."""
+    from fetchez_spark.api import change_outbox
+
+    sink, _ = pair
+    mx_dir = str(tmp_path / "mx2")
+    change_outbox(mx_dir, table_dir=sink.table_dir, format="maxwell",
+                  source_name="shop")
+    again = change_outbox(mx_dir, table_dir=sink.table_dir)  # None adopts
+    assert again.format == "maxwell" and again.source_name == "shop"
+    with pytest.raises(ValueError, match="conflicting 'debezium'"):
+        change_outbox(mx_dir, table_dir=sink.table_dir, format="debezium")
+    with pytest.raises(ValueError, match="conflicting 'other'"):
+        change_outbox(mx_dir, table_dir=sink.table_dir, source_name="other")

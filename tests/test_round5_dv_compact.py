@@ -150,3 +150,36 @@ def test_dv_compact_refusals(spark, sink):
         )
     with pytest.raises(ValueError, match="cluster_by"):
         sink.compact(spark, min_dead_fraction=0.5, cluster_by=["v"])
+
+
+def test_dv_compact_mv_bucket_never_regains_metadata_count(spark, sink):
+    """r5 review (confirmed repro): a bucket that STAYS multi-version
+    across a SECOND min_dead_fraction fold (its kept file has dead=0
+    against the new deltas) must not regain a bucket_rows entry — the
+    entry's rows would count both the superseded key and its winner and
+    the sig would match, so count_rows would trust the overcount."""
+    sink.merge(
+        _env(spark, [("U", f"c{i}", f"t{i}", i, i) for i in range(100)]), "b0"
+    )
+    sink.compact(spark)
+    sink.merge(_env(spark, [("U", "c1", "up", 999, 500)]), "b1")
+    sink.compact(spark, min_dead_fraction=0.5)  # bucket of c1 -> mv
+    # a second DV round whose delta does NOT touch the kept file's keys:
+    # dead=0 for the kept file, bucket must STAY mv and STAY unentered
+    sink.merge(_env(spark, [("U", "zz-new", "n", 1, 501)]), "b2")
+    sink.compact(spark, min_dead_fraction=0.5)
+    live = sink.read(spark).count()
+    assert sink.count_rows(spark) == live == 101
+    with pytest.raises(ValueError, match="not metadata-answerable"):
+        sink.count_rows(None)
+
+
+def test_dv_knob_refused_with_partial_mode_at_construction(tmp_path):
+    """r5 review: the incompatible combination must fail at CONSTRUCTION,
+    not at the first auto-compaction N batches into a stream."""
+    with pytest.raises(ValueError, match="full-row LWW"):
+        LocalSnapshotSink(
+            str(tmp_path / "p"), num_buckets=2, key=["conv_id"],
+            base_schema=PAYLOAD, merge_mode="partial",
+            compact_min_dead_fraction=0.5,
+        )
