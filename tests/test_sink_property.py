@@ -55,9 +55,11 @@ def _oracle(rows):
     mode=st.sampled_from(["mor", "cow"]),
     clustered=st.booleans(),
     local_fold=st.booleans(),
+    dv=st.sampled_from([None, 0.5, 0.99]),
 )
 def test_sink_matches_oracle_any_batching_any_mode(
-    spark, tmp_path_factory, events, split, compact_mid, mode, clustered, local_fold
+    spark, tmp_path_factory, events, split, compact_mid, mode, clustered,
+    local_fold, dv
 ):
     rows = _rows(events)
     cut = min(split, len(rows))
@@ -76,13 +78,24 @@ def test_sink_matches_oracle_any_batching_any_mode(
     sink.merge(b1, "b1")
     if compact_mid:
         # local_fold=True takes the exchange-free bucket-local fold
-        # (minor-first when flat deltas exist); both paths must be
-        # state-identical under any batching/mode/layout combination
-        sink.compact(spark, local=local_fold)
+        # (minor-first when flat deltas exist); dv adds the
+        # live-fraction-aware fold (kept files + mv buckets) -- every
+        # path must be state-identical under any batching/mode/layout
+        sink.compact(spark, local=local_fold, min_dead_fraction=dv)
     if rows[cut:]:
         sink.merge(spark.createDataFrame(rows[cut:], CHANGE_EVENT_SCHEMA), "b2")
     got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in sink.read(spark).collect()}
     assert got == _oracle(rows)
+    if dv is not None:
+        # a DV fold over the final state, then a full fold (clears mv):
+        # both pure maintenance -- state invariant at every step
+        sink.compact(spark, min_dead_fraction=dv)
+        got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in sink.read(spark).collect()}
+        assert got == _oracle(rows)
+        sink.compact(spark)
+        assert not sink.manifest().get("mv_buckets")
+        got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in sink.read(spark).collect()}
+        assert got == _oracle(rows)
 
 
 def test_lookup_prunes_to_one_bucket(spark, tmp_path):
