@@ -6787,6 +6787,11 @@ class LocalSnapshotSink(SnapshotSink):
                     min_bucket_bytes=thresh,
                     target_file_bytes=self.target_file_bytes,
                     sort=self.sort_on_compact or None,
+                    # the sink-level DV policy applies to auto_maintain's
+                    # folds too; its purge_tombstones step still runs FULL
+                    # folds (gc path), which is what periodically clears
+                    # mv buckets under the DV policy
+                    min_dead_fraction=self.compact_min_dead_fraction,
                 )
             elif act == "minor_compact":
                 res = self.compact(spark, minor=True)
