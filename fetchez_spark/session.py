@@ -51,6 +51,14 @@ def get_spark(
         # transcript payload at indistinguishable wall time (measured,
         # interleaved trials) -- at 100 TB that is pure IO/storage savings
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # explicit-file-list reads (MoR folds, change feeds, stats jobs)
+        # routinely pass 64-1000 paths; above this threshold Spark spawns
+        # a DISTRIBUTED listing job (one extra job + schedule round-trip
+        # per read).  Driver-side status of ~1k known paths is microseconds
+        # on any filesystem, so keep the job for genuinely huge listings
+        # only.  Default is 32, which taxed every fold and every serving
+        # increment with a listing job.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

@@ -2673,12 +2673,21 @@ class LocalSnapshotSink(SnapshotSink):
                             break  # chain truncated -> the loud error below
                         for v in list(pm["files"].values()) + list(pm.get("deltas", {}).values()):
                             pfiles.update(self._resolve_list(v))
+                    # flat deltas carry no per-file bucket label, but the
+                    # merge that wrote them records the batch's bucket set
+                    # in its own stats (delta_buckets) -- prefer that over
+                    # giving up on pruning entirely
+                    flat_buckets = (m.get("stats") or {}).get("delta_buckets")
                     for b, v in list(m["files"].items()) + list(m.get("deltas", {}).items()):
                         for f in self._resolve_list(v):
                             if f not in pfiles:
                                 added.append(f)
                                 if buckets is not None:
-                                    if b == _FLAT:
+                                    if b == _FLAT and flat_buckets:
+                                        buckets.update(
+                                            int(x) for x in flat_buckets
+                                        )
+                                    elif b == _FLAT:
                                         buckets = None
                                     else:
                                         buckets.add(int(b))
@@ -4186,29 +4195,66 @@ class LocalSnapshotSink(SnapshotSink):
         # high-watermark must advance even with metrics collection off,
         # else a later reader with late_tolerance_seconds set sees hwm=None
         # and silently applies no late-event rejection.
+        # event-time footer stats for the just-written files: harvested
+        # HERE (not at commit time) so the fast path below can take the
+        # batch watermark from the footers instead of re-aggregating ts
+        # in the stats job; they ride into the manifest as ts_stats_new
+        ts_stats_new = self._harvest_ts_stats(change_files or written)
         if self.mode == "mor" and written and (self.collect_metrics or not use_observe):
             # per-src-partition lineage counts (+ in fast mode: the batch
             # totals, deletes, and watermark).  MoR-only: CoW rewrites mix
             # in pre-existing rows, so per-partition counts there would
             # double-count history.
-            stats_schema = T.StructType(
-                [
-                    T.StructField(INTERNAL_SRC, T.IntegerType(), True),
-                    T.StructField(INTERNAL_DELETED, T.BooleanType(), True),
-                    T.StructField("ts", T.TimestampType(), True),
-                ]
+            # Watermark from parquet footers when every written file has
+            # ts statistics (engine-written TIMESTAMP_MICROS always does;
+            # both the footer path and a Spark collect render the same
+            # int64 micros through the local timezone): the stats job
+            # then prunes down to the two narrow lineage columns.
+            footer_maxes = (
+                [ts_stats_new[f][1] for f in written]
+                if not use_observe and all(f in ts_stats_new for f in written)
+                else None
             )
+            stats_fields = [
+                T.StructField(INTERNAL_SRC, T.IntegerType(), True),
+                T.StructField(INTERNAL_DELETED, T.BooleanType(), True),
+            ]
+            stats_aggs = [
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(INTERNAL_DELETED).cast("long")).alias("d"),
+            ]
+            if footer_maxes is None:
+                stats_fields.append(T.StructField("ts", T.TimestampType(), True))
+                stats_aggs.append(F.max("ts").alias("m"))
+            # which buckets this batch touches, riding the SAME stats job
+            # (one extra key column + a per-group collect_set bounded by
+            # num_buckets): recorded as stats.delta_buckets so flat-delta
+            # consumers (export refresh, change_feed pre-state) can
+            # bucket-prune without re-scanning the commit's files -- the
+            # labels clustered-delta commits get from their layout for free
+            key0 = self.key[0]
+            k0_type = next(
+                (f.dataType for f in new_schema.fields if f.name == key0), None
+            )
+            track_buckets = not self.cluster_deltas and k0_type is not None
+            if track_buckets:
+                stats_fields.append(T.StructField(key0, k0_type, True))
+                stats_aggs.append(
+                    F.collect_set(self._bucket_expr(nb)).alias("bk")
+                )
             per_part = (
-                spark.read.schema(stats_schema)
+                spark.read.schema(T.StructType(stats_fields))
                 .parquet(*written)
                 .groupBy(INTERNAL_SRC)
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(F.col(INTERNAL_DELETED).cast("long")).alias("d"),
-                    F.max("ts").alias("m"),
-                )
+                .agg(*stats_aggs)
                 .collect()
             )
+            if track_buckets:
+                touched_new = sorted(
+                    {int(b) for r in per_part for b in (r["bk"] or [])}
+                )
+                if touched_new:
+                    stats["delta_buckets"] = touched_new
             if self.collect_metrics:
                 metrics["rows_in_per_src_partition"] = {
                     int(r[INTERNAL_SRC]): int(r["n"])
@@ -4216,8 +4262,15 @@ class LocalSnapshotSink(SnapshotSink):
                     if r[INTERNAL_SRC] is not None
                 }
             if not use_observe:
-                maxes = [r["m"] for r in per_part if r["m"] is not None]
-                max_ts = max(maxes) if maxes else None
+                if footer_maxes is not None:
+                    from datetime import datetime
+
+                    max_ts = max(
+                        datetime.fromisoformat(x) for x in footer_maxes
+                    )
+                else:
+                    maxes = [r["m"] for r in per_part if r["m"] is not None]
+                    max_ts = max(maxes) if maxes else None
                 if self.collect_metrics:
                     total = sum(int(r["n"]) for r in per_part)
                     metrics["rows_in"] = total
@@ -4251,9 +4304,8 @@ class LocalSnapshotSink(SnapshotSink):
         # a racing compaction cannot have folded files it never saw
         # listed).  CoW rewrites base files computed FROM `cur`, which a
         # concurrent commit invalidates -> ConcurrentWriteConflict.
-        # Event-time stats for the just-written change files (footer
-        # reads, OUTSIDE the lock -- pure metadata harvesting).
-        ts_stats_new = self._harvest_ts_stats(change_files or written)
+        # (ts_stats_new was harvested above, before the stats job, so the
+        # fast path could reuse the footer maxima for the watermark.)
 
         def _manifest_for(base: dict) -> dict:
             # CoW always flows through the validated reconcile branch --
@@ -4335,6 +4387,14 @@ class LocalSnapshotSink(SnapshotSink):
                         "delta_files": self._count_files(deltas_),
                         "delta_commits": int(base.get("stats", {}).get("delta_commits", 0)) + 1,
                     }
+                    if stats.get("delta_buckets") and int(
+                        base.get("num_buckets", nb)
+                    ) == nb:
+                        # reconciled commits keep their bucket labels (a
+                        # property of the batch, not of which base manifest
+                        # won the race) -- UNLESS a rebucket interleaved:
+                        # ids computed under the old layout would lie
+                        stats_["delta_buckets"] = stats["delta_buckets"]
                 if self.collect_metrics:
                     # contended commits must stay catalog-searchable by
                     # their row stats, same as uncontended ones
