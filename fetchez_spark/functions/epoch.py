@@ -65,8 +65,14 @@ def _floor_div(us: Column, unit: int) -> Column:
     ``unit`` <= us (for negatives too), and dividing an exact multiple is
     lossless.  ``timestamp_diff(MILLISECOND/SECOND, ...)`` truncates
     toward zero instead, which would disagree with ``unix_millis``/
-    ``unix_seconds`` (which floor) for pre-epoch sub-unit timestamps."""
-    return ((us - F.pmod(us, F.lit(unit))) / F.lit(unit)).cast("long")
+    ``unix_seconds`` (which floor) for pre-epoch sub-unit timestamps.
+    The division runs in DECIMAL, not ``/`` on longs (which routes
+    through double and silently loses bits for |epoch_us| > 2^53 --
+    beyond ~year 2255 or the far pre-epoch range NTZ supports); a
+    decimal quotient of an exact multiple is exact, and the final cast
+    to long only strips the zero fraction."""
+    exact_multiple = us - F.pmod(us, F.lit(unit))
+    return (exact_multiple.cast(T.DecimalType(38, 0)) / F.lit(unit)).cast("long")
 
 
 def epoch_us_expr(col: Column, dtype: T.DataType) -> Column:

@@ -89,7 +89,7 @@ class ChangeOutbox(IncrementalView):
         self,
         outbox_dir: str,
         source,
-        format: str | None = "debezium",
+        format: str | None = None,
         source_name: str | None = None,
         files_per_batch: int | None = 1,
     ) -> None:

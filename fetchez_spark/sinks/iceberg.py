@@ -30,7 +30,9 @@ the local sink's manifest window (bounded metadata growth).
 
 from __future__ import annotations
 
+import re
 import time
+import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -423,9 +425,19 @@ class IcebergSink(SnapshotSink):
             batch_to_target_rows(batch), key=self.key, order=["ts", INTERNAL_SEQ]
         )
         added = self._evolve_schema(rows)
-        view = "_fz_batch"
+        # per-call view name (derived from the token, which exactly-once
+        # delivery already makes unique per in-flight batch): two
+        # concurrent merges on one SparkSession can no longer overwrite
+        # each other's source between view registration and the MERGE
+        view = f"_fz_batch_{re.sub(r'[^A-Za-z0-9_]', '_', token)}"
         rows.createOrReplaceTempView(view)
-        self.spark.sql(merge_sql(self.table, view, self.key, rows.columns))
+        try:
+            self.spark.sql(merge_sql(self.table, view, self.key, rows.columns))
+        finally:
+            try:  # best-effort cleanup; the view is session-scoped anyway
+                self.spark.catalog.dropTempView(view)
+            except Exception:
+                pass
         self._record_token(token)
         return {
             "skipped": False,
@@ -559,26 +571,65 @@ class IcebergSink(SnapshotSink):
         token = str(batch_token) if batch_token is not None else None
         if token is not None and self.is_committed(token):
             return {"skipped": True, "batch_token": token}
-        view = "_fz_merge_src"
-        source.createOrReplaceTempView(view)
-        self.spark.sql(
-            merge_into_sql(
-                self.table,
-                view,
-                lkey,
-                payload_cols,
-                when_matched_update=upd,
-                when_matched_delete=_sqlify(
-                    when_matched_delete, "when_matched_delete"
-                ),
-                when_not_matched_insert=ins,
-                when_not_matched_by_source_update=bupd,
-                when_not_matched_by_source_delete=_sqlify(
-                    when_not_matched_by_source_delete,
-                    "when_not_matched_by_source_delete",
-                ),
+        if (
+            ins is not None
+            and hasattr(source, "groupBy")  # real DataFrame sources only
+            and all(k in source.columns for k in lkey)
+        ):
+            # native MERGE only errors on multiple source rows matching
+            # one TARGET row; duplicate NEW keys would silently insert
+            # one row per duplicate, permanently breaking the
+            # one-row-per-key model (the local sink collapses the same
+            # duplicates through its LWW change-event fold).  Refuse
+            # loudly -- the error_on_multiple_matches contract extended
+            # to the not-matched side.  One bounded job (first offender).
+            dup = (
+                source.groupBy(*[source[k] for k in lkey])
+                .count()
+                .filter("count > 1")
+                .limit(1)
+                .collect()
             )
-        )
+            if dup:
+                key_vals = {k: dup[0][k] for k in lkey}
+                raise ValueError(
+                    "merge_into source carries duplicate key rows (e.g. "
+                    f"{key_vals}): native MERGE would insert one row per "
+                    "duplicate for not-matched keys, permanently breaking "
+                    "the one-row-per-key model.  Collapse the source to "
+                    "one row per key first (e.g. dedup_latest on "
+                    "(ts, seq)), as LocalSnapshotSink.merge_into does "
+                    "through its LWW fold."
+                )
+        # per-call view name: concurrent merge_into calls on one
+        # SparkSession must not overwrite each other's source between
+        # createOrReplaceTempView and the MERGE
+        view = f"_fz_merge_src_{uuid.uuid4().hex[:12]}"
+        source.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(
+                merge_into_sql(
+                    self.table,
+                    view,
+                    lkey,
+                    payload_cols,
+                    when_matched_update=upd,
+                    when_matched_delete=_sqlify(
+                        when_matched_delete, "when_matched_delete"
+                    ),
+                    when_not_matched_insert=ins,
+                    when_not_matched_by_source_update=bupd,
+                    when_not_matched_by_source_delete=_sqlify(
+                        when_not_matched_by_source_delete,
+                        "when_not_matched_by_source_delete",
+                    ),
+                )
+            )
+        finally:
+            try:  # best-effort cleanup; the view is session-scoped anyway
+                self.spark.catalog.dropTempView(view)
+            except Exception:
+                pass
         if token is not None:
             self._record_token(token)
         return {"skipped": False, "batch_token": token}

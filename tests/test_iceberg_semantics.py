@@ -284,7 +284,8 @@ def _merge_duck(sink: IcebergSink, ds: DuckSpark, batch, token: str):
     )
     pdf = rows.toPandas()
     pdf["ts"] = _naive_utc(pdf["ts"])
-    ds.con.register("_fz_batch", pdf)
+    # the adapter derives its per-call view name from the batch token
+    ds.con.register("_fz_batch_" + re.sub(r"[^A-Za-z0-9_]", "_", token), pdf)
     return sink.merge(batch, token)
 
 
@@ -393,13 +394,15 @@ def _merge_into_duck(sink: IcebergSink, ds: DuckSpark, spark, source, **kw):
     pdf = source.toPandas()
     if "ts" in pdf.columns:
         pdf["ts"] = _naive_utc(pdf["ts"])
-    ds.con.register("_fz_merge_src", pdf)
 
     class _SrcView:
         columns = list(source.columns)
 
         def createOrReplaceTempView(self, name):
-            pass
+            # the adapter now picks a per-call unique view name; register
+            # the source under whatever name it chose so the translated
+            # MERGE resolves it in DuckDB
+            ds.con.register(name, pdf)
 
         def toPandas(self):
             return pdf
