@@ -2189,13 +2189,32 @@ def _q_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window top-k per key (focus/dedup-by-path analog, focus.py:42-56)."""
+    """Window top-k per key (focus/dedup-by-path analog, focus.py:42-56).
+
+    Two-phase exact top-k: event_type has ~5 distinct values, so the
+    single-window form funnels the whole table into 5 reduce tasks and
+    sorts millions of rows per task.  Phase 1 takes the top-3 within
+    (event_type, salt-64) -- 320-way parallel, each task sorts 1/64 of a
+    type -- and phase 2 re-ranks the <= 192 survivors per type.  Exact by
+    containment (the global top-3 of a type is inside the union of its
+    per-salt top-3s) with the same (value DESC, event_id ASC) total
+    order, event_id unique, so rn and rows are bit-identical.  The salt
+    is a deterministic key hash (guide 2.5: never rand())."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    order = [F.desc("value"), F.asc("event_id")]
+    w1 = Window.partitionBy("event_type", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("event_type").orderBy(*order)
+    cand = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(64)))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= 3)
+        .drop("rn", "_salt")
+    )
     return (
-        ev.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= 3)
         .select("event_type", "rn", "event_id", "value")
     )

@@ -331,6 +331,7 @@ class LocalSnapshotSink(SnapshotSink):
         conflict_retries: int = 0,
         merge_mode: str | None = None,
         compact_min_dead_fraction: float | None = None,
+        async_compact: bool = True,
     ) -> None:
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
@@ -436,6 +437,23 @@ class LocalSnapshotSink(SnapshotSink):
         self.compact_min_bucket_bytes = compact_min_bucket_bytes
         # live-fraction-aware auto-compaction (see compact min_dead_fraction)
         self.compact_min_dead_fraction = compact_min_dead_fraction
+        # async_compact: merge-triggered maintenance folds run on a
+        # single background thread so the NEXT batches' appends overlap
+        # the fold (guide 2.6: independent jobs back-fill the fold's
+        # straggler tail; MoR appends and fold commits already reconcile
+        # -- the fold subtracts exactly the delta files it read, appends
+        # landed mid-fold stay pending).  One fold in flight at a time;
+        # a due trigger while one runs is deferred to the next commit.
+        # Joined (errors re-raised) at the next trigger, any explicit
+        # compact()/rebucket(), or finish_maintenance(); replay_batches
+        # joins before returning, so batch-replay semantics are
+        # unchanged.  False = round-5 inline behavior.
+        self.async_compact = async_compact
+        self._compact_future: Any | None = None
+        self._compact_pool = None
+        self._compact_tid: int | None = None
+        self._compact_mu = threading.Lock()
+        self._size_compact_floor = 0
         self.target_file_bytes = target_file_bytes
         # sort_on_compact: major compaction range-clusters each bucket's
         # output on the table key (the Iceberg sort-order analog) and
@@ -1267,7 +1285,13 @@ class LocalSnapshotSink(SnapshotSink):
     # Zipf-hot keys; below it, the one-exchange shape is cheaper (the
     # straggler costs milliseconds there).  Scale-free: the gate follows
     # the fold's own input bytes, not machine or scale-factor constants.
-    FOLD_COMBINE_MIN_BYTES = 64 * 1024 * 1024
+    # 8 MiB, not 64: the gate sees COMPRESSED parquet bytes (no-dict zstd
+    # deltas decode ~3x larger), and a measured 65 MB fold under the old
+    # 64 MiB floor spent 226 task-seconds in the raw-shuffle reduce (Zipf
+    # hot key + balls-into-bins) vs ~70 for the combine shape -- the
+    # "milliseconds" regime where the extra exchange is pure overhead
+    # ends well below 8 MiB.
+    FOLD_COMBINE_MIN_BYTES = 8 * 1024 * 1024
 
     def _fold_combine_first(self, files: list[str]) -> bool:
         """Should a fold over ``files`` pre-combine map-side?  True for
@@ -4533,7 +4557,11 @@ class LocalSnapshotSink(SnapshotSink):
             cadence_trigger = (
                 manifest["stats"].get("delta_commits", 0) >= self.compact_every
             )
-            if size_trigger or cadence_trigger:
+            fold_in_flight = (
+                self._compact_future is not None
+                and not self._compact_future.done()
+            )
+            if (size_trigger or cadence_trigger) and not fold_in_flight:
                 # CADENCE always means a FULL fold -- it is the bound on
                 # read amplification for buckets the size policy never
                 # selects; only a pure size trigger compacts selectively
@@ -4542,29 +4570,36 @@ class LocalSnapshotSink(SnapshotSink):
                     min_b = self.compact_min_bucket_bytes
                     if min_b is None:
                         min_b = max(self.auto_compact_bytes // max(nb, 1), 1)
-                try:
-                    res = self.compact(
-                        spark,
-                        min_bucket_bytes=min_b,
-                        min_dead_fraction=self.compact_min_dead_fraction,
-                    )
-                    if res.get("compacted_buckets"):
-                        metrics["compacted"] = res["snapshot_id"]
-                        self._size_compact_floor = 0
-                    else:
-                        # selection matched nothing: report honestly and
-                        # damp the next attempt
-                        metrics["compact_noop"] = True
-                        if size_trigger:
-                            self._size_compact_floor = int(total_db * 1.5)
-                except ConcurrentWriteConflict:
-                    # another writer's fold won the race; the trigger state
-                    # persists, so a later commit retries -- a maintenance
-                    # race must never kill the streaming query that
-                    # tripped it.  The losing fold condemned its claim
-                    # under the lock; delete it now that we're outside.
-                    self._empty_trash()
-                    metrics["compact_skipped"] = "concurrent"
+                if self.async_compact:
+                    # harvest the previous fold's outcome (it is done or
+                    # absent -- fold_in_flight gated above), then launch
+                    # this one in the background: the following batches'
+                    # scan->project->write jobs back-fill the fold's
+                    # reduce/straggler tail instead of idling behind it
+                    self._harvest_compact(metrics)
+                    self._launch_compact(spark, min_b, size_trigger, total_db)
+                    metrics["compact_started"] = True
+                else:
+                    try:
+                        res = self.compact(
+                            spark,
+                            min_bucket_bytes=min_b,
+                            min_dead_fraction=self.compact_min_dead_fraction,
+                        )
+                        self._note_compact_result(res, size_trigger, total_db, metrics)
+                    except ConcurrentWriteConflict:
+                        # another writer's fold won the race; the trigger
+                        # state persists, so a later commit retries -- a
+                        # maintenance race must never kill the streaming
+                        # query that tripped it.  The losing fold condemned
+                        # its claim under the lock; delete it outside.
+                        self._empty_trash()
+                        metrics["compact_skipped"] = "concurrent"
+            elif self._compact_future is not None and self._compact_future.done():
+                # a background fold finished since the last commit: attach
+                # its outcome to THIS batch's metrics (errors re-raise here,
+                # exactly where the inline fold would have raised)
+                self._harvest_compact(metrics)
 
         metrics["seconds"] = time.monotonic() - t0
         return metrics
@@ -4963,6 +4998,83 @@ class LocalSnapshotSink(SnapshotSink):
                         mv.add(str(b))
         return kept, mv
 
+    # ---------------------------------------------------- async maintenance
+    def _launch_compact(
+        self, spark: SparkSession, min_bucket_bytes, size_trigger, total_db=0
+    ) -> None:
+        """Run one merge-triggered fold on the sink's single background
+        thread.  At most one in flight (callers gate on the previous
+        future); Spark schedules the fold's jobs alongside the foreground
+        batches' jobs FIFO, so the next appends back-fill the fold's
+        straggler tail (guide 2.6)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._compact_pool is None:
+            def _mark_tid() -> None:
+                self._compact_tid = threading.get_ident()
+
+            self._compact_pool = ThreadPoolExecutor(
+                1, thread_name_prefix="fetchez-compact", initializer=_mark_tid
+            )
+
+        def _run() -> dict[str, Any]:
+            return self.compact(
+                spark,
+                min_bucket_bytes=min_bucket_bytes,
+                min_dead_fraction=self.compact_min_dead_fraction,
+            )
+
+        with self._compact_mu:
+            if self._compact_future is not None:
+                # another stream thread launched between our in-flight
+                # check and here -- first writer wins, one fold at a time
+                return
+            fut = self._compact_pool.submit(_run)
+            fut._fz_ctx = (bool(size_trigger), int(total_db))
+            self._compact_future = fut
+
+    def _harvest_compact(self, metrics: dict | None) -> dict[str, Any] | None:
+        """Join the pending background fold (blocking if still running) and
+        fold its outcome into ``metrics``.  ConcurrentWriteConflict is
+        recorded, not raised (a racing writer's fold winning is benign --
+        the inline path's contract); other errors re-raise at the caller,
+        which is always a merge/compact/finish_maintenance call site."""
+        with self._compact_mu:
+            fut, self._compact_future = self._compact_future, None
+        if fut is None:
+            return None
+        size_trigger, total_db = getattr(fut, "_fz_ctx", (False, 0))
+        try:
+            res = fut.result()
+        except ConcurrentWriteConflict:
+            self._empty_trash()
+            if metrics is not None:
+                metrics["compact_skipped"] = "concurrent"
+            return None
+        self._note_compact_result(res, size_trigger, total_db, metrics)
+        return res
+
+    def _note_compact_result(
+        self, res: dict, size_trigger: bool, total_db: int, metrics: dict | None
+    ) -> None:
+        if res.get("compacted_buckets"):
+            if metrics is not None:
+                metrics["compacted"] = res["snapshot_id"]
+            self._size_compact_floor = 0
+        else:
+            # selection matched nothing: report honestly and damp the
+            # next size-triggered attempt
+            if metrics is not None:
+                metrics["compact_noop"] = True
+            if size_trigger:
+                self._size_compact_floor = int(total_db * 1.5)
+
+    def finish_maintenance(self) -> dict[str, Any] | None:
+        """Barrier for merge-triggered background maintenance: blocks until
+        any in-flight fold commits and returns its result dict (None when
+        nothing was pending).  Fold errors re-raise here."""
+        return self._harvest_compact(None)
+
     def compact(
         self,
         spark: SparkSession,
@@ -5068,6 +5180,12 @@ class LocalSnapshotSink(SnapshotSink):
         ``target_file_bytes`` bin-packing is requested (file splitting
         needs the salted repartition).
         """
+        # one maintenance fold at a time: an explicit compact() barriers
+        # behind any pending merge-triggered background fold (errors from
+        # that fold re-raise HERE).  The background worker thread itself
+        # skips the join -- it IS the pending fold.
+        if threading.get_ident() != self._compact_tid:
+            self.finish_maintenance()
         cur = self.manifest()
         schema = T.StructType.fromJson(cur["schema"])
         # compaction is table-wide maintenance: resolve all list refs up
@@ -5576,6 +5694,10 @@ class LocalSnapshotSink(SnapshotSink):
         """
         if int(new_num_buckets) < 1:
             raise ValueError("new_num_buckets must be >= 1")
+        # a pending background fold would lose its commit race against the
+        # layout change (rebucket conflicts with any base rewrite); barrier
+        # it instead of provoking a guaranteed conflict
+        self.finish_maintenance()
         cur = self.manifest()
         old_nb = int(cur["num_buckets"])
         if int(new_num_buckets) == old_nb:

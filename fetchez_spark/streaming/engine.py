@@ -119,6 +119,15 @@ def _infer_log_schema(
         return CHANGE_EVENT_SCHEMA
 
 
+def _finish_sink_maintenance(sink) -> None:
+    """Barrier any merge-triggered background fold (async_compact) before
+    a stream run returns: the caller's next action is usually a read or a
+    checkpointed restart, and 'stream done' should mean 'table quiescent'."""
+    fin = getattr(sink, "finish_maintenance", None)
+    if fin is not None:
+        fin()
+
+
 def run_stream_supervised(
     spark: SparkSession,
     log_dir: str,
@@ -180,12 +189,14 @@ def run_stream_supervised(
                     budget = min(budget, max(deadline - _time.monotonic(), 0.05))
                 if q.awaitTermination(budget):
                     q.awaitTermination()  # surface a terminal failure, if any
+                    _finish_sink_maintenance(sink)
                     return {"restarts": restarts, "schema": schema, "evolved_columns": evolved}
                 if (stop_event is not None and stop_event.is_set()) or (
                     deadline is not None and _time.monotonic() >= deadline
                 ):
                     q.stop()
                     q.awaitTermination(60)
+                    _finish_sink_maintenance(sink)
                     return {"restarts": restarts, "schema": schema, "evolved_columns": evolved}
         except Exception as e:  # StreamingQueryException wraps the batch error
             if _EVOLVED_MARKER not in str(e):
@@ -736,4 +747,14 @@ def replay_batches(
         if lineage is not None:
             metrics = {**metrics, **lineage.record(i, metrics)}
         out.append(metrics)
+    # merge-triggered maintenance may still be folding in the background
+    # (async_compact): barrier here so the returned metrics describe a
+    # quiescent table -- a fold that completed during the loop was already
+    # attached to the batch that harvested it; one launched by the LAST
+    # batch lands on that batch's metrics now
+    fin = getattr(sink, "finish_maintenance", None)
+    if fin is not None and out:
+        res = fin()
+        if res is not None and res.get("compacted_buckets"):
+            out[-1]["compacted"] = res["snapshot_id"]
     return out

@@ -95,3 +95,44 @@ def test_fast_path_watermark_footer_equals_aggregate(spark, tmp_path, monkeypatc
     assert hwm_footer == hwm_agg
     # and it is the true batch maximum
     assert hwm_footer.startswith("2025-01-01 00:06:39")
+
+
+def test_async_compact_equals_inline_and_barriers(spark, tmp_path):
+    """Merge-triggered background folds (async_compact, the default) must
+    leave the table byte-identical to inline folding, report the fold in
+    the replay's batch metrics, and leave nothing pending after
+    replay_batches returns."""
+    from fetchez_spark.streaming.engine import replay_batches
+
+    batches = [
+        _batch(spark, n=400).withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {i} HOURS")
+        )
+        for i in range(4)
+    ]
+    states = {}
+    for tag, is_async in (("inline", False), ("async", True)):
+        sink = LocalSnapshotSink(
+            str(tmp_path / tag), num_buckets=4, compact_every=2,
+            cluster_deltas=False, async_compact=is_async,
+        )
+        res = replay_batches(spark, list(batches), sink, token_prefix=tag)
+        # the fold outcome is observable in the batch metrics stream
+        assert any("compacted" in m for m in res), res
+        # replay_batches barriers: no background work survives the call
+        assert sink._compact_future is None
+        states[tag] = sorted(map(tuple, sink.read(spark).collect()))
+    assert states["async"] == states["inline"]
+    # explicit compact() joins the pending fold first: launch one by hand
+    sink = LocalSnapshotSink(
+        str(tmp_path / "join"), num_buckets=4, compact_every=10**9,
+        cluster_deltas=False,
+    )
+    sink.merge(_batch(spark), "j-0")
+    before = sorted(map(tuple, sink.read(spark).collect()))
+    sink._launch_compact(spark, None, False)
+    out = sink.compact(spark)  # must not race the background fold
+    assert sink._compact_future is None
+    assert sorted(map(tuple, sink.read(spark).collect())) == before
+    assert out["compacted_buckets"] == 0 or out.get("snapshot_id")
+    assert not any(sink.delta_lists().values())

@@ -493,8 +493,11 @@ def test_monotonic_tokens_false_allows_out_of_order_custom_tokens(spark, tmp_pat
 
 def test_auto_compact_conflict_does_not_kill_the_merge(spark, tmp_path):
     """A racing fold during auto-compaction must degrade to a skipped
-    maintenance attempt, never an exception out of foreachBatch."""
-    sink = LocalSnapshotSink(str(tmp_path / "t"), num_buckets=2, compact_every=1)
+    maintenance attempt, never an exception out of foreachBatch (inline
+    mode) or out of the maintenance barrier (async mode)."""
+    sink = LocalSnapshotSink(
+        str(tmp_path / "t"), num_buckets=2, compact_every=1, async_compact=False
+    )
     original = sink.compact
     sink.compact = lambda *a, **k: (_ for _ in ()).throw(
         ConcurrentWriteConflict("simulated racing fold")
@@ -503,6 +506,18 @@ def test_auto_compact_conflict_does_not_kill_the_merge(spark, tmp_path):
     assert not m["skipped"] and m["compact_skipped"] == "concurrent"
     sink.compact = original
     assert sink.read(spark).count() == 1
+    # async (default) mode: the merge only LAUNCHES the fold; the conflict
+    # surfaces -- swallowed -- at the harvest/barrier, never as a raise
+    s2 = LocalSnapshotSink(str(tmp_path / "t2"), num_buckets=2, compact_every=1)
+    orig2 = s2.compact
+    s2.compact = lambda *a, **k: (_ for _ in ()).throw(
+        ConcurrentWriteConflict("simulated racing fold")
+    )
+    m2 = s2.merge(_batch(spark, [("c1", 0, "u", "x", None, _ts(9), "upsert", 1)]), "a-0")
+    assert not m2["skipped"] and m2.get("compact_started")
+    assert s2.finish_maintenance() is None  # conflict swallowed, no raise
+    s2.compact = orig2
+    assert s2.read(spark).count() == 1
 
 
 def test_reconciled_commit_keeps_row_stats(spark, tmp_path):
