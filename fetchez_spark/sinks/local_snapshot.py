@@ -1109,6 +1109,7 @@ class LocalSnapshotSink(SnapshotSink):
         expire_before: str | None = None,
         cluster_expr=None,
         combine_first: bool = False,
+        num_buckets: int | None = None,
     ) -> dict[str, list[str]]:
         """Dedup + bucket-clustered write (the compaction/CoW hot path).
         ``df`` carries ``_bucket``.
@@ -1254,10 +1255,31 @@ class LocalSnapshotSink(SnapshotSink):
         elif combine_first:
             # map-side partial aggregate (exchange on the full grouping
             # key) -- the winners-only move to their buckets happens
-            # below, after the purge/TTL filters trim them further
-            won = aligned.groupBy(
-                F.col(_BUCKET), *[F.col(k) for k in self.key]
-            ).agg(*aggs)
+            # below, after the purge/TTL filters trim them further.
+            # With ``num_buckets`` known, group on the KEY ALONE: _bucket
+            # is a pure function of key[0], so it adds nothing to the
+            # groups -- and dropping it keeps the pmod(hash, num_buckets)
+            # LITERAL out of the expensive map stage's generated code.
+            # That makes the map-stage source byte-identical across
+            # bucket counts, so the codegen cache (and the JVM's JIT
+            # profile) warmed by ANY prior combine fold -- e.g. a
+            # warm-up table with a different num_buckets -- carries over
+            # to the first real fold, which otherwise runs its first
+            # ~10s interpreted (measured: 475 vs 51 executor-CPU-seconds
+            # for the session's first vs second fold of the same data
+            # volume).  The bucket is recomputed on the winners only
+            # (O(|winners|) hashes instead of O(rows)).
+            if num_buckets is not None:
+                won = (
+                    aligned.drop(_BUCKET)
+                    .groupBy(*[F.col(k) for k in self.key])
+                    .agg(*aggs)
+                    .withColumn(_BUCKET, self._bucket_expr(num_buckets))
+                )
+            else:
+                won = aligned.groupBy(
+                    F.col(_BUCKET), *[F.col(k) for k in self.key]
+                ).agg(*aggs)
         else:
             won = (
                 aligned.repartition(max(n_partitions, 1), F.col(_BUCKET))
@@ -1285,13 +1307,17 @@ class LocalSnapshotSink(SnapshotSink):
     # Zipf-hot keys; below it, the one-exchange shape is cheaper (the
     # straggler costs milliseconds there).  Scale-free: the gate follows
     # the fold's own input bytes, not machine or scale-factor constants.
-    # 8 MiB, not 64: the gate sees COMPRESSED parquet bytes (no-dict zstd
+    # 2 MiB, not 64: the gate sees COMPRESSED parquet bytes (no-dict zstd
     # deltas decode ~3x larger), and a measured 65 MB fold under the old
     # 64 MiB floor spent 226 task-seconds in the raw-shuffle reduce (Zipf
     # hot key + balls-into-bins) vs ~70 for the combine shape -- the
     # "milliseconds" regime where the extra exchange is pure overhead
-    # ends well below 8 MiB.
-    FOLD_COMBINE_MIN_BYTES = 8 * 1024 * 1024
+    # ends in the low single-digit MiBs.  A low floor also keeps plan
+    # SHAPES consistent across a session: a small warm-up table's fold
+    # then compiles the same combine-shape codegen classes the first big
+    # fold will run (see combine_first's num_buckets note), instead of
+    # warming a plan the session never uses again.
+    FOLD_COMBINE_MIN_BYTES = 2 * 1024 * 1024
 
     def _fold_combine_first(self, files: list[str]) -> bool:
         """Should a fold over ``files`` pre-combine map-side?  True for
@@ -5209,6 +5235,7 @@ class LocalSnapshotSink(SnapshotSink):
                     cur["num_buckets"],
                     schema,
                     combine_first=self._fold_combine_first(delta_files),
+                    num_buckets=int(cur["num_buckets"]),
                 )
                 new_blooms = (
                     self._collect_key_blooms(
@@ -5481,6 +5508,7 @@ class LocalSnapshotSink(SnapshotSink):
                     expire_before=expire,
                     cluster_expr=cluster_expr,
                     combine_first=combine,
+                    num_buckets=int(cur["num_buckets"]),
                 )
         # per-file key ranges for the files this fold produced (one
         # column-pruned O(written) job); entries for the files this fold
